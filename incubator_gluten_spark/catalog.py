@@ -1,0 +1,56 @@
+"""Testdata catalog: load the driver's star schema as DataFrames/views.
+
+Analog of the reference's table registration in its TPC-H suites
+(gluten-substrait/src/test/scala/.../WholeStageTransformerSuite.scala:49-68
+creates temp views per parquet dir). Adds one normalization: the events
+table stores TIMESTAMP(NANOS) which Spark reads as raw int64 under
+spark.sql.legacy.parquet.nanosAsLong — we convert to timestamp (micros,
+truncating) so batch SQL, streaming and the DuckDB oracle agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos -> timestamp_ntz micros; integer division truncates
+        # exactly like DuckDB's CAST(ts AS TIMESTAMP).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register temp views so spark.sql(...) sees the star schema."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)
