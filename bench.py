@@ -1,0 +1,72 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query timing measures full plan execution (a count-style materialize
+that forces every operator, without driver-side row transfer cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from incubator_gluten_spark.plans import collect_all
+    from incubator_gluten_spark.session import get_session
+
+    spark = get_session(app_name="incubator-gluten-spark-bench")
+    all_q = collect_all()
+    # headline set: full TPC-H 22 + one representative per extension family
+    names = [n for n in sorted(all_q) if n.startswith("q") and n[1:].isdigit()]
+    extras = [
+        n
+        for n in sorted(all_q)
+        if not (n.startswith("q") and n[1:].isdigit())
+    ]
+    names += extras
+
+    timings: dict[str, float] = {}
+    # warm-up: JVM + parquet footer caches (not timed)
+    try:
+        if "q6" in all_q:
+            all_q["q6"].build(spark, sf_dir).collect()
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: warm-up failed: {exc}", file=sys.stderr)
+
+    for name in names:
+        q = all_q[name]
+        t0 = time.perf_counter()
+        try:
+            df = q.build(spark, sf_dir)
+            # force full execution of every operator; cheap driver transfer
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "query_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -220,7 +220,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(supplier),
+            supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -292,7 +292,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) & (F.col("cust_nation") == "NATION_1")
     return (
         li.filter(F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31")))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -340,8 +340,8 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part.filter(F.col("p_type") == "PROMO"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(
             orders.filter(F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -366,10 +366,11 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q9",
     """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             l_extendedprice * (1 - l_discount) - 0.2 * p_retailprice * l_quantity AS amount
+             CAST(l_extendedprice * (1 - l_discount) - 0.2 * p_retailprice * l_quantity
+                  AS DECIMAL(18,4)) AS amount
       FROM part, supplier, lineitem, orders, nation
       WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND o_orderkey = l_orderkey
         AND s_nationkey = n_nationkey AND p_name LIKE '%gear%'
@@ -389,19 +390,21 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * F.col("l_quantity")
     return (
         li.join(
-            F.broadcast(part.filter(F.col("p_name").like("%gear%"))),
+            part.filter(F.col("p_name").like("%gear%")),
             F.col("p_partkey") == F.col("l_partkey"),
         )
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
-            amount.alias("amount"),
+            # decimal accumulation: fp sums are order-dependent across
+            # engines/partitionings; exact decimal makes the hash stable.
+            amount.cast("decimal(18,4)").alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(_money(F.sum("amount")).alias("sum_profit"))
+        .agg(_money(F.sum("amount")).cast("double").alias("sum_profit"))
     )
 
 
@@ -549,7 +552,7 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= _ts("1997-09-01")) & (F.col("l_shipdate") < _ts("1997-10-01"))
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -589,7 +592,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("max_rev"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .join(supplier, F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", _money(F.col("total_revenue")).alias("total_revenue"))
     )
 
@@ -611,11 +614,9 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, li = _t(spark, sf_dir, "part", "lineitem")
     return (
         li.join(
-            F.broadcast(
-                part.filter(
-                    (F.col("p_brand") != "Brand#5")
-                    & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
-                )
+            part.filter(
+                (F.col("p_brand") != "Brand#5")
+                & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
             ),
             F.col("p_partkey") == F.col("l_partkey"),
         )
@@ -643,7 +644,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#3")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part.filter(F.col("p_brand") == "Brand#3"), F.col("p_partkey") == F.col("l_partkey"))
         .join(per_part, F.col("avg_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -718,7 +719,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(leg("Brand#12", 15, 1, 11) | leg("Brand#23", 25, 10, 20) | leg("Brand#34", 35, 20, 30))
         .agg(_money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
     )
@@ -747,7 +748,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1998-01-01"))
         )
-        .join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part.filter(F.col("p_type") == "PROMO"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("promo_qty"))
         .filter(F.col("promo_qty") > 50)
@@ -798,7 +799,7 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l1_orderkey"),
         )
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l1_suppkey"))
+        .join(supplier, F.col("s_suppkey") == F.col("l1_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name") == "NATION_4")
     )

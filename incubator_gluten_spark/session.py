@@ -42,7 +42,7 @@ def get_session(
     app_name: str = "incubator-gluten-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
-    driver_memory: str = "48g",
+    driver_memory: str | None = None,
     streaming: bool = False,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
@@ -55,6 +55,7 @@ def get_session(
     cpus = _default_cpus()
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or max(cpus * 2, 8)
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     builder = (
         SparkSession.builder.master(master)
@@ -72,7 +73,10 @@ def get_session(
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
+        # NOTE: spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled
+        # deliberately NOT set — it deadlocks every job on this Spark build
+        # (even a bare count()); the bloom-filter config above already covers
+        # the reference's BloomFilterMightContainJointRewriteRule analog.
         # --- scan: pushdown + pruning + sane split sizes
         .config("spark.sql.files.maxPartitionBytes", "256m")
         .config("spark.sql.parquet.filterPushdown", "true")
@@ -96,5 +100,13 @@ def get_session(
         builder = builder.config(k, v)
 
     spark = builder.getOrCreate()
+    # getOrCreate() reuses an existing session and silently drops divergent
+    # builder confs; re-apply the runtime-settable ones so later callers
+    # (e.g. streaming=True or extra_conf) actually take effect.
+    for k, v in (extra_conf or {}).items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a live session — builder already tried
     spark.sparkContext.setLogLevel("WARN")
     return spark
