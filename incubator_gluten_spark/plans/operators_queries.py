@@ -1,0 +1,1001 @@
+"""Operator micro-queries: window, expand/grouping-sets, aggregate surface,
+set ops, generate, sample, limits, joins beyond TPC-H's shapes.
+
+Each entry answers one SURVEY.md §2 capability row with a PySpark builder
+plus a DuckDB oracle twin, mirroring the reference's per-operator suites
+(backends-velox/src/test/scala/org/apache/gluten/execution/MiscOperatorSuite.scala,
+VeloxWindowExpressionSuite.scala, VeloxAggregateFunctionsSuite.scala).
+
+Cross-engine hash-stability rules (same as tpch.py): round computed floats,
+alias identically on both sides, give every LIMIT a total order, sort
+arrays, and avoid engine-defined tie-breaking (unique ORDER BY keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables, register_views
+from incubator_gluten_spark.plans import Q
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+REGISTRY: list[Q] = []
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY.append(Q(name, fn, oracle, tags))
+        return fn
+
+    return deco
+
+
+# ================================================================ window
+# Reference: WindowExecTransformer.scala:37 (WindowRel w/ partition keys,
+# sort spec, frames), fns ExpressionMappings.scala:334-344, tests
+# VeloxWindowExpressionSuite.scala.
+
+@q(
+    "win_rank_family",
+    """
+    SELECT s_suppkey, s_nationkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           row_number()   OVER w AS rn,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist()    OVER w, 6) AS cdist,
+           ntile(4)       OVER w AS tile
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    "window",
+)
+def win_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six ranking functions over one partition/order spec."""
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("tile"),
+    )
+
+
+@q(
+    "win_lead_lag",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(lag(o_totalprice, 1)  OVER w, 2)       AS prev_price,
+           round(lead(o_totalprice, 1, -1.0) OVER w, 2) AS next_price
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "window",
+)
+def win_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.filter(F.col("o_custkey") < 200).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice", 1, -1.0).over(w), 2).alias("next_price"),
+    )
+
+
+@q(
+    "win_frames_rows",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_qty,
+           round(avg(l_extendedprice) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    "window", "frames",
+)
+def win_frames_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS frames: running total + moving average."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("run_qty"),
+        F.round(F.avg("l_extendedprice").over(w.rowsBetween(-2, 0)), 4).alias(
+            "mov_avg"
+        ),
+    )
+
+
+@q(
+    "win_frames_range",
+    """
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER w AS n_close,
+           round(sum(o_totalprice) OVER w, 2) AS sum_close
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+    """,
+    "window", "frames",
+)
+def win_frames_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ORDER BY key. The Python Window API only
+    accepts integral range bounds, so the fractional frame goes through the
+    SQL window syntax (same plan: WindowExec with a RangeFrame)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    over = (
+        "OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+        "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)"
+    )
+    return orders.filter(F.col("o_custkey") < 100).select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr(f"count(*) {over}").alias("n_close"),
+        F.expr(f"round(sum(o_totalprice) {over}, 2)").alias("sum_close"),
+    )
+
+
+@q(
+    "win_nth_first_last",
+    """
+    SELECT s_suppkey, s_nationkey,
+           first_value(s_name) OVER w AS top_name,
+           last_value(s_name)  OVER w AS bottom_name,
+           nth_value(s_name, 2) OVER w AS second_name
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "window",
+)
+def win_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.first("s_name").over(w).alias("top_name"),
+        F.last("s_name").over(w).alias("bottom_name"),
+        F.nth_value("s_name", 2).over(w).alias("second_name"),
+    )
+
+
+@q(
+    "win_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders WHERE o_custkey < 300
+    ) t WHERE rn <= 3
+    """,
+    "window", "group-limit",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per partition — the WindowGroupLimit shape (Spark >=3.5 pushes
+    the rank filter pre-shuffle automatically).
+    Reference: WindowGroupLimitExecTransformer.scala:37."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 300)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@q(
+    "win_unbounded_agg",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(max(l_extendedprice) OVER (PARTITION BY l_orderkey), 2) AS max_price,
+           round(sum(l_quantity)      OVER (PARTITION BY l_orderkey), 2) AS tot_qty,
+           count(*)                   OVER (PARTITION BY l_orderkey)     AS n_lines
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    "window",
+)
+def win_unbounded_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-partition (unbounded) aggregates-over-window.
+    Reference: RewriteUnboundedWindow.scala (Velox rewrite; built-in here)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.max("l_extendedprice").over(w), 2).alias("max_price"),
+        F.round(F.sum("l_quantity").over(w), 2).alias("tot_qty"),
+        F.count("*").over(w).alias("n_lines"),
+    )
+
+
+# ============================================================== expand
+# Reference: ExpandExecTransformer.scala:34 (GroupIdNode), matrix row
+# docs/velox-backend-support-progress.md:50.
+
+@q(
+    "expand_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_rf,
+           CAST(grouping(l_linestatus) AS INT) AS g_ls,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "expand", "agg",
+)
+def expand_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "sum_qty", "n")
+
+
+@q(
+    "expand_cube",
+    """
+    SELECT l_returnflag, year(l_shipdate) AS ship_year,
+           CAST(grouping(l_returnflag) AS INT)      AS g_rf,
+           CAST(grouping(year(l_shipdate)) AS INT)  AS g_yr,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, year(l_shipdate))
+    """,
+    "expand", "agg",
+)
+def expand_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    li = li.withColumn("ship_year", F.year("l_shipdate"))
+    return li.cube("l_returnflag", "ship_year").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("ship_year").cast("int").alias("g_yr"),
+        F.count("*").alias("n"),
+    ).select("l_returnflag", "ship_year", "g_rf", "g_yr", "n")
+
+
+@q(
+    "expand_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    "expand", "agg", "sql",
+)
+def expand_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL entry point (views registered per call)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# =============================================================== aggregates
+# Reference surface: docs/velox-backend-aggregate-function-support.md (63 fns),
+# ExpressionMappings.scala:305-331, VeloxAggregateFunctionsSuite.scala.
+
+@q(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 6) AS sd_samp,
+           round(stddev_pop(l_quantity), 6)  AS sd_pop,
+           round(var_samp(l_quantity), 6)    AS v_samp,
+           round(var_pop(l_quantity), 6)     AS v_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_samp"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("sd_pop"),
+        F.round(F.var_samp("l_quantity"), 6).alias("v_samp"),
+        F.round(F.var_pop("l_quantity"), 6).alias("v_pop"),
+    )
+
+
+@q(
+    "agg_corr_covar",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS c,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS cv_samp,
+           round(covar_pop(l_quantity, l_extendedprice), 4)  AS cv_pop
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg",
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("c"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cv_samp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cv_pop"),
+    )
+
+
+@q(
+    "agg_minmax_by",
+    """
+    SELECT s_nationkey,
+           max_by(s_name, s_acctbal) AS richest,
+           min_by(s_name, s_acctbal) AS poorest,
+           round(max(s_acctbal), 2)  AS max_bal
+    FROM supplier GROUP BY s_nationkey
+    """,
+    "agg",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    return supplier.groupBy("s_nationkey").agg(
+        F.max_by("s_name", "s_acctbal").alias("richest"),
+        F.min_by("s_name", "s_acctbal").alias("poorest"),
+        F.round(F.max("s_acctbal"), 2).alias("max_bal"),
+    )
+
+
+@q(
+    "agg_bool",
+    """
+    SELECT l_returnflag,
+           bool_and(l_discount >= 0.0) AS all_nonneg,
+           bool_or(l_discount > 0.09)  AS any_big_disc,
+           count_if(l_tax > 0.05)      AS n_taxed
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg",
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") >= 0.0).alias("all_nonneg"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_big_disc"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_taxed"),
+    )
+
+
+@q(
+    "agg_collect",
+    """
+    SELECT l_orderkey,
+           list_sort(list(l_linenumber))          AS lines,
+           list_sort(list(DISTINCT l_returnflag)) AS flags
+    FROM lineitem WHERE l_orderkey < 200 GROUP BY l_orderkey
+    """,
+    "agg", "array",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list/collect_set, sorted for cross-engine hash stability."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 200).groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+        F.sort_array(F.collect_set("l_returnflag")).alias("flags"),
+    )
+
+
+@q(
+    "agg_approx_distinct",
+    """
+    SELECT count(DISTINCT l_returnflag)  AS n_flags,
+           count(DISTINCT l_linestatus)  AS n_status,
+           count(DISTINCT l_linenumber)  AS n_lineno
+    FROM lineitem
+    """,
+    "agg", "approx",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — exact at these tiny cardinalities, so
+    the exact-count oracle hash-matches; at scale the same plan streams with
+    constant memory. Reference: ExpressionMappings.scala:309 (HLL rewrite)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_returnflag").alias("n_flags"),
+        F.approx_count_distinct("l_linestatus").alias("n_status"),
+        F.approx_count_distinct("l_linenumber").alias("n_lineno"),
+    )
+
+
+@q(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           round(median(l_quantity), 4)             AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg", "percentile",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles (both engines: continuous quantile)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.median("l_quantity"), 4).alias("med"),
+    )
+
+
+@q(
+    "agg_skew_kurt",
+    """
+    WITH m AS (SELECT l_returnflag AS rf, avg(l_quantity) AS mu FROM lineitem GROUP BY 1)
+    SELECT rf AS l_returnflag,
+           round(avg(d3) / pow(avg(d2), 1.5), 5)    AS skew,
+           round(avg(d4) / pow(avg(d2), 2.0) - 3, 5) AS kurt
+    FROM (
+      SELECT m.rf, pow(l_quantity - mu, 2) AS d2,
+             pow(l_quantity - mu, 3) AS d3, pow(l_quantity - mu, 4) AS d4
+      FROM lineitem JOIN m ON lineitem.l_returnflag = m.rf
+    ) GROUP BY rf
+    """,
+    "agg",
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewness/kurtosis. Spark computes population moments (g1, excess g2);
+    the oracle spells out the same moment formulas since DuckDB's built-ins
+    apply sample-bias correction."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 5).alias("skew"),
+        F.round(F.kurtosis("l_quantity"), 5).alias("kurt"),
+    )
+
+
+@q(
+    "agg_bitwise",
+    """
+    SELECT l_orderkey,
+           bit_and(l_linenumber) AS b_and,
+           bit_or(l_linenumber)  AS b_or,
+           bit_xor(l_linenumber) AS b_xor
+    FROM lineitem WHERE l_orderkey < 300 GROUP BY l_orderkey
+    """,
+    "agg",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 300).groupBy("l_orderkey").agg(
+        F.bit_and("l_linenumber").alias("b_and"),
+        F.bit_or("l_linenumber").alias("b_or"),
+        F.bit_xor("l_linenumber").alias("b_xor"),
+    )
+
+
+@q(
+    "agg_try_arith",
+    """
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2) AS try_total,
+           round(avg(l_quantity), 4) AS try_mean
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg",
+)
+def agg_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_sum/try_avg (overflow-tolerant) == sum/avg on clean doubles.
+    Reference: ExpressionMappings.scala try_* sigs."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.try_sum("l_quantity"), 2).alias("try_total"),
+        F.round(F.try_avg("l_quantity"), 4).alias("try_mean"),
+    )
+
+
+# ================================================================ set ops
+# Reference: UnionExecTransformer.scala:38 (SetRel); intersect/except lower
+# to joins/aggregates in Catalyst before the reference sees them (SURVEY §2.7).
+
+@q(
+    "setop_union_all",
+    """
+    SELECT l_returnflag, count(*) AS n FROM (
+      SELECT l_returnflag FROM lineitem WHERE l_quantity < 10
+      UNION ALL
+      SELECT l_returnflag FROM lineitem WHERE l_quantity > 40
+    ) GROUP BY l_returnflag
+    """,
+    "setop",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_quantity") < 10).select("l_returnflag")
+    hi = li.filter(F.col("l_quantity") > 40).select("l_returnflag")
+    return lo.unionAll(hi).groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@q(
+    "setop_union_distinct",
+    """
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity < 10
+    UNION
+    SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 40
+    """,
+    "setop",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    lo = li.filter(F.col("l_quantity") < 10).select("l_returnflag", "l_linestatus")
+    hi = li.filter(F.col("l_quantity") > 40).select("l_returnflag", "l_linestatus")
+    return lo.union(hi).distinct()
+
+
+@q(
+    "setop_intersect",
+    """
+    SELECT CAST(c_nationkey AS INT) AS nkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS INT) AS nkey FROM supplier
+    """,
+    "setop",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    return customer.select(F.col("c_nationkey").cast("int").alias("nkey")).intersect(
+        supplier.select(F.col("s_nationkey").cast("int").alias("nkey"))
+    )
+
+
+@q(
+    "setop_except",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+    EXCEPT
+    SELECT CAST(o_custkey AS BIGINT) AS k FROM orders WHERE o_totalprice > 100000
+    """,
+    "setop",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers without a big-ticket order (non-empty)."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    return customer.select(F.col("c_custkey").alias("k")).exceptAll(
+        orders.filter(F.col("o_totalprice") > 100000).select(
+            F.col("o_custkey").alias("k")
+        )
+    ).distinct()
+
+
+@q(
+    "setop_intersect_all",
+    """
+    SELECT l_linenumber FROM lineitem WHERE l_orderkey < 100
+    INTERSECT ALL
+    SELECT l_linenumber FROM lineitem WHERE l_orderkey >= 100 AND l_orderkey < 200
+    """,
+    "setop",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersect (keeps duplicate multiplicity)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 100).select("l_linenumber")
+    b = li.filter(
+        (F.col("l_orderkey") >= 100) & (F.col("l_orderkey") < 200)
+    ).select("l_linenumber")
+    return a.intersectAll(b)
+
+
+# ================================================================ generate
+# Reference: GenerateExecTransformerBase.scala:35 (GenerateRel -> UnnestNode),
+# Velox impl backends-velox/.../GenerateExecTransformer.scala:172.
+
+@q(
+    "gen_explode_split",
+    """
+    SELECT lang, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+    FROM (
+      SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ) GROUP BY lang
+    """,
+    "generate",
+)
+def gen_explode_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(split(...)) — LATERAL VIEW / UnnestNode shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.countDistinct("word").alias("n_distinct"),
+        )
+    )
+
+
+@q(
+    "gen_posexplode",
+    """
+    SELECT lang,
+           max(len(string_split(text, ' ')) - 1)          AS max_pos,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+    FROM documents GROUP BY lang
+    """,
+    "generate",
+)
+def gen_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: 0-based position (oracle shifts DuckDB's 1-based ordinality)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .groupBy("lang")
+        .agg(F.max("pos").alias("max_pos"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "gen_stack",
+    """
+    SELECT kind, k, count(*) AS n FROM (
+      SELECT 'nation' AS kind, n_nationkey AS k FROM nation
+      UNION ALL
+      SELECT 'region' AS kind, n_regionkey AS k FROM nation
+    ) GROUP BY kind, k
+    """,
+    "generate",
+)
+def gen_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack(n, ...) row-generator (Generate with a struct-array source)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            F.expr(
+                "stack(2, 'nation', n_nationkey, 'region', n_regionkey) AS (kind, k)"
+            )
+        )
+        .groupBy("kind", "k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "gen_inline",
+    """
+    SELECT part_kind, key, name FROM (
+      SELECT 'nk' AS part_kind, n_nationkey AS key, n_name AS name FROM nation
+      UNION ALL
+      SELECT 'rk' AS part_kind, n_regionkey AS key, n_name AS name FROM nation
+    )
+    """,
+    "generate",
+)
+def gen_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline(array(struct(...), ...)) — explodes an array of structs into
+    columns (UnnestNode over a struct list)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    return nation.select(
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit("nk").alias("part_kind"),
+                    F.col("n_nationkey").cast("int").alias("key"),
+                    F.col("n_name").alias("name"),
+                ),
+                F.struct(
+                    F.lit("rk").alias("part_kind"),
+                    F.col("n_regionkey").cast("int").alias("key"),
+                    F.col("n_name").alias("name"),
+                ),
+            )
+        )
+    )
+
+
+@q(
+    "gen_sequence",
+    """
+    SELECT p_partkey, count(*) AS n, sum(i) AS total
+    FROM (
+      SELECT p_partkey, unnest(generate_series(1, p_size)) AS i
+      FROM part WHERE p_partkey < 100
+    ) GROUP BY p_partkey
+    """,
+    "generate",
+)
+def gen_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode(sequence(...)) — generator over a computed array."""
+    (part,) = _t(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") < 100)
+        .select("p_partkey", F.explode(F.sequence(F.lit(1), F.col("p_size"))).alias("i"))
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n"), F.sum("i").alias("total"))
+    )
+
+
+# ================================================================ misc
+# Sample / limit-offset / top-n / coalesce / repartition / range / inline data.
+
+@q(
+    "misc_sample_hash",
+    """
+    SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem WHERE l_orderkey % 10 = 0
+    """,
+    "sample",
+)
+def misc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (key-mod filter) — the oracle-able
+    analog of SampleExecTransformer.scala:40-59's rand(seed+partitionId)
+    filter; engine-portable unlike rand()."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 10 == 0).agg(
+        F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("total")
+    )
+
+
+@q("misc_sample_seeded", None, "sample")
+def misc_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sample(fraction, seed) — deterministic per partitioning but not
+    reproducible in another engine -> rows-only check.
+    Reference: SampleExecTransformer.scala:40-59."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("total")
+    )
+
+
+@q(
+    "misc_limit_offset",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 10
+    """,
+    "limit",
+)
+def misc_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT ... OFFSET — FetchRel with offset+count
+    (LimitExecTransformer.scala:29)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(20)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+@q(
+    "misc_take_ordered",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+    "limit", "topn",
+)
+def misc_take_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit+project — Catalyst plans TakeOrderedAndProject (TopNRel,
+    TakeOrderedAndProjectExecTransformer.scala:36): per-partition top-N then
+    single merge, never a global sort."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+@q(
+    "misc_coalesce",
+    """
+    SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag
+    """,
+    "exchange",
+)
+def misc_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce(n) — partition-count reduction without shuffle
+    (ColumnarCoalesceExec.scala:30)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.coalesce(4).groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@q(
+    "misc_repartition",
+    """
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS total FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    "exchange",
+)
+def misc_repartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit hash repartition (ColumnarShuffleExchangeExec analog) —
+    pre-partitioning by the grouping key turns the downstream agg
+    partial-only (no second shuffle)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.repartition(8, "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total"))
+    )
+
+
+@q(
+    "misc_range",
+    """
+    SELECT count(*) AS n, sum(i) AS total, min(i) AS lo, max(i) AS hi
+    FROM (SELECT unnest(generate_series(0, 9999, 7)) AS i)
+    """,
+    "source",
+)
+def misc_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """range() source (ColumnarRangeExec.scala:39) — parallel numeric source."""
+    return (
+        spark.range(0, 10000, 7)
+        .select(F.col("id").alias("i"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("i").alias("total"),
+            F.min("i").alias("lo"),
+            F.max("i").alias("hi"),
+        )
+    )
+
+
+@q(
+    "misc_inline_rows",
+    """
+    SELECT t.k, t.v, n_name FROM (VALUES (0, 'x'), (1, 'y'), (2, 'z')) AS t(k, v)
+    JOIN nation ON n_nationkey = t.k
+    """,
+    "source", "join",
+)
+def misc_inline_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """createDataFrame over local rows (RDDScanTransformer analog,
+    OffloadSingleNodeRules.scala:316) joined against a table."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    local = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], ["k", "v"])
+    return local.join(nation, F.col("n_nationkey") == F.col("k")).select(
+        "k", "v", "n_name"
+    )
+
+
+# ================================================================ joins
+# Shapes beyond the TPC-H graph: full/right outer, cross, theta-BNLJ,
+# existence join. Reference: SubstraitUtil.scala:37-66 (join type coverage),
+# CartesianProductExecTransformer.scala:57,
+# BroadcastNestedLoopJoinExecTransformer.scala:36.
+
+@q(
+    "join_full_outer",
+    """
+    SELECT k, c_cnt, s_cnt FROM (
+      SELECT coalesce(c.k, s.k) AS k, coalesce(c.n, 0) AS c_cnt, coalesce(s.n, 0) AS s_cnt
+      FROM (SELECT c_nationkey % 30 AS k, count(*) AS n FROM customer GROUP BY 1) c
+      FULL OUTER JOIN (SELECT s_nationkey % 30 AS k, count(*) AS n FROM supplier GROUP BY 1) s
+      ON c.k = s.k
+    )
+    """,
+    "join",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = customer.groupBy((F.col("c_nationkey") % 30).alias("ck")).agg(
+        F.count("*").alias("c_n")
+    )
+    s = supplier.groupBy((F.col("s_nationkey") % 30).alias("sk")).agg(
+        F.count("*").alias("s_n")
+    )
+    return c.join(s, F.col("ck") == F.col("sk"), "full_outer").select(
+        F.coalesce("ck", "sk").alias("k"),
+        F.coalesce("c_n", F.lit(0)).alias("c_cnt"),
+        F.coalesce("s_n", F.lit(0)).alias("s_cnt"),
+    )
+
+
+@q(
+    "join_right_outer",
+    """
+    SELECT n_name, coalesce(n, 0) AS n_suppliers FROM (
+      SELECT s_nationkey, count(*) AS n FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+    ) s RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "join",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier, nation = _t(spark, sf_dir, "supplier", "nation")
+    s = (
+        supplier.filter(F.col("s_acctbal") > 9000)
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"))
+    )
+    return s.join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey"), "right_outer"
+    ).select("n_name", F.coalesce("n", F.lit(0)).alias("n_suppliers"))
+
+
+@q(
+    "join_cross",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+    "join", "cross",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (CartesianProductExecTransformer.scala:57).
+    Only ever sane when one side is tiny — here 5x25."""
+    region, nation = _t(spark, sf_dir, "region", "nation")
+    return region.crossJoin(nation).select("r_name", "n_name")
+
+
+@q(
+    "join_theta_bnlj",
+    """
+    SELECT s.s_suppkey, count(*) AS n_poorer_customers
+    FROM supplier s JOIN customer c ON c.c_acctbal < s.s_acctbal
+    WHERE s.s_suppkey < 20 AND c.c_custkey < 500
+    GROUP BY s.s_suppkey
+    """,
+    "join", "theta",
+)
+def join_theta_bnlj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi) join -> BroadcastNestedLoopJoin; the small side
+    is broadcast (BroadcastNestedLoopJoinExecTransformer.scala:36)."""
+    supplier, customer = _t(spark, sf_dir, "supplier", "customer")
+    s = supplier.filter(F.col("s_suppkey") < 20).select("s_suppkey", "s_acctbal")
+    c = customer.filter(F.col("c_custkey") < 500).select("c_acctbal")
+    return (
+        s.join(F.broadcast(c), F.col("c_acctbal") < F.col("s_acctbal"))
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_poorer_customers"))
+    )
+
+
+@q(
+    "join_existence",
+    """
+    SELECT count(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) OR c_acctbal < 0
+    """,
+    "join", "existence", "sql",
+)
+def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-or-predicate — Catalyst plans an ExistenceJoin
+    (SubstraitUtil.scala:37-66 lists it as a first-class join type)."""
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT count(*) AS n FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           OR c_acctbal < 0
+        """
+    )
