@@ -1,0 +1,721 @@
+"""Scalar-function family queries — SURVEY §2.9's 290-expression surface.
+
+One differential query per family, exercising the family's functions over
+real fixture columns (reference mapping: gluten-substrait/.../expression/
+ExpressionMappings.scala:52-352; support matrix
+docs/velox-backend-scalar-function-support.md).
+
+DuckDB-divergent functions are handled two ways:
+* emulated in the oracle SQL (expm1, log1p, pmod, hypot, dayofweek offset,
+  substring_index, initcap-on-single-token, bool list quantifiers), or
+* pinned as golden literals for engine-specific functions computed on
+  constants (soundex, conv, elt, overlay, sha1, crc32, murmur3 hash,
+  xxhash64, parse_url, bround, width_bucket) — SF-independent, verified
+  against a one-row VALUES oracle. Same spirit as the reference's
+  VeloxLiteralSuite / function micro-suites.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables
+from incubator_gluten_spark.plans import Q
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+REGISTRY: list[Q] = []
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY.append(Q(name, fn, oracle, tags))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------- string
+
+@q(
+    "fn_string_basic",
+    """
+    SELECT n_name,
+           length(n_name)                      AS len,
+           lower(n_name)                       AS lo,
+           upper(lower(n_name))                AS up,
+           substring(n_name, 1, 6)             AS sub,
+           concat_ws('-', n_name, 'X')         AS cw,
+           lpad(n_name, 12, '*')               AS lp,
+           rpad(n_name, 12, '*')               AS rp,
+           replace(n_name, 'NATION', 'N')      AS rep,
+           reverse(n_name)                     AS rev,
+           left(n_name, 3)                     AS l3,
+           right(n_name, 2)                    AS r2,
+           repeat(right(n_name, 1), 3)         AS rpt,
+           ascii(n_name)                       AS asc_first,
+           chr(65 + n_nationkey % 26)          AS ch,
+           instr(n_name, '_')                  AS pos,
+           translate(n_name, 'NAT', 'nat')     AS tr,
+           levenshtein(n_name, 'NATION_1')     AS lev,
+           upper(substring(n_name,1,1)) || lower(substring(n_name,2)) AS icap,
+           trim('  ' || n_name || '  ')        AS trm,
+           contains(n_name, '1')               AS has1
+    FROM nation
+    """,
+    "function", "string",
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = _t(spark, sf_dir, "nation")
+    n = F.col("n_name")
+    return nation.select(
+        "n_name",
+        F.length(n).alias("len"),
+        F.lower(n).alias("lo"),
+        F.upper(F.lower(n)).alias("up"),
+        F.substring(n, 1, 6).alias("sub"),
+        F.concat_ws("-", n, F.lit("X")).alias("cw"),
+        F.lpad(n, 12, "*").alias("lp"),
+        F.rpad(n, 12, "*").alias("rp"),
+        F.replace(n, F.lit("NATION"), F.lit("N")).alias("rep"),
+        F.reverse(n).alias("rev"),
+        F.left(n, F.lit(3)).alias("l3"),
+        F.right(n, F.lit(2)).alias("r2"),
+        F.repeat(F.right(n, F.lit(1)), 3).alias("rpt"),
+        F.ascii(n).alias("asc_first"),
+        F.chr(F.lit(65) + F.col("n_nationkey") % 26).alias("ch"),
+        F.instr(n, "_").alias("pos"),
+        F.translate(n, "NAT", "nat").alias("tr"),
+        F.levenshtein(n, F.lit("NATION_1")).alias("lev"),
+        F.initcap(F.lower(n)).alias("icap"),
+        F.trim(F.concat(F.lit("  "), n, F.lit("  "))).alias("trm"),
+        F.contains(n, F.lit("1")).alias("has1"),
+    )
+
+
+@q(
+    "fn_string_regex",
+    """
+    SELECT lang,
+           count(*) AS n_match,
+           sum(CAST(regexp_extract(text, '([a-z]+)', 1) = 'key' AS INT)) AS n_key_first,
+           max(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS max_novowel_len,
+           max(len(string_split(text, ' '))) AS max_words,
+           max(array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')) AS first3
+    FROM documents
+    WHERE regexp_matches(text, 'spark')
+    GROUP BY lang
+    """,
+    "function", "string", "regex",
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """like/rlike/regexp_* — patterns restricted to the RE2∩Java-regex
+    subset, the same portability caveat the reference documents
+    (docs/velox-backend-limitations.md 'Regexp functions')."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("text").rlike("spark"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_match"),
+            F.sum(
+                (F.regexp_extract("text", r"([a-z]+)", 1) == "key").cast("int")
+            ).alias("n_key_first"),
+            F.max(
+                F.length(F.regexp_replace("text", "[aeiou]", ""))
+            ).alias("max_novowel_len"),
+            F.max(F.size(F.split("text", " "))).alias("max_words"),
+            F.max(F.expr("substring_index(text, ' ', 3)")).alias("first3"),
+        )
+    )
+
+
+@q(
+    "fn_string_golden",
+    """
+    SELECT * FROM (VALUES
+      ('R163', '4', 'b', 2, 'hXXlo', 'Hello Spark World', 'a.b',
+       'spark.apache.org', '/docs/api.html', 'join', 3)
+    ) AS t(soundex_v, conv_v, elt_v, fis_v, overlay_v, initcap_v, subidx_v,
+           url_host, url_path, url_q, width_bucket_v)
+    """,
+    "function", "string", "golden",
+)
+def fn_string_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-specific string/URL fns on constants vs pinned golden values
+    (Spark-computed). Covers soundex, conv, elt, find_in_set, overlay,
+    initcap, substring_index, parse_url (HOST/PATH/QUERY), width_bucket —
+    reference sigs ExpressionMappings.scala:66-112."""
+    return spark.range(1).select(
+        F.soundex(F.lit("Robert")).alias("soundex_v"),
+        F.conv(F.lit("100"), 2, 10).alias("conv_v"),
+        F.elt(F.lit(2), F.lit("a"), F.lit("b"), F.lit("c")).alias("elt_v"),
+        F.find_in_set(F.lit("b"), F.lit("a,b,c")).alias("fis_v"),
+        F.overlay(F.lit("hello"), F.lit("XX"), F.lit(2)).alias("overlay_v"),
+        F.initcap(F.lit("hello spark world")).alias("initcap_v"),
+        F.expr("substring_index('a.b.c.d', '.', 2)").alias("subidx_v"),
+        F.expr(
+            "parse_url('https://spark.apache.org/docs/api.html?q=join&lang=en', 'HOST')"
+        ).alias("url_host"),
+        F.expr(
+            "parse_url('https://spark.apache.org/docs/api.html?q=join&lang=en', 'PATH')"
+        ).alias("url_path"),
+        F.expr(
+            "parse_url('https://spark.apache.org/docs/api.html?q=join&lang=en', 'QUERY', 'q')"
+        ).alias("url_q"),
+        F.expr("width_bucket(5.3, 0.2, 10.6, 5)").alias("width_bucket_v"),
+    )
+
+
+# ---------------------------------------------------------------- math
+
+@q(
+    "fn_math",
+    """
+    SELECT p_partkey,
+           abs(p_retailprice - 1000)                   AS a,
+           CAST(ceil(p_retailprice) AS BIGINT)         AS ce,
+           CAST(floor(p_retailprice) AS BIGINT)        AS fl,
+           round(sqrt(p_retailprice), 6)               AS sq,
+           round(cbrt(p_retailprice), 6)               AS cb,
+           round(exp(p_size / 25.0), 6)                AS ex,
+           round(exp(p_size / 25.0) - 1, 6)            AS exm1,
+           round(ln(p_retailprice), 6)                 AS lg,
+           round(log10(p_retailprice), 6)              AS l10,
+           round(log2(p_retailprice), 6)               AS l2,
+           round(ln(1 + p_retailprice), 6)             AS l1p,
+           round(pow(p_size, 2.5), 4)                  AS pw,
+           round(sin(p_size), 6)                       AS sn,
+           round(cos(p_size), 6)                       AS cs,
+           round(atan2(p_size, 7.0), 6)                AS at2,
+           round(degrees(p_size / 10.0), 6)            AS dg,
+           round(radians(CAST(p_size AS DOUBLE)), 6)   AS rd,
+           sign(p_size - 25)                           AS sg,
+           greatest(p_size, 10, 25)                    AS gr,
+           least(p_size, 10, 25)                       AS ls,
+           ((p_size % 7) + 7) % 7                      AS pm,
+           round(sqrt(p_size*p_size + 9.0), 6)         AS hyp,
+           factorial(p_size % 10)                      AS fac,
+           p_size & 12                                 AS band,
+           p_size | 12                                 AS bor,
+           xor(p_size, 12)                             AS bxor,
+           ~p_size                                     AS bnot,
+           p_size << 2                                 AS shl,
+           p_size >> 1                                 AS shr,
+           hex(p_size)                                 AS hx
+    FROM part WHERE p_partkey < 200
+    """,
+    "function", "math",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family (~50 fns, ExpressionMappings.scala:115-166). expm1/log1p/
+    pmod/hypot emulated in the oracle; bround/rint are golden-tested in
+    fn_math_golden (DuckDB rounds half-away, Spark bround half-even)."""
+    (part,) = _t(spark, sf_dir, "part")
+    s, rp = F.col("p_size"), F.col("p_retailprice")
+    return part.filter(F.col("p_partkey") < 200).select(
+        "p_partkey",
+        F.abs(rp - 1000).alias("a"),
+        F.ceil(rp).alias("ce"),
+        F.floor(rp).alias("fl"),
+        F.round(F.sqrt(rp), 6).alias("sq"),
+        F.round(F.cbrt(rp), 6).alias("cb"),
+        F.round(F.exp(s / 25.0), 6).alias("ex"),
+        F.round(F.expm1(s / 25.0), 6).alias("exm1"),
+        F.round(F.log(rp), 6).alias("lg"),
+        F.round(F.log10(rp), 6).alias("l10"),
+        F.round(F.log2(rp), 6).alias("l2"),
+        F.round(F.log1p(rp), 6).alias("l1p"),
+        F.round(F.pow(s, 2.5), 4).alias("pw"),
+        F.round(F.sin(s), 6).alias("sn"),
+        F.round(F.cos(s), 6).alias("cs"),
+        F.round(F.atan2(s.cast("double"), F.lit(7.0)), 6).alias("at2"),
+        F.round(F.degrees(s / 10.0), 6).alias("dg"),
+        F.round(F.radians(s.cast("double")), 6).alias("rd"),
+        F.sign(s - 25).cast("int").alias("sg"),
+        F.greatest(s, F.lit(10), F.lit(25)).alias("gr"),
+        F.least(s, F.lit(10), F.lit(25)).alias("ls"),
+        F.pmod(s, F.lit(7)).alias("pm"),
+        F.round(F.hypot(s.cast("double"), F.lit(3.0)), 6).alias("hyp"),
+        F.factorial(s % 10).alias("fac"),
+        s.bitwiseAND(12).alias("band"),
+        s.bitwiseOR(12).alias("bor"),
+        s.bitwiseXOR(12).alias("bxor"),
+        F.bitwise_not(s).alias("bnot"),
+        F.shiftleft(s, 2).alias("shl"),
+        F.shiftright(s, 1).alias("shr"),
+        F.hex(s).alias("hx"),
+    )
+
+
+@q(
+    "fn_math_golden",
+    """
+    SELECT * FROM (VALUES (2.0, 4.0, 2.68, 2.0, 3.141593, 2.718282)
+    ) AS t(br25, br35, br2675, rint25, pi_r, e_r)
+    """,
+    "function", "math", "golden",
+)
+def fn_math_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-even rounding (bround/rint) + constants — golden since DuckDB
+    rounds half-away-from-zero."""
+    return spark.range(1).select(
+        F.bround(F.lit(2.5)).alias("br25"),
+        F.bround(F.lit(3.5)).alias("br35"),
+        F.bround(F.lit(2.675), 2).alias("br2675"),
+        F.rint(F.lit(2.5)).alias("rint25"),
+        F.round(F.lit(3.14159265358979), 6).alias("pi_r"),
+        F.round(F.exp(F.lit(1.0)), 6).alias("e_r"),
+    )
+
+
+# ---------------------------------------------------------------- datetime
+
+@q(
+    "fn_datetime",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                          AS y,
+           quarter(o_orderdate)                       AS qtr,
+           month(o_orderdate)                         AS m,
+           day(o_orderdate)                           AS d,
+           dayofweek(o_orderdate) + 1                 AS dow,
+           dayofyear(o_orderdate)                     AS doy,
+           weekofyear(o_orderdate)                    AS woy,
+           CAST(o_orderdate + INTERVAL 10 DAY AS DATE)  AS plus10,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS dd,
+           last_day(CAST(o_orderdate AS DATE))        AS ld,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+           strftime(o_orderdate, '%Y-%m-%d')          AS fmt,
+           CAST(epoch(o_orderdate) AS BIGINT)         AS unix_s
+    FROM orders WHERE o_orderkey < 300
+    """,
+    "function", "datetime",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family (~40 fns, ExpressionMappings.scala:168-207).
+    DuckDB dayofweek is 0-based (Sun=0) vs Spark 1-based -> oracle +1."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return orders.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.quarter(od).alias("qtr"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.dayofweek(od).alias("dow"),
+        F.dayofyear(od).alias("doy"),
+        F.weekofyear(od).alias("woy"),
+        F.date_add(od, 10).alias("plus10"),
+        F.add_months(od, 3).alias("plus3m"),
+        F.datediff(F.lit("1998-01-01").cast("date"), od).alias("dd"),
+        F.last_day(od).alias("ld"),
+        F.date_trunc("month", od).cast("date").alias("mstart"),
+        F.date_format(od, "yyyy-MM-dd").alias("fmt"),
+        F.unix_timestamp(od).alias("unix_s"),
+    )
+
+
+@q(
+    "fn_datetime_make",
+    """
+    SELECT make_date(2024, m, 15)                                   AS md,
+           strftime(make_timestamp(2024, m, 15, 6, 30, 0), '%Y-%m-%d %H:%M:%S') AS mts,
+           strftime(to_timestamp(1700000000 + m * 86400), '%Y-%m-%d %H:%M:%S')  AS from_unix,
+           CAST(epoch(make_timestamp(2024, m, 15, 6, 30, 0)) AS BIGINT)         AS secs,
+           epoch_ms(make_timestamp(2024, m, 15, 6, 30, 0))                      AS millis
+    FROM (SELECT unnest(generate_series(1, 12)) AS m)
+    """,
+    "function", "datetime",
+)
+def fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make_date/make_timestamp/timestamp_seconds/unix_seconds-millis +
+    from_unixtime, on a range source."""
+    m = F.col("m")
+    ts = F.make_timestamp(
+        F.lit(2024), m, F.lit(15), F.lit(6), F.lit(30), F.lit(0)
+    )
+    return (
+        spark.range(1, 13)
+        .select(F.col("id").cast("int").alias("m"))
+        .select(
+            F.make_date(F.lit(2024), m, F.lit(15)).alias("md"),
+            F.date_format(ts, "yyyy-MM-dd HH:mm:ss").alias("mts"),
+            F.from_unixtime(F.lit(1700000000) + m * 86400, "yyyy-MM-dd HH:mm:ss").alias(
+                "from_unix"
+            ),
+            F.unix_seconds(ts.cast("timestamp")).alias("secs"),
+            F.unix_millis(ts.cast("timestamp")).alias("millis"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- json
+
+@q(
+    "fn_json",
+    """
+    SELECT event_type,
+           count(*)                                              AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS INT))   AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT))   AS max_k,
+           min(json_extract_string(props, '$.k'))                AS min_k_str
+    FROM events GROUP BY event_type
+    """,
+    "function", "json",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family (ExpressionMappings.scala:209-214): get_json_object +
+    from_json over the events.props payload column."""
+    (events,) = _t(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    k_int = F.from_json("props", "k INT").getField("k")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k_int).alias("sum_k"),
+        F.max(k_int).alias("max_k"),
+        F.min(k_str).alias("min_k_str"),
+    )
+
+
+@q(
+    "fn_json_golden",
+    """
+    SELECT 3 AS arr_len, '{"a":1,"b":"x"}' AS to_json_v, '7' AS tuple_v
+    """,
+    "function", "json", "golden",
+)
+def fn_json_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_array_length / to_json / json_tuple on constants."""
+    return spark.range(1).select(
+        F.json_array_length(F.lit("[1,2,3]")).alias("arr_len"),
+        F.to_json(
+            F.struct(F.lit(1).alias("a"), F.lit("x").alias("b"))
+        ).alias("to_json_v"),
+        F.expr("json_tuple('{\"q\": 7}', 'q')").alias("tuple_v"),
+    )
+
+
+# ---------------------------------------------------------------- hash
+
+@q(
+    "fn_hash",
+    """
+    SELECT n_name,
+           md5(n_name)         AS h_md5,
+           sha256(n_name)      AS h_sha256
+    FROM nation
+    """,
+    "function", "hash",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine hash fns over a real column (md5/sha2-256)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_name",
+        F.md5(F.col("n_name").cast("binary")).alias("h_md5"),
+        F.sha2(F.col("n_name").cast("binary"), 256).alias("h_sha256"),
+    )
+
+
+@q(
+    "fn_hash_golden",
+    """
+    SELECT 'a9993e364706816aba3e25717850c26c9cd0d89d' AS h_sha1,
+           891568578  AS h_crc32,
+           1322437556 AS h_murmur3,
+           1423657621850124518 AS h_xxh64
+    """,
+    "function", "hash", "golden",
+)
+def fn_hash_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-specific hashes pinned on constants: sha1, crc32, murmur3
+    (= the shuffle partitioning hash), xxhash64
+    (ExpressionMappings.scala:216-221)."""
+    return spark.range(1).select(
+        F.sha1(F.lit("abc")).alias("h_sha1"),
+        F.crc32(F.lit("abc")).alias("h_crc32"),
+        F.hash(F.lit("abc")).alias("h_murmur3"),
+        F.xxhash64(F.lit("abc")).alias("h_xxh64"),
+    )
+
+
+# ---------------------------------------------------------------- array
+
+@q(
+    "fn_array",
+    """
+    SELECT p_partkey,
+           len(arr)                                         AS sz,
+           arr[1]                                           AS first_el,
+           arr[len(arr)]                                    AS last_el,
+           list_contains(arr, 5)                            AS has5,
+           list_position(arr, 5)                            AS pos5,
+           list_sort(list_distinct(arr))                    AS dis,
+           list_slice(arr, 2, 4)                            AS sl,
+           list_sort(arr)                                   AS srt,
+           list_reverse_sort(arr)                           AS srt_desc,
+           list_min(arr)                                    AS mn,
+           list_max(arr)                                    AS mx,
+           list_sum(arr)                                    AS sm,
+           list_transform(arr, x -> x * 2)                  AS dbl,
+           list_filter(arr, x -> x % 2 = 0)                 AS evens,
+           list_bool_or(list_transform(arr, x -> x > 8))    AS any_gt8,
+           list_bool_and(list_transform(arr, x -> x > 0))   AS all_pos,
+           flatten([arr, [99]])                             AS flat,
+           array_to_string(arr, ',')                        AS joined
+    FROM (
+      SELECT p_partkey,
+             list_transform(generate_series(1, 1 + p_size % 9),
+                            i -> CAST((p_partkey + i) % 11 AS BIGINT)) AS arr
+      FROM part WHERE p_partkey < 150
+    )
+    """,
+    "function", "array",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family incl. higher-order fns (ExpressionMappings.scala:223-259,
+    LambdaFunction :233): size/element_at/contains/position/distinct/slice/
+    sort/min/max/aggregate/transform/filter/exists/forall/flatten/join."""
+    (part,) = _t(spark, sf_dir, "part")
+    arr = F.transform(
+        F.sequence(F.lit(1), 1 + F.col("p_size") % 9),
+        lambda i: ((F.col("p_partkey") + i) % 11).cast("bigint"),
+    )
+    base = part.filter(F.col("p_partkey") < 150).select(
+        "p_partkey", arr.alias("arr")
+    )
+    a = F.col("arr")
+    return base.select(
+        "p_partkey",
+        F.size(a).alias("sz"),
+        F.element_at(a, 1).alias("first_el"),
+        F.element_at(a, -1).alias("last_el"),
+        F.array_contains(a, 5).alias("has5"),
+        F.array_position(a, 5).alias("pos5"),
+        F.sort_array(F.array_distinct(a)).alias("dis"),
+        F.slice(a, 2, 3).alias("sl"),
+        F.sort_array(a).alias("srt"),
+        F.sort_array(a, asc=False).alias("srt_desc"),
+        F.array_min(a).alias("mn"),
+        F.array_max(a).alias("mx"),
+        F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("sm"),
+        F.transform(a, lambda x: x * 2).alias("dbl"),
+        F.filter(a, lambda x: x % 2 == 0).alias("evens"),
+        F.exists(a, lambda x: x > 8).alias("any_gt8"),
+        F.forall(a, lambda x: x > 0).alias("all_pos"),
+        F.flatten(F.array(a, F.array(F.lit(99).cast("bigint")))).alias("flat"),
+        F.array_join(a, ",").alias("joined"),
+    )
+
+
+@q(
+    "fn_array_setops",
+    """
+    SELECT p_partkey,
+           list_sort(list_distinct(a1 || a2))                                AS un,
+           list_sort(list_distinct(list_intersect(a1, a2)))                  AS inter,
+           list_sort(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS ex,
+           list_has_any(a1, a2)                                              AS overlap
+    FROM (
+      SELECT p_partkey,
+             list_transform(generate_series(1, 4), i -> (p_partkey + i) % 7)  AS a1,
+             list_transform(generate_series(1, 4), i -> (p_partkey + i*2) % 7) AS a2
+      FROM part WHERE p_partkey < 100
+    )
+    """,
+    "function", "array",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_union/intersect/except/overlap (sorted for hash stability)."""
+    (part,) = _t(spark, sf_dir, "part")
+    mk = lambda mult: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.lit(4)),
+        lambda i: (F.col("p_partkey") + i * mult) % 7,
+    )
+    base = part.filter(F.col("p_partkey") < 100).select(
+        "p_partkey", mk(1).alias("a1"), mk(2).alias("a2")
+    )
+    a1, a2 = F.col("a1"), F.col("a2")
+    return base.select(
+        "p_partkey",
+        F.sort_array(F.array_union(a1, a2)).alias("un"),
+        F.sort_array(F.array_intersect(a1, a2)).alias("inter"),
+        F.sort_array(F.array_except(a1, a2)).alias("ex"),
+        F.arrays_overlap(a1, a2).alias("overlap"),
+    )
+
+
+@q(
+    "fn_array_vector",
+    """
+    SELECT vec_id,
+           len(embedding)                                             AS dim,
+           round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 3) AS sq_norm,
+           round(list_sum(embedding::DOUBLE[]) / len(embedding), 5)   AS mean_el
+    FROM embeddings WHERE vec_id < 100
+    """,
+    "function", "array", "vector",
+)
+def fn_array_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with + aggregate as a vector dot product over the embeddings
+    fixture — the JVM-side kernel the datapipe ANN operators build on."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.filter(F.col("vec_id") < 100).select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(dot, 3).alias("sq_norm"),
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x) / F.size("embedding"), 5
+        ).alias("mean_el"),
+    )
+
+
+# ---------------------------------------------------------------- map / struct
+
+@q(
+    "fn_map",
+    """
+    SELECT n_nationkey,
+           map_extract(m, 'key')[1]              AS v_key,
+           map_extract(m, 'region')[1]           AS v_region,
+           cardinality(m)                        AS n_entries,
+           list_sort(map_keys(m))                AS keys_sorted,
+           list_sort(map_values(m))              AS vals_sorted
+    FROM (
+      SELECT n_nationkey,
+             map(['key', 'region'], [n_nationkey, n_regionkey]) AS m
+      FROM nation
+    )
+    """,
+    "function", "map",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (ExpressionMappings.scala:261-271): construction, lookup,
+    keys/values/cardinality."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("key"), F.lit("region")),
+        F.array(F.col("n_nationkey"), F.col("n_regionkey")),
+    )
+    base = nation.select("n_nationkey", m.alias("m"))
+    return base.select(
+        "n_nationkey",
+        F.element_at("m", "key").alias("v_key"),
+        F.element_at("m", "region").alias("v_region"),
+        F.size("m").alias("n_entries"),
+        F.sort_array(F.map_keys("m")).alias("keys_sorted"),
+        F.sort_array(F.map_values("m")).alias("vals_sorted"),
+    )
+
+
+@q(
+    "fn_struct",
+    """
+    SELECT s_suppkey, s_name AS nm, round(s_acctbal, 2) AS bal,
+           s_nationkey AS nk
+    FROM supplier WHERE s_suppkey < 60
+    """,
+    "function", "struct",
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """named_struct + get_struct_field round-trip (struct built then fields
+    extracted back to top level; ExpressionMappings.scala:273-274)."""
+    (supplier,) = _t(spark, sf_dir, "supplier")
+    st = F.struct(
+        F.col("s_name").alias("nm"),
+        F.round("s_acctbal", 2).alias("bal"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    return (
+        supplier.filter(F.col("s_suppkey") < 60)
+        .select("s_suppkey", st.alias("st"))
+        .select(
+            "s_suppkey",
+            F.col("st.nm").alias("nm"),
+            F.col("st.bal").alias("bal"),
+            F.col("st.nk").alias("nk"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- conditional
+
+@q(
+    "fn_conditional",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END  AS bucket,
+           CASE WHEN l_discount > 0.05 THEN 'big' ELSE 'small' END AS disc_band,
+           l_returnflag IN ('A', 'R')                            AS is_ar,
+           coalesce(nullif(l_returnflag, 'N'), 'none')           AS flag_or_none,
+           CASE WHEN nullif(l_tax, 0.0) IS NOT NULL THEN 'taxed' ELSE 'free' END AS nvl2_v,
+           isnan('NaN'::DOUBLE)                                  AS nan_chk,
+           round(CASE WHEN isnan('NaN'::DOUBLE) THEN l_quantity ELSE 0.0 END, 2) AS nanvl_v,
+           l_quantity BETWEEN 10 AND 20                          AS in_range
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    "function", "conditional",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """if/case_when/in/nullif/nvl/nvl2/isnan/between
+    (ExpressionMappings.scala:276-301, :346-352 runtime-replaceable)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    return li.filter(F.col("l_orderkey") < 300).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(qty < 10, "low").when(qty < 30, "mid").otherwise("high").alias("bucket"),
+        F.when(F.col("l_discount") > 0.05, "big").otherwise("small").alias("disc_band"),
+        F.col("l_returnflag").isin("A", "R").alias("is_ar"),
+        F.nvl(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.nvl2(F.nullif("l_tax", F.lit(0.0)), F.lit("taxed"), F.lit("free")).alias(
+            "nvl2_v"
+        ),
+        F.isnan(F.lit(float("nan"))).alias("nan_chk"),
+        F.round(F.nanvl(F.lit(float("nan")), qty), 2).alias("nanvl_v"),
+        qty.between(10, 20).alias("in_range"),
+    )
+
+
+# ---------------------------------------------------------------- decimal
+
+@q(
+    "fn_decimal",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)      AS dec_sum,
+           CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(8,4))) AS VARCHAR)          AS dec_mul_max,
+           CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS dec_avg
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "function", "decimal",
+)
+def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal arithmetic + overflow-checked agg (CheckOverflow/MakeDecimal
+    sigs ExpressionMappings.scala:289-290; DecimalRoundTransformer.scala).
+    Sums/products in exact decimal, rendered as strings so scale rules match."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(8,4)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(p).cast("string").alias("dec_sum"),
+        F.max(p * d).cast("string").alias("dec_mul_max"),
+        F.round(F.avg(p), 2).cast("double").alias("dec_avg"),
+    )
