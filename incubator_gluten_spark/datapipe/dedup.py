@@ -1,0 +1,223 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash.
+
+All candidate generation is LSH-bucketed — the only joins are equi-joins on
+(band_id, band_hash) buckets, so the cost is O(sum over buckets of b²) with
+b bounded by the band collision rate, never O(n²). At 100 TB this is the
+difference between a runnable job and an instantly-fatal cross join.
+
+Everything below is JVM-side (built-in functions + higher-order lambdas);
+no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for hashing: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on a 128-bit fingerprint of normalized
+    text, keeping the smallest id per group.
+
+    One shuffle on the fingerprint; partial aggregation makes the map side
+    emit one row per distinct fingerprint per partition, so the shuffle
+    volume is ~n_distinct, not n_rows.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def token_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a normalized text column."""
+    tokens = F.split(normalize_text(col), " ")
+    # sliding window: shingle i = tokens[i .. i+n-1]
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: for seed j, min over shingles of xxhash64(s, j).
+
+    xxhash64 is Spark's built-in 64-bit hash (same family the engine's
+    shuffle uses) — vectorized, no UDF.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows: int) -> Column:
+    """Band the signature: array of (band_id, hash-of-rows) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.element_at(sig, b * rows + r + 1).cast("string")
+                            for r in range(rows)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding + exact verification.
+
+    Pipeline (each stage a narrow map except the two bucketed equi-joins):
+      1. shingle + minhash signature per doc (linear scan)
+      2. explode signature into `bands` rows; shuffle on (band_id, hash)
+      3. self-join within buckets -> candidate pairs (id1 < id2, distinct)
+      4. verify: join shingle sets back, exact Jaccard, filter >= threshold
+
+    With b bands of r rows the candidate probability is 1-(1-s^r)^b — the
+    standard S-curve; docs below the threshold rarely share a full band, so
+    bucket sizes stay tiny and stage 3 never degenerates toward n².
+    """
+    rows = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("id"), token_shingles(F.col(text_col), shingle_n).alias("sh")
+    )
+    sig = base.select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    banded = sig.select(
+        "id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
+    ).select("id", "b.band_id", "b.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cands = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id1"), F.col("r.id").alias("id2"))
+        .distinct()
+    )
+
+    sh = sig.select("id", "sh")
+    verified = (
+        cands.join(sh.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sh1"), "id1")
+        .join(sh.withColumnRenamed("id", "id2").withColumnRenamed("sh", "sh2"), "id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(col: Column, bits: int = 32) -> Column:
+    """SimHash: per bit b, sign of sum over tokens of ±1 (token hash bit b).
+
+    Computed with nested higher-order functions (transform over bit
+    positions, aggregate over tokens) — stays inside codegen.
+    """
+    tokens = F.array_distinct(F.split(normalize_text(col), " "))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bitmask(b):
+        # shiftleft() needs a literal shift amount; 2^b is exact in double
+        # far past 32 bits, so pow is the lambda-friendly equivalent.
+        return F.pow(F.lit(2.0), b).cast("bigint")
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda a, h: a
+                + F.when(h.bitwiseAND(bitmask(b)) != 0, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            > 0,
+            bitmask(b),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup: band the 32-bit simhash into 4 bytes; candidate
+    pairs must share at least one exact byte-band (pigeonhole: any pair
+    with hamming <= 3 is guaranteed a clean band; higher thresholds trade
+    recall for bucket size), then verify with popcount of xor."""
+    s = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    banded = s.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col("sh"), b * 8)
+                        .bitwiseAND(F.lit(255).cast("bigint"))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sh", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id1"),
+            F.col("r.id").alias("id2"),
+            F.col("l.sh").alias("sh1"),
+            F.col("r.sh").alias("sh2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

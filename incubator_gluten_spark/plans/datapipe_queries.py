@@ -1,0 +1,314 @@
+"""LLM-datapipe inventory entries over the documents/embeddings fixtures.
+
+SQL-expressible operators carry DuckDB oracle twins (md5, string_split,
+list_* lambdas, list_cosine_similarity give DuckDB the same vocabulary);
+hash-dependent ones (MinHash/SimHash/LSH use Spark's xxhash64, which DuckDB
+cannot reproduce) are rows-only here and recall/property-tested in
+tests/test_datapipe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables
+from incubator_gluten_spark.datapipe import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    minhash_near_dup_pairs,
+    text_quality,
+    text_stats,
+    token_shingles,
+)
+from incubator_gluten_spark.datapipe.dedup import simhash_near_dup_pairs
+from incubator_gluten_spark.datapipe.multimodal import (
+    attach_fake_payload,
+    extract_features,
+    sample_frames,
+)
+from incubator_gluten_spark.datapipe.textstats import token_count_bpe
+from incubator_gluten_spark.plans import Q
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+REGISTRY: list[Q] = []
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY.append(Q(name, fn, oracle, tags))
+        return fn
+
+    return deco
+
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@q(
+    "dp_dedup_exact",
+    f"""
+    SELECT md5({_NORM}) AS fp, min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    "datapipe", "dedup",
+)
+def dp_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text fingerprint."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@q(
+    "dp_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_NORM}) AS fp_full,
+           md5(array_to_string(list_slice(string_split({_NORM}, ' '), 1, 8), ' ')) AS fp_prefix,
+           length({_NORM}) AS n_chars_norm
+    FROM documents WHERE doc_id < 200
+    """,
+    "datapipe", "dedup",
+)
+def dp_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full + prefix document fingerprints (rolling-hash analog)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return fingerprint(docs.filter(F.col("doc_id") < 200))
+
+
+@q(
+    "dp_text_stats",
+    f"""
+    SELECT doc_id, lang,
+           len(t)                                   AS n_tokens,
+           len(list_distinct(t))                    AS n_distinct,
+           round(len(list_distinct(t)) / len(t), 4) AS distinct_ratio,
+           round(list_sum(list_transform(t, x -> length(x))) / len(t), 4) AS mean_tok_len,
+           round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text), 4) AS punct_ratio,
+           round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 4)    AS digit_ratio,
+           round(len(list_intersect(t, ['the','a','of','and','to','in','is','that'])) / len(t), 4) AS stopword_ratio
+    FROM (SELECT doc_id, lang, text, string_split({_NORM}, ' ') AS t FROM documents)
+    """,
+    "datapipe", "textstats",
+)
+def dp_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+@q(
+    "dp_token_count",
+    f"""
+    SELECT doc_id,
+           len(string_split({_NORM}, ' '))  AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+           round(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                 / len(string_split({_NORM}, ' ')), 4) AS expansion
+    FROM documents WHERE doc_id < 300
+    """,
+    "datapipe", "textstats",
+)
+def dp_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return token_count_bpe(docs.filter(F.col("doc_id") < 300))
+
+
+@q(
+    "dp_quality",
+    f"""
+    SELECT doc_id, lang,
+           round(greatest(least(
+             0.5 * (CASE WHEN len(t) BETWEEN 20 AND 120 THEN 1.0 ELSE 0.5 END)
+             + 0.5 * (len(list_distinct(t)) / len(t))
+             - (length(regexp_replace(text, '[a-z ]', '', 'g')) / length(text)),
+             1.0), 0.0), 4) AS quality
+    FROM (SELECT doc_id, lang, text, string_split({_NORM}, ' ') AS t FROM documents)
+    """,
+    "datapipe", "textstats",
+)
+def dp_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (docs,) = _t(spark, sf_dir, "documents")
+    return text_quality(docs)
+
+
+@q(
+    "dp_lang_id",
+    f"""
+    SELECT lang, predicted, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN len(list_intersect(t, ['the','a','of','and','to','in','is','that'])) >= 2 THEN 'en'
+                  WHEN len(t) % 3 = 0 THEN 'de'
+                  WHEN len(t) % 3 = 1 THEN 'es'
+                  ELSE 'fr' END AS predicted
+      FROM (SELECT lang, string_split({_NORM}, ' ') AS t FROM documents)
+    ) GROUP BY lang, predicted
+    """,
+    "datapipe", "textstats",
+)
+def dp_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic -> confusion-matrix counts."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return lang_id(docs).groupBy("lang", "predicted").agg(F.count("*").alias("n"))
+
+
+@q(
+    "dp_ngram_jaccard",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) > 0.15
+    """,
+    "datapipe", "dedup",
+)
+def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-Jaccard similar pairs, blocked on (lang, source) — the
+    SQL-expressible cousin of the MinHash pipeline (same verify stage,
+    blocking key instead of LSH bands)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", "source", token_shingles(F.col("text"), 3).alias("sh")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac > 0.15)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(jac, 4).alias("jaccard"),
+        )
+    )
+
+
+@q("dp_dedup_minhash", None, "datapipe", "dedup", "lsh")
+def dp_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 8-band LSH near-dup pairs, exact-Jaccard verified.
+    Rows-only: DuckDB cannot reproduce Spark's xxhash64; the property tests
+    cross-check it against dp_ngram_jaccard's exact pairs."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(docs, threshold=0.3)
+
+
+@q("dp_dedup_simhash", None, "datapipe", "dedup", "lsh")
+def dp_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) banded near-dup pairs, reported as a pair-count
+    histogram by hamming distance (the pair list itself is large on this
+    shared-vocabulary fixture)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    return (
+        simhash_near_dup_pairs(docs, max_hamming=6)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@q(
+    "dp_ann_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 3)
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e, q WHERE e.vec_id != q.query_id
+    ) WHERE rn <= 5
+    """,
+    "datapipe", "ann",
+)
+def dp_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a broadcast query set — the ANN baseline."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_bruteforce_topk(emb, queries, k=5)
+
+
+@q("dp_ann_lsh", None, "datapipe", "ann", "lsh")
+def dp_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (8-bit hyperplane signatures).
+    Rows-only; recall vs brute force asserted in tests."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_lsh_topk(emb, queries, k=5, nbits=6)
+
+
+@q(
+    "dp_embedding_near_dup",
+    """
+    SELECT a.label, a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) > 0.35
+    """,
+    "datapipe", "dedup", "ann",
+)
+def dp_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on the label column."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35)
+
+
+@q("dp_multimodal_features", None, "datapipe", "multimodal")
+def dp_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> Arrow-batched feature extraction (mapInPandas).
+    The decode kernel is a deterministic stub (no codecs in-container);
+    the schema/batch plumbing is the production shape."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    mm = attach_fake_payload(docs.filter(F.col("doc_id") < 200))
+    feats = extract_features(mm)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 5).alias("f0"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "f_sum"
+        ),
+    )
+
+
+@q("dp_frame_sample", None, "datapipe", "multimodal")
+def dp_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride frame sampling over payloads (video-frame analog)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    mm = attach_fake_payload(docs.filter(F.col("doc_id") < 100))
+    return sample_frames(mm).groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"), F.sum("frame_len").alias("total_bytes")
+    )

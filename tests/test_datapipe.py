@@ -1,0 +1,73 @@
+"""Property tests for the hash-dependent datapipe operators (the ones the
+DuckDB oracle cannot replay): LSH recall vs the exact baseline, MinHash vs
+exact Jaccard, multimodal kernel determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables
+from incubator_gluten_spark.datapipe import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    minhash_near_dup_pairs,
+    token_shingles,
+)
+from incubator_gluten_spark.datapipe.multimodal import (
+    attach_fake_payload,
+    extract_features,
+)
+
+
+def test_ann_lsh_returns_true_neighbors(spark, sf_dir):
+    """Every LSH hit must be a genuine cosine value (subset correctness),
+    and single-probe recall over 3 queries should be nonzero."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_bruteforce_topk(emb, queries, k=50).collect()
+    }
+    approx = ann_lsh_topk(emb, queries, k=5, nbits=4).collect()
+    assert approx, "LSH returned nothing — buckets degenerate"
+    # every approx cosine must equal the exact computation for that pair
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_bruteforce_topk(emb, queries, k=10**6).collect()
+    }
+    for r in approx:
+        assert (r.query_id, r.neighbor_id) in exact_all
+        assert abs(exact_all[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_minhash_pairs_match_exact_jaccard(spark, sf_dir):
+    """Every MinHash-verified pair's jaccard must equal the exact trigram
+    jaccard computed independently."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = minhash_near_dup_pairs(docs, threshold=0.2).collect()
+    sh = {
+        r.doc_id: set(r.sh)
+        for r in docs.select(
+            "doc_id", token_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    for r in pairs:
+        a, b = sh[r.id1], sh[r.id2]
+        exact = len(a & b) / len(a | b)
+        assert abs(exact - r.jaccard) < 1e-3, (r.id1, r.id2, exact, r.jaccard)
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 50
+    )
+    mm = attach_fake_payload(docs)
+    a = sorted(map(tuple, extract_features(mm).select("doc_id", "n_bytes").collect()))
+    b = sorted(map(tuple, extract_features(mm).select("doc_id", "n_bytes").collect()))
+    assert a == b and len(a) == 50
+    row = extract_features(mm).filter(F.col("doc_id") == 0).collect()[0]
+    assert len(row.features) == 16
+    assert abs(sum(row.features) - 1.0) < 1e-9  # normalized histogram
