@@ -17,10 +17,13 @@ lacks.
 Layout:
   session.py    tuned SparkSession factory (the "plugin config" analog)
   catalog.py    testdata star-schema loader / view registrar
-  operators/    join/agg/window/setop/generate/sample/sort builders
-  functions/    scalar-function registry (SURVEY §2.9 name -> pyspark fn)
-  sources/      readers & writers (parquet/orc/csv/json, partitioned writes)
-  plans/        full query inventory (adapted TPC-H + operator micro-queries)
+  sources/      readers & writers (parquet/orc/csv/json, partitioned +
+                bucketed + DSv2 writes)
+  plans/        the full query inventory, one module per capability area:
+                tpch (22 adapted queries), operators_queries (window/
+                expand/agg/setop/generate/sample/limit/join shapes),
+                functions_queries (§2.9 scalar families),
+                datapipe_queries, sources_queries, streaming_queries
   streaming/    Structured Streaming jobs over the events fixture
   datapipe/     dedup, similarity search, text analysis, multimodal plumbing
   testing/      duckdb differential-comparison harness

@@ -1,0 +1,229 @@
+"""Source/sink inventory entries: format roundtrips, partitioned/bucketed
+writes, cached scans, collect-limit/tail (SURVEY §2.1, §2.6).
+
+Write queries land under /tmp/spark_graft_io/<name> (overwritten each run)
+and read their own output back, so the oracle — which runs on the original
+parquet — certifies the full write->read roundtrip preserved values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables
+from incubator_gluten_spark.plans import Q
+from incubator_gluten_spark.sources.io import (
+    read_csv,
+    read_json,
+    read_orc,
+    write_bucketed_table,
+    write_partitioned,
+)
+
+IO_DIR = "/tmp/spark_graft_io"
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+def _path(name: str) -> str:
+    os.makedirs(IO_DIR, exist_ok=True)
+    return f"{IO_DIR}/{name}"
+
+
+REGISTRY: list[Q] = []
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY.append(Q(name, fn, oracle, tags))
+        return fn
+
+    return deco
+
+
+_LI_AGG_ORACLE = """
+    SELECT l_returnflag, count(*) AS n,
+           round(sum(l_extendedprice), 2) AS total,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+"""
+
+_LI_COLS = ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"]
+_LI_SCHEMA = (
+    "l_orderkey bigint, l_linenumber int, l_quantity double, "
+    "l_extendedprice double, l_returnflag string"
+)
+
+
+def _li_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") < 2000).select(*_LI_COLS)
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return df.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@q("src_csv_roundtrip", _LI_AGG_ORACLE, "source", "csv", "write")
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV write + schema'd read-back (ArrowCsvScanSuite analog); the agg
+    matching the parquet oracle proves the roundtrip is lossless."""
+    p = _path("csv_roundtrip")
+    _li_subset(spark, sf_dir).write.mode("overwrite").option("header", "true").csv(p)
+    return _agg(read_csv(spark, p, _LI_SCHEMA))
+
+
+@q("src_json_roundtrip", _LI_AGG_ORACLE, "source", "json", "write")
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _path("json_roundtrip")
+    _li_subset(spark, sf_dir).write.mode("overwrite").json(p)
+    return _agg(read_json(spark, p, _LI_SCHEMA))
+
+
+@q("src_orc_roundtrip", _LI_AGG_ORACLE, "source", "orc", "write")
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read (reference supports ORC scan partially,
+    VeloxBackend.scala:154-163; full fidelity here)."""
+    p = _path("orc_roundtrip")
+    _li_subset(spark, sf_dir).write.mode("overwrite").orc(p)
+    return _agg(read_orc(spark, p))
+
+
+@q(
+    "src_partitioned_write",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+    """,
+    "source", "write", "partition-pruning",
+)
+def src_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write, then a read filtered on the partition
+    column — the filter prunes directories, not rows
+    (WriteFilesExecTransformer.scala:54; DPP matrix row)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    p = _path("partitioned_orders")
+    write_partitioned(orders, p, ["o_orderstatus"])
+    back = spark.read.parquet(p)
+    return (
+        back.filter(F.col("o_orderstatus") == "F")  # partition-pruned scan
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@q(
+    "src_bucketed_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "source", "write", "bucketing",
+)
+def src_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed tables joined on the bucket key: both sides pre-hashed into
+    the same 8 buckets, so the join plans with zero shuffle exchanges —
+    the co-located-join strategy for repeatedly-joined 100 TB tables."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    write_bucketed_table(orders, "b_orders", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed_table(customer, "b_customer", ["c_custkey"], 8, ["c_custkey"])
+    bo = spark.table("b_orders")
+    bc = spark.table("b_customer")
+    return (
+        bo.join(bc, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "src_cached_scan",
+    """
+    SELECT l_linestatus, count(*) AS n, round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    "source", "cache",
+)
+def src_cached_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """InMemoryTableScan: cache() materializes the columnar cache, the agg
+    reads from it (VeloxColumnarCacheSuite analog)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    cached = li.select("l_linestatus", "l_discount").cache()
+    cached.count()  # materialize
+    return cached.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.avg("l_discount"), 6).alias("avg_disc")
+    )
+
+
+@q(
+    "src_collect_limit_tail",
+    """
+    (SELECT 'head' AS side, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+     FROM orders ORDER BY o_orderkey LIMIT 5)
+    UNION ALL
+    (SELECT 'tail' AS side, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+     FROM orders ORDER BY o_orderkey DESC LIMIT 5)
+    """,
+    "limit",
+)
+def src_collect_limit_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """take()/tail() — CollectLimit / CollectTail driver-side fetch
+    (ColumnarCollectLimitBaseExec.scala:32, ColumnarCollectTailBaseExec.scala:33).
+    The collected rows are re-lifted into a DataFrame for comparison."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    ordered = orders.orderBy("o_orderkey").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    head = ordered.take(5)
+    tail = ordered.tail(5)
+    rows = [("head", r.o_orderkey, r.o_totalprice) for r in head] + [
+        ("tail", r.o_orderkey, r.o_totalprice) for r in tail
+    ]
+    return spark.createDataFrame(rows, "side string, o_orderkey bigint, o_totalprice double")
+
+
+@q(
+    "src_dsv2_write",
+    """
+    SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+    FROM part GROUP BY p_brand
+    """,
+    "source", "write", "dsv2",
+)
+def src_dsv2_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSv2 writeTo() path (ColumnarV2TableWriteExec.scala:37 analog):
+    CTAS through the writeTo API, incremental append via insertInto (the
+    built-in session catalog downgrades created tables to v1, so AppendData
+    lands as a v1 insert — same fallback a real deployment hits without an
+    Iceberg/Delta catalog, which is where writeTo().append() shines)."""
+    import shutil
+
+    (part,) = _t(spark, sf_dir, "part")
+    spark.sql("DROP TABLE IF EXISTS v2_part")
+    # the in-memory catalog forgets tables across sessions but their
+    # managed locations persist; clear the orphan dir before CTAS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/v2_part", ignore_errors=True)
+    half1 = part.filter(F.col("p_partkey") % 2 == 0)
+    half2 = part.filter(F.col("p_partkey") % 2 == 1)
+    half1.writeTo("v2_part").using("parquet").create()
+    half2.write.insertInto("v2_part")
+    return (
+        spark.table("v2_part")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )

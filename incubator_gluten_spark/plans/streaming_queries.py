@@ -1,0 +1,140 @@
+"""Streaming inventory entries (SURVEY §2.11) over the events fixture.
+
+Each builder runs a real Structured Streaming query (file micro-batch
+source, AvailableNow trigger, memory sink) to completion and returns the
+sink as a batch DataFrame, so the driver's differential gate certifies
+streaming semantics against the batch-SQL oracle: tumbling/sliding windows
+vs time_bucket, session windows vs a lag-gap reconstruction, stateful
+dedup vs DISTINCT, applyInPandasWithState vs GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.plans import Q
+from incubator_gluten_spark.streaming.jobs import (
+    read_events_stream,
+    run_to_memory,
+    session_rollup,
+    session_window_stats,
+    sliding_window_counts,
+    stateful_user_counts,
+    streaming_dedup,
+    tumbling_window_counts,
+)
+
+REGISTRY: list[Q] = []
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY.append(Q(name, fn, oracle, tags))
+        return fn
+
+    return deco
+
+
+@q(
+    "stream_tumbling",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    "streaming", "window",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1h windows, complete mode."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(tumbling_window_counts(ev), mode="complete")
+
+
+@q(
+    "stream_sliding",
+    """
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS n
+    FROM (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour' AS w
+      FROM events
+    ) GROUP BY 1
+    """,
+    "streaming", "window",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows sliding by 1h — every event lands in exactly two windows,
+    which is precisely the oracle's two-bucketing union."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(sliding_window_counts(ev), mode="complete")
+
+
+@q(
+    "stream_session",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1900-01-01')
+                         OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '10 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY rowid_all
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (SELECT user_id, new_session,
+                   row_number() OVER (PARTITION BY user_id) AS rowid_all
+            FROM gaps)
+    ), per_session AS (
+      SELECT user_id, session_id, count(*) AS n_events
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events,
+           CAST(sum(n_events) AS BIGINT) AS total_events
+    FROM per_session GROUP BY user_id
+    """,
+    "streaming", "session-window",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (10-minute gap) per user; oracle reconstructs the
+    same sessions with a lag-gap cumulative sum."""
+    ev = read_events_stream(spark, sf_dir)
+    sessions = run_to_memory(session_window_stats(ev), mode="complete")
+    return session_rollup(sessions)
+
+
+@q(
+    "stream_dedup",
+    """
+    SELECT event_type, count(DISTINCT event_id) AS n
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "dedup",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dropDuplicates over a deliberately-doubled stream (the
+    stream unioned with itself); surviving rows == batch DISTINCT."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.union(ev)
+    deduped = run_to_memory(streaming_dedup(doubled), mode="append")
+    return deduped.groupBy("event_type").agg(F.countDistinct("event_id").alias("n"))
+
+
+@q(
+    "stream_stateful_counts",
+    """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+    "streaming", "stateful",
+)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running per-user totals; with AvailableNow
+    over one file the final state equals the batch GROUP BY."""
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(stateful_user_counts(ev), mode="update")

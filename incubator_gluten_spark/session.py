@@ -86,6 +86,9 @@ def get_session(
         # --- python/arrow boundary (Pandas UDFs ride Arrow batches)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # --- managed-table warehouse: /tmp, because the in-memory catalog
+        # forgets tables between sessions while their directories persist
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
         # --- determinism / interop
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")

@@ -1,0 +1,149 @@
+"""Streaming jobs over the events fixture.
+
+Each job builds a readStream -> transform -> memory-sink pipeline and runs
+it with Trigger.AvailableNow (process-everything-then-stop micro-batches) —
+the bounded-input harness for semantics that run identically on an
+unbounded Kafka source. State stores are per-query HDFS-backed locals; at
+cluster scale the same code runs with RocksDB state stores + checkpoint
+dirs on durable storage.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source micro-batch stream over the events parquet.
+
+    The fixture stores TIMESTAMP(NANOS); with the session's nanosAsLong
+    conf the stream reads int64 nanos which we truncate to micros exactly
+    like the batch catalog (and DuckDB's CAST) do.
+    """
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        # the file stream source wants a directory; glob-filter to the one table
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # values and formatting agree with the batch catalog and DuckDB
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    stream_df: DataFrame, mode: str = "append", name: str | None = None
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink and
+    return the sink table as a batch DataFrame."""
+    name = name or f"sink_{uuid.uuid4().hex[:8]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window aggregate."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide overlapping windows."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", width, slide))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def session_window_stats(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows: per-user activity bursts separated by >= gap.
+
+    Only the session aggregation is stateful-streaming; roll it up per user
+    in batch on the sink (two chained stateful aggs in one streaming query
+    trip Spark's global-watermark correctness check)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
+def session_rollup(sessions: DataFrame) -> DataFrame:
+    """Batch rollup of the session sink: per-user session stats."""
+    return sessions.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").alias("total_events"),
+    )
+
+
+def streaming_dedup(events: DataFrame) -> DataFrame:
+    """Watermarked stateful dedup on event_id (dropDuplicates keeps state
+    only within the watermark horizon -> bounded memory on infinite streams)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicates(["event_id"])
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + value sum (the applyInPandasWithState analog of
+    the reference's native UDAF plugin surface, SURVEY §2.12)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 2)))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "value_sum": [round(total, 2)]}
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id bigint, n_events bigint, value_sum double",
+            stateStructType="n bigint, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
