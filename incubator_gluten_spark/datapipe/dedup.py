@@ -103,10 +103,15 @@ def minhash_near_dup_pairs(
     bucket sizes stay tiny and stage 3 never degenerates toward n².
     """
     rows = num_hashes // bands
+    # small-file inputs arrive as one split; spread the CPU-heavy signature
+    # computation across the cluster before deriving anything
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     base = docs.select(
         F.col(id_col).alias("id"), token_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    sig = base.select("id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    sig = base.select(
+        "id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).persist()  # referenced by the band join AND the verify stage
     banded = sig.select(
         "id", F.explode(lsh_bands(F.col("sig"), bands, rows)).alias("b")
     ).select("id", "b.band_id", "b.band_hash")
@@ -153,22 +158,33 @@ def simhash(col: Column, bits: int = 32) -> Column:
         # far past 32 bits, so pow is the lambda-friendly equivalent.
         return F.pow(F.lit(2.0), b).cast("bigint")
 
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda a, h: a
-                + F.when(h.bitwiseAND(bitmask(b)) != 0, F.lit(1)).otherwise(
+    # single pass over the tokens: accumulate a `bits`-wide vector of ±1
+    # sums (zip_with merge per token), then fold the sign vector into the
+    # hash — O(tokens x bits) once, vs the naive per-bit re-scan which is
+    # the same complexity but `bits` separate aggregate expressions.
+    zero = F.array_repeat(F.lit(0), bits)
+    bit_counts = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(h.bitwiseAND(bitmask(b)) != 0, F.lit(1)).otherwise(
                     F.lit(-1)
                 ),
-            )
-            > 0,
-            bitmask(b),
-        ).otherwise(F.lit(0).cast("bigint")),
+            ),
+            lambda a, x: a + x,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bit_counts,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda c, b: F.when(c > 0, bitmask(b)).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, m: acc + m,
     )
 
 

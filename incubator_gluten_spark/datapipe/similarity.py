@@ -46,15 +46,15 @@ def ann_bruteforce_topk(
     corpus scan, rank per query with a row_number window (WindowGroupLimit:
     Spark >=3.5 pushes the rank filter into a per-partition top-k)."""
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("qvec")
+        F.col(query_id_col), normalize_vec(F.col(vec_col)).alias("qvec")
     )
-    sim = F.round(cosine_similarity(F.col(vec_col), F.col("qvec")), 6)
+    c = corpus.select(F.col(id_col), normalize_vec(F.col(vec_col)).alias("nvec"))
     scored = (
-        corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
+        c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            sim.alias("cosine"),
+            F.round(dot(F.col("nvec"), F.col("qvec")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(
@@ -105,22 +105,25 @@ def ann_lsh_topk(
     recall rises with fewer bits or multi-probe expansion."""
     c = corpus.select(
         F.col(id_col),
-        F.col(vec_col),
+        normalize_vec(F.col(vec_col)).alias("nvec"),
         lsh_signature(F.col(vec_col), nbits, dim).alias("bucket"),
     )
     q = queries.select(
         F.col(query_id_col),
-        F.col(vec_col).alias("qvec"),
+        normalize_vec(F.col(vec_col)).alias("qvec"),
         lsh_signature(F.col(vec_col), nbits, dim).alias("qbucket"),
     )
-    sim = F.round(cosine_similarity(F.col(vec_col), F.col("qvec")), 6)
     scored = (
         c.join(
             F.broadcast(q),
             (F.col("bucket") == F.col("qbucket"))
             & (F.col(id_col) != F.col(query_id_col)),
         )
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), sim.alias("cosine"))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dot(F.col("nvec"), F.col("qvec")), 6).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -128,6 +131,17 @@ def ann_lsh_topk(
         .filter(F.col("rn") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rn")
     )
+
+
+def normalize_vec(v: Column) -> Column:
+    """L2-normalize once, so every downstream pair needs only a dot."""
+    dv = _as_double(v)
+    norm = F.sqrt(F.aggregate(dv, F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(dv, lambda x: x / norm)
+
+
+def dot(u: Column, v: Column) -> Column:
+    return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
 
 def embedding_near_dup_pairs(
@@ -139,20 +153,26 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, *blocked* on a partition column
     (here the label; in a real pipeline an LSH bucket — see ann_lsh_topk).
-    The join is an equi-join on the block key: never all-pairs."""
+    The join is an equi-join on the block key: never all-pairs.
+
+    Vectors are L2-normalized on each side BEFORE the join (n normalize
+    passes), so the per-pair cost is one dot product instead of the naive
+    dot + two norms — a 3x kernel saving on the quadratic stage, which is
+    the stage that matters at scale."""
+    corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     a = corpus.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("id1"),
-        F.col(vec_col).alias("v1"),
+        normalize_vec(F.col(vec_col)).alias("v1"),
     )
     b = corpus.select(
         F.col(block_col).alias("blk2"),
         F.col(id_col).alias("id2"),
-        F.col(vec_col).alias("v2"),
+        normalize_vec(F.col(vec_col)).alias("v2"),
     )
-    sim = F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6)
     return (
         a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("id1") < F.col("id2")))
-        .select(F.col("blk").alias(block_col), "id1", "id2", sim.alias("cosine"))
+        .withColumn("cosine", F.round(dot(F.col("v1"), F.col("v2")), 6))
         .filter(F.col("cosine") > threshold)
+        .select(F.col("blk").alias(block_col), "id1", "id2", "cosine")
     )

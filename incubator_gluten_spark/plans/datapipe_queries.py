@@ -186,13 +186,17 @@ def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible cousin of the MinHash pipeline (same verify stage,
     blocking key instead of LSH bands)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id", "lang", "source", token_shingles(F.col("text"), 3).alias("sh")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    d = (
+        docs.select(
+            "doc_id", "lang", "source", token_shingles(F.col("text"), 3).alias("sh")
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .persist()  # both join sides read the shingle sets
     )
     a, b = d.alias("a"), d.alias("b")
-    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
-        F.array_union(F.col("a.sh"), F.col("b.sh"))
-    )
+    # one set-intersect per pair; |A∪B| = |A|+|B|-|A∩B| with pre-joined sizes
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     return (
         a.join(
             b,
@@ -200,11 +204,13 @@ def dp_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jac > 0.15)
+        .withColumn("i", inter)
+        .withColumn("jaccard_raw", F.col("i") / (F.col("a.n_sh") + F.col("b.n_sh") - F.col("i")))
+        .filter(F.col("jaccard_raw") > 0.15)
         .select(
             F.col("a.doc_id").alias("id1"),
             F.col("b.doc_id").alias("id2"),
-            F.round(jac, 4).alias("jaccard"),
+            F.round("jaccard_raw", 4).alias("jaccard"),
         )
     )
 
