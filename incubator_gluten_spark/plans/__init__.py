@@ -37,6 +37,7 @@ _PLAN_MODULES = (
     "datapipe_queries",
     "streaming_queries",
     "sources_queries",
+    "udf_queries",
 )
 
 

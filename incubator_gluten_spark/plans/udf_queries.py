@@ -1,0 +1,213 @@
+"""UDF-surface inventory entries (SURVEY §2.12).
+
+Every entry computes something the oracle can also express in plain SQL,
+so the differential gate certifies the Python/Arrow boundary returns
+exactly what the JVM would: pandas UDF batches, row-at-a-time UDFs,
+SQL-registered names, UDTF lateral joins, grouped applyInPandas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables, register_views
+from incubator_gluten_spark.plans import Q
+from incubator_gluten_spark.udfs import (
+    line_desc_udf,
+    make_word_splitter,
+    net_price,
+    qty_band,
+    register_udfs,
+    with_pandas_columns,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+REGISTRY: list[Q] = []
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY.append(Q(name, fn, oracle, tags))
+        return fn
+
+    return deco
+
+
+@q(
+    "udf_pandas_vectorized",
+    """
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+    """,
+    "udf", "pandas",
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas UDF in an aggregation pipeline."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 2000)
+        .withColumn("np", net_price("l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("np"), 2).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "udf_python_row",
+    """
+    SELECT l_returnflag || ':' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS line_desc,
+           count(*) AS n
+    FROM lineitem WHERE l_orderkey < 500 GROUP BY 1
+    """,
+    "udf", "python",
+)
+def udf_python_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF — the deliberate slow path, exercised on a
+    pruned subset only (never in a hot loop at scale)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 500)
+        .select(line_desc_udf("l_returnflag", "l_quantity").alias("line_desc"))
+        .groupBy("line_desc")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "udf_registered_sql",
+    """
+    SELECT CASE WHEN l_quantity <= 10 THEN 'low'
+                WHEN l_quantity <= 30 THEN 'mid' ELSE 'high' END AS band,
+           round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS revenue
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1
+    """,
+    "udf", "register",
+)
+def udf_registered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.udf.register + SQL-text invocation (UDFMappings analog)."""
+    register_udfs(spark)
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT qty_band(l_quantity) AS band,
+               round(sum(net_price(l_extendedprice, l_discount, l_tax)), 2) AS revenue
+        FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1
+        """
+    )
+
+
+@q(
+    "udf_udtf_lateral",
+    """
+    SELECT pos, count(*) AS n, count(DISTINCT word) AS n_words
+    FROM (
+      SELECT generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 100
+    )
+    WHERE pos < 5 GROUP BY pos
+    """,
+    "udf", "udtf",
+)
+def udf_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join (Generate analog through the Python
+    table-function surface)."""
+    splitter = make_word_splitter()
+    spark.udtf.register("word_splitter", splitter)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT pos, count(*) AS n, count(DISTINCT word) AS n_words
+        FROM documents, LATERAL word_splitter(text)
+        WHERE doc_id < 100 AND pos < 5
+        GROUP BY pos
+        """
+    )
+
+
+@q(
+    "udf_partial_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(round(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)), 2)
+                AS DOUBLE)                                                    AS disc_price,
+           CAST(round(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                           AS DECIMAL(18,6)), 2) AS DOUBLE)                   AS net,
+           CASE WHEN l_quantity <= 10 THEN 'low'
+                WHEN l_quantity <= 30 THEN 'mid' ELSE 'high' END              AS band
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    "udf", "partial-project",
+)
+def udf_partial_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed projection: disc_price stays JVM-side, net + band go through
+    one Arrow batch each (ColumnarPartialProjectExec.scala:56 analog —
+    Spark's ArrowEvalPython node receives only the pruned UDF inputs)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") < 300)
+
+    def money(col: F.Column) -> F.Column:
+        # per-row money rounding: go through DECIMAL(18,6) first — Spark
+        # rounds doubles on their shortest decimal repr while DuckDB uses
+        # the binary value, and the extra decimal step aligns the two
+        return F.round(col.cast("decimal(18,6)"), 2).cast("double")
+
+    out = with_pandas_columns(
+        base,
+        net=money(net_price("l_extendedprice", "l_discount", "l_tax")),
+        band=qty_band("l_quantity"),
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("disc_price"),
+        "net",
+        "band",
+    )
+
+
+@q(
+    "udf_grouped_apply",
+    """
+    SELECT l_returnflag, l_orderkey, l_linenumber,
+           round((l_quantity - avg(l_quantity) OVER (PARTITION BY l_returnflag))
+                 / stddev_samp(l_quantity) OVER (PARTITION BY l_returnflag), 4) AS zscore
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    "udf", "grouped-map",
+)
+def udf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-group z-score computed in pandas,
+    certified against the window-function formulation."""
+    import pandas as pd
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["l_quantity"].mean()
+        sd = pdf["l_quantity"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "l_returnflag": pdf["l_returnflag"],
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "zscore": ((pdf["l_quantity"] - mu) / sd).round(4),
+            }
+        )
+
+    return (
+        li.filter(F.col("l_orderkey") < 300)
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            zscore,
+            schema="l_returnflag string, l_orderkey bigint, l_linenumber int, zscore double",
+        )
+    )
