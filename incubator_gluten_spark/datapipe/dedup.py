@@ -153,10 +153,9 @@ def simhash(col: Column, bits: int = 32) -> Column:
     tokens = F.array_distinct(F.split(normalize_text(col), " "))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
 
-    def bitmask(b):
-        # shiftleft() needs a literal shift amount; 2^b is exact in double
-        # far past 32 bits, so pow is the lambda-friendly equivalent.
-        return F.pow(F.lit(2.0), b).cast("bigint")
+    # constant bitmask array — hoisted so the per-token inner loop is a
+    # pure bitwiseAND against literals (no pow/cast per element)
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
 
     # single pass over the tokens: accumulate a `bits`-wide vector of ±1
     # sums (zip_with merge per token), then fold the sign vector into the
@@ -169,10 +168,8 @@ def simhash(col: Column, bits: int = 32) -> Column:
         lambda acc, h: F.zip_with(
             acc,
             F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda b: F.when(h.bitwiseAND(bitmask(b)) != 0, F.lit(1)).otherwise(
-                    F.lit(-1)
-                ),
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
             ),
             lambda a, x: a + x,
         ),
@@ -180,8 +177,8 @@ def simhash(col: Column, bits: int = 32) -> Column:
     return F.aggregate(
         F.zip_with(
             bit_counts,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda c, b: F.when(c > 0, bitmask(b)).otherwise(F.lit(0).cast("bigint")),
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("bigint")),
         ),
         F.lit(0).cast("bigint"),
         lambda acc, m: acc + m,

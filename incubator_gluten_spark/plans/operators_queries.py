@@ -999,3 +999,57 @@ def join_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
            OR c_acctbal < 0
         """
     )
+
+
+@q(
+    "agg_regr",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           regr_count(l_extendedprice, l_quantity)               AS n,
+           round(regr_avgx(l_extendedprice, l_quantity), 4)      AS ax,
+           round(regr_avgy(l_extendedprice, l_quantity), 4)      AS ay,
+           round(regr_sxy(l_extendedprice, l_quantity), 2)       AS sxy
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg", "regression",
+)
+def agg_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family (regr_*, 9 fns in the reference's
+    matrix docs/velox-backend-aggregate-function-support.md)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("icept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_avgx(y, x), 4).alias("ax"),
+        F.round(F.regr_avgy(y, x), 4).alias("ay"),
+        F.round(F.regr_sxy(y, x), 2).alias("sxy"),
+    )
+
+
+@q(
+    "agg_mode_sketch",
+    """
+    SELECT l_returnflag,
+           mode(l_linenumber)            AS common_line,
+           count(DISTINCT l_linenumber)  AS hll_lineno,
+           count(DISTINCT l_linestatus)  AS hll_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg", "sketch",
+)
+def agg_mode_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode() + HLL sketch build/estimate round-trip
+    (hll_sketch_agg -> hll_sketch_estimate; exact at these cardinalities so
+    the exact-count oracle matches). Reference: HLLRewriteRule.scala."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.mode("l_linenumber").alias("common_line"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_linenumber")).alias("hll_lineno"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_linestatus")).alias("hll_status"),
+    )
