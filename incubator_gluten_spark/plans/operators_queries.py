@@ -1053,3 +1053,64 @@ def agg_mode_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("l_linenumber")).alias("hll_lineno"),
         F.hll_sketch_estimate(F.hll_sketch_agg("l_linestatus")).alias("hll_status"),
     )
+
+
+@q(
+    "chx_group_limit_agg",
+    """
+    SELECT o_custkey,
+           list_slice(list_reverse_sort(list(round(o_totalprice, 2))), 1, 3) AS top3
+    FROM orders WHERE o_custkey < 300 GROUP BY o_custkey
+    """,
+    "agg", "group-limit", "clickhouse-delta",
+)
+def chx_group_limit_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group WITHOUT a window: aggregate to a sorted sliced array
+    (the ClickHouse backend's group-limit-via-aggregate rewrite,
+    CHAggregateGroupLimitExecTransformer.scala:38). One shuffle, no
+    per-partition sort of the whole input — for top-k of many small groups
+    this beats the WindowGroupLimit plan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_custkey") < 300)
+        .groupBy("o_custkey")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.round("o_totalprice", 2)), asc=False),
+                1,
+                3,
+            ).alias("top3")
+        )
+    )
+
+
+@q(
+    "misc_salted_join",
+    """
+    SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "join", "skew",
+)
+def misc_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join — the manual skew-mitigation pattern (complementing
+    AQE's skewJoin splitting, session.py): the probe side appends a salt
+    in [0,8), the build side explodes x8 with every salt value, the join
+    key becomes (key, salt), so one hot key spreads over 8 tasks. Result
+    is provably identical to the plain join (the oracle)."""
+    SALTS = 8
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    probe = li.withColumn("salt", F.pmod(F.xxhash64("l_linenumber"), F.lit(SALTS)))
+    build = orders.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s).cast("bigint") for s in range(SALTS)]))
+    )
+    return (
+        probe.join(
+            build,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (probe["salt"] == build["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )

@@ -57,8 +57,18 @@ def _norm_cell(v):
     return v
 
 
+def _nonfloat_key(row):
+    """Sort key over the non-float cells only — engine-stable, since floats
+    are the only cells that can legitimately differ within tolerance."""
+    return tuple(
+        (x is None, str(type(x)), str(x))
+        for x in row
+        if not isinstance(x, float)
+    )
+
+
 def _sort_key(row):
-    return tuple((x is None, str(type(x)), str(x)) for x in row)
+    return (_nonfloat_key(row), tuple(str(x) for x in row))
 
 
 def canonical(rows, colnames):
@@ -86,13 +96,35 @@ def compare_frames(spark_df, con, sql: str, float_tol: float = 1e-6) -> None:
     sc, s_canon = canonical(s_rows, s_cols)
     dc, d_canon = canonical(d_rows, d_cols)
     mismatches = []
-    for i, (sr, dr) in enumerate(zip(s_canon, d_canon)):
-        if sr == dr:
+    i = 0
+    while i < len(s_canon):
+        sr, dr = s_canon[i], d_canon[i]
+        if sr == dr or _rows_close(sr, dr, float_tol):
+            i += 1
             continue
-        if not _rows_close(sr, dr, float_tol):
-            mismatches.append((i, sr, dr))
+        # rows with equal non-float keys may be ordered differently by
+        # their float cells on the two sides: tolerantly match within the
+        # contiguous group sharing this non-float key
+        key = _nonfloat_key(sr)
+        j = i
+        while j < len(s_canon) and _nonfloat_key(s_canon[j]) == key:
+            j += 1
+        group_s = list(s_canon[i:j])
+        group_d = list(d_canon[i:j])
+        for srow in group_s:
+            hit = next(
+                (k for k, drow in enumerate(group_d) if _rows_close(srow, drow, float_tol)),
+                None,
+            )
+            if hit is None:
+                mismatches.append((i, srow, group_d[:1]))
+            else:
+                group_d.pop(hit)
             if len(mismatches) >= 5:
                 break
+        i = j
+        if len(mismatches) >= 5:
+            break
     assert not mismatches, f"value mismatches (cols={sc}): {mismatches[:5]}"
 
 
