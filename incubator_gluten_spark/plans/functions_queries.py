@@ -719,3 +719,111 @@ def fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(p * d).cast("string").alias("dec_mul_max"),
         F.round(F.avg(p), 2).cast("double").alias("dec_avg"),
     )
+
+
+@q(
+    "fn_string_more",
+    """
+    SELECT n_name,
+           bit_length(n_name)                          AS bits,
+           octet_length(n_name::BLOB)                  AS octets,
+           length(n_name)                              AS chars,
+           printf('%s/%02d', n_name, n_nationkey)      AS fmt,
+           repeat(' ', 3) || n_name                    AS spaced,
+           strpos(n_name, 'TION')                      AS loc,
+           trim(n_name, 'N_0123456789')                AS btrimmed,
+           ltrim(n_name, 'NATIO')                      AS ltrimmed,
+           starts_with(n_name, 'NATION')               AS sw,
+           ends_with(n_name, '1')                      AS ew,
+           encode(n_name)::VARCHAR                     AS enc_dec,
+           base64(encode(n_name))                      AS b64,
+           decode(from_base64(base64(encode(n_name)))) AS b64_roundtrip
+    FROM nation
+    """,
+    "function", "string",
+)
+def fn_string_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String batch 2: lengths, format_string, space, locate, btrim,
+    startswith/endswith, encode/decode, base64 round-trip."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    n = F.col("n_name")
+    enc = F.encode(n, "utf-8")
+    return nation.select(
+        "n_name",
+        F.bit_length(n).alias("bits"),
+        F.octet_length(n).alias("octets"),
+        F.char_length(n).alias("chars"),
+        F.format_string("%s/%02d", n, F.col("n_nationkey")).alias("fmt"),
+        F.concat(F.expr("space(3)"), n).alias("spaced"),
+        F.locate("TION", n).alias("loc"),
+        F.btrim(n, F.lit("N_0123456789")).alias("btrimmed"),
+        F.ltrim(n, F.lit("NATIO")).alias("ltrimmed"),
+        F.startswith(n, F.lit("NATION")).alias("sw"),
+        F.endswith(n, F.lit("1")).alias("ew"),
+        enc.cast("string").alias("enc_dec"),
+        F.base64(enc).alias("b64"),
+        F.decode(F.unbase64(F.base64(enc)), "utf-8").alias("b64_roundtrip"),
+    )
+
+
+@q(
+    "fn_datetime_more",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE)  AS qstart,
+           CAST(date_trunc('week', o_orderdate) AS DATE)     AS wstart,
+           date_part('month', o_orderdate)                   AS dpm,
+           CAST(o_orderdate + ((7 - dayofweek(CAST(o_orderdate AS DATE)) + 1) % 7
+                + CASE WHEN dayofweek(CAST(o_orderdate AS DATE)) = 1 THEN 7 ELSE 0 END)
+                * INTERVAL 1 DAY AS DATE)                    AS next_monday,
+           CAST(o_orderdate - INTERVAL 90 DAY AS DATE)       AS minus90,
+           greatest(CAST(o_orderdate AS DATE), DATE '1996-06-01') AS clamped
+    FROM orders WHERE o_orderkey < 200
+    """,
+    "function", "datetime",
+)
+def fn_datetime_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime batch 2: trunc to quarter/week, date_part/extract,
+    next_day (oracle spells out the day arithmetic: DuckDB dayofweek is
+    0=Sun vs Spark 1=Sun), interval subtraction, date greatest."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    return orders.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        F.date_trunc("quarter", od).cast("date").alias("qstart"),
+        F.date_trunc("week", od).cast("date").alias("wstart"),
+        F.date_part(F.lit("month"), od).alias("dpm"),
+        F.next_day(od, "Mon").alias("next_monday"),
+        F.date_sub(od, 90).alias("minus90"),
+        F.greatest(od.cast("date"), F.lit("1996-06-01").cast("date")).alias("clamped"),
+    )
+
+
+@q(
+    "fn_utc_golden",
+    """
+    SELECT '2024-03-10 07:30:00' AS to_utc_v, '2024-03-09 18:30:00' AS from_utc_v,
+           1.4839 AS months_between_v, 2 AS extract_dow
+    """,
+    "function", "datetime", "golden",
+)
+def fn_utc_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_utc_timestamp / from_utc_timestamp / months_between on constants
+    (timezone rules and 31-day-month fractions are Spark-defined)."""
+    ts = F.lit("2024-03-10 02:30:00").cast("timestamp_ntz").cast("timestamp")
+    return spark.range(1).select(
+        F.date_format(
+            F.to_utc_timestamp(ts, "America/New_York"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("to_utc_v"),
+        F.date_format(
+            F.from_utc_timestamp(ts, "America/Los_Angeles"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("from_utc_v"),
+        F.round(
+            F.months_between(
+                F.lit("2020-03-15").cast("timestamp_ntz"),
+                F.lit("2020-01-31").cast("timestamp_ntz"),
+            ),
+            4,
+        ).alias("months_between_v"),
+        F.expr("extract(DOW FROM DATE '2024-03-11')").cast("int").alias("extract_dow"),
+    )

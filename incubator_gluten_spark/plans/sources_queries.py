@@ -227,3 +227,39 @@ def src_dsv2_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
     )
+
+
+@q(
+    "src_dpp_join",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders JOIN (
+      SELECT DISTINCT o_orderpriority AS priority,
+             length(o_orderpriority) % 2 AS flag
+      FROM orders
+    ) dim ON o_orderpriority = dim.priority
+    WHERE dim.flag = 1
+    GROUP BY o_orderstatus
+    """,
+    "source", "dpp",
+)
+def src_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is disk-partitioned on the
+    JOIN key (o_orderpriority); the selective dim filter becomes a runtime
+    subquery that prunes partition directories before the fact scan
+    (SubqueryBroadcast matrix row, RewriteSubqueryBroadcast in
+    VeloxRuleApi.scala:80 — built-in here via
+    spark.sql.optimizer.dynamicPartitionPruning.enabled)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    fact_p, dim_p = _path("dpp_orders"), _path("dpp_priority_dim")
+    write_partitioned(orders, fact_p, ["o_orderpriority"])
+    orders.select(F.col("o_orderpriority").alias("priority")).distinct().withColumn(
+        "flag", F.length("priority") % 2
+    ).write.mode("overwrite").parquet(dim_p)
+    fact = spark.read.parquet(fact_p)
+    dim = spark.read.parquet(dim_p).filter(F.col("flag") == 1)
+    return (
+        fact.join(dim, F.col("o_orderpriority") == F.col("priority"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )

@@ -138,3 +138,36 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     over one file the final state equals the batch GROUP BY."""
     ev = read_events_stream(spark, sf_dir)
     return run_to_memory(stateful_user_counts(ev), mode="update")
+
+
+@q(
+    "stream_foreach_batch",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "sink",
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: each micro-batch lands as parquet via arbitrary
+    batch logic (the escape hatch for sinks without native streaming
+    support); result read back from disk."""
+    import uuid
+
+    out = f"/tmp/spark_graft_io/stream_fb_{uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out)

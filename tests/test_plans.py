@@ -1,0 +1,87 @@
+"""Physical-plan assertions: the engine must not just return right answers
+but produce the plans the 100 TB design depends on — pushed filters,
+pruned schemas, size-appropriate join strategies, top-k pushdown,
+shuffle-free bucketed joins, dynamic partition pruning.
+
+The reference validates the same properties by checking which operators
+offloaded (FallbackSuite, VeloxScanSuite); here the assertion target is
+Catalyst's plan text.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables
+from incubator_gluten_spark.plans import collect_all
+
+ALL = collect_all()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(ALL["q6"].build(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # date + discount + quantity predicates all pushable
+    assert "GreaterThanOrEqual(l_shipdate" in plan or "IsNotNull(l_shipdate)" in plan
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    plan = plan_of(li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 0))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    assert "l_extendedprice" not in read_schema[0], read_schema[0]
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    plan = plan_of(ALL["misc_take_ordered"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_group_limit_pushdown(spark, sf_dir):
+    plan = plan_of(ALL["win_topk_per_group"].build(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_broadcast_only_fixed_dims_q5(spark, sf_dir):
+    """q5's only *hinted* broadcasts are nation/region; everything else is
+    left to size-based selection (no broadcast of SF-proportional tables
+    at the plan-construction level)."""
+    import incubator_gluten_spark.plans.tpch as tpch
+    import inspect
+
+    src = inspect.getsource(tpch)
+    for line in src.splitlines():
+        if "F.broadcast(" in line:
+            assert any(
+                d in line for d in ("nation", "region", "n1", "n2", "best", "total", "avg_bal")
+            ), f"scale-unsafe broadcast hint: {line.strip()}"
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    df = ALL["src_bucketed_join"].build(spark, sf_dir)
+    plan = plan_of(df)
+    join_section = plan.split("HashAggregate")[0]
+    assert "Exchange hashpartitioning(o_custkey" not in join_section, (
+        "bucketed join should not reshuffle on the bucket key"
+    )
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    plan = plan_of(ALL["src_dpp_join"].build(spark, sf_dir))
+    assert "dynamicpruning" in plan.lower() or "SubqueryBroadcast" in plan, plan[:2000]
+
+
+def test_no_cartesian_in_tpch(spark, sf_dir):
+    for name in ("q3", "q5", "q7", "q9", "q21"):
+        plan = plan_of(ALL[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
