@@ -1,0 +1,82 @@
+"""Property-based differential fuzzing (goes beyond the reference's test
+strategy, which is fixed-corpus only — SURVEY §5): hypothesis generates
+random filter + aggregate shapes over lineitem and both engines must agree
+on the result.
+
+Deliberately restricted to the cross-engine-deterministic subset:
+integer/flag columns, exact counts and integer sums — no float ordering
+or rounding semantics in play, so any mismatch is a real engine bug, not
+tolerance noise.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from incubator_gluten_spark.catalog import load_tables
+from pyspark.sql import functions as F
+
+NUM_COLS = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+OPS = ["<", "<=", ">", ">=", "=", "!="]
+
+
+@st.composite
+def predicate(draw):
+    if draw(st.booleans()):
+        col = draw(st.sampled_from(NUM_COLS))
+        op = draw(st.sampled_from(OPS))
+        val = draw(st.integers(min_value=0, max_value=2000))
+        return col, op, val
+    col = draw(st.sampled_from(STR_COLS))
+    op = draw(st.sampled_from(["=", "!="]))
+    val = draw(st.sampled_from(["A", "N", "R", "O", "F"]))
+    return col, op, val
+
+
+_cache = {}
+
+
+def _tables(spark, sf_dir):
+    if "li" not in _cache:
+        _cache["li"] = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return _cache["li"]
+
+
+@given(preds=st.lists(predicate(), min_size=1, max_size=3), conj=st.booleans())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_filter_agg_matches_oracle(spark, duck, sf_dir, preds, conj):
+    li = _tables(spark, sf_dir)
+
+    scond = None
+    sql_parts = []
+    for col, op, val in preds:
+        lit = repr(val) if isinstance(val, str) else str(val)
+        sql_parts.append(f"l.{col} {'<>' if op == '!=' else op} {lit}")
+        c = F.col(col)
+        cond = {
+            "<": c < val, "<=": c <= val, ">": c > val,
+            ">=": c >= val, "=": c == val, "!=": c != val,
+        }[op]
+        scond = cond if scond is None else (scond & cond if conj else scond | cond)
+
+    glue = " AND " if conj else " OR "
+    sql = (
+        "SELECT count(*) AS n, coalesce(sum(l_linenumber), 0) AS s "
+        f"FROM lineitem l WHERE {glue.join(sql_parts)}"
+    )
+    got = (
+        li.filter(scond)
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("l_linenumber"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    want = duck.sql(sql).fetchall()[0]
+    assert (got.n, got.s) == want, f"{sql} -> spark {(got.n, got.s)} duck {want}"
