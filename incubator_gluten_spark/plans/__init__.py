@@ -38,6 +38,7 @@ _PLAN_MODULES = (
     "streaming_queries",
     "sources_queries",
     "udf_queries",
+    "clickbench_queries",
 )
 
 

@@ -1,0 +1,240 @@
+"""ClickBench-shaped analytics suite over the events fixture.
+
+The reference ships three corpora: TPC-H 22, TPC-DS 103, ClickBench 43
+(tools/gluten-it/common/src/main/resources/clickbench-queries/). ClickBench
+is single-table web-analytics SQL — counts, distinct users, top-k entities,
+time bucketing, string matching — which maps exactly onto the driver's
+events table (event_id, ts, user_id, event_type, value, props). These
+entries adapt the ClickBench query *shapes* to the available columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables
+from incubator_gluten_spark.plans import Q
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+REGISTRY: list[Q] = []
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY.append(Q(name, fn, oracle, tags))
+        return fn
+
+    return deco
+
+
+@q(
+    "cb_counts",
+    """
+    SELECT count(*) AS n, count(DISTINCT user_id) AS users,
+           count(DISTINCT event_type) AS types,
+           round(avg(value), 4) AS avg_value
+    FROM events
+    """,
+    "clickbench", "agg",
+)
+def cb_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q1-Q7 shape: whole-table counts and distincts."""
+    ev = _ev(spark, sf_dir)
+    return ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.countDistinct("event_type").alias("types"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+@q(
+    "cb_topk_users",
+    """
+    SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY user_id
+    ORDER BY n DESC, user_id LIMIT 10
+    """,
+    "clickbench", "topn",
+)
+def cb_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k heavy hitters (ClickBench Q13-Q17 shape)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@q(
+    "cb_type_breakdown",
+    """
+    SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi
+    FROM events GROUP BY event_type
+    """,
+    "clickbench", "agg",
+)
+def cb_type_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("users"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+@q(
+    "cb_daily_series",
+    """
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n,
+           count(DISTINCT user_id) AS dau
+    FROM events GROUP BY 1
+    """,
+    "clickbench", "timeseries",
+)
+def cb_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity series (ClickBench time-bucket shape)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n"), F.countDistinct("user_id").alias("dau")
+    )
+
+
+@q(
+    "cb_hour_histogram",
+    """
+    SELECT hour(CAST(ts AS TIMESTAMP)) AS h, count(*) AS n,
+           round(sum(value), 2) AS total
+    FROM events WHERE event_type = 'click' GROUP BY 1
+    """,
+    "clickbench", "timeseries",
+)
+def cb_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.hour("ts").alias("h"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
+    "cb_user_funnel",
+    """
+    SELECT n_types, count(*) AS n_users FROM (
+      SELECT user_id, count(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+    ) GROUP BY n_types
+    """,
+    "clickbench", "agg",
+)
+def cb_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of per-user event-type breadth (funnel shape)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n_types"))
+        .groupBy("n_types")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@q(
+    "cb_props_filter",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) BETWEEN 40 AND 60
+    GROUP BY event_type
+    """,
+    "clickbench", "json",
+)
+def cb_props_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured predicate (ClickBench URL/referer-match shape)."""
+    ev = _ev(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.filter(k.between(40, 60))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "cb_sessionized_topk",
+    """
+    SELECT user_id, day, n FROM (
+      SELECT user_id, day, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, day) AS rn
+      FROM (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rn = 1 AND n >= 5
+    """,
+    "clickbench", "window",
+)
+def cb_sessionized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's busiest day (group-limit over a time-bucketed agg)."""
+    ev = _ev(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("day"))
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n") >= 5))
+        .select("user_id", "day", "n")
+    )
+
+
+@q(
+    "cb_value_deciles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.1), 4) AS p10,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY event_type
+    """,
+    "clickbench", "percentile",
+)
+def cb_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.1)), 4).alias("p10"),
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )
+
+
+@q(
+    "cb_retention",
+    """
+    SELECT count(*) AS retained FROM (
+      SELECT user_id FROM events
+      WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) < DATE '2024-01-15'
+      INTERSECT
+      SELECT user_id FROM events
+      WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) >= DATE '2024-01-15'
+    )
+    """,
+    "clickbench", "setop",
+)
+def cb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users active in both halves of the month (retention shape)."""
+    ev = _ev(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    cut = F.lit("2024-01-15").cast("date")
+    before = ev.filter(day < cut).select("user_id")
+    after = ev.filter(day >= cut).select("user_id")
+    return before.intersect(after).agg(F.count("*").alias("retained"))

@@ -827,3 +827,34 @@ def fn_utc_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("months_between_v"),
         F.expr("extract(DOW FROM DATE '2024-03-11')").cast("int").alias("extract_dow"),
     )
+
+
+@q(
+    "fn_try_eval",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_quantity / nullif(l_linenumber - 1, 0)   AS safe_div,
+           TRY_CAST(l_returnflag AS INT)              AS bad_cast,
+           TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INT) AS good_cast,
+           arr[5]                                     AS maybe_el
+    FROM (SELECT *, [l_linenumber, l_linenumber * 2] AS arr
+          FROM lineitem WHERE l_orderkey < 200)
+    """,
+    "function", "try",
+)
+def fn_try_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* family (ExpressionMappings try_eval sigs): NULL instead of
+    error under ANSI mode — try_divide on a zero divisor, try_cast on a
+    non-numeric string, try_element_at past the end."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") < 200).withColumn(
+        "arr", F.array(F.col("l_linenumber"), F.col("l_linenumber") * 2)
+    )
+    return base.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide("l_quantity", F.col("l_linenumber") - 1).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+        F.col("l_linenumber").cast("string").try_cast("int").alias("good_cast"),
+        F.try_element_at("arr", F.lit(5)).alias("maybe_el"),
+    )
