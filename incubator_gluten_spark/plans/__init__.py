@@ -39,6 +39,7 @@ _PLAN_MODULES = (
     "sources_queries",
     "udf_queries",
     "clickbench_queries",
+    "tpcds_queries",
 )
 
 

@@ -858,3 +858,94 @@ def fn_try_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("string").try_cast("int").alias("good_cast"),
         F.try_element_at("arr", F.lit(5)).alias("maybe_el"),
     )
+
+
+@q(
+    "fn_array_more",
+    """
+    SELECT p_partkey,
+           list_transform(generate_series(1, 3), i -> p_size)        AS repeated,
+           arr || [99]                                               AS appended,
+           [0] || arr                                                AS prepended,
+           list_filter(arr, e -> e != 2)                             AS removed,
+           list_filter(arr2, e -> e IS NOT NULL)                     AS compacted,
+           list_slice(arr, 1, 1) || [42] || list_slice(arr, 2, len(arr)) AS inserted,
+           list_transform(generate_series(0, 8, 2), i -> i)          AS stepped
+    FROM (
+      SELECT p_partkey, p_size,
+             list_transform(generate_series(1, 4), i -> (p_partkey + i) % 5) AS arr,
+             [p_size, NULL, p_size * 2, NULL]                        AS arr2
+      FROM part WHERE p_partkey < 100
+    )
+    """,
+    "function", "array",
+)
+def fn_array_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array batch 2: array_repeat, append/prepend, remove, compact,
+    insert, sequence-with-step (ExpressionMappings array sigs :223-259)."""
+    (part,) = _t(spark, sf_dir, "part")
+    base = part.filter(F.col("p_partkey") < 100).select(
+        "p_partkey",
+        "p_size",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda i: (F.col("p_partkey") + i) % 5,
+        ).alias("arr"),
+        F.array(
+            F.col("p_size"),
+            F.lit(None).cast("int"),
+            F.col("p_size") * 2,
+            F.lit(None).cast("int"),
+        ).alias("arr2"),
+    )
+    a = F.col("arr")
+    return base.select(
+        "p_partkey",
+        F.array_repeat(F.col("p_size"), 3).alias("repeated"),
+        F.array_append(a, F.lit(99)).alias("appended"),
+        F.array_prepend(a, F.lit(0)).alias("prepended"),
+        F.array_remove(a, 2).alias("removed"),
+        F.array_compact("arr2").alias("compacted"),
+        F.array_insert(a, 2, F.lit(42)).alias("inserted"),
+        F.sequence(F.lit(0), F.lit(8), F.lit(2)).alias("stepped"),
+    )
+
+
+@q(
+    "fn_map_more",
+    """
+    SELECT n_nationkey,
+           list_sort(list_transform(string_split('a:1,b:2,c:3', ','),
+                                    kv -> string_split(kv, ':')[1]))  AS s2m_keys,
+           list_sort(list_transform(string_split('a:1,b:2,c:3', ','),
+                                    kv -> CAST(string_split(kv, ':')[2] AS INT))) AS s2m_vals,
+           list_sort([n_nationkey * 10, n_regionkey * 10])            AS tv_vals,
+           list_sort(['K_key', 'K_region'])                           AS tk_keys,
+           [n_nationkey]                                              AS filtered_vals
+    FROM nation
+    """,
+    "function", "map",
+)
+def fn_map_more(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map batch 2: str_to_map, transform_values, transform_keys,
+    map_filter — DuckDB's map surface is thin, so the oracle reproduces
+    the *contents* (sorted key/value arrays) rather than map cells."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("key"), F.lit("region")),
+        F.array(F.col("n_nationkey"), F.col("n_regionkey")),
+    )
+    s2m = F.expr("str_to_map('a:1,b:2,c:3', ',', ':')")
+    tv = F.transform_values(m, lambda k, v: v * 10)
+    tk = F.transform_keys(m, lambda k, v: F.concat(F.lit("K_"), k))
+    mf = F.map_filter(m, lambda k, v: k == "key")
+    return nation.select(
+        "n_nationkey",
+        F.sort_array(F.map_keys(s2m)).alias("s2m_keys"),
+        F.sort_array(F.transform(F.map_values(s2m), lambda v: v.cast("int"))).alias(
+            "s2m_vals"
+        ),
+        F.sort_array(F.map_values(tv)).alias("tv_vals"),
+        F.sort_array(F.map_keys(tk)).alias("tk_keys"),
+        F.map_values(mf).alias("filtered_vals"),
+    )

@@ -1,0 +1,237 @@
+"""TPC-DS-shaped queries adapted to the driver's star schema.
+
+The reference's second corpus is TPC-DS 103
+(tools/gluten-it/common/src/main/resources/tpcds-queries/). The DS schema
+isn't in the fixtures, but the *query shapes* that distinguish DS from
+TPC-H — multi-CTE pipelines, year-over-year self-comparisons, rollup
+reports with grouping flags, ranked category reports, channel unions,
+exists/in-chained filters — map directly onto orders/lineitem/customer.
+Each entry names the DS query family it mirrors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.catalog import load_tables
+from incubator_gluten_spark.plans import Q
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    tables = load_tables(spark, sf_dir, names)
+    return [tables[n] for n in names]
+
+
+REGISTRY: list[Q] = []
+
+
+def q(name: str, oracle: str | None, *tags: str):
+    def deco(fn):
+        REGISTRY.append(Q(name, fn, oracle, tags))
+        return fn
+
+    return deco
+
+
+@q(
+    "ds_yoy_growth",
+    """
+    WITH yearly AS (
+      SELECT o_custkey, year(o_orderdate) AS yr, sum(o_totalprice) AS total
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT a.o_custkey, a.yr AS yr,
+           round(a.total, 2) AS cur_total,
+           round(b.total, 2) AS prev_total,
+           round(a.total / b.total, 4) AS growth
+    FROM yearly a JOIN yearly b
+      ON a.o_custkey = b.o_custkey AND a.yr = b.yr + 1
+    WHERE b.total > 0 AND a.total / b.total > 1.5
+    """,
+    "tpcds", "cte", "self-join",
+)
+def ds_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth self-join (TPC-DS q74/q11 shape)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.sum("o_totalprice").alias("total"))
+    a, b = yearly.alias("a"), yearly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.yr") == F.col("b.yr") + 1),
+        )
+        .filter((F.col("b.total") > 0) & (F.col("a.total") / F.col("b.total") > 1.5))
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.yr").alias("yr"),
+            F.round("a.total", 2).alias("cur_total"),
+            F.round("b.total", 2).alias("prev_total"),
+            F.round(F.col("a.total") / F.col("b.total"), 4).alias("growth"),
+        )
+    )
+
+
+@q(
+    "ds_rollup_report",
+    """
+    SELECT n_name, c_mktsegment,
+           CAST(grouping(n_name) AS INT) + CAST(grouping(c_mktsegment) AS INT) AS lvl,
+           count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    "tpcds", "rollup",
+)
+def ds_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup report with level indicator (TPC-DS q18/q22
+    shape: aggregates at item/class/category levels)."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name").cast("int") + F.grouping("c_mktsegment").cast("int")).alias("lvl"),
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select("n_name", "c_mktsegment", "lvl", "n_cust", "total_bal")
+    )
+
+
+@q(
+    "ds_ranked_categories",
+    """
+    SELECT * FROM (
+      SELECT p_brand, p_type, round(sum(l_extendedprice), 2) AS revenue,
+             rank() OVER (PARTITION BY p_brand
+                          ORDER BY sum(l_extendedprice) DESC, p_type) AS rnk
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand, p_type
+    ) WHERE rnk <= 3
+    """,
+    "tpcds", "window",
+)
+def ds_ranked_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-within-category over an aggregate (TPC-DS q67/q86 shape)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    agg = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum("l_extendedprice").alias("rev_raw"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("rev_raw"), F.asc("p_type"))
+    return (
+        agg.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "p_brand",
+            "p_type",
+            F.round("rev_raw", 2).alias("revenue"),
+            "rnk",
+        )
+    )
+
+
+@q(
+    "ds_channel_union",
+    """
+    SELECT channel, seg, count(*) AS n, round(sum(amt), 2) AS total FROM (
+      SELECT 'small' AS channel, l_returnflag AS seg, l_extendedprice AS amt
+      FROM lineitem WHERE l_quantity < 10
+      UNION ALL
+      SELECT 'bulk' AS channel, l_returnflag AS seg, l_extendedprice AS amt
+      FROM lineitem WHERE l_quantity >= 40
+      UNION ALL
+      SELECT 'mid' AS channel, l_returnflag AS seg, l_extendedprice AS amt
+      FROM lineitem WHERE l_quantity >= 10 AND l_quantity < 40
+    ) GROUP BY channel, seg
+    """,
+    "tpcds", "union",
+)
+def ds_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-channel union + shared aggregate (TPC-DS q5/q77 shape)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def chan(name: str, cond) -> DataFrame:
+        return li.filter(cond).select(
+            F.lit(name).alias("channel"),
+            F.col("l_returnflag").alias("seg"),
+            F.col("l_extendedprice").alias("amt"),
+        )
+
+    unioned = (
+        chan("small", F.col("l_quantity") < 10)
+        .unionAll(chan("bulk", F.col("l_quantity") >= 40))
+        .unionAll(
+            chan("mid", (F.col("l_quantity") >= 10) & (F.col("l_quantity") < 40))
+        )
+    )
+    return unioned.groupBy("channel", "seg").agg(
+        F.count("*").alias("n"), F.round(F.sum("amt"), 2).alias("total")
+    )
+
+
+@q(
+    "ds_in_exists_chain",
+    """
+    SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+      AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+    """,
+    "tpcds", "subquery", "sql",
+)
+def ds_in_exists_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained IN / EXISTS / NOT IN subqueries (TPC-DS q10/q35 shape) —
+    Catalyst decorrelates into semi/anti join cascades."""
+    from incubator_gluten_spark.catalog import register_views
+
+    register_views(spark, sf_dir, ("orders", "customer", "lineitem"))
+    return spark.sql(
+        """
+        SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'MACHINERY')
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_quantity > 49)
+        """
+    )
+
+
+@q(
+    "ds_cust_percentile_band",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT decile, count(*) AS n,
+           round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+    FROM ranked GROUP BY decile
+    """,
+    "tpcds", "window",
+)
+def ds_cust_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile banding then per-band stats (TPC-DS q49 shape).
+    Note: the unpartitioned window forces a single-partition sort — fine
+    for a dimension table, a deliberate anti-pattern for fact tables."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ranked = customer.select(
+        "c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return ranked.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.round(F.min("c_acctbal"), 2).alias("lo"),
+        F.round(F.max("c_acctbal"), 2).alias("hi"),
+    )
