@@ -72,18 +72,21 @@ def lsh_signature(vec: Column, nbits: int = 8, dim: int = 64) -> Column:
     h_j[i] = xxhash64(j*dim+i) scaled to [-1, 1] — deterministic, identical
     on every executor, never materialized."""
     dv = _as_double(vec)
+
+    def plane_fn(shift: int):
+        # NB: a plain single-arg lambda — giving F.transform a two-arg
+        # lambda (e.g. `lambda i, j=j: ...`) silently binds the second
+        # parameter to the ARRAY INDEX, which once made every plane
+        # identical and degenerated all buckets to 0 / 2^nbits-1.
+        return lambda i: (F.xxhash64(i + F.lit(shift)) % 2001) / F.lit(1000.0)
+
     bits = []
     for j in range(nbits):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i, j=j: (
-                (F.xxhash64(i + F.lit(j * dim)) % 2001) / F.lit(1000.0)
-            ),
-        )
-        dot = F.aggregate(
+        plane = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), plane_fn(j * dim))
+        dotp = F.aggregate(
             F.zip_with(dv, plane, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
-        bits.append(F.when(dot > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0)))
+        bits.append(F.when(dotp > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
@@ -96,23 +99,38 @@ def ann_lsh_topk(
     k: int = 5,
     nbits: int = 8,
     dim: int = 64,
+    multiprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the full nbits bucket with the
-    query (single-probe). The bucket join replaces the corpus×queries scan;
-    recall rises with fewer bits or multi-probe expansion."""
+    """Approximate top-k via hyperplane buckets.
+
+    multiprobe=1 probes the query's own bucket plus every bucket at
+    hamming distance 1 (each sign bit flipped) — the standard multi-probe
+    LSH recall boost: candidate volume grows ~(nbits+1)x, still worlds
+    away from the full scan, and vectors near a hyperplane (whose sign bit
+    is unstable) stop being missed."""
     c = corpus.select(
         F.col(id_col),
         normalize_vec(F.col(vec_col)).alias("nvec"),
         lsh_signature(F.col(vec_col), nbits, dim).alias("bucket"),
     )
-    q = queries.select(
+    qbase = queries.select(
         F.col(query_id_col),
         normalize_vec(F.col(vec_col)).alias("qvec"),
         lsh_signature(F.col(vec_col), nbits, dim).alias("qbucket"),
     )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(nbits)],
+        )
+        q = qbase.select(
+            query_id_col, "qvec", F.explode(probes).alias("qbucket")
+        )
+    else:
+        q = qbase
     scored = (
         c.join(
             F.broadcast(q),
@@ -124,6 +142,7 @@ def ann_lsh_topk(
             F.col(id_col).alias("neighbor_id"),
             F.round(dot(F.col("nvec"), F.col("qvec")), 6).alias("cosine"),
         )
+        .dropDuplicates([query_id_col, "neighbor_id"])
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

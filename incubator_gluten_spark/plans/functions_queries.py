@@ -949,3 +949,35 @@ def fn_map_more(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.map_keys(tk)).alias("tk_keys"),
         F.map_values(mf).alias("filtered_vals"),
     )
+
+
+@q(
+    "fn_interval_golden",
+    """
+    SELECT 'INTERVAL ''1-3'' YEAR TO MONTH' AS ym,
+           'INTERVAL ''2 03:04:05.5'' DAY TO SECOND' AS dt,
+           '2024-02-29' AS plus_m,
+           '2024-01-01 01:30:00' AS plus_min,
+           '0000000100000000000000010000000400000014' AS cms_prefix
+    """,
+    "function", "interval", "golden",
+)
+def fn_interval_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval construction + arithmetic (make_ym_interval /
+    make_dt_interval / month-end clamping) and a count_min_sketch
+    determinism pin (fixed seed -> fixed sketch bytes).
+    Reference sigs: ExpressionMappings make_ym_interval :199-201,
+    count_min_sketch in the aggregate matrix."""
+    return spark.range(1).select(
+        F.expr("CAST(make_ym_interval(1, 3) AS STRING)").alias("ym"),
+        F.expr("CAST(make_dt_interval(2, 3, 4, 5.5) AS STRING)").alias("dt"),
+        F.expr("CAST(DATE '2024-01-31' + INTERVAL '1' MONTH AS STRING)").alias(
+            "plus_m"
+        ),
+        F.expr(
+            "CAST(TIMESTAMP_NTZ '2024-01-01 00:00:00' + INTERVAL '90' MINUTE AS STRING)"
+        ).alias("plus_min"),
+        F.expr("substr(hex(count_min_sketch(1, 0.1d, 0.9d, 42)), 1, 40)").alias(
+            "cms_prefix"
+        ),
+    )

@@ -41,9 +41,10 @@ def qty_band(qty: pd.Series) -> pd.Series:
     ).astype(str)
 
 
-def line_desc(flag: str, qty: float) -> str:
+def line_desc(flag, qty):
     """Row-at-a-time Python UDF body — deliberately the slow path, kept for
-    API parity (EvalPythonExecTransformer.scala:35 analog)."""
+    API parity (EvalPythonExecTransformer.scala:35 analog). (No type hints:
+    F.udf warns when it can't map scalar hints to an eval type.)"""
     return f"{flag}:{int(qty)}"
 
 
