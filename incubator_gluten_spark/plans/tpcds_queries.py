@@ -235,3 +235,143 @@ def ds_cust_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("c_acctbal"), 2).alias("lo"),
         F.round(F.max("c_acctbal"), 2).alias("hi"),
     )
+
+
+@q(
+    "ds_multi_slot_counts",
+    """
+    SELECT
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10)  AS slot1,
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) AS slot2,
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) AS slot3,
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) AS slot4,
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) AS slot5
+    """,
+    "tpcds", "multi-scan",
+)
+def ds_multi_slot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: N independent slot counts over one table. Rather
+    than q88's eight self-scans, a single scan with conditional counts —
+    the scan-once rewrite every columnar engine wants."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.count_if(F.col("l_quantity").between(lo, lo + 9)).alias(f"slot{i+1}")
+            for i, lo in enumerate((1, 11, 21, 31, 41))
+        ]
+    )
+
+
+@q(
+    "ds_having_join",
+    """
+    SELECT c_custkey, c_name, cnt FROM customer JOIN (
+      SELECT o_custkey, count(*) AS cnt FROM orders
+      GROUP BY o_custkey HAVING count(*) >= 15
+    ) t ON c_custkey = o_custkey
+    """,
+    "tpcds", "having",
+)
+def ds_having_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: aggregate with HAVING joined back to the
+    dimension. Aggregating BEFORE the join shrinks the join input to the
+    qualifying keys only."""
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    frequent = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 15)
+    )
+    return customer.join(
+        frequent, F.col("c_custkey") == F.col("o_custkey")
+    ).select("c_custkey", "c_name", "cnt")
+
+
+@q(
+    "ds_cumulative_share",
+    """
+    SELECT n_name, yr, round(total, 2) AS total,
+           round(sum(total) OVER (PARTITION BY n_name ORDER BY yr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running,
+           round(total / sum(total) OVER (PARTITION BY n_name), 6) AS share
+    FROM (
+      SELECT n_name, year(o_orderdate) AS yr, sum(o_totalprice) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    """,
+    "tpcds", "window", "cte",
+)
+def ds_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: cumulative window over a pre-aggregated series
+    plus share-of-total (unbounded partition sum)."""
+    from pyspark.sql import Window as W
+
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    yearly = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    wrun = W.partitionBy("n_name").orderBy("yr").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy("n_name")
+    return yearly.select(
+        "n_name",
+        "yr",
+        F.round("total", 2).alias("total"),
+        F.round(F.sum("total").over(wrun), 2).alias("running"),
+        F.round(F.col("total") / F.sum("total").over(wall), 6).alias("share"),
+    )
+
+
+@q(
+    "ds_returns_anti",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+    FROM lineitem
+    WHERE l_orderkey NOT IN (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000
+    )
+    GROUP BY l_returnflag
+    """,
+    "tpcds", "anti",
+)
+def ds_returns_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93-returns shape: exclude the return-like order set with an
+    anti join, then aggregate what remains."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    excluded = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 300000)
+    ).select("o_orderkey")
+    return (
+        li.join(excluded, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "ds_cross_channel_customers",
+    """
+    SELECT count(*) AS n_both FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    """,
+    "tpcds", "setop",
+)
+def ds_cross_channel_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q38/q87 shape: customers present in multiple 'channels'
+    (priority classes standing in for store/web/catalog)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.intersect(low).agg(F.count("*").alias("n_both"))

@@ -85,3 +85,43 @@ def test_no_cartesian_in_tpch(spark, sf_dir):
     for name in ("q3", "q5", "q7", "q9", "q21"):
         plan = plan_of(ALL[name].build(spark, sf_dir))
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """The reference's BloomFilterMightContainJointRewriteRule analog:
+    Spark's InjectRuntimeFilter plants a bloom_filter_agg on the filtered
+    build side and a might_contain probe on the big side. Fixture tables
+    are below the production thresholds, so lower them for the assertion
+    (session config spark.sql.optimizer.runtime.bloomFilter.enabled=true
+    is what carries to the cluster)."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+        df = (
+            t["lineitem"]
+            .join(
+                t["orders"].filter(F.col("o_totalprice") > 400000),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized and "bloom_filter_agg" in optimized
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
