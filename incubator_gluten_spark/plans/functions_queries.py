@@ -981,3 +981,39 @@ def fn_interval_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cms_prefix"
         ),
     )
+
+
+@q(
+    "fn_special",
+    """
+    SELECT 0 AS pid, true AS from_lineitem, count(*) AS n,
+           max(mid) AS max_mid
+    FROM (
+      SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS mid
+      FROM lineitem WHERE l_orderkey < 100
+    )
+    """,
+    "function", "special",
+)
+def fn_special(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special/internal expressions (ExpressionMappings :276-301):
+    spark_partition_id, input_file_name, monotonically_increasing_id —
+    partition-dependent by design, so pinned to a single partition where
+    their values are fully determined (pid=0, mid=dense 0..n-1)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    # input_file_name() must be captured at the scan (a shuffle erases it);
+    # coalesce(1) is a narrow dependency so it survives, and on one
+    # partition monotonically_increasing_id is a dense 0..n-1
+    one = (
+        li.filter(F.col("l_orderkey") < 100)
+        .select(F.input_file_name().contains("lineitem").alias("from_lineitem"))
+        .coalesce(1)
+        .select(
+            F.spark_partition_id().alias("pid"),
+            "from_lineitem",
+            F.monotonically_increasing_id().alias("mid"),
+        )
+    )
+    return one.groupBy("pid", "from_lineitem").agg(
+        F.count("*").alias("n"), F.max("mid").alias("max_mid")
+    ).select("pid", "from_lineitem", "n", "max_mid")

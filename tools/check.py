@@ -25,11 +25,18 @@ def valhash(rows, cols):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv):
+    args = []
+    skip = False
+    for i, a in enumerate(sys.argv[1:], start=1):
+        if skip:
+            skip = False
+            continue
         if a == "--sf":
             sf_dir = sys.argv[i + 1]
+            skip = True
+        elif not a.startswith("--"):
+            args.append(a)
 
     from incubator_gluten_spark.plans import collect_all
     from incubator_gluten_spark.session import get_session
