@@ -375,3 +375,266 @@ def ds_cross_channel_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_custkey")
     low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
     return urgent.intersect(low).agg(F.count("*").alias("n_both"))
+
+
+@q(
+    "ds_cov_stats",
+    """
+    SELECT p_brand, n, round(mean_q, 4) AS mean_q, round(cov, 4) AS cov
+    FROM (
+      SELECT p_brand, count(*) AS n,
+             sum(l_quantity) / count(*) AS mean_q,
+             sqrt((sum(l_quantity * l_quantity)
+                   - sum(l_quantity) * sum(l_quantity) / count(*))
+                  / (count(*) - 1))
+               / (sum(l_quantity) / count(*)) AS cov
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand
+    ) WHERE cov > 0.5
+    """,
+    "tpcds", "stats",
+)
+def ds_cov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17 shape: coefficient of variation of quantity per brand,
+    keeping high-variance brands. Variance is computed from the exact
+    moments (n, sum q, sum q^2 — integer-valued doubles, so both engines
+    sum them exactly) with the identical closed-form expression, which
+    makes the hash deterministic where stddev_samp's streaming merge order
+    would not be."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    m = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("s1"),
+            F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+        )
+    )
+    mean_q = F.col("s1") / F.col("n")
+    cov = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    ) / mean_q
+    return (
+        m.select(
+            "p_brand",
+            "n",
+            F.round(mean_q, 4).alias("mean_q"),
+            F.round(cov, 4).alias("cov"),
+        )
+        .filter(cov > 0.5)
+    ).select("p_brand", "n", "mean_q", "cov")
+
+
+@q(
+    "ds_promo_ratio",
+    """
+    SELECT n_name,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS promo_share
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    "tpcds", "conditional-agg",
+)
+def ds_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q61 shape: promotional revenue share per nation — one scan,
+    conditional aggregation instead of q61's two correlated scalar
+    subqueries. Decimal accumulation keeps both engines' sums exact; the
+    final double division is then bit-identical."""
+    li, part, supplier, nation = _t(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation"
+    )
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", dec).otherwise(zero))
+                .cast("double")
+                / F.sum(dec).cast("double")
+            ).alias("promo_share")
+        )
+    )
+
+
+@q(
+    "ds_ampm_ratio",
+    """
+    SELECT event_type,
+           count(*) FILTER (WHERE hour(ts) < 12) AS am,
+           count(*) FILTER (WHERE hour(ts) >= 12) AS pm,
+           round(CAST(count(*) FILTER (WHERE hour(ts) < 12) AS DOUBLE)
+                 / count(*) FILTER (WHERE hour(ts) >= 12), 6) AS ratio
+    FROM events GROUP BY event_type
+    """,
+    "tpcds", "conditional-agg", "events",
+)
+def ds_ampm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape (am/pm request ratio) over the events table: two
+    time-window counts from ONE scan via count_if, where q90 scans the
+    fact table twice and cross-joins the scalar counts."""
+    (ev,) = _t(spark, sf_dir, "events")
+    am = F.count_if(F.hour("ts") < 12)
+    pm = F.count_if(F.hour("ts") >= 12)
+    return ev.groupBy("event_type").agg(
+        am.alias("am"),
+        pm.alias("pm"),
+        F.round(am.cast("double") / pm, 6).alias("ratio"),
+    )
+
+
+@q(
+    "ds_above_nation_avg",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, c_nationkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_custkey, CAST(round(total, 2) AS DOUBLE) AS total
+    FROM (
+      SELECT c_custkey, total,
+             CAST(sum(total) OVER (PARTITION BY c_nationkey) AS DOUBLE)
+               / count(*) OVER (PARTITION BY c_nationkey) AS nation_avg
+      FROM per_cust
+    ) WHERE CAST(total AS DOUBLE) > 1.2 * nation_avg
+    """,
+    "tpcds", "window", "correlated",
+)
+def ds_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1 shape: customers whose lifetime spend exceeds 1.2x their
+    nation's average — the correlated aggregate subquery decorrelated into
+    a window over the grouped totals (one shuffle on nationkey instead of
+    a re-scan per row). The threshold is derived from the exact decimal
+    sum with the same expression on both engines, so the predicate
+    boundary is deterministic."""
+    from pyspark.sql import Window as W
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    per_cust = (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("total"))
+    )
+    w = W.partitionBy("c_nationkey")
+    nation_avg = F.sum("total").over(w).cast("double") / F.count("*").over(w)
+    return (
+        per_cust.withColumn("nation_avg", nation_avg)
+        .filter(F.col("total").cast("double") > 1.2 * F.col("nation_avg"))
+        .select(
+            "c_custkey", F.round("total", 2).cast("double").alias("total")
+        )
+    )
+
+
+@q(
+    "ds_first_order_cohort",
+    """
+    WITH firsts AS (
+      SELECT o_custkey, year(min(o_orderdate)) AS cohort_yr
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort_yr, count(*) AS n_cust,
+           CAST(round(sum(spend), 2) AS DOUBLE) AS cohort_spend
+    FROM firsts JOIN (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+      FROM orders GROUP BY o_custkey
+    ) s ON firsts.o_custkey = s.o_custkey
+    GROUP BY cohort_yr
+    """,
+    "tpcds", "cohort",
+)
+def ds_first_order_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11 shape: first-purchase-year cohorts with lifetime spend.
+    One groupBy computes both the cohort year (min date) and the spend, so
+    the 'two CTEs' collapse into a single shuffle."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.year(F.min("o_orderdate")).alias("cohort_yr"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"),
+    )
+    return per_cust.groupBy("cohort_yr").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("spend"), 2).cast("double").alias("cohort_spend"),
+    )
+
+
+@q(
+    "ds_monthly_deviation",
+    """
+    WITH monthly AS (
+      SELECT n_name, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    ), windowed AS (
+      SELECT n_name, yr, mo, rev,
+             sum(rev) OVER w AS prev3_sum,
+             count(*) OVER w AS prev3_n
+      FROM monthly
+      WINDOW w AS (PARTITION BY n_name ORDER BY yr, mo
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT n_name, yr, mo,
+           CAST(round(rev, 2) AS DOUBLE) AS rev,
+           CAST(round(prev3_sum, 2) AS DOUBLE) AS prev3_sum,
+           round(CAST(rev AS DOUBLE) * 3 / CAST(prev3_sum AS DOUBLE), 4) AS vs_trailing
+    FROM windowed
+    WHERE prev3_n = 3 AND CAST(rev AS DOUBLE) * 3 > 1.5 * CAST(prev3_sum AS DOUBLE)
+    """,
+    "tpcds", "window", "timeseries",
+)
+def ds_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape: monthly revenue vs the trailing-3-month window,
+    keeping months that spike >1.5x the trailing average. The trailing
+    frame is ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING (excludes the
+    current row); exact decimal sums make the spike predicate
+    engine-stable."""
+    from pyspark.sql import Window as W
+
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    monthly = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = W.partitionBy("n_name").orderBy("yr", "mo").rowsBetween(-3, -1)
+    windowed = monthly.select(
+        "n_name",
+        "yr",
+        "mo",
+        "rev",
+        F.sum("rev").over(w).alias("prev3_sum"),
+        F.count("*").over(w).alias("prev3_n"),
+    )
+    rev_d = F.col("rev").cast("double")
+    prev_d = F.col("prev3_sum").cast("double")
+    return (
+        windowed.filter((F.col("prev3_n") == 3) & (rev_d * 3 > 1.5 * prev_d))
+        .select(
+            "n_name",
+            "yr",
+            "mo",
+            F.round("rev", 2).cast("double").alias("rev"),
+            F.round("prev3_sum", 2).cast("double").alias("prev3_sum"),
+            F.round(rev_d * 3 / prev_d, 4).alias("vs_trailing"),
+        )
+    )
