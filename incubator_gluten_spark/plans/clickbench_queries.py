@@ -238,3 +238,144 @@ def cb_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     before = ev.filter(day < cut).select("user_id")
     after = ev.filter(day >= cut).select("user_id")
     return before.intersect(after).agg(F.count("*").alias("retained"))
+
+
+@q(
+    "cb_regex_buckets",
+    """
+    SELECT CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) % 10 AS bucket,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM events
+    GROUP BY bucket
+    """,
+    "clickbench", "regex",
+)
+def cb_regex_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q28-ish shape (REGEXP extraction + group): pull the
+    numeric prop out of the JSON string with a regex (the string path, not
+    the JSON path — get_json_object is exercised elsewhere) and bucket it."""
+    ev = _ev(spark, sf_dir)
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint")
+    return (
+        ev.groupBy((k % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
+    "cb_user_breadth",
+    """
+    SELECT breadth, count(*) AS n_users FROM (
+      SELECT user_id, count(DISTINCT event_type) AS breadth
+      FROM events GROUP BY user_id
+    ) GROUP BY breadth
+    """,
+    "clickbench", "distinct",
+)
+def cb_user_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench engagement-breadth shape: distinct event types per user,
+    then a histogram over that — two chained aggregations where the second
+    reuses the first's hash partitioning on user_id."""
+    ev = _ev(spark, sf_dir)
+    breadth = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("breadth")
+    )
+    return breadth.groupBy("breadth").agg(F.count("*").alias("n_users"))
+
+
+@q(
+    "cb_value_quantiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.9), 4)  AS p90,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+    "clickbench", "quantile",
+)
+def cb_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench latency-quantile shape: exact interpolated percentiles
+    per group (Spark `percentile` == DuckDB `quantile_cont`, both linear
+    interpolation on the sorted set). At 100 TB you'd switch to
+    approx_percentile (t-digest) — exercised in agg_percentiles."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+@q(
+    "cb_weekly_wow",
+    """
+    WITH weekly AS (
+      SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT wk, n,
+           lag(n) OVER (ORDER BY wk) AS prev_n,
+           round(CAST(n AS DOUBLE) / lag(n) OVER (ORDER BY wk) - 1, 4) AS wow
+    FROM weekly
+    """,
+    "clickbench", "timeseries", "window",
+)
+def cb_weekly_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench time-series shape: weekly counts with week-over-week
+    change via lag. The single-partition window is fine because the series
+    is one row per week — pre-aggregation shrank the data first."""
+    ev = _ev(spark, sf_dir)
+    weekly = ev.groupBy(F.date_trunc("week", "ts").alias("wk")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("wk")
+    prev = F.lag("n").over(w)
+    return weekly.select(
+        "wk",
+        "n",
+        prev.alias("prev_n"),
+        F.round(F.col("n").cast("double") / prev - 1, 4).alias("wow"),
+    )
+
+
+@q(
+    "cb_above_p90",
+    """
+    WITH th AS (
+      SELECT event_type, quantile_cont(value, 0.9) AS p90
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type AS event_type, count(*) AS n_above,
+           round(min(e.value), 4) AS min_above
+    FROM events e JOIN th ON e.event_type = th.event_type
+    WHERE e.value > th.p90
+    GROUP BY e.event_type
+    """,
+    "clickbench", "quantile", "join",
+)
+def cb_above_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-count shape: events above their type's p90. The per-type
+    thresholds are a tiny aggregate — broadcast back against the fact
+    scan, so the only shuffle is the threshold agg itself."""
+    ev = _ev(spark, sf_dir)
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.9)).alias("p90")
+    )
+    e = ev.alias("e")
+    t = F.broadcast(th.alias("t"))
+    return (
+        e.join(t, F.col("e.event_type") == F.col("t.event_type"))
+        .filter(F.col("e.value") > F.col("t.p90"))
+        .groupBy(F.col("e.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.min("e.value"), 4).alias("min_above"),
+        )
+    )
