@@ -1114,3 +1114,74 @@ def misc_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
     )
+
+
+@q(
+    "chx_aggif_filter",
+    """
+    SELECT l_returnflag,
+           sum(CASE WHEN l_discount > 0.05
+                    THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS disc_rev,
+           count(CASE WHEN l_quantity > 40 THEN 1 END) AS bulk_n,
+           avg(CASE WHEN l_tax = 0 THEN l_quantity END) AS taxfree_avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg", "clickhouse-delta", "sql",
+)
+def chx_aggif_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse backend's aggregate-if rewrite
+    (backends-clickhouse ... AggregateFunctionsSuite: sum(if(c,x,null)) ==
+    sum(x) FILTER (WHERE c)): we express it with the ANSI FILTER clause —
+    the post-rewrite form, which lets the partial agg skip non-matching
+    rows instead of materializing a CASE column — and the oracle holds the
+    pre-rewrite CASE form, proving the equivalence the rewrite relies on."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+                 FILTER (WHERE l_discount > 0.05) AS disc_rev,
+               count(*) FILTER (WHERE l_quantity > 40) AS bulk_n,
+               avg(l_quantity) FILTER (WHERE l_tax = 0) AS taxfree_avg_qty
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@q(
+    "chx_cse_reuse",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CASE WHEN disc_price > 2000 THEN disc_price END), 2)
+                AS DOUBLE) AS big_total,
+           round(max(disc_price), 2) AS max_dp,
+           round(min(disc_price), 2) AS min_dp
+    FROM (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l_discount AS DECIMAL(18,4)) AS disc_price
+      FROM lineitem
+    ) GROUP BY l_returnflag
+    """,
+    "project", "clickhouse-delta", "cse",
+)
+def chx_cse_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse backend's common-subexpression-eliminate rewrite
+    (CommonSubexpressionEliminateRule.scala): the same derived expression
+    feeds four aggregates. Expressed Spark-side by projecting the shared
+    subexpression ONCE (an explicit pre-projection = the post-CSE plan)
+    instead of repeating it per aggregate."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (1 - F.col("l_discount")).cast("decimal(18,4)")
+    ).alias("disc_price")
+    pre = li.select("l_returnflag", disc_price)
+    return pre.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.when(F.col("disc_price") > 2000, F.col("disc_price"))), 2)
+        .cast("double")
+        .alias("big_total"),
+        F.round(F.max("disc_price"), 2).alias("max_dp"),
+        F.round(F.min("disc_price"), 2).alias("min_dp"),
+    )
