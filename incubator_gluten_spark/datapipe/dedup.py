@@ -194,8 +194,19 @@ def simhash_near_dup_pairs(
     """SimHash near-dup: band the 32-bit simhash into 4 bytes; candidate
     pairs must share at least one exact byte-band (pigeonhole: any pair
     with hamming <= 3 is guaranteed a clean band; higher thresholds trade
-    recall for bucket size), then verify with popcount of xor."""
-    s = docs.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    recall for bucket size), then verify with popcount of xor.
+
+    Scale notes: (1) the input is repartitioned before hashing — a
+    single-file corpus otherwise computes every simhash on ONE task;
+    (2) a pair that shares k bands is emitted once, not k times, by
+    keeping only the FIRST matching band (all lower bands must differ) —
+    a pure predicate on the two hashes, replacing a pair-level
+    ``distinct()`` whose shuffle dominated at corpus scale; (3) the
+    hamming verify runs before anything wide, so only true near-dups
+    survive the join output."""
+    s = docs.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    )
     banded = s.select(
         "id",
         "sh",
@@ -214,23 +225,32 @@ def simhash_near_dup_pairs(
         ).alias("b"),
     ).select("id", "sh", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"))
     l, r = banded.alias("l"), banded.alias("r")
-    cands = (
+
+    def byte(col: Column, i: int) -> Column:
+        return F.shiftright(col, i * 8).bitwiseAND(F.lit(255).cast("bigint"))
+
+    sh1, sh2 = F.col("l.sh"), F.col("r.sh")
+    # emit each pair from its first matching band only: every band below
+    # the join band must differ between the two hashes
+    diff = [byte(sh1, i) != byte(sh2, i) for i in range(3)]
+    first_match = (
+        F.when(F.col("l.band_id") == 0, F.lit(True))
+        .when(F.col("l.band_id") == 1, diff[0])
+        .when(F.col("l.band_id") == 2, diff[0] & diff[1])
+        .otherwise(diff[0] & diff[1] & diff[2])
+    )
+    hamming = F.bit_count(sh1.bitwiseXOR(sh2))
+    return (
         l.join(
             r,
             (F.col("l.band_id") == F.col("r.band_id"))
             & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        .filter(first_match & (hamming <= max_hamming))
         .select(
             F.col("l.id").alias("id1"),
             F.col("r.id").alias("id2"),
-            F.col("l.sh").alias("sh1"),
-            F.col("r.sh").alias("sh2"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    return (
-        cands.withColumn("hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id1", "id2", "hamming")
     )
