@@ -1185,3 +1185,187 @@ def chx_cse_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("disc_price"), 2).alias("max_dp"),
         F.round(F.min("disc_price"), 2).alias("min_dp"),
     )
+
+
+@q(
+    "agg_string_agg",
+    """
+    SELECT n_name, any_value(n_nationkey) AS nk,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 60
+    GROUP BY n_name
+    """,
+    "agg", "listagg",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg / string_agg with WITHIN GROUP ordering (deterministic
+    concatenation), plus any_value over a group-constant column — the two
+    remaining reference agg-surface rows (ExpressionNames LIST_AGG,
+    ANY_VALUE)."""
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT n_name, any_value(n_nationkey) AS nk,
+               listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_custkey <= 60
+        GROUP BY n_name
+        """
+    )
+
+
+@q(
+    "agg_grouping_id",
+    """
+    SELECT n_name, c_mktsegment,
+           CAST(grouping(n_name, c_mktsegment) AS BIGINT) AS gid, count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))
+    """,
+    "agg", "grouping-sets",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping_id() bitmask over mixed grouping sets (Spark grouping_id ==
+    DuckDB's multi-arg grouping bitmask)."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupingSets(
+            [["n_name"], ["c_mktsegment"], ["n_name", "c_mktsegment"]],
+            "n_name",
+            "c_mktsegment",
+        )
+        .agg(
+            F.grouping_id("n_name", "c_mktsegment").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select("n_name", "c_mktsegment", "gid", "n")
+    )
+
+
+@q(
+    "agg_bitmap_distinct",
+    """
+    SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_distinct
+    FROM customer WHERE c_custkey < 30000 GROUP BY c_mktsegment
+    """,
+    "agg", "bitmap",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count via roaring-style bitmap aggregation
+    (bitmap_construct_agg of bit positions, then popcount) — the
+    mergeable-sketch form of COUNT(DISTINCT): partial bitmaps OR together
+    across partitions, so it needs no distinct-shuffle. The key domain is
+    kept inside one 32768-bit bucket; multi-bucket = add
+    bitmap_bucket_number to the group key and sum the counts."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_custkey") < 30000)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.bitmap_count(
+                F.bitmap_construct_agg(F.bitmap_bit_position("c_custkey"))
+            ).alias("n_distinct")
+        )
+    )
+
+
+@q(
+    "agg_histogram_golden",
+    """
+    SELECT 1 AS g,
+           '1.5:2.0|4.0:3.0|10.7:3.0|20.0:1.0|42.5:2.0' AS hist
+    """,
+    "agg", "golden",
+)
+def agg_histogram_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_numeric (NGK adaptive histogram) golden: the sketch's
+    bin-merge order is input-order-sensitive, so the input is an inline
+    literal list evaluated on one partition — deterministic — and the
+    expected bins are pinned (DuckDB has no histogram_numeric).
+    SF-independent like the other fn_*_golden entries."""
+    vals = [1.0, 2.0, 4.0, 4.0, 4.0, 10.0, 10.5, 11.6, 20.0, 42.0, 43.0]
+    df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in vals])).alias("q")
+    )
+    hist = df.coalesce(1).agg(F.histogram_numeric("q", F.lit(5)).alias("h"))
+    return hist.select(
+        F.lit(1).alias("g"),
+        F.array_join(
+            F.transform(
+                "h",
+                lambda b: F.concat_ws(
+                    ":",
+                    F.round(b["x"].cast("double"), 1).cast("string"),
+                    F.round(b["y"], 1).cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("hist"),
+    )
+
+
+@q(
+    "op_pivot_priority",
+    """
+    SELECT year(o_orderdate) AS yr,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS urgent,
+           count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS medium,
+           count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low
+    FROM orders GROUP BY yr
+    """,
+    "pivot", "agg",
+)
+def op_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: priority classes to columns. The explicit value list matters
+    at scale — without it Spark runs an extra distinct-collect job to
+    discover the pivot columns before planning."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(F.year("o_orderdate").alias("yr"), "o_orderpriority")
+        .groupBy("yr")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "yr",
+            F.coalesce("1-URGENT", F.lit(0)).alias("urgent"),
+            F.coalesce("3-MEDIUM", F.lit(0)).alias("medium"),
+            F.coalesce("5-LOW", F.lit(0)).alias("low"),
+        )
+    )
+
+
+@q(
+    "op_unpivot_metrics",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             CAST(count(*) AS DOUBLE) AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, round(sum_qty, 2) AS value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, round(sum_price, 2) AS value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'n_rows' AS metric, round(n_rows, 2) AS value FROM m
+    """,
+    "unpivot", "agg",
+)
+def op_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide per-flag metrics to (metric, value) long form —
+    Spark's Unpivot node (Expand underneath), vs the oracle's UNION ALL
+    re-expression."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count("*").cast("double").alias("n_rows"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "metric", "value"
+    ).select("l_returnflag", "metric", F.round("value", 2).alias("value"))
