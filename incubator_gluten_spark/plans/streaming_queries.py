@@ -21,6 +21,7 @@ from incubator_gluten_spark.streaming.jobs import (
     session_window_stats,
     sliding_window_counts,
     stateful_user_counts,
+    stream_static_enrich,
     streaming_dedup,
     tumbling_window_counts,
 )
@@ -171,3 +172,41 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(out)
+
+
+@q(
+    "stream_static_join",
+    """
+    SELECT CASE WHEN c_mktsegment IS NULL THEN 'none' ELSE c_mktsegment END AS segment,
+           count(*) AS n,
+           round(sum(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE AS total
+    FROM events LEFT JOIN (
+      SELECT c_custkey AS user_key, c_mktsegment FROM customer
+    ) d ON user_id = user_key
+    GROUP BY 1
+    """,
+    "streaming", "join",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join + windowless global agg, checked
+    against the batch-SQL equivalent (the stream is bounded, so results
+    agree exactly)."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    ev = read_events_stream(spark, sf_dir)
+    customer = load_tables(spark, sf_dir, ("customer",))["customer"]
+    dim = customer.select(
+        F.col("c_custkey").alias("user_key"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = stream_static_enrich(
+        ev.withColumn(
+            "value", F.col("value").cast("decimal(18,4)")
+        ),
+        dim,
+    )
+    out = run_to_memory(enriched, mode="complete")
+    return out.select(
+        F.coalesce("segment", F.lit("none")).alias("segment"),
+        "n",
+        F.col("total").cast("double").alias("total"),
+    )

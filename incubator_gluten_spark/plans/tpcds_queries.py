@@ -638,3 +638,147 @@ def ds_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rev_d * 3 / prev_d, 4).alias("vs_trailing"),
         )
     )
+
+
+@q(
+    "ds_quarter_share_shift",
+    """
+    WITH q AS (
+      SELECT n_name, year(o_orderdate) AS yr, quarter(o_orderdate) AS qt,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE year(o_orderdate) = 1997
+      GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT yr, qt, sum(rev) AS all_rev FROM q GROUP BY yr, qt
+    )
+    SELECT a.n_name AS n_name,
+           round(CAST(a.rev AS DOUBLE) / CAST(ta.all_rev AS DOUBLE), 6) AS q1_share,
+           round(CAST(b.rev AS DOUBLE) / CAST(tb.all_rev AS DOUBLE), 6) AS q4_share
+    FROM q a JOIN q b ON a.n_name = b.n_name AND a.yr = b.yr
+    JOIN tot ta ON ta.yr = a.yr AND ta.qt = a.qt
+    JOIN tot tb ON tb.yr = b.yr AND tb.qt = b.qt
+    WHERE a.qt = 1 AND b.qt = 4
+      AND CAST(a.rev AS DOUBLE) / CAST(ta.all_rev AS DOUBLE)
+        > CAST(b.rev AS DOUBLE) / CAST(tb.all_rev AS DOUBLE)
+    """,
+    "tpcds", "share", "self-join",
+)
+def ds_quarter_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape: market-share shift between Q1 and Q4 — per-nation
+    share of total revenue in each quarter, keeping nations whose share
+    fell. Expressed with ONE aggregation + a share window over the quarter
+    (no re-join against a totals CTE), then a pivot-style self-join q1-vs-q4."""
+    from pyspark.sql import Window as W
+
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    q = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qt"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+        .withColumn(
+            "share",
+            F.col("rev").cast("double")
+            / F.sum("rev").over(W.partitionBy("yr", "qt")).cast("double"),
+        )
+    )
+    a = q.filter(F.col("qt") == 1).select("n_name", F.col("share").alias("s1"))
+    b = q.filter(F.col("qt") == 4).select(
+        F.col("n_name").alias("n2"), F.col("share").alias("s4")
+    )
+    return (
+        a.join(b, F.col("n_name") == F.col("n2"))
+        .filter(F.col("s1") > F.col("s4"))
+        .select(
+            "n_name",
+            F.round("s1", 6).alias("q1_share"),
+            F.round("s4", 6).alias("q4_share"),
+        )
+    )
+
+
+@q(
+    "ds_below_half_avg",
+    """
+    WITH per_part AS (
+      SELECT p_partkey, p_brand, sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_partkey, p_brand
+    )
+    SELECT p_partkey, p_brand, CAST(round(rev, 2) AS DOUBLE) AS rev
+    FROM (
+      SELECT p_partkey, p_brand, rev,
+             CAST(sum(rev) OVER (PARTITION BY p_brand) AS DOUBLE)
+               / count(*) OVER (PARTITION BY p_brand) AS brand_avg
+      FROM per_part
+    ) WHERE CAST(rev AS DOUBLE) < 0.5 * brand_avg
+    """,
+    "tpcds", "window", "correlated",
+)
+def ds_below_half_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape: parts selling below half their brand's average —
+    correlated avg decorrelated into a window over the per-part aggregate."""
+    from pyspark.sql import Window as W
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    per_part = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = W.partitionBy("p_brand")
+    brand_avg = F.sum("rev").over(w).cast("double") / F.count("*").over(w)
+    return (
+        per_part.withColumn("brand_avg", brand_avg)
+        .filter(F.col("rev").cast("double") < 0.5 * F.col("brand_avg"))
+        .select(
+            "p_partkey", "p_brand", F.round("rev", 2).cast("double").alias("rev")
+        )
+    )
+
+
+@q(
+    "ds_worst_return_ratio",
+    """
+    SELECT * FROM (
+      SELECT l_suppkey,
+             round(CAST(sum(CASE WHEN l_returnflag = 'R'
+                            THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+                   / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS ret_ratio,
+             rank() OVER (ORDER BY
+               CAST(sum(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) DESC,
+               l_suppkey) AS rnk
+      FROM lineitem GROUP BY l_suppkey
+    ) WHERE rnk <= 10
+    """,
+    "tpcds", "window", "ratio",
+)
+def ds_worst_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape: rank suppliers by return ratio, keep the 10 worst.
+    The rank's ORDER BY includes the supplier key so ties are broken
+    deterministically on both engines."""
+    from pyspark.sql import Window as W
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    per_supp = li.groupBy("l_suppkey").agg(
+        (
+            F.sum(F.when(F.col("l_returnflag") == "R", qty)).cast("double")
+            / F.sum(qty).cast("double")
+        ).alias("ratio")
+    )
+    w = W.orderBy(F.desc("ratio"), F.asc("l_suppkey"))
+    return (
+        per_supp.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("l_suppkey", F.round("ratio", 6).alias("ret_ratio"), "rnk")
+    )

@@ -147,3 +147,19 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream against a batch
+    dimension (the dimension is re-read per micro-batch, so a cluster
+    deployment broadcasts it; no state store involved — unlike
+    stream-stream joins this needs no watermark on the static side)."""
+    return (
+        events.join(
+            F.broadcast(dim),
+            events["user_id"] == dim["user_key"],
+            "left",
+        )
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
