@@ -263,3 +263,72 @@ def src_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count("*").alias("n"))
     )
+
+
+@q(
+    "src_python_datasource",
+    """
+    SELECT tag, count(*) AS n, sum(sq) AS sum_sq
+    FROM (SELECT range AS id, range * range AS sq,
+                 'row_' || (range % 7) AS tag
+          FROM range(0, 500))
+    GROUP BY tag
+    """,
+    "source", "dsv2", "python-datasource",
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource (DSv2 BatchScan from Python, Spark 4
+    pyspark.sql.datasource): partition-planned parallel scan of a
+    synthetic sequence source, aggregated downstream like any table.
+    Reference analog: BatchScanExecTransformer
+    (gluten-substrait/src/main/scala/org/apache/gluten/execution/
+    BatchScanExecTransformer.scala:43)."""
+    from incubator_gluten_spark.sources.pyds import register_python_datasource
+
+    register_python_datasource(spark)
+    df = (
+        spark.read.format("graft_seq")
+        .option("n", "500")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("tag").agg(
+        F.count("*").alias("n"), F.sum("sq").alias("sum_sq")
+    )
+
+
+@q(
+    "src_from_csv",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(qty AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_orderkey < 3000
+    ) GROUP BY l_returnflag
+    """,
+    "source", "csv-expr",
+)
+def src_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV as an *expression* (to_csv/from_csv roundtrip in-plan — the
+    ArrowCSV-scan analog without a filesystem hop): rows are serialized to
+    CSV strings and parsed back to a typed struct inside codegen, then
+    aggregated. Proves the parse path preserves types/values."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    line = li.filter(F.col("l_orderkey") < 3000).select(
+        F.to_csv(
+            F.struct(
+                F.col("l_returnflag"),
+                F.col("l_quantity").cast("bigint").alias("qty"),
+            )
+        ).alias("csv_line")
+    )
+    parsed = line.select(
+        F.from_csv("csv_line", "l_returnflag string, qty bigint").alias("r")
+    )
+    return parsed.groupBy(F.col("r.l_returnflag").alias("l_returnflag")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("r.qty").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("sum_qty"),
+    )

@@ -211,3 +211,48 @@ def udf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="l_returnflag string, l_orderkey bigint, l_linenumber int, zscore double",
         )
     )
+
+
+@q(
+    "udf_map_in_arrow",
+    """
+    SELECT l_returnflag,
+           CAST(round(sum(round(CAST(l_extendedprice * (1.0 - l_discount)
+                                     AS DECIMAL(18,6)), 2)), 2) AS DOUBLE) AS net_total,
+           count(*) AS n
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+    """,
+    "udf", "arrow",
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy sibling of mapInPandas — the kernel sees
+    raw pyarrow RecordBatches (no pandas conversion), the right boundary
+    for numeric kernels at scale. Computes per-row net price in pyarrow
+    compute, then aggregates JVM-side."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    src = li.filter(F.col("l_orderkey") < 2000).select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+
+    def kernel(batches):
+        # raw IEEE multiply only — rounding happens JVM-side through the
+        # decimal route (pyarrow's pc.round is half-to-even, which would
+        # diverge from SQL's rounding at .xx5 boundaries)
+        for batch in batches:
+            net = pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_returnflag"), net], ["l_returnflag", "net"]
+            )
+
+    out = src.mapInArrow(kernel, "l_returnflag string, net double")
+    net2 = F.round(F.col("net").cast("decimal(18,6)"), 2)
+    return out.groupBy("l_returnflag").agg(
+        F.round(F.sum(net2), 2).cast("double").alias("net_total"),
+        F.count("*").alias("n"),
+    )

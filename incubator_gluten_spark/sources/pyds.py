@@ -1,0 +1,59 @@
+"""Python DataSource (DSv2 from Python, Spark 4 ``pyspark.sql.datasource``).
+
+The reference exposes custom scans through DataSourceV2 BatchScan wrappers
+(gluten-substrait BatchScanExecTransformer); the PySpark-native analog is
+the Python DataSource API: a declarative schema, explicit input partitions
+for parallelism, and a per-partition iterator. This module ships a
+deterministic sequence source used by the registry entry — the shape
+(partition planning + per-partition generators) is exactly what a real
+connector (REST cursor, message queue, proprietary format) plugs into.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _SeqPartition(InputPartition):
+    def __init__(self, start: int, end: int) -> None:
+        self.start = start
+        self.end = end
+
+
+class _SeqReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("partitions", 8))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        # split [0, n) into `parts` contiguous ranges — the planner sees
+        # real partitions, so the scan parallelizes like any file source
+        step = max(1, (self.n + self.parts - 1) // self.parts)
+        return [
+            _SeqPartition(lo, min(lo + step, self.n))
+            for lo in range(0, self.n, step)
+        ]
+
+    def read(self, partition: _SeqPartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield (i, i * i, f"row_{i % 7}")
+
+
+class SequenceDataSource(DataSource):
+    """``spark.read.format("graft_seq").option("n", 100)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_seq"
+
+    def schema(self) -> str:
+        return "id bigint, sq bigint, tag string"
+
+    def reader(self, schema) -> _SeqReader:
+        return _SeqReader(self.options)
+
+
+def register_python_datasource(spark) -> None:
+    spark.dataSource.register(SequenceDataSource)
