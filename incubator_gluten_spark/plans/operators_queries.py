@@ -1369,3 +1369,57 @@ def op_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "n_rows"], "metric", "value"
     ).select("l_returnflag", "metric", F.round("value", 2).alias("value"))
+
+
+@q(
+    "op_sortmerge_hint",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+    "join", "sortmerge", "hint",
+)
+def op_sortmerge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SortMergeJoin forced by hint: the session prefers shuffled-hash
+    (mirroring the reference's RewriteJoin), so the MERGE hint is the
+    escape hatch for joins whose build side can't fit a hash table —
+    both sides sort-spill instead. Plan assertion in tests/test_plans.py
+    keeps the hint honest."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    big = orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+    return (
+        big.hint("merge")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_disc(l_quantity, 0.5) AS p50,
+           quantile_disc(l_quantity, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "agg", "percentile", "sketch",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch; mergeable partials, the
+    100 TB path where exact percentile's global sort is not). At accuracy
+    10000 on this small discrete domain (50 distinct values) the sketch is
+    exact, so the discrete-quantile oracle pins it."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95"),
+    )

@@ -125,3 +125,18 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sortmerge_hint_plans_smj(spark, sf_dir):
+    """The session prefers shuffled-hash joins; the MERGE hint must still
+    force a SortMergeJoin (the spill-safe strategy for over-memory builds)."""
+    plan = plan_of(ALL["op_sortmerge_hint"].build(spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+
+
+def test_pivot_has_no_distinct_discovery_job(spark, sf_dir):
+    """op_pivot_priority passes an explicit value list, so planning must
+    not trigger a collect job; the plan is a plain two-phase aggregate."""
+    df = ALL["op_pivot_priority"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "HashAggregate" in plan
