@@ -210,3 +210,30 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("total").cast("double").alias("total"),
     )
+
+
+@q(
+    "stream_rate_source",
+    """
+    SELECT range % 8 AS bucket, count(*) AS n, sum(range) AS total
+    FROM range(0, 4096) GROUP BY bucket
+    """,
+    "streaming", "source",
+)
+def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rate-micro-batch source: the jar-free stand-in for an unbounded
+    ingest source (Kafka's slot in SURVEY §2.1) — deterministic ids under
+    availableNow, so the batch oracle pins the values, not just the shape."""
+    df = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "4096")
+        .option("numPartitions", "8")
+        .option("startTimestamp", "0")
+        .load()
+    )
+    agg = df.groupBy((F.col("value") % 8).alias("bucket")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("total")
+    )
+    return run_to_memory(agg, mode="complete", name=None).select(
+        "bucket", "n", "total"
+    )
