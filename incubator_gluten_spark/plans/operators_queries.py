@@ -1265,7 +1265,11 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.bitmap_count(
-                F.bitmap_construct_agg(F.bitmap_bit_position("c_custkey"))
+                F.bitmap_construct_agg(
+                    # +1: bit_position is 1-based within a bucket, so key 0
+                    # would fall out of bucket range and silently vanish
+                    F.bitmap_bit_position(F.col("c_custkey") + 1)
+                )
             ).alias("n_distinct")
         )
     )
