@@ -54,6 +54,9 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
+    tpch_total = round(
+        sum(v for k, v in ok.items() if k.startswith("q") and k[1:].isdigit()), 3
+    )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -61,6 +64,8 @@ def main() -> None:
                 "metric": "query_suite_total",
                 "value": total,
                 "unit": "sec",
+                "tpch22_total": tpch_total,
+                "n_queries": len(ok),
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
