@@ -254,3 +254,50 @@ def simhash_near_dup_pairs(
             hamming.alias("hamming"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation: each node repeatedly
+    adopts the smallest label among itself and its neighbors; converged
+    when no label changes. O(graph diameter) iterations, each one shuffle
+    on node id — dedup graphs are forests of small cliques, so diameters
+    are tiny. Labels only ever decrease, so convergence is monotone (the
+    driver-side loop checks a changed-count, not label equality).
+
+    Returns (id, comp) with comp = min node id of the component. At
+    cluster scale the same loop runs unchanged — the per-iteration state
+    is a (node, label) table, never an adjacency matrix; persist() keeps
+    the frontier off the lineage re-computation path."""
+    und = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+    # persist: every iteration joins against the edge set — without this
+    # the (possibly expensive) edge-derivation lineage re-executes per loop
+    sym = und.union(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).persist()
+    for _ in range(max_iter):
+        prop = sym.join(labels, F.col("src") == F.col("id")).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("lbl").alias("comp"))

@@ -25,7 +25,10 @@ from incubator_gluten_spark.datapipe import (
     text_stats,
     token_shingles,
 )
-from incubator_gluten_spark.datapipe.dedup import simhash_near_dup_pairs
+from incubator_gluten_spark.datapipe.dedup import (
+    connected_components,
+    simhash_near_dup_pairs,
+)
 from incubator_gluten_spark.datapipe.multimodal import (
     attach_fake_payload,
     extract_features,
@@ -320,4 +323,53 @@ def dp_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = attach_fake_payload(docs.filter(F.col("doc_id") < 100))
     return sample_frames(mm).groupBy("doc_id").agg(
         F.count("*").alias("n_frames"), F.sum("frame_len").alias("total_bytes")
+    )
+
+
+@q(
+    "dp_dedup_components",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 2, 1)),
+               i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 2), ' ')
+             )) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) > 0.15
+    ), edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges
+    ), reach AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id, min(lbl) AS comp FROM reach GROUP BY id
+    )
+    SELECT comp_size, count(*) AS n_components FROM (
+      SELECT comp, count(*) AS comp_size FROM comp GROUP BY comp
+    ) GROUP BY comp_size
+    """,
+    "datapipe", "dedup", "graph",
+)
+def dp_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: trigram-Jaccard edges ->
+    connected components via iterative min-label propagation (the
+    keep-one-per-cluster step of a production dedup pipeline). The oracle
+    re-derives the same components with a recursive transitive-closure
+    CTE — feasible only at test scale; the iterative form is the one that
+    survives 100 TB."""
+    pairs = dp_ngram_jaccard(spark, sf_dir).select("id1", "id2")
+    comp = connected_components(pairs)
+    return (
+        comp.groupBy("comp")
+        .agg(F.count("*").alias("comp_size"))
+        .groupBy("comp_size")
+        .agg(F.count("*").alias("n_components"))
     )
