@@ -1017,3 +1017,59 @@ def fn_special(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.groupBy("pid", "from_lineitem").agg(
         F.count("*").alias("n"), F.max("mid").alias("max_mid")
     ).select("pid", "from_lineitem", "n", "max_mid")
+
+
+@q(
+    "fn_variant",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS bucket,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+    FROM events GROUP BY bucket
+    """,
+    "function", "variant",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT (Spark 4 semi-structured type): parse_json into a binary
+    variant ONCE, then typed variant_get extraction — the columnar-JSON
+    path that replaces per-access string re-parsing (the 100 TB answer to
+    schemaless props columns). Oracle extracts the same field with
+    DuckDB's JSON functions."""
+    (ev,) = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .groupBy((F.col("k") % 5).alias("bucket"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+    )
+
+
+@q(
+    "fn_xml_golden",
+    """
+    SELECT 5 AS id, 'x' AS nm, 'hi' AS b_text, 7 AS b_int, 2 AS n_items
+    """,
+    "function", "xml", "golden",
+)
+def fn_xml_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML surface: from_xml (schema'd parse) + xpath_string/xpath_int +
+    xpath node counting — golden-pinned literals (DuckDB has no XML
+    functions)."""
+    row = spark.range(1).select(
+        F.from_xml(
+            F.lit("<r><id>5</id><nm>x</nm></r>"), "id INT, nm STRING"
+        ).alias("s"),
+        F.xpath_string(F.lit("<a><b>hi</b></a>"), F.lit("a/b")).alias("b_text"),
+        F.xpath_int(F.lit("<a><b>7</b></a>"), F.lit("a/b")).alias("b_int"),
+        F.xpath(
+            F.lit("<l><i>1</i><i>2</i></l>"), F.lit("l/i/text()")
+        ).alias("items"),
+    )
+    return row.select(
+        F.col("s.id").alias("id"),
+        F.col("s.nm").alias("nm"),
+        "b_text",
+        "b_int",
+        F.size("items").alias("n_items"),
+    )

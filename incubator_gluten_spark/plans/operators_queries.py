@@ -1427,3 +1427,36 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.percentile_approx("l_quantity", F.lit(0.95), F.lit(10000)).alias("p95"),
     )
+
+
+@q(
+    "misc_observe",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty_total
+    FROM lineitem WHERE l_orderkey < 5000
+    """,
+    "misc", "observe",
+)
+def misc_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollectMetrics (df.observe): accumulator-style metrics collected as
+    a side effect of a real action — the zero-extra-pass way to audit a
+    pipeline stage (row counts, sums) in production jobs. The observed
+    values themselves are returned and oracle-checked, certifying the
+    metrics match a dedicated aggregation."""
+    from pyspark.sql import Observation
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    obs = Observation("audit")
+    observed = li.filter(F.col("l_orderkey") < 5000).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("qty_total"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the action
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["qty_total"])], "n_rows bigint, qty_total double"
+    )
