@@ -379,3 +379,50 @@ def cb_above_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("e.value"), 4).alias("min_above"),
         )
     )
+
+
+@q(
+    "cb_collect_limit_sorted",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    ORDER BY ts DESC, event_id LIMIT 25
+    """,
+    "clickbench", "topn",
+)
+def cb_collect_limit_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q34-ish shape: latest-N raw rows (TakeOrderedAndProject —
+    per-partition top-25 then a single merge, never a global sort)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.orderBy(F.desc("ts"), F.asc("event_id"))
+        .select("event_id", "user_id", "event_type")
+        .limit(25)
+    )
+
+
+@q(
+    "cb_type_hour_matrix",
+    """
+    SELECT event_type, hour(ts) AS hr, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY event_type), 6) AS share
+    FROM events GROUP BY event_type, hr
+    """,
+    "clickbench", "matrix", "window",
+)
+def cb_type_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type x hour activity matrix with within-type share — aggregate
+    first (5 types x 24 hours), window over the tiny result."""
+    ev = _ev(spark, sf_dir)
+    agg = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count("*").alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
+    )

@@ -782,3 +782,90 @@ def ds_worst_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("l_suppkey", F.round("ratio", 6).alias("ret_ratio"), "rnk")
     )
+
+
+@q(
+    "ds_except_counts",
+    """
+    SELECT count(*) AS n_store_only FROM (
+      SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    """,
+    "tpcds", "setop",
+)
+def ds_except_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape: customers in one channel but NOT another —
+    EXCEPT (distinct anti-semantics), the set-op cousin of the NOT IN
+    anti join."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    hi = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey")
+    lo = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return hi.subtract(lo).agg(F.count("*").alias("n_store_only"))
+
+
+@q(
+    "ds_full_outer_match",
+    """
+    SELECT count(CASE WHEN c.k IS NOT NULL AND s.k IS NOT NULL THEN 1 END) AS n_both,
+           count(CASE WHEN s.k IS NULL THEN 1 END) AS n_cust_only,
+           count(CASE WHEN c.k IS NULL THEN 1 END) AS n_supp_only
+    FROM      (SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_acctbal > 9000) c
+    FULL JOIN (SELECT DISTINCT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000) s
+      ON c.k = s.k
+    """,
+    "tpcds", "join", "full-outer",
+)
+def ds_full_outer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape: matched/one-sided counts from a single FULL
+    OUTER JOIN — one pass instead of three separate semi/anti queries."""
+    customer, supplier = _t(spark, sf_dir, "customer", "supplier")
+    c = (
+        customer.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("ck"))
+        .distinct()
+    )
+    s = (
+        supplier.filter(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("sk"))
+        .distinct()
+    )
+    j = c.join(s, F.col("ck") == F.col("sk"), "full_outer")
+    return j.agg(
+        F.count_if(F.col("ck").isNotNull() & F.col("sk").isNotNull()).alias("n_both"),
+        F.count_if(F.col("sk").isNull()).alias("n_cust_only"),
+        F.count_if(F.col("ck").isNull()).alias("n_supp_only"),
+    )
+
+
+@q(
+    "ds_three_way_intersect",
+    """
+    SELECT count(*) AS n_all_three FROM (
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+      INTERSECT
+      SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+    )
+    """,
+    "tpcds", "setop",
+)
+def ds_three_way_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape: items present in ALL three channels — chained
+    INTERSECT. A conditional-aggregate rewrite (count distinct flags = 3)
+    would be one scan; the set-op form exercises the operator chain the
+    DS corpus actually uses."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def keys(flag: str) -> DataFrame:
+        return li.filter(F.col("l_returnflag") == flag).select("l_partkey")
+
+    return (
+        keys("R").intersect(keys("A")).intersect(keys("N")).agg(
+            F.count("*").alias("n_all_three")
+        )
+    )
