@@ -1073,3 +1073,34 @@ def fn_xml_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b_int",
         F.size("items").alias("n_items"),
     )
+
+
+@q(
+    "fn_url_golden",
+    """
+    SELECT 'a+b%26c%3Dd' AS enc, 'a b&c' AS dec, NULL AS bad,
+           'spark.apache.org' AS host, 'q=join' AS query_kv,
+           '1,234,567.89' AS fmt, 'FF' AS hx, '1010' AS bn, 'aGk=' AS b64
+    """,
+    "function", "url", "golden",
+)
+def fn_url_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family (url_encode/url_decode/try_url_decode/parse_url —
+    ExpressionMappings URL block) plus format_number/hex/bin/base64 —
+    golden-pinned (no DuckDB equivalents). try_url_decode returns NULL on
+    malformed input instead of raising, the try_* contract."""
+    return spark.range(1).select(
+        F.url_encode(F.lit("a b&c=d")).alias("enc"),
+        F.url_decode(F.lit("a%20b%26c")).alias("dec"),
+        F.try_url_decode(F.lit("%zz")).cast("string").alias("bad"),
+        F.parse_url(
+            F.lit("https://spark.apache.org/docs?q=join"), F.lit("HOST")
+        ).alias("host"),
+        F.parse_url(
+            F.lit("https://spark.apache.org/docs?q=join"), F.lit("QUERY")
+        ).alias("query_kv"),
+        F.format_number(F.lit(1234567.891), 2).alias("fmt"),
+        F.hex(F.lit(255)).alias("hx"),
+        F.bin(F.lit(10)).alias("bn"),
+        F.base64(F.lit("hi").cast("binary")).alias("b64"),
+    )
