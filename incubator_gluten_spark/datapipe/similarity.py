@@ -195,3 +195,137 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") > threshold)
         .select(F.col("blk").alias(block_col), "id1", "id2", "cosine")
     )
+
+
+def ivf_build_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: k-means centroids trained with a fixed number
+    of Lloyd iterations, entirely in DataFrame ops.
+
+    * init: the k lowest-id vectors (deterministic — no random state to
+      reproduce across runs/clusters; real deployments use k-means|| the
+      same way, as a DataFrame job)
+    * assign: centroids are tiny -> broadcast cross join + argmin distance
+      (a per-row reduce over k candidates, no shuffle)
+    * update: posexplode to (cluster, dim, value), mean per (cluster, dim),
+      re-assemble with sort_array+collect_list — the shuffle is k x dim
+      rows, independent of corpus size.
+
+    Returns (cluster_id, centroid array<double>).
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    ).persist()
+    cents = (
+        vecs.orderBy("id")
+        .limit(k)
+        .select(F.col("id").alias("cid"), F.col("v").alias("c"))
+        .withColumn(
+            "cluster", F.row_number().over(Window.orderBy("cid")) - 1
+        )
+        .select("cluster", "c")
+    )
+    for _ in range(iters):
+        assigned = _assign_to_centroid(vecs, cents)
+        cents = (
+            assigned.select(
+                "cluster", F.posexplode("v").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "m"))
+                    ),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+        )
+    vecs.unpersist()
+    return cents
+
+
+def _assign_to_centroid(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast the centroid table, compute
+    squared L2 per candidate, keep the argmin via min_by on a struct —
+    one narrow pass, no shuffle of the corpus."""
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.min_by(F.struct("cluster", "v"), F.struct("d2", "cluster")).alias("best")
+        )
+        .select("id", F.col("best.cluster").alias("cluster"), F.col("best.v").alias("v"))
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are bucketed
+    by nearest coarse centroid; a query probes only its `nprobe` nearest
+    cells, scanning ~nprobe/n_centroids of the corpus. The candidate join
+    is an equi-join on cluster id — the same partition-pruning idea a
+    vector database uses, expressed as DataFrames. Recall rises with
+    nprobe (nprobe = n_centroids is exact brute force)."""
+    cents = ivf_build_centroids(corpus, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    vecs = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    inv = _assign_to_centroid(vecs, cents).select(
+        "cluster", "id", normalize_vec(F.col("v")).alias("nvec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    # probe list: nprobe nearest centroids per query (centroids broadcast)
+    qscored = q.join(F.broadcast(cents)).withColumn(
+        "d2",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    wprobe = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("cluster"))
+    probes = (
+        qscored.withColumn("pr", F.row_number().over(wprobe))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "cluster", normalize_vec(F.col("qv")).alias("qvec"))
+    )
+    cand = inv.join(
+        F.broadcast(probes),
+        (inv["cluster"] == probes["cluster"]) & (F.col("id") != F.col("qid")),
+    )
+    scored = cand.select(
+        "qid",
+        F.col("id").alias("neighbor_id"),
+        F.round(dot(F.col("nvec"), F.col("qvec")), 6).alias("cosine"),
+    )
+    wtop = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= k)
+        .select(F.col("qid").alias("query_id"), "neighbor_id", "cosine", "rn")
+    )

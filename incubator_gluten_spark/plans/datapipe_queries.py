@@ -373,3 +373,19 @@ def dp_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("comp_size")
         .agg(F.count("*").alias("n_components"))
     )
+
+
+@q("dp_ann_ivf", None, "datapipe", "ann", "ivf")
+def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-5 (deterministic k-means coarse
+    quantizer, nprobe=3 of 8 cells -> ~38% of the corpus scanned per
+    query). Rows-only here; subset-correctness vs brute force asserted in
+    tests/test_datapipe.py."""
+    from incubator_gluten_spark.datapipe.similarity import ann_ivf_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)

@@ -71,3 +71,32 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     row = extract_features(mm).filter(F.col("doc_id") == 0).collect()[0]
     assert len(row.features) == 16
     assert abs(sum(row.features) - 1.0) < 1e-9  # normalized histogram
+
+
+def test_ann_ivf_returns_true_neighbors(spark, sf_dir):
+    """Every IVF hit must carry the true cosine for that pair (subset
+    correctness), results must be deterministic across runs (fixed-seed
+    quantizer), and nprobe=n_centroids must equal exact brute force."""
+    from incubator_gluten_spark.datapipe.similarity import ann_ivf_topk
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ann_ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=2).collect()
+    assert approx, "IVF returned nothing"
+    exact_all = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in ann_bruteforce_topk(emb, queries, k=10**6).collect()
+    }
+    for r in approx:
+        assert (r.query_id, r.neighbor_id) in exact_all
+        assert abs(exact_all[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+    again = ann_ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=2).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+    # full probe == brute force top-5
+    full = ann_ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=4).collect()
+    exact5 = ann_bruteforce_topk(emb, queries, k=5).collect()
+    assert sorted((r.query_id, r.neighbor_id) for r in full) == sorted(
+        (r.query_id, r.neighbor_id) for r in exact5
+    )
