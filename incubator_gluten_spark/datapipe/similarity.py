@@ -279,6 +279,7 @@ def ann_ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     nprobe: int = 2,
+    iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -289,7 +290,9 @@ def ann_ivf_topk(
     is an equi-join on cluster id — the same partition-pruning idea a
     vector database uses, expressed as DataFrames. Recall rises with
     nprobe (nprobe = n_centroids is exact brute force)."""
-    cents = ivf_build_centroids(corpus, k=n_centroids, id_col=id_col, vec_col=vec_col)
+    cents = ivf_build_centroids(
+        corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
     vecs = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )

@@ -388,4 +388,4 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
+    return ann_ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=2)
