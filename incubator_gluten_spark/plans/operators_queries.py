@@ -1460,3 +1460,41 @@ def misc_observe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["n_rows"], m["qty_total"])], "n_rows bigint, qty_total double"
     )
+
+
+@q(
+    "misc_repartition_range",
+    """
+    SELECT count(*) AS n, true AS ranges_disjoint
+    FROM orders WHERE o_custkey < 5000
+    """,
+    "misc", "repartition-range",
+)
+def misc_repartition_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartitionByRange (RangePartitioning exchange — the partitioner a
+    global sort and a sorted-write both ride on): re-range rows by key into
+    4 partitions, then PROVE the ranges are disjoint by checking every
+    partition's [min, max] overlaps no other's. The proof is the returned
+    value, so the oracle certifies it."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    parts = (
+        orders.filter(F.col("o_custkey") < 5000)
+        .repartitionByRange(4, "o_custkey")
+        .select(F.spark_partition_id().alias("pid"), "o_custkey")
+        .groupBy("pid")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_custkey").alias("lo"),
+            F.max("o_custkey").alias("hi"),
+        )
+    )
+    a, b = parts.alias("a"), parts.alias("b")
+    overlaps = a.join(
+        b,
+        (F.col("a.pid") != F.col("b.pid"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")),
+    )
+    return parts.agg(F.sum("n").alias("n")).crossJoin(
+        overlaps.agg((F.count("*") == 0).alias("ranges_disjoint"))
+    )

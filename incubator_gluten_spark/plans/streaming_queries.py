@@ -237,3 +237,29 @@ def stream_rate_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, mode="complete", name=None).select(
         "bucket", "n", "total"
     )
+
+
+@q(
+    "stream_update_mode",
+    """
+    SELECT user_id, count(*) AS n
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING count(*) >= 3
+    """,
+    "streaming", "update-mode",
+)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode: the sink receives only keys whose aggregate
+    changed in each micro-batch (the changelog contract a KV-store sink
+    consumes). availableNow processes everything in one batch, so the last
+    update per key equals the batch aggregate — which the oracle pins."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    sink = run_to_memory(agg, mode="update")
+    # keep the LAST update per key (multi-batch runs would emit several)
+    latest = sink.groupBy("user_id").agg(F.max("n").alias("n"))
+    return latest.filter(F.col("n") >= 3).select("user_id", "n")

@@ -140,3 +140,12 @@ def test_pivot_has_no_distinct_discovery_job(spark, sf_dir):
     df = ALL["op_pivot_priority"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "HashAggregate" in plan
+
+
+def test_partition_pruning_on_partitioned_read(spark, sf_dir):
+    """src_partitioned_write's filtered read-back must prune directories
+    (PartitionFilters on the scan), not filter rows post-scan."""
+    plan = plan_of(ALL["src_partitioned_write"].build(spark, sf_dir))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, plan
+    assert "o_orderstatus" in pf[0], pf[0]
