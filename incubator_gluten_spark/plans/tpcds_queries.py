@@ -869,3 +869,151 @@ def ds_three_way_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_all_three")
         )
     )
+
+
+@q(
+    "ds_frequent_items",
+    """
+    WITH freq AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) >= 8
+    ), best AS (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey
+      HAVING sum(CAST(o_totalprice AS DECIMAL(18,4))) >
+             (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+              FROM orders) * 0.002
+    )
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS rev
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM freq)
+      AND o_custkey IN (SELECT o_custkey FROM best)
+    """,
+    "tpcds", "subquery", "semi-chain",
+)
+def ds_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: revenue from FREQUENT items bought by BEST
+    customers — two derived key sets applied as semi joins to the fact
+    scan. Both key sets are aggregates (small) -> broadcast semi joins;
+    the global-spend scalar reuses the per-customer aggregate rather than
+    re-scanning orders."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= 8)
+        .select("l_partkey")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")
+    )
+    total = per_cust.agg(
+        F.sum("spend").cast("double").alias("total_spend")
+    )
+    best = (
+        per_cust.crossJoin(F.broadcast(total))
+        .filter(F.col("spend").cast("double") > F.col("total_spend") * 0.002)
+        .select("o_custkey")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(freq), "l_partkey", "left_semi")
+        .join(F.broadcast(best), "o_custkey", "left_semi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+
+
+@q(
+    "ds_rollup_rank",
+    """
+    WITH r AS (
+      SELECT n_name, c_mktsegment,
+             CAST(grouping(c_mktsegment) AS INT) AS lvl,
+             sum(CAST(c_acctbal AS DECIMAL(18,4))) AS bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+      HAVING grouping(n_name) = 0
+    )
+    SELECT n_name, c_mktsegment, lvl,
+           CAST(round(bal, 2) AS DOUBLE) AS bal,
+           rank() OVER (PARTITION BY lvl, CASE WHEN lvl = 0 THEN n_name END
+                        ORDER BY bal DESC, c_mktsegment NULLS FIRST) AS rnk
+    FROM r
+    """,
+    "tpcds", "rollup", "window",
+)
+def ds_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape: rollup levels ranked WITHIN their parent level
+    (lvl 0 = segment within nation, lvl 1 = nation totals ranked
+    globally) — Expand feeding Window, partitioned by the grouping flag."""
+    from pyspark.sql import Window as W
+
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    r = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("c_mktsegment").cast("int").alias("lvl"),
+            F.grouping("n_name").cast("int").alias("g_n"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("bal"),
+        )
+        .filter(F.col("g_n") == 0)
+    )
+    w = W.partitionBy(
+        "lvl", F.when(F.col("lvl") == 0, F.col("n_name"))
+    ).orderBy(F.desc("bal"), F.asc_nulls_first("c_mktsegment"))
+    return r.select(
+        "n_name",
+        "c_mktsegment",
+        "lvl",
+        F.round("bal", 2).cast("double").alias("bal"),
+        F.rank().over(w).alias("rnk"),
+    )
+
+
+@q(
+    "ds_return_year_ratio",
+    """
+    WITH yr AS (
+      SELECT year(l_shipdate) AS yr,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS ret_qty,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS all_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.yr AS yr,
+           round(CAST(a.ret_qty AS DOUBLE) / CAST(a.all_qty AS DOUBLE), 6) AS cur_ratio,
+           round(CAST(b.ret_qty AS DOUBLE) / CAST(b.all_qty AS DOUBLE), 6) AS prev_ratio
+    FROM yr a JOIN yr b ON a.yr = b.yr + 1
+    """,
+    "tpcds", "self-join", "ratio",
+)
+def ds_return_year_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: year-over-year comparison of a ratio metric
+    (returned share of quantity) via self-join of one pre-aggregate."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    yr = li.groupBy(F.year("l_shipdate").alias("yr")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", qty)).alias("ret_qty"),
+        F.sum(qty).alias("all_qty"),
+    )
+    a, b = yr.alias("a"), yr.alias("b")
+    ratio = lambda side: F.round(
+        F.col(f"{side}.ret_qty").cast("double")
+        / F.col(f"{side}.all_qty").cast("double"),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.yr") == F.col("b.yr") + 1)
+        .select(
+            F.col("a.yr").alias("yr"),
+            ratio("a").alias("cur_ratio"),
+            ratio("b").alias("prev_ratio"),
+        )
+    )
