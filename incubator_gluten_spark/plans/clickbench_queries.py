@@ -426,3 +426,49 @@ def cb_type_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(w), 6).alias("share"),
     )
+
+
+@q(
+    "cb_like_topk",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events WHERE props LIKE '%"k": 4%'
+    GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+    """,
+    "clickbench", "like",
+)
+def cb_like_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q20-ish: leading-wildcard LIKE over the raw string (no
+    pushdown possible — a full-scan substring match, the case where a
+    columnar engine's SIMD substring search is the whole game)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.filter(F.col("props").like('%"k": 4%'))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(3)
+    )
+
+
+@q(
+    "cb_user_span",
+    """
+    SELECT span_days, count(*) AS n_users FROM (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS span_days
+      FROM events GROUP BY user_id
+    ) GROUP BY span_days
+    """,
+    "clickbench", "agg", "timeseries",
+)
+def cb_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-span histogram: min/max timestamp per user in ONE
+    aggregation, then the day-span distribution."""
+    ev = _ev(spark, sf_dir)
+    span = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.col("ts").cast("date")), F.min(F.col("ts").cast("date"))).alias(
+            "span_days"
+        )
+    )
+    return span.groupBy("span_days").agg(F.count("*").alias("n_users"))
