@@ -1498,3 +1498,33 @@ def misc_repartition_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.agg(F.sum("n").alias("n")).crossJoin(
         overlaps.agg((F.count("*") == 0).alias("ranges_disjoint"))
     )
+
+
+@q(
+    "op_lateral_subquery",
+    """
+    SELECT n_name, top_seg, seg_n FROM nation, LATERAL (
+      SELECT c_mktsegment AS top_seg, count(*) AS seg_n
+      FROM customer WHERE c_nationkey = n_nationkey
+      GROUP BY c_mktsegment
+      ORDER BY seg_n DESC, top_seg LIMIT 1
+    )
+    """,
+    "join", "lateral", "sql",
+)
+def op_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL): per nation, its dominant
+    customer segment. Catalyst decorrelates the per-row subquery into a
+    join + window group-limit — the same plan the hand-written version
+    would build, but declared correlationally."""
+    register_views(spark, sf_dir, ("nation", "customer"))
+    return spark.sql(
+        """
+        SELECT n_name, top_seg, seg_n FROM nation, LATERAL (
+          SELECT c_mktsegment AS top_seg, count(*) AS seg_n
+          FROM customer WHERE c_nationkey = n_nationkey
+          GROUP BY c_mktsegment
+          ORDER BY seg_n DESC, top_seg LIMIT 1
+        )
+        """
+    )

@@ -1017,3 +1017,107 @@ def ds_return_year_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio("b").alias("prev_ratio"),
         )
     )
+
+
+@q(
+    "ds_top_half_contributors",
+    """
+    WITH nrev AS (
+      SELECT n_name, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, CAST(round(rev, 2) AS DOUBLE) AS rev
+    FROM (
+      SELECT n_name, rev,
+             sum(rev) OVER (ORDER BY rev DESC, n_name
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum_before,
+             sum(rev) OVER () AS total
+      FROM nrev
+    ) WHERE coalesce(CAST(cum_before AS DOUBLE), 0) < CAST(total AS DOUBLE) * 0.5
+    """,
+    "tpcds", "window", "pareto",
+)
+def ds_top_half_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q15-ish Pareto cut: the smallest set of nations covering 50%
+    of revenue — cumulative window over the sorted aggregate, keeping rows
+    until the *preceding* cumulative crosses the threshold (so the row
+    that crosses it is included)."""
+    from pyspark.sql import Window as W
+
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    nrev = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    wcum = W.orderBy(F.desc("rev"), F.asc("n_name")).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    wall = W.partitionBy()
+    return (
+        nrev.select(
+            "n_name",
+            "rev",
+            F.sum("rev").over(wcum).alias("cum_before"),
+            F.sum("rev").over(wall).alias("total"),
+        )
+        .filter(
+            F.coalesce(F.col("cum_before").cast("double"), F.lit(0.0))
+            < F.col("total").cast("double") * 0.5
+        )
+        .select("n_name", F.round("rev", 2).cast("double").alias("rev"))
+    )
+
+
+@q(
+    "ds_sequential_purchase",
+    """
+    WITH promo_first AS (
+      SELECT o_custkey, min(o_orderdate) AS first_promo
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY o_custkey
+    )
+    SELECT count(*) AS n_returning FROM (
+      SELECT DISTINCT o.o_custkey
+      FROM orders o JOIN promo_first p ON o.o_custkey = p.o_custkey
+      WHERE o.o_orderdate > p.first_promo
+        AND o.o_orderdate <= p.first_promo + INTERVAL 90 DAY
+    )
+    """,
+    "tpcds", "sequential", "behavior",
+)
+def ds_sequential_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape: sequential behavior — customers who came BACK
+    within 90 days of their first promo purchase. The per-customer anchor
+    date is an aggregate joined once against orders; the window predicate
+    is a non-equi band on the join."""
+    orders, li, part = _t(spark, sf_dir, "orders", "lineitem", "part")
+    promo_first = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("first_promo"))
+        .withColumnRenamed("o_custkey", "pk")
+    )
+    came_back = (
+        orders.join(promo_first, F.col("o_custkey") == F.col("pk"))
+        .filter(
+            (F.col("o_orderdate") > F.col("first_promo"))
+            & (
+                F.col("o_orderdate")
+                <= F.col("first_promo") + F.expr("INTERVAL 90 DAY")
+            )
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return came_back.agg(F.count("*").alias("n_returning"))
