@@ -263,3 +263,38 @@ def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep the LAST update per key (multi-batch runs would emit several)
     latest = sink.groupBy("user_id").agg(F.max("n").alias("n"))
     return latest.filter(F.col("n") >= 3).select("user_id", "n")
+
+
+@q(
+    "stream_stream_join",
+    """
+    SELECT p.user_id AS user_id, count(*) AS n_pairs,
+           count(DISTINCT p.event_id) AS n_purchases
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.user_id
+    HAVING count(*) >= 1
+    """,
+    "streaming", "stream-stream-join",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream time-band join (click -> purchase attribution within
+    an hour), aggregated on the sink in batch (a second stateful agg in
+    the same query would trip the global-watermark check). Bounded input
+    => exact equality with the batch-SQL oracle."""
+    from incubator_gluten_spark.streaming.jobs import stream_stream_join as ssj
+
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    joined = ssj(a, b)
+    sink = run_to_memory(joined, mode="append")
+    return (
+        sink.groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("p_id").alias("n_purchases"),
+        )
+        .filter(F.col("n_pairs") >= 1)
+    )

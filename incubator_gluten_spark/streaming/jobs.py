@@ -163,3 +163,35 @@ def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
         .groupBy("segment")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
     )
+
+
+def stream_stream_join(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
+    """Stream-stream inner join: purchases matched to same-user clicks in
+    the preceding hour. Both sides are watermarked and the join condition
+    carries the time band, so each side's state store evicts rows once the
+    other side's watermark passes — bounded state on unbounded streams
+    (the unbounded-join memory blowup is the #1 stream-join mistake)."""
+    clicks = (
+        events_a.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+    )
+    purchases = (
+        events_b.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
