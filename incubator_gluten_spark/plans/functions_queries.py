@@ -1104,3 +1104,30 @@ def fn_url_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bin(F.lit(10)).alias("bn"),
         F.base64(F.lit("hi").cast("binary")).alias("b64"),
     )
+
+
+@q(
+    "fn_replaceable",
+    """
+    SELECT left(n_name, 3) AS l3, right(n_name, 3) AS r3,
+           +n_nationkey AS pos, -n_nationkey AS neg,
+           CAST(NULL AS BOOLEAN) IS NULL AS assert_ok,
+           ifnull(NULL, n_name) AS ifn
+    FROM nation WHERE n_nationkey < 5
+    """,
+    "function", "runtime-replaceable",
+)
+def fn_replaceable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-replaceable expressions (ExpressionMappings :302-318 —
+    exprs Catalyst rewrites into other exprs before execution): left/right
+    (-> substring), positive/negative, assert_true (-> null on pass),
+    ifnull (-> coalesce)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    return nation.filter(F.col("n_nationkey") < 5).select(
+        F.left("n_name", F.lit(3)).alias("l3"),
+        F.right("n_name", F.lit(3)).alias("r3"),
+        F.positive("n_nationkey").alias("pos"),
+        F.negative("n_nationkey").alias("neg"),
+        F.assert_true(F.lit(True)).isNull().alias("assert_ok"),
+        F.ifnull(F.lit(None), F.col("n_name")).alias("ifn"),
+    )
