@@ -1528,3 +1528,32 @@ def op_lateral_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@q(
+    "gen_explode_outer",
+    """
+    SELECT has_elem, count(*) AS n FROM (
+      SELECT CASE WHEN u.x IS NULL THEN false ELSE true END AS has_elem
+      FROM (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN []
+                    ELSE [n_nationkey, n_nationkey * 10] END AS arr
+        FROM nation
+      ) t LEFT JOIN LATERAL (SELECT unnest(t.arr) AS x) u ON true
+    ) GROUP BY has_elem
+    """,
+    "generate", "outer",
+)
+def gen_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: rows with empty/null arrays survive as a single
+    null-element row (plain explode would drop them) — the
+    outer-Generate row, needed whenever the parent row must not vanish."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    arr = F.when(
+        F.col("n_nationkey") % 3 == 0, F.array().cast("array<bigint>")
+    ).otherwise(F.array(F.col("n_nationkey"), F.col("n_nationkey") * 10))
+    exploded = nation.select(F.explode_outer(arr).alias("x"))
+    return exploded.groupBy(
+        F.col("x").isNotNull().alias("has_elem")
+    ).agg(F.count("*").alias("n"))

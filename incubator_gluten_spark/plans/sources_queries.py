@@ -332,3 +332,30 @@ def src_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_qty"),
     )
+
+
+@q(
+    "src_text_roundtrip",
+    """
+    SELECT count(*) AS n_lines, sum(length(line)) AS total_chars FROM (
+      SELECT lang || '|' || doc_id AS line FROM documents
+    )
+    """,
+    "source", "text",
+)
+def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text source/sink (spark.read/write.text — one string column per
+    line): write derived lines, read them back, aggregate. The oracle runs
+    on the original table, certifying the line-level roundtrip lost
+    nothing."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    p = _path("text_lines")
+    lines = docs.select(
+        F.concat_ws("|", "lang", F.col("doc_id").cast("string")).alias("value")
+    )
+    lines.write.mode("overwrite").text(p)
+    back = spark.read.text(p)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )
