@@ -47,17 +47,30 @@ def run_to_memory(
     stream_df: DataFrame, mode: str = "append", name: str | None = None
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion into a memory sink and
-    return the sink table as a batch DataFrame."""
+    return the sink table as a batch DataFrame.
+
+    Shuffle partitions are capped for the stream's lifetime: a stateful
+    query instantiates one state store PER shuffle partition PER stateful
+    operator, and the partition count is frozen into the checkpoint — the
+    batch session's width (cores*2) would mean 64+ store instances for a
+    bounded test stream. Production sizing picks this from expected keyed
+    state volume, not core count."""
+    spark = stream_df.sparkSession
     name = name or f"sink_{uuid.uuid4().hex[:8]}"
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    return spark.table(name)
 
 
 def tumbling_window_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
