@@ -261,6 +261,7 @@ def connected_components(
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 25,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation: each node repeatedly
     adopts the smallest label among itself and its neighbors; converged
@@ -272,32 +273,46 @@ def connected_components(
     Returns (id, comp) with comp = min node id of the component. At
     cluster scale the same loop runs unchanged — the per-iteration state
     is a (node, label) table, never an adjacency matrix; persist() keeps
-    the frontier off the lineage re-computation path."""
-    und = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-    # persist: every iteration joins against the edge set — without this
-    # the (possibly expensive) edge-derivation lineage re-executes per loop
-    sym = und.union(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    labels = (
-        sym.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).persist()
-    for _ in range(max_iter):
-        prop = sym.join(labels, F.col("src") == F.col("id")).select(
-            F.col("dst").alias("id"), F.col("lbl")
-        )
-        new_labels = (
-            labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+    the frontier off the lineage re-computation path.
+
+    `shuffle_partitions` temporarily narrows the per-iteration shuffles —
+    the label table is |V| rows however big the input was, and a dedup
+    graph's |V| is tiny relative to the corpus; size it to the expected
+    component-member count, not to the cluster."""
+    spark = edges.sparkSession
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        und = edges.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        # persist: every iteration joins against the edge set — without this
+        # the (possibly expensive) edge-derivation lineage re-executes per loop
+        sym = und.union(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels.select("id", F.col("lbl").alias("comp"))
+        labels = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("lbl", F.col("id"))
+        ).persist()
+        for _ in range(max_iter):
+            prop = sym.join(labels, F.col("src") == F.col("id")).select(
+                F.col("dst").alias("id"), F.col("lbl")
+            )
+            new_labels = (
+                labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            ).persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .filter(F.col("n.lbl") < F.col("o.lbl"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        sym.unpersist()
+        return labels.select("id", F.col("lbl").alias("comp"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)

@@ -366,7 +366,7 @@ def dp_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE — feasible only at test scale; the iterative form is the one that
     survives 100 TB."""
     pairs = dp_ngram_jaccard(spark, sf_dir).select("id1", "id2")
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, shuffle_partitions=8)
     return (
         comp.groupBy("comp")
         .agg(F.count("*").alias("comp_size"))
