@@ -1131,3 +1131,30 @@ def fn_replaceable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.assert_true(F.lit(True)).isNull().alias("assert_ok"),
         F.ifnull(F.lit(None), F.col("n_name")).alias("ifn"),
     )
+
+
+@q(
+    "fn_nondeterministic",
+    """
+    SELECT true AS uuid_ok, true AS rand_ok, true AS randn_ok, 5 AS n
+    """,
+    "function", "nondeterministic",
+)
+def fn_nondeterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nondeterministic expressions (uuid, rand, randn — ExpressionMappings
+    :160-166): values can't be pinned, so the oracle checks INVARIANTS —
+    uuid shape, rand() in [0,1), per-row evaluation (5 rows in, 5 out)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    rows = nation.filter(F.col("n_nationkey") < 5).select(
+        F.uuid().alias("u"), F.rand().alias("r"), F.randn().alias("g")
+    )
+    return rows.agg(
+        F.bool_and(
+            F.col("u").rlike(
+                "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+            )
+        ).alias("uuid_ok"),
+        F.bool_and((F.col("r") >= 0) & (F.col("r") < 1)).alias("rand_ok"),
+        F.bool_and(F.abs("g") < 100).alias("randn_ok"),
+        F.count("*").alias("n"),
+    )

@@ -256,3 +256,48 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(net2), 2).cast("double").alias("net_total"),
         F.count("*").alias("n"),
     )
+
+
+@q(
+    "udf_window_in_pandas",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(avg(l_quantity) OVER (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+             AS frame_avg
+    FROM lineitem WHERE l_orderkey < 300
+    """,
+    "udf", "window-in-pandas",
+)
+def udf_window_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowInPandas (the support-matrix row the reference can NOT
+    offload, docs/velox-backend-support-progress.md:79-83): a pandas UDF
+    evaluated over a window frame — Arrow ships each frame's column to the
+    Python worker. Numerically the frame is integer-valued quantities, so
+    the pandas mean matches SQL avg exactly."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from pyspark.sql.functions import PandasUDFType
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def frame_mean(v):
+        return float(v.mean())
+
+    from pyspark.sql import Window as W
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        li.filter(F.col("l_orderkey") < 300)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(frame_mean("l_quantity").over(w), 4).alias("frame_avg"),
+        )
+    )
