@@ -1557,3 +1557,49 @@ def gen_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy(
         F.col("x").isNotNull().alias("has_elem")
     ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "chx_union_agg_coalesce",
+    """
+    SELECT 'high_disc' AS branch, l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_discount > 0.07 GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'high_tax' AS branch, l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+    FROM lineitem WHERE l_tax > 0.05 GROUP BY l_returnflag
+    """,
+    "agg", "clickhouse-delta", "union-coalesce",
+)
+def chx_union_agg_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse backend's union-of-aggregations coalescing
+    (CoalesceAggregationUnion.scala): two filtered aggregations over the
+    SAME table, expressed post-rewrite as ONE scan — conditional
+    aggregates computed together, then unpivoted back to the union's row
+    layout. The oracle holds the pre-rewrite two-scan UNION ALL."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    one = li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.07).alias("n_disc"),
+        F.round(F.sum(F.when(F.col("l_discount") > 0.07, qty)), 2)
+        .cast("double")
+        .alias("qty_disc"),
+        F.count_if(F.col("l_tax") > 0.05).alias("n_tax"),
+        F.round(F.sum(F.when(F.col("l_tax") > 0.05, qty)), 2)
+        .cast("double")
+        .alias("qty_tax"),
+    )
+    disc = one.select(
+        F.lit("high_disc").alias("branch"),
+        "l_returnflag",
+        F.col("n_disc").alias("n"),
+        F.col("qty_disc").alias("qty"),
+    )
+    tax = one.select(
+        F.lit("high_tax").alias("branch"),
+        "l_returnflag",
+        F.col("n_tax").alias("n"),
+        F.col("qty_tax").alias("qty"),
+    )
+    return disc.unionByName(tax)

@@ -301,3 +301,39 @@ def udf_window_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(frame_mean("l_quantity").over(w), 4).alias("frame_avg"),
         )
     )
+
+
+@q(
+    "udf_agg_in_pandas",
+    """
+    SELECT l_returnflag, round(avg(l_quantity), 4) AS mean_qty,
+           round(max(l_quantity) - min(l_quantity), 4) AS qty_range
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+    """,
+    "udf", "agg-in-pandas",
+)
+def udf_agg_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AggregateInPandas (support-matrix row not offloaded by the
+    reference): GROUPED_AGG pandas UDFs inside groupBy().agg() — each
+    group's column arrives as one Arrow batch. Integer-valued quantities
+    make the pandas mean exactly equal SQL avg."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def mean_qty(v):
+        return float(v.mean())
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def qty_range(v):
+        return float(v.max() - v.min())
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 2000)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(mean_qty("l_quantity"), 4).alias("mean_qty"),
+            F.round(qty_range("l_quantity"), 4).alias("qty_range"),
+        )
+    )
