@@ -68,10 +68,11 @@ def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality score in [0,1]: length band + lexical diversity -
-    symbol noise. The exact formula matters less than it being cheap,
-    deterministic, and monotone in the signals curation filters on."""
+def quality_expr(text_col: str = "text") -> Column:
+    """Heuristic quality score in [0,1] as a composable expression:
+    length band + lexical diversity - symbol noise. The exact formula
+    matters less than it being cheap, deterministic, and monotone in the
+    signals curation filters on."""
     t = tokens(F.col(text_col))
     n_tok = F.size(t)
     diversity = F.size(F.array_distinct(t)) / n_tok
@@ -79,13 +80,25 @@ def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
     noise = F.length(F.regexp_replace(F.col(text_col), r"[a-z ]", "")) / F.length(
         F.col(text_col)
     )
-    score = F.round(
+    return F.round(
         F.greatest(
             F.least(0.5 * len_band + 0.5 * diversity - noise, F.lit(1.0)), F.lit(0.0)
         ),
         4,
     )
-    return docs.select("doc_id", "lang", score.alias("quality"))
+
+
+def bpe_token_count_expr(text_col: str = "text") -> Column:
+    """BPE-ish pre-tokenizer token count as a composable expression."""
+    return F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+        )
+    )
+
+
+def text_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select("doc_id", "lang", quality_expr(text_col).alias("quality"))
 
 
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:

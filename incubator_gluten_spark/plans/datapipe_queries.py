@@ -389,3 +389,65 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=2)
+
+
+@q(
+    "dp_training_mix",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             round(greatest(least(
+               0.5 * (CASE WHEN len(t) BETWEEN 20 AND 120 THEN 1.0 ELSE 0.5 END)
+               + 0.5 * (len(list_distinct(t)) / len(t))
+               - (length(regexp_replace(text, '[a-z ]', '', 'g')) / length(text)),
+               1.0), 0.0), 4) AS quality,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tok
+      FROM (SELECT lang, text, string_split({_NORM}, ' ') AS t FROM documents)
+    )
+    SELECT lang,
+           CASE WHEN quality >= 0.66 THEN 'high'
+                WHEN quality >= 0.33 THEN 'mid' ELSE 'low' END AS band,
+           count(*) AS n_docs, sum(n_tok) AS tokens,
+           round(CAST(sum(n_tok) AS DOUBLE)
+                 / sum(sum(n_tok)) OVER (), 6) AS token_share
+    FROM scored GROUP BY 1, 2
+    """,
+    "datapipe", "capstone",
+)
+def dp_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix report — the curation capstone: quality-score every
+    document, band it, and report per-(lang, band) doc counts, token
+    totals, and each cell's share of the total token budget. This is the
+    table a data-mixture ablation reads. ONE scan (quality and token count
+    are parallel expressions over the same text column), one shuffle, a
+    window over the ~15-cell aggregate."""
+    from pyspark.sql import Window as W
+
+    from incubator_gluten_spark.datapipe.textstats import (
+        bpe_token_count_expr,
+        quality_expr,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        quality_expr("text").alias("q"),
+        bpe_token_count_expr("text").alias("n_tok"),
+    )
+    band = (
+        F.when(F.col("q") >= 0.66, "high")
+        .when(F.col("q") >= 0.33, "mid")
+        .otherwise("low")
+    )
+    agg = scored.groupBy("lang", band.alias("band")).agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("tokens")
+    )
+    return agg.select(
+        "lang",
+        "band",
+        "n_docs",
+        "tokens",
+        F.round(
+            F.col("tokens").cast("double") / F.sum("tokens").over(W.partitionBy()), 6
+        ).alias("token_share"),
+    )
