@@ -1121,3 +1121,75 @@ def ds_sequential_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return came_back.agg(F.count("*").alias("n_returning"))
+
+
+@q(
+    "ds_ship_delay_buckets",
+    """
+    SELECT o_orderpriority,
+           count(CASE WHEN delay <= 30 THEN 1 END) AS d30,
+           count(CASE WHEN delay > 30 AND delay <= 60 THEN 1 END) AS d60,
+           count(CASE WHEN delay > 60 AND delay <= 90 THEN 1 END) AS d90,
+           count(CASE WHEN delay > 90 THEN 1 END) AS d_late
+    FROM (
+      SELECT o_orderpriority, date_diff('day', o_orderdate, l_shipdate) AS delay
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ) GROUP BY o_orderpriority
+    """,
+    "tpcds", "bucket-matrix",
+)
+def ds_ship_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q99 shape: shipping-delay bucket matrix per priority — one
+    scan, conditional counts per delay band (q99's 5-column bucket
+    report)."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_orderpriority", delay.alias("delay"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("delay") <= 30).alias("d30"),
+            F.count_if((F.col("delay") > 30) & (F.col("delay") <= 60)).alias("d60"),
+            F.count_if((F.col("delay") > 60) & (F.col("delay") <= 90)).alias("d90"),
+            F.count_if(F.col("delay") > 90).alias("d_late"),
+        )
+    )
+
+
+@q(
+    "ds_before_after_cut",
+    """
+    SELECT p_brand,
+           CAST(round(sum(CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4)) END), 2)
+                AS DOUBLE) AS rev_before,
+           CAST(round(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                          THEN CAST(l_extendedprice AS DECIMAL(18,4)) END), 2)
+                AS DOUBLE) AS rev_after
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    "tpcds", "before-after",
+)
+def ds_before_after_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q40 shape: revenue before/after a date pivot per brand —
+    the two-period comparison as conditional aggregates on one scan
+    (q40 writes it as a CASE on the date, same here)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.when(F.col("l_shipdate") < cut, price)), 2)
+            .cast("double")
+            .alias("rev_before"),
+            F.round(F.sum(F.when(F.col("l_shipdate") >= cut, price)), 2)
+            .cast("double")
+            .alias("rev_after"),
+        )
+    )
