@@ -1158,3 +1158,28 @@ def fn_nondeterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.abs("g") < 100).alias("randn_ok"),
         F.count("*").alias("n"),
     )
+
+
+@q(
+    "fn_to_char_number",
+    """
+    SELECT '01,234.56' AS chr_v, 1234.56 AS num_v, NULL AS bad_v,
+           '3.14' AS fmt_f
+    """,
+    "function", "format", "golden",
+)
+def fn_to_char_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_char / to_number / try_to_number (Spark 4 Oracle-style numeric
+    formatting) — golden-pinned (DuckDB's format model differs)."""
+    return spark.range(1).select(
+        F.to_char(F.lit(1234.56).cast("decimal(10,2)"), F.lit("00,000.00")).alias(
+            "chr_v"
+        ),
+        F.to_number(F.lit("01,234.56"), F.lit("00,000.00"))
+        .cast("double")
+        .alias("num_v"),
+        F.try_to_number(F.lit("oops"), F.lit("00,000.00"))
+        .cast("double")
+        .alias("bad_v"),
+        F.format_string("%.2f", F.lit(3.14159)).alias("fmt_f"),
+    )
