@@ -1603,3 +1603,41 @@ def chx_union_agg_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty_tax").alias("qty"),
     )
     return disc.unionByName(tax)
+
+
+@q(
+    "misc_zorder_key",
+    """
+    SELECT zkey % 64 AS zbucket, count(*) AS n FROM (
+      SELECT bit_or_agg_helper.zkey AS zkey FROM (
+        SELECT (SELECT sum(
+                  ((CAST(p_size AS BIGINT) >> i) & 1) * power(2, 2*i)::BIGINT
+                  + ((CAST(p_partkey % 256 AS BIGINT) >> i) & 1) * power(2, 2*i+1)::BIGINT
+                ) FROM range(0, 8) t(i)) AS zkey
+        FROM part
+      ) bit_or_agg_helper
+    ) GROUP BY zbucket HAVING count(*) > 10
+    """,
+    "misc", "zorder",
+)
+def misc_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key: bit-interleave two columns so sorting by the
+    single key clusters BOTH dimensions — the multi-dimensional data-
+    skipping layout (Delta OPTIMIZE ZORDER's core). Writing sorted by zkey
+    gives parquet row groups tight min/max on both p_size and p_partkey;
+    here the interleave arithmetic itself is oracle-checked."""
+    (part,) = _t(spark, sf_dir, "part")
+    a = F.col("p_size").cast("bigint")
+    b = (F.col("p_partkey") % 256).cast("bigint")
+    zkey = None
+    for i in range(8):
+        bit_a = F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        bit_b = F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = bit_a.bitwiseOR(bit_b)
+        zkey = term if zkey is None else zkey.bitwiseOR(term)
+    return (
+        part.select((zkey % 64).alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 10)
+    )

@@ -149,3 +149,21 @@ def test_partition_pruning_on_partitioned_read(spark, sf_dir):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, plan
     assert "o_orderstatus" in pf[0], pf[0]
+
+
+def test_streaming_session_uses_rocksdb(sf_dir):
+    """get_session(streaming=True) must run stateful queries on the
+    RocksDB state store (bundled with Spark 4) — keyed state scales past
+    executor heap, unlike the default in-memory HDFS-backed maps."""
+    from incubator_gluten_spark.session import get_session
+
+    spark = get_session(streaming=True)
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass").endswith(
+            "RocksDBStateStoreProvider"
+        )
+    )
+    from incubator_gluten_spark.plans import collect_all
+
+    out = collect_all()["stream_dedup"].build(spark, sf_dir)
+    assert out.count() > 0
