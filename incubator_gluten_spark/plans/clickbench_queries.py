@@ -472,3 +472,61 @@ def cb_user_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return span.groupBy("span_days").agg(F.count("*").alias("n_users"))
+
+
+@q(
+    "cb_first_event_type",
+    """
+    SELECT first_type, count(*) AS n_users FROM (
+      SELECT user_id, min_by(event_type, ts) AS first_type
+      FROM events GROUP BY user_id
+    ) GROUP BY first_type
+    """,
+    "clickbench", "minby",
+)
+def cb_first_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's FIRST event type (min_by on ts, which is per-user unique — (user_id, ts) is unique in the fixture), then the
+    distribution."""
+    ev = _ev(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type")
+    )
+    return first.groupBy("first_type").agg(F.count("*").alias("n_users"))
+
+
+@q(
+    "cb_event_gap_stats",
+    """
+    SELECT user_id,
+           count(*) AS n_gaps,
+           round(avg(gap_s), 2) AS mean_gap_s
+    FROM (
+      SELECT user_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    ) WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    HAVING count(*) >= 50 AND avg(gap_s) < 42000
+    """,
+    "clickbench", "window", "timeseries",
+)
+def cb_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user (lag over the per-user ordered
+    stream — the sessionization primitive). Gap seconds are integers, so
+    avg is engine-exact."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return (
+        gaps.groupBy("user_id")
+        .agg(F.count("*").alias("n_gaps"), F.round(F.avg("gap_s"), 2).alias("mean_gap_s"))
+        .filter((F.col("n_gaps") >= 50) & (F.col("mean_gap_s") < 42000))
+    )

@@ -359,3 +359,38 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.length("value")).alias("total_chars"),
     )
+
+
+@q(
+    "src_schema_evolution",
+    """
+    SELECT batch, count(*) AS n,
+           sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS n_null_extra
+    FROM (
+      SELECT 1 AS batch, NULL AS extra FROM nation WHERE n_nationkey < 10
+      UNION ALL
+      SELECT 2 AS batch, n_nationkey * 2 AS extra FROM nation WHERE n_nationkey >= 10
+    ) GROUP BY batch
+    """,
+    "source", "schema-evolution",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with different
+    schemas (batch 2 adds a column) merged by mergeSchema — old rows get
+    NULLs for the new column. The append-only table pattern every
+    long-lived dataset hits."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    p = _path("schema_evo")
+    nation.filter(F.col("n_nationkey") < 10).select(
+        F.lit(1).alias("batch"), "n_nationkey"
+    ).write.mode("overwrite").parquet(f"{p}/b1")
+    nation.filter(F.col("n_nationkey") >= 10).select(
+        F.lit(2).alias("batch"),
+        "n_nationkey",
+        (F.col("n_nationkey") * 2).alias("extra"),
+    ).write.mode("overwrite").parquet(f"{p}/b2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{p}/b1", f"{p}/b2")
+    return back.groupBy("batch").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0)).alias("n_null_extra"),
+    )

@@ -337,3 +337,37 @@ def udf_agg_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(qty_range("l_quantity"), 4).alias("qty_range"),
         )
     )
+
+
+@q(
+    "udf_scalar_iter",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(round(CAST(l_extendedprice * (1.0 - l_discount)
+                                     AS DECIMAL(18,6)), 2)), 2) AS DOUBLE) AS net_total
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+    """,
+    "udf", "scalar-iter",
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR_ITER pandas UDF: the iterator form that amortizes expensive
+    per-worker setup (a model load, a tokenizer init) across ALL batches
+    of a partition instead of per-batch — the shape every model-scoring
+    pipeline uses. Setup here is a trivial constant to keep it oracle-
+    checkable; the iterator protocol is the point."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.SCALAR_ITER)
+    def net_iter(batches):
+        one = 1.0  # stands in for per-worker heavy init (model/tokenizer)
+        for price, disc in batches:
+            yield price * (one - disc)
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    src = li.filter(F.col("l_orderkey") < 2000)
+    net = net_iter("l_extendedprice", "l_discount")
+    net2 = F.round(net.cast("decimal(18,6)"), 2)
+    return src.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(net2), 2).cast("double").alias("net_total"),
+    )
