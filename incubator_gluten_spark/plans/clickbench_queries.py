@@ -530,3 +530,55 @@ def cb_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_gaps"), F.round(F.avg("gap_s"), 2).alias("mean_gap_s"))
         .filter((F.col("n_gaps") >= 50) & (F.col("mean_gap_s") < 42000))
     )
+
+
+@q(
+    "cb_gap_sessions",
+    """
+    WITH gapped AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sessions AS (
+      SELECT user_id,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gapped
+    )
+    SELECT n_events_in_session, count(*) AS n_sessions FROM (
+      SELECT user_id, session_id, count(*) AS n_events_in_session
+      FROM sessions GROUP BY user_id, session_id
+    ) GROUP BY n_events_in_session
+    """,
+    "clickbench", "sessionization", "gaps-islands",
+)
+def cb_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True gap-based sessionization in batch (gaps-and-islands): a
+    session starts after >30 min of silence; session ids are the running
+    sum of start flags — the batch twin of the streaming session_window
+    (stream_session). Output: session-size histogram."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_s = F.unix_timestamp(F.col("ts").cast("timestamp")) - F.unix_timestamp(
+        prev.cast("timestamp")
+    )
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        F.when(prev.isNull() | (gap_s > 1800), 1).otherwise(0).alias("is_start"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = gapped.select(
+        "user_id", F.sum("is_start").over(wrun).alias("session_id")
+    )
+    sizes = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events_in_session")
+    )
+    return sizes.groupBy("n_events_in_session").agg(F.count("*").alias("n_sessions"))

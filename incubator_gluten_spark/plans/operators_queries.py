@@ -1641,3 +1641,57 @@ def misc_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") > 10)
     )
+
+
+@q(
+    "op_cdc_apply",
+    """
+    WITH snapshot AS (
+      SELECT c_custkey AS k, c_acctbal AS bal FROM customer WHERE c_custkey < 200
+    ), changes AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 10 = 0 THEN 'D'
+                  WHEN c_custkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+             round(c_acctbal + 100, 2) AS new_bal
+      FROM customer WHERE c_custkey >= 150 AND c_custkey < 250
+    )
+    SELECT k, CAST(round(bal, 2) AS DOUBLE) AS bal FROM (
+      SELECT coalesce(c.k, s.k) AS k,
+             CASE WHEN c.op = 'D' THEN NULL
+                  WHEN c.op IS NOT NULL THEN c.new_bal
+                  ELSE round(s.bal, 2) END AS bal
+      FROM snapshot s FULL JOIN changes c ON s.k = c.k
+    ) WHERE bal IS NOT NULL
+    """,
+    "misc", "cdc", "merge",
+)
+def op_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/MERGE-INTO apply without a table format: one FULL OUTER JOIN of
+    snapshot x change-set resolves inserts (right-only), updates (both,
+    op!='D'), deletes (op='D' dropped) in a single shuffle — the upsert
+    kernel under Delta/Iceberg MERGE, usable on plain parquet."""
+    (customer,) = _t(spark, sf_dir, "customer")
+    snapshot = customer.filter(F.col("c_custkey") < 200).select(
+        F.col("c_custkey").alias("sk"), F.round("c_acctbal", 2).alias("bal")
+    )
+    changes = (
+        customer.filter((F.col("c_custkey") >= 150) & (F.col("c_custkey") < 250))
+        .select(
+            F.col("c_custkey").alias("ck"),
+            F.when(F.col("c_custkey") % 10 == 0, "D")
+            .when(F.col("c_custkey") % 3 == 0, "U")
+            .otherwise("I")
+            .alias("op"),
+            F.round(F.col("c_acctbal") + 100, 2).alias("new_bal"),
+        )
+    )
+    merged = snapshot.join(changes, F.col("sk") == F.col("ck"), "full_outer").select(
+        F.coalesce("sk", "ck").alias("k"),
+        F.when(F.col("op") == "D", F.lit(None))
+        .when(F.col("op").isNotNull(), F.col("new_bal"))
+        .otherwise(F.col("bal"))
+        .alias("bal"),
+    )
+    return merged.filter(F.col("bal").isNotNull()).select(
+        "k", F.col("bal").cast("double").alias("bal")
+    )
