@@ -1695,3 +1695,46 @@ def op_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.filter(F.col("bal").isNotNull()).select(
         "k", F.col("bal").cast("double").alias("bal")
     )
+
+
+@q(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_regionkey END AS k,
+             count(*) AS n_a
+      FROM nation GROUP BY 1
+    ), b AS (
+      SELECT CASE WHEN r_regionkey = 2 THEN NULL ELSE r_regionkey END AS k,
+             r_name
+      FROM region
+    )
+    SELECT a.k AS k, n_a, r_name
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+    "join", "null-safe",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — still a hash-joinable equality
+    (EqualNullSafe maps to one key class), unlike an OR-of-IS-NULLs
+    rewrite which would force a nested loop."""
+    nation, region = _t(spark, sf_dir, "nation", "region")
+    a = (
+        nation.select(
+            F.when(F.col("n_nationkey") % 5 == 0, None)
+            .otherwise(F.col("n_regionkey"))
+            .alias("ka")
+        )
+        .groupBy("ka")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = region.select(
+        F.when(F.col("r_regionkey") == 2, None)
+        .otherwise(F.col("r_regionkey"))
+        .alias("kb"),
+        "r_name",
+    )
+    return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select(
+        F.col("ka").alias("k"), "n_a", "r_name"
+    )

@@ -80,3 +80,63 @@ def test_random_filter_agg_matches_oracle(spark, duck, sf_dir, preds, conj):
     )
     want = duck.sql(sql).fetchall()[0]
     assert (got.n, got.s) == want, f"{sql} -> spark {(got.n, got.s)} duck {want}"
+
+
+RANK_FNS = {
+    "row_number": F.row_number,
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+}
+
+
+@given(
+    part=st.sampled_from(STR_COLS),
+    order=st.sampled_from(NUM_COLS),
+    fn=st.sampled_from(sorted(RANK_FNS)),
+    desc=st.booleans(),
+    limit=st.integers(min_value=1, max_value=5),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_rank_matches_oracle(
+    spark, duck, sf_dir, part, order, fn, desc, limit
+):
+    """Random ranking-window shapes: partition col, order col (made total
+    with the unique (l_orderkey, l_linenumber) tie-break), rank fn,
+    direction, and a group-limit — both engines must agree exactly."""
+    from pyspark.sql import Window as W
+
+    li = _tables(spark, sf_dir).filter(F.col("l_orderkey") < 400)
+    direction = "DESC" if desc else "ASC"
+    w = W.partitionBy(part).orderBy(
+        F.col(order).desc() if desc else F.col(order).asc(),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    sdf = (
+        li.select(
+            part,
+            "l_orderkey",
+            "l_linenumber",
+            RANK_FNS[fn]().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= limit)
+    )
+    srows = sorted(tuple(r) for r in sdf.collect())
+    drows = sorted(
+        tuple(r)
+        for r in duck.sql(
+            f"""
+            SELECT * FROM (
+              SELECT {part}, l_orderkey, l_linenumber,
+                     {fn}() OVER (PARTITION BY {part}
+                       ORDER BY {order} {direction}, l_orderkey, l_linenumber) AS rnk
+              FROM lineitem WHERE l_orderkey < 400
+            ) WHERE rnk <= {limit}
+            """
+        ).fetchall()
+    )
+    assert srows == drows
