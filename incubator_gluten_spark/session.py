@@ -85,6 +85,8 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- python/arrow boundary (Pandas UDFs ride Arrow batches)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-optimized Python UDTFs (row-based BatchEvalPython otherwise)
+        .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         # --- managed-table warehouse: /tmp, because the in-memory catalog
         # forgets tables between sessions while their directories persist
