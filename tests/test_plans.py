@@ -167,3 +167,52 @@ def test_streaming_session_uses_rocksdb(sf_dir):
 
     out = collect_all()["stream_dedup"].build(spark, sf_dir)
     assert out.count() > 0
+
+
+def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
+    """Stop-and-resume with a checkpoint: the second run must restore the
+    dedup state store and NOT re-emit rows already processed — the
+    exactly-once contract a production restart relies on."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from incubator_gluten_spark.streaming.jobs import EVENTS_SCHEMA
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "out1")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+
+    def run(out_dir: str) -> None:
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src))
+        )
+        dedup = (
+            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withWatermark("ts", "2 hours")
+            .dropDuplicates(["event_id"])
+        )
+        q = (
+            dedup.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run(out1)
+    n_first = spark.read.parquet(out1).count()
+    assert n_first > 0
+
+    # new input file with ALL-DUPLICATE ids arrives, then the query restarts
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    run(out1)
+    n_second = spark.read.parquet(out1).count()
+    # state restored from the checkpoint -> every id in b.parquet is a dup
+    assert n_second == n_first, (n_first, n_second)
