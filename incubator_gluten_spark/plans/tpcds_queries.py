@@ -1193,3 +1193,50 @@ def ds_before_after_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_after"),
         )
     )
+
+
+@q(
+    "ds_order_gap_median",
+    """
+    WITH gaps AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap_d
+      FROM orders
+    )
+    SELECT count(*) AS n_customers,
+           round(avg(med_gap), 4) AS mean_median_gap
+    FROM (
+      SELECT o_custkey, median(gap_d) AS med_gap
+      FROM gaps WHERE gap_d IS NOT NULL
+      GROUP BY o_custkey HAVING count(*) >= 5
+    )
+    """,
+    "tpcds", "window", "gap",
+)
+def ds_order_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: per-customer median days between
+    consecutive orders (lag window -> integer day gaps -> exact median),
+    summarized. Gap days are integers, so median/avg are engine-exact."""
+    from pyspark.sql import Window as W
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        ).alias("gap_d"),
+    ).filter(F.col("gap_d").isNotNull())
+    per_cust = (
+        gaps.groupBy("o_custkey")
+        .agg(F.median("gap_d").alias("med_gap"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+    return per_cust.agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.avg("med_gap"), 4).alias("mean_median_gap"),
+    )

@@ -35,7 +35,11 @@ def write_partitioned(
     """Partitioned write (WriteFilesExecTransformer.scala:54 analog).
     Partition columns become directory keys -> static + dynamic partition
     pruning on read."""
-    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+    # zstd: best size/speed tradeoff of the parquet codecs at scan-heavy
+    # scale (snappy default decodes faster but costs ~30% more bytes on disk)
+    df.write.mode("overwrite").partitionBy(*partition_cols).option(
+        "compression", "zstd"
+    ).format(fmt).save(path)
 
 
 def write_bucketed_table(
