@@ -1183,3 +1183,129 @@ def fn_to_char_number(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bad_v"),
         F.format_string("%.2f", F.lit(3.14159)).alias("fmt_f"),
     )
+
+
+@q(
+    "fn_math_trig",
+    """
+    SELECT 0.523599 AS asin_v, 1.047198 AS acos_v,
+           1.557408 AS tan_v, 0.785398 AS atan_v,
+           1.175201 AS sinh_v, 1.543081 AS cosh_v,
+           0.761594 AS tanh_v, 0.642093 AS cot_v,
+           -1.0 AS sign_v, '4A' AS unhex_rt
+    """,
+    "function", "math", "trig",
+)
+def fn_math_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trig + hyperbolic + sign + unhex roundtrip (ExpressionMappings math
+    block :115-166). Golden-pinned at 6 dp — DuckDB lacks the hyperbolic
+    family, and its sign() returns int8 where Spark's signum is double."""
+    return spark.range(1).select(
+        F.round(F.asin(F.lit(0.5)), 6).alias("asin_v"),
+        F.round(F.acos(F.lit(0.5)), 6).alias("acos_v"),
+        F.round(F.tan(F.lit(1.0)), 6).alias("tan_v"),
+        F.round(F.atan(F.lit(1.0)), 6).alias("atan_v"),
+        F.round(F.sinh(F.lit(1.0)), 6).alias("sinh_v"),
+        F.round(F.cosh(F.lit(1.0)), 6).alias("cosh_v"),
+        F.round(F.tanh(F.lit(1.0)), 6).alias("tanh_v"),
+        F.round(F.cot(F.lit(1.0)), 6).alias("cot_v"),
+        F.signum(F.lit(-3.5)).alias("sign_v"),
+        F.hex(F.unhex(F.lit("4A"))).alias("unhex_rt"),
+    )
+
+
+@q(
+    "fn_datetime_epoch",
+    """
+    SELECT CAST(epoch(ts) AS BIGINT) AS secs,
+           epoch_us(ts) AS micros,
+           CAST(date_trunc('year', ts) AS TIMESTAMP) AS yr_start,
+           isodow(ts) - 1 AS wd,
+           count(*) AS n
+    FROM (SELECT CAST(l_shipdate AS TIMESTAMP) AS ts FROM lineitem
+          WHERE l_orderkey < 50)
+    GROUP BY 1, 2, 3, 4
+    """,
+    "function", "datetime", "epoch",
+)
+def fn_datetime_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch conversions + trunc + weekday (datetime block :168-207):
+    unix_seconds/unix_micros (UTC session), date_trunc to year, weekday
+    (Monday=0 == DuckDB isodow-1)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    ts = F.col("l_shipdate").cast("timestamp")
+    return (
+        li.filter(F.col("l_orderkey") < 50)
+        .select(
+            F.unix_seconds(ts).alias("secs"),
+            F.unix_micros(ts).alias("micros"),
+            F.date_trunc("year", ts).cast("timestamp_ntz").alias("yr_start"),
+            F.weekday(ts).alias("wd"),
+        )
+        .groupBy("secs", "micros", "yr_start", "wd")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "fn_array_zip_sort",
+    """
+    SELECT list_sort([3, 1, 2], 'DESC') = [3, 2, 1] AS sorted_desc,
+           list_sum(list_transform(list_zip([1, 2, 3], [10, 20, 30]),
+                                   p -> p[1] * p[2])) AS dot_v,
+           140 AS dot_expected
+    """,
+    "function", "array", "zip",
+)
+def fn_array_zip_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_sort with a comparator lambda + arrays_zip consumed through
+    transform/aggregate (struct output itself stringifies differently per
+    engine, so the zip is certified via the dot product it computes)."""
+    arr = F.array(F.lit(3), F.lit(1), F.lit(2))
+    a = F.array(F.lit(1), F.lit(2), F.lit(3))
+    b = F.array(F.lit(10), F.lit(20), F.lit(30))
+    zipped = F.arrays_zip(a.alias("x"), b.alias("y"))
+    dot = F.aggregate(
+        F.transform(zipped, lambda p: p["x"] * p["y"]),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return spark.range(1).select(
+        (
+            F.array_sort(arr, lambda l, r: F.when(l < r, 1).when(l > r, -1).otherwise(0))
+            == F.array(F.lit(3), F.lit(2), F.lit(1))
+        ).alias("sorted_desc"),
+        dot.alias("dot_v"),
+        F.lit(140).alias("dot_expected"),
+    )
+
+
+@q(
+    "fn_map_batch3",
+    """
+    SELECT 3 AS n_entries, 'a=1|b=2|c=30' AS entries_repr,
+           '[k]' AS json_keys, 'pad' AS rtrim_v
+    """,
+    "function", "map", "golden",
+)
+def fn_map_batch3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_concat + map_entries + map_zip_with + json_object_keys + rtrim
+    (DuckDB's map surface is thin -> golden-pinned). The zip_with merges
+    overlapping keys by multiplication (c: 3*10=30)."""
+    m1 = F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))
+    m2 = F.create_map(F.lit("c"), F.lit(3))
+    m3 = F.create_map(F.lit("c"), F.lit(10))
+    merged = F.map_concat(m1, m2)
+    zipped = F.map_zip_with(
+        m2, m3, lambda k, v1, v2: F.coalesce(v1, F.lit(1)) * F.coalesce(v2, F.lit(1))
+    )
+    entries = F.map_entries(F.map_concat(m1, zipped))
+    repr_ = F.array_join(
+        F.transform(entries, lambda e: F.concat_ws("=", e["key"], e["value"])), "|"
+    )
+    return spark.range(1).select(
+        F.size(entries).alias("n_entries"),
+        repr_.alias("entries_repr"),
+        F.json_object_keys(F.lit('{"k": 1}')).cast("string").alias("json_keys"),
+        F.rtrim(F.lit("pad   ")).alias("rtrim_v"),
+    )
