@@ -127,3 +127,22 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(prefix.cast("binary")).alias("fp_prefix"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+PII_PATTERNS = (
+    # order matters: emails before bare digit runs
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Regex PII redaction (emails, phone-like digit runs, SSN shapes) —
+    the mandatory pre-training scrub pass, chained regexp_replace inside
+    codegen. Pattern order is significant: emails first so their digit
+    substrings don't half-match as phones."""
+    out = col
+    for pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out

@@ -451,3 +451,80 @@ def dp_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens").cast("double") / F.sum("tokens").over(W.partitionBy()), 6
         ).alias("token_share"),
     )
+
+
+@q(
+    "dp_pii_scrub",
+    r"""
+    SELECT n_email_before, n_email_after, n_tagged, n_docs FROM (
+      SELECT
+        sum(CASE WHEN regexp_matches(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                 THEN 1 ELSE 0 END) AS n_email_before,
+        sum(CASE WHEN regexp_matches(clean, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                 THEN 1 ELSE 0 END) AS n_email_after,
+        sum(CASE WHEN clean LIKE '%<EMAIL>%' AND clean LIKE '%<PHONE>%'
+                 THEN 1 ELSE 0 END) AS n_tagged,
+        count(*) AS n_docs
+      FROM (
+        SELECT dirty,
+               regexp_replace(regexp_replace(regexp_replace(dirty,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS clean
+        FROM (
+          SELECT text || ' contact user' || doc_id || '@example.com or +1 555-010'
+                      || doc_id % 10 || '9' AS dirty
+          FROM documents WHERE doc_id < 200
+        )
+      )
+    )
+    """,
+    "datapipe", "pii",
+)
+def dp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: plant a synthetic email + phone in every document, scrub
+    with chained regexp_replace, and PROVE removal (zero email matches
+    after; every doc carries both tags). All inside codegen — the scrub
+    pass adds no Python to a 100 TB scan."""
+    from incubator_gluten_spark.datapipe.textstats import scrub_pii
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-010"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("9"),
+    )
+    d = docs.filter(F.col("doc_id") < 200).select(dirty.alias("dirty"))
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    scrubbed = d.select("dirty", scrub_pii(F.col("dirty")).alias("clean"))
+    return scrubbed.agg(
+        F.sum(F.when(F.col("dirty").rlike(email_re), 1).otherwise(0)).alias(
+            "n_email_before"
+        ),
+        F.sum(F.when(F.col("clean").rlike(email_re), 1).otherwise(0)).alias(
+            "n_email_after"
+        ),
+        F.sum(
+            F.when(
+                F.col("clean").contains("<EMAIL>")
+                & F.col("clean").contains("<PHONE>"),
+                1,
+            ).otherwise(0)
+        ).alias("n_tagged"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@q("dp_stratified_sample", None, "datapipe", "sampling")
+def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by language (sampleBy with per-stratum
+    fractions, fixed seed) — the data-mixing knob: upweight scarce
+    languages, downsample the dominant one. Seeded => deterministic per
+    engine (rows-only; fraction tolerance asserted in tests)."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
+    sampled = docs.sampleBy("lang", fractions, seed=42)
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))

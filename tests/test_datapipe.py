@@ -100,3 +100,30 @@ def test_ann_ivf_returns_true_neighbors(spark, sf_dir):
     assert sorted((r.query_id, r.neighbor_id) for r in full) == sorted(
         (r.query_id, r.neighbor_id) for r in exact5
     )
+
+
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    """sampleBy must be deterministic under a fixed seed and land within
+    a loose tolerance of the requested per-stratum fractions."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fractions = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    s1 = {
+        r["lang"]: r["n"]
+        for r in docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    s2 = {
+        r["lang"]: r["n"]
+        for r in docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert s1 == s2  # seeded determinism
+    for lang, frac in fractions.items():
+        if lang in base and base[lang] >= 20:
+            got = s1.get(lang, 0) / base[lang]
+            assert abs(got - frac) < 0.35, (lang, got, frac)
