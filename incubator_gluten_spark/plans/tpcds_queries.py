@@ -1240,3 +1240,101 @@ def ds_order_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.avg("med_gap"), 4).alias("mean_median_gap"),
     )
+
+
+@q(
+    "ds_channel_band",
+    """
+    WITH per_chan AS (
+      SELECT l_partkey, l_returnflag AS chan,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), wide AS (
+      SELECT l_partkey,
+             sum(CASE WHEN chan = 'R' THEN rev END) AS r_rev,
+             sum(CASE WHEN chan = 'A' THEN rev END) AS a_rev,
+             sum(CASE WHEN chan = 'N' THEN rev END) AS n_rev
+      FROM per_chan GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_balanced FROM (
+      SELECT l_partkey,
+             CAST(r_rev + a_rev + n_rev AS DOUBLE) / 3 AS avg_rev
+      FROM wide
+      WHERE r_rev IS NOT NULL AND a_rev IS NOT NULL AND n_rev IS NOT NULL
+        AND CAST(r_rev AS DOUBLE) BETWEEN 0.7 * (CAST(r_rev + a_rev + n_rev AS DOUBLE) / 3)
+                                      AND 1.3 * (CAST(r_rev + a_rev + n_rev AS DOUBLE) / 3)
+        AND CAST(a_rev AS DOUBLE) BETWEEN 0.7 * (CAST(r_rev + a_rev + n_rev AS DOUBLE) / 3)
+                                      AND 1.3 * (CAST(r_rev + a_rev + n_rev AS DOUBLE) / 3)
+        AND CAST(n_rev AS DOUBLE) BETWEEN 0.7 * (CAST(r_rev + a_rev + n_rev AS DOUBLE) / 3)
+                                      AND 1.3 * (CAST(r_rev + a_rev + n_rev AS DOUBLE) / 3)
+    )
+    """,
+    "tpcds", "channel-band",
+)
+def ds_channel_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape: parts whose revenue is BALANCED across all three
+    channels (each within ±30% of the 3-channel mean). One aggregation
+    pivoted wide — q58's three scans and double self-join collapse into a
+    single shuffle; the band predicate is exact-decimal-derived so the
+    boundary is engine-stable."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)")
+    wide = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", rev)).alias("r_rev"),
+            F.sum(F.when(F.col("l_returnflag") == "A", rev)).alias("a_rev"),
+            F.sum(F.when(F.col("l_returnflag") == "N", rev)).alias("n_rev"),
+        )
+        .filter(
+            F.col("r_rev").isNotNull()
+            & F.col("a_rev").isNotNull()
+            & F.col("n_rev").isNotNull()
+        )
+    )
+    avg_rev = (F.col("r_rev") + F.col("a_rev") + F.col("n_rev")).cast("double") / 3
+    def in_band(c):
+        return F.col(c).cast("double").between(0.7 * avg_rev, 1.3 * avg_rev)
+    return (
+        wide.filter(in_band("r_rev") & in_band("a_rev") & in_band("n_rev"))
+        .agg(F.count("*").alias("n_balanced"))
+    )
+
+
+@q(
+    "ds_attr_combo_filter",
+    """
+    SELECT count(*) AS n, min(p_partkey) AS first_key
+    FROM part
+    WHERE (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15 AND p_brand LIKE 'Brand#1%')
+       OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 35 AND p_brand LIKE 'Brand#2%')
+       OR (p_type = 'STANDARD' AND p_size BETWEEN 36 AND 50
+           AND (p_brand LIKE 'Brand#3%' OR p_brand LIKE 'Brand#4%'))
+    """,
+    "tpcds", "predicate",
+)
+def ds_attr_combo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape: deeply OR'd attribute-combination predicate —
+    the disjunction stays a single scan filter (no union of scans), and
+    each conjunct is independently pushable."""
+    (part,) = _t(spark, sf_dir, "part")
+    combo = (
+        (
+            (F.col("p_type") == "PROMO")
+            & F.col("p_size").between(1, 15)
+            & F.col("p_brand").like("Brand#1%")
+        )
+        | (
+            (F.col("p_type") == "ECONOMY")
+            & F.col("p_size").between(20, 35)
+            & F.col("p_brand").like("Brand#2%")
+        )
+        | (
+            (F.col("p_type") == "STANDARD")
+            & F.col("p_size").between(36, 50)
+            & (F.col("p_brand").like("Brand#3%") | F.col("p_brand").like("Brand#4%"))
+        )
+    )
+    return part.filter(combo).agg(
+        F.count("*").alias("n"), F.min("p_partkey").alias("first_key")
+    )
