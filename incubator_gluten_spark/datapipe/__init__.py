@@ -16,14 +16,17 @@ Arrow-batched mapInPandas where a kernel genuinely needs it.
 """
 
 from incubator_gluten_spark.datapipe.dedup import (
+    connected_components,
     exact_dedup,
     minhash_near_dup_pairs,
     normalize_text,
     simhash,
+    simhash_near_dup_pairs,
     token_shingles,
 )
 from incubator_gluten_spark.datapipe.similarity import (
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     cosine_similarity,
     embedding_near_dup_pairs,
@@ -31,8 +34,10 @@ from incubator_gluten_spark.datapipe.similarity import (
 from incubator_gluten_spark.datapipe.textstats import (
     fingerprint,
     lang_id,
+    scrub_pii,
     text_quality,
     text_stats,
+    token_count_bpe,
 )
 
 __all__ = [
@@ -43,7 +48,12 @@ __all__ = [
     "simhash",
     "cosine_similarity",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "ann_lsh_topk",
+    "connected_components",
+    "simhash_near_dup_pairs",
+    "scrub_pii",
+    "token_count_bpe",
     "embedding_near_dup_pairs",
     "text_stats",
     "text_quality",
