@@ -1738,3 +1738,72 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("ka").eqNullSafe(F.col("kb"))).select(
         F.col("ka").alias("k"), "n_a", "r_name"
     )
+
+
+@q(
+    "op_type_validation",
+    """
+    WITH typed AS (
+      SELECT i % 5 AS g,
+             CAST(i % 128 AS TINYINT) AS c_tiny,
+             CAST(i % 32000 AS SMALLINT) AS c_small,
+             CAST(i AS INTEGER) AS c_int,
+             CAST(i * 1000000 AS BIGINT) AS c_big,
+             CAST(i AS DOUBLE) / 8 AS c_double,
+             CAST(i AS DECIMAL(12,2)) / 4 AS c_dec,
+             'row_' || CAST(i AS VARCHAR) AS c_str,
+             i % 2 = 0 AS c_bool,
+             CAST(DATE '2024-01-01' + INTERVAL (i % 300) DAY AS DATE) AS c_date,
+             TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i) SECOND AS c_ts
+      FROM range(0, 500) t(i)
+    )
+    SELECT g, count(*) AS n,
+           max(c_tiny) AS max_tiny, max(c_small) AS max_small,
+           max(c_int) AS max_int, sum(c_big) AS sum_big,
+           round(sum(c_double), 4) AS sum_double,
+           CAST(sum(c_dec) AS DOUBLE) AS sum_dec,
+           max(c_str) AS max_str,
+           count(CASE WHEN c_bool THEN 1 END) AS n_true,
+           max(c_date) AS max_date, max(c_ts) AS max_ts
+    FROM typed GROUP BY g
+    """,
+    "misc", "type-validation",
+)
+def op_type_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-type validation sweep (VeloxParquetDataTypeValidationSuite
+    analog, backends-velox .../VeloxParquetDataTypeValidationSuite.scala:
+    179-305): every primitive type — tiny/small/int/bigint, double,
+    decimal, string, boolean, date, timestamp — derived from one range
+    source and pushed through the same group-aggregate, so a type-specific
+    codegen or comparator bug surfaces as a hash mismatch."""
+    df = spark.range(0, 500).select(
+        (F.col("id") % 5).alias("g"),
+        (F.col("id") % 128).cast("tinyint").alias("c_tiny"),
+        (F.col("id") % 32000).cast("smallint").alias("c_small"),
+        F.col("id").cast("int").alias("c_int"),
+        (F.col("id") * 1000000).cast("bigint").alias("c_big"),
+        (F.col("id").cast("double") / 8).alias("c_double"),
+        (F.col("id").cast("decimal(12,2)") / 4).alias("c_dec"),
+        F.concat(F.lit("row_"), F.col("id").cast("string")).alias("c_str"),
+        (F.col("id") % 2 == 0).alias("c_bool"),
+        F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 300).cast("int")).alias(
+            "c_date"
+        ),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+            + F.make_interval(secs=F.col("id"))
+        ).alias("c_ts"),
+    )
+    return df.groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.max("c_tiny").alias("max_tiny"),
+        F.max("c_small").alias("max_small"),
+        F.max("c_int").alias("max_int"),
+        F.sum("c_big").alias("sum_big"),
+        F.round(F.sum("c_double"), 4).alias("sum_double"),
+        F.sum("c_dec").cast("double").alias("sum_dec"),
+        F.max("c_str").alias("max_str"),
+        F.count_if("c_bool").alias("n_true"),
+        F.max("c_date").alias("max_date"),
+        F.max("c_ts").alias("max_ts"),
+    )
