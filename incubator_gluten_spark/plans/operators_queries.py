@@ -1807,3 +1807,52 @@ def op_type_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_date").alias("max_date"),
         F.max("c_ts").alias("max_ts"),
     )
+
+
+@q(
+    "op_type_validation_complex",
+    """
+    WITH typed AS (
+      SELECT i % 5 AS g,
+             [i, i + 1, i + 2] AS c_arr,
+             MAP {'k': i, 'j': i * 2} AS c_map,
+             {'a': i, 'b': 'v' || CAST(i AS VARCHAR)} AS c_struct
+      FROM range(0, 200) t(i)
+    )
+    SELECT g,
+           sum(len(c_arr)) AS total_elems,
+           sum(list_sum(c_arr)) AS arr_sum,
+           sum(c_map['k'][1]) AS k_sum,
+           sum(c_map['j'][1]) AS j_sum,
+           max(c_struct.a) AS max_a,
+           max(c_struct.b) AS max_b
+    FROM typed GROUP BY g
+    """,
+    "misc", "type-validation", "complex",
+)
+def op_type_validation_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type validation (array/map/struct through aggregation —
+    the VeloxParquetDataTypeValidationSuite complex-type rows): nested
+    values are consumed down to primitives so both engines' differing
+    nested stringifications never touch the hash."""
+    df = spark.range(0, 200).select(
+        (F.col("id") % 5).alias("g"),
+        F.array(F.col("id"), F.col("id") + 1, F.col("id") + 2).alias("c_arr"),
+        F.create_map(
+            F.lit("k"), F.col("id"), F.lit("j"), F.col("id") * 2
+        ).alias("c_map"),
+        F.struct(
+            F.col("id").alias("a"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("b"),
+        ).alias("c_struct"),
+    )
+    return df.groupBy("g").agg(
+        F.sum(F.size("c_arr")).alias("total_elems"),
+        F.sum(F.aggregate("c_arr", F.lit(0).cast("bigint"), lambda a, x: a + x)).alias(
+            "arr_sum"
+        ),
+        F.sum(F.col("c_map")["k"]).alias("k_sum"),
+        F.sum(F.col("c_map")["j"]).alias("j_sum"),
+        F.max(F.col("c_struct")["a"]).alias("max_a"),
+        F.max(F.col("c_struct")["b"]).alias("max_b"),
+    )
