@@ -140,3 +140,48 @@ def test_random_window_rank_matches_oracle(
         ).fetchall()
     )
     assert srows == drows
+
+
+JOIN_TYPES = {
+    "inner": "JOIN",
+    "left": "LEFT JOIN",
+    "left_semi": "SEMI JOIN",
+    "left_anti": "ANTI JOIN",
+}
+
+
+@given(
+    jt=st.sampled_from(sorted(JOIN_TYPES)),
+    cut=st.integers(min_value=0, max_value=2000),
+    seg=st.sampled_from(["AUTOMOBILE", "BUILDING", "MACHINERY", "HOUSEHOLD"]),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_matches_oracle(spark, duck, sf_dir, jt, cut, seg):
+    """Random join shapes (type x filter placement) between orders and a
+    filtered customer dim — counts must match DuckDB exactly."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    if "cust" not in _cache:
+        t = load_tables(spark, sf_dir, ("orders", "customer"))
+        _cache["cust"] = t["customer"]
+        _cache["ord"] = t["orders"]
+    customer, orders = _cache["cust"], _cache["ord"]
+
+    dim = customer.filter(
+        (F.col("c_mktsegment") == seg) & (F.col("c_custkey") < cut)
+    ).select("c_custkey")
+    joined = orders.join(dim, F.col("o_custkey") == F.col("c_custkey"), jt)
+    n_spark = joined.count()
+    n_duck = duck.sql(
+        f"""
+        SELECT count(*) FROM orders o {JOIN_TYPES[jt]} (
+          SELECT c_custkey FROM customer
+          WHERE c_mktsegment = '{seg}' AND c_custkey < {cut}
+        ) c ON o.o_custkey = c.c_custkey
+        """
+    ).fetchone()[0]
+    assert n_spark == n_duck, (jt, cut, seg, n_spark, n_duck)
