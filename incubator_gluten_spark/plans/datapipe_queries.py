@@ -297,11 +297,27 @@ def dp_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.35)
 
 
-@q("dp_multimodal_features", None, "datapipe", "multimodal")
+@q(
+    "dp_multimodal_features",
+    """
+    SELECT doc_id, 'image' AS modality,
+           CAST(length(text) AS INTEGER) AS n_bytes,
+           round(len(list_filter(range(1, length(text) + 1),
+                                 i -> unicode(text[i]) % 16 = 0))
+                 / length(text), 5) AS f0,
+           1.0 AS f_sum
+    FROM documents WHERE doc_id < 200
+    """,
+    "datapipe", "multimodal",
+)
 def dp_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload -> Arrow-batched feature extraction (mapInPandas).
     The decode kernel is a deterministic stub (no codecs in-container);
-    the schema/batch plumbing is the production shape."""
+    the schema/batch plumbing is the production shape. The fixture text is
+    pure ASCII, so the byte histogram the kernel computes equals a
+    codepoint histogram — which DuckDB reproduces, making the whole
+    Python/Arrow path oracle-checkable (f_sum is exactly 1.0 for any
+    non-empty payload: the histogram is normalized)."""
     (docs,) = _t(spark, sf_dir, "documents")
     mm = attach_fake_payload(docs.filter(F.col("doc_id") < 200))
     feats = extract_features(mm)
@@ -316,9 +332,25 @@ def dp_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dp_frame_sample", None, "datapipe", "multimodal")
+@q(
+    "dp_frame_sample",
+    """
+    SELECT doc_id, n_frames, total_bytes FROM (
+      SELECT doc_id,
+             greatest(least(length(text) // 64, 8), 1) AS n_frames,
+             list_sum(list_transform(
+               range(0, greatest(least(length(text) // 64, 8), 1)),
+               i -> least(64, greatest(length(text) - i * 64, 0))
+             )) AS total_bytes
+      FROM documents WHERE doc_id < 100
+    )
+    """,
+    "datapipe", "multimodal",
+)
 def dp_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-stride frame sampling over payloads (video-frame analog)."""
+    """Fixed-stride frame sampling over payloads (video-frame analog).
+    The stride slicing is pure length arithmetic on the ASCII payload, so
+    DuckDB reproduces frame counts and byte totals exactly."""
     (docs,) = _t(spark, sf_dir, "documents")
     mm = attach_fake_payload(docs.filter(F.col("doc_id") < 100))
     return sample_frames(mm).groupBy("doc_id").agg(
