@@ -1309,3 +1309,38 @@ def fn_map_batch3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.json_object_keys(F.lit('{"k": 1}')).cast("string").alias("json_keys"),
         F.rtrim(F.lit("pad   ")).alias("rtrim_v"),
     )
+
+
+@q(
+    "fn_null_empty_agg",
+    """
+    SELECT 'all_null' AS grp, count(*) AS n_rows, count(v) AS n_vals,
+           sum(v) AS sum_v, avg(v) AS avg_v, min(v) AS min_v,
+           count(DISTINCT v) AS n_distinct
+    FROM (SELECT CAST(NULL AS DOUBLE) AS v FROM range(0, 10))
+    UNION ALL
+    SELECT 'empty', count(*), count(v), sum(v), avg(v), min(v),
+           count(DISTINCT v)
+    FROM (SELECT CAST(1.0 AS DOUBLE) AS v FROM range(0, 10) WHERE false)
+    """,
+    "function", "null-semantics",
+)
+def fn_null_empty_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate NULL semantics at the edges: an all-NULL column (count(*)
+    counts rows, count(col)/sum/avg/min ignore NULLs -> 10/0/NULL) and a
+    globally-empty input (global agg still returns ONE row: 0/0/NULL) —
+    the two shapes that break naive partial-agg implementations."""
+    all_null = spark.range(10).select(F.lit(None).cast("double").alias("v"))
+    empty = spark.range(10).select(F.lit(1.0).alias("v")).filter(F.lit(False))
+
+    def agg(df, tag):
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_vals"),
+            F.sum("v").alias("sum_v"),
+            F.avg("v").alias("avg_v"),
+            F.min("v").alias("min_v"),
+            F.countDistinct("v").alias("n_distinct"),
+        ).select(F.lit(tag).alias("grp"), "*")
+
+    return agg(all_null, "all_null").unionByName(agg(empty, "empty"))
