@@ -30,8 +30,30 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime-settable confs every query depends on, applied defensively at
+# the load chokepoint: an externally-created SparkSession (e.g. a driver
+# harness calling __spark_entry__.queries()) may not carry the session
+# factory's config, and without nanosAsLong the events parquet
+# (TIMESTAMP(NANOS)) cannot be read at all; without UTC the TZ-sensitive
+# expressions (unix_seconds, date_format on TIMESTAMP) drift from the
+# oracle. Both are verified runtime-settable on this Spark build.
+_REQUIRED_RUNTIME_CONFS = (
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ("spark.sql.session.timeZone", "UTC"),
+)
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for key, want in _REQUIRED_RUNTIME_CONFS:
+        try:
+            if spark.conf.get(key, None) != want:
+                spark.conf.set(key, want)
+        except Exception:  # noqa: BLE001 — never fail a read over a conf probe
+            pass
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # int64 nanos -> timestamp_ntz micros; integer division truncates

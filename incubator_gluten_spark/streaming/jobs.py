@@ -32,6 +32,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf the stream reads int64 nanos which we truncate to micros exactly
     like the batch catalog (and DuckDB's CAST) do.
     """
+    from incubator_gluten_spark.catalog import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)  # nanosAsLong + UTC on foreign sessions
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         # the file stream source wants a directory; glob-filter to the one table
