@@ -1338,3 +1338,51 @@ def ds_attr_combo_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.filter(combo).agg(
         F.count("*").alias("n"), F.min("p_partkey").alias("first_key")
     )
+
+
+@q(
+    "ds_supplier_hhi",
+    """
+    WITH per_supp AS (
+      SELECT n_name, l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name, l_suppkey
+    )
+    , shares AS (
+      SELECT n_name,
+             power(CAST(rev AS DOUBLE)
+                   / CAST(sum(rev) OVER (PARTITION BY n_name) AS DOUBLE), 2)
+               AS share2
+      FROM per_supp
+    )
+    SELECT n_name, count(*) AS n_suppliers, round(sum(share2), 6) AS hhi
+    FROM shares GROUP BY n_name
+    """,
+    "tpcds", "concentration",
+)
+def ds_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration report (Herfindahl index per nation): squared
+    revenue shares summed per nation — a two-level aggregate where the
+    share denominator is a window over the first level. Exact decimal
+    revenue makes the share doubles bit-identical across engines."""
+    from pyspark.sql import Window as W
+
+    li, supplier, nation = _t(spark, sf_dir, "lineitem", "supplier", "nation")
+    per_supp = (
+        li.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = W.partitionBy("n_name")
+    share = F.col("rev").cast("double") / F.sum("rev").over(w).cast("double")
+    return (
+        per_supp.withColumn("share2", F.pow(share, 2))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("share2"), 6).alias("hhi"),
+        )
+    )
