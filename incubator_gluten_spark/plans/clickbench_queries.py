@@ -582,3 +582,47 @@ def cb_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events_in_session")
     )
     return sizes.groupBy("n_events_in_session").agg(F.count("*").alias("n_sessions"))
+
+
+@q(
+    "cb_peak_minutes",
+    """
+    SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+           count(*) AS n
+    FROM events GROUP BY 1
+    ORDER BY n DESC, minute LIMIT 5
+    """,
+    "clickbench", "timeseries", "topn",
+)
+def cb_peak_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Busiest minutes (fine-grained time bucket + global top-5 — the
+    traffic-spike hunt; TakeOrderedAndProject over the bucket agg)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("minute"))
+        .limit(5)
+    )
+
+
+@q(
+    "cb_value_histogram",
+    """
+    SELECT CAST(floor(value / 5) AS BIGINT) AS bin, count(*) AS n,
+           round(min(value), 4) AS lo, round(max(value), 4) AS hi
+    FROM events GROUP BY bin
+    """,
+    "clickbench", "histogram",
+)
+def cb_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (floor-division binning — the
+    exact-bin complement of the adaptive histogram_numeric sketch)."""
+    ev = _ev(spark, sf_dir)
+    return ev.groupBy(
+        F.floor(F.col("value") / 5).cast("bigint").alias("bin")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
