@@ -371,3 +371,56 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum(net2), 2).cast("double").alias("net_total"),
     )
+
+
+@q(
+    "udf_cogroup_apply",
+    """
+    SELECT c.c_custkey AS c_custkey, c.c_acctbal AS acctbal,
+           coalesce(o.n_orders, 0) AS n_orders,
+           CAST(round(coalesce(o.total, 0), 2) AS DOUBLE) AS total
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+      FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey < 100
+    """,
+    "udf", "cogroup",
+)
+def udf_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatMapCoGroupsInPandas: cogroup two tables on a key, each group
+    pair arriving as two pandas frames — the Python-side analog of a
+    custom join/merge-asof. The kernel does a manual left merge so the
+    SQL LEFT JOIN oracle can certify it."""
+    import pandas as pd
+
+    customer, orders = _t(spark, sf_dir, "customer", "orders")
+    c = customer.filter(F.col("c_custkey") < 100).select("c_custkey", "c_acctbal")
+    o = orders.filter(F.col("o_custkey") < 100).select("o_custkey", "o_totalprice")
+
+    def merge(cg: pd.DataFrame, og: pd.DataFrame) -> pd.DataFrame:
+        if cg.empty:
+            return pd.DataFrame(
+                columns=["c_custkey", "acctbal", "n_orders", "total"]
+            )
+        row = {
+            "c_custkey": cg["c_custkey"].iloc[0],
+            "acctbal": cg["c_acctbal"].iloc[0],
+            "n_orders": len(og),
+            # exact-cents accumulation: a float sum's value depends on the
+            # (shuffle-determined) row order; integer cents do not
+            "total": float((og["o_totalprice"] * 100).round().astype("int64").sum())
+            / 100.0
+            if len(og)
+            else 0.0,
+        }
+        return pd.DataFrame([row])
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            merge, "c_custkey bigint, acctbal double, n_orders bigint, total double"
+        )
+    )
