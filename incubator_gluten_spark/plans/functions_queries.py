@@ -1344,3 +1344,21 @@ def fn_null_empty_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(tag).alias("grp"), "*")
 
     return agg(all_null, "all_null").unionByName(agg(empty, "empty"))
+
+
+@q(
+    "fn_sentences_golden",
+    """
+    SELECT 2 AS n_sentences, 3 AS first_words, 'Hello' AS w0
+    """,
+    "function", "string", "golden",
+)
+def fn_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sentences(): locale-aware sentence/word segmentation to
+    array<array<string>> (golden — no DuckDB equivalent)."""
+    s = F.sentences(F.lit("Hello brave new world. Second sentence here!"))
+    return spark.range(1).select(
+        F.size(s).alias("n_sentences"),
+        F.size(F.element_at(s, 1)).cast("int").alias("first_words"),
+        F.element_at(F.element_at(s, 1), 1).alias("w0"),
+    )

@@ -1856,3 +1856,76 @@ def op_type_validation_complex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("c_struct")["a"]).alias("max_a"),
         F.max(F.col("c_struct")["b"]).alias("max_b"),
     )
+
+
+@q(
+    "win_ignore_nulls",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey,
+           round(last_value(v IGNORE NULLS) OVER w, 2)  AS last_nn,
+           round(first_value(v IGNORE NULLS) OVER w, 2) AS first_nn
+    FROM t
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "window", "ignore-nulls",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window navigation (last/first non-null up to the
+    current row — the gap-fill / last-observation-carried-forward
+    primitive for sensor and tick data)."""
+    from pyspark.sql import Window as W
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    t = orders.filter(F.col("o_orderkey") < 500).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("v"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return t.select(
+        "o_orderkey",
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("last_nn"),
+        F.round(F.first("v", ignorenulls=True).over(w), 2).alias("first_nn"),
+    )
+
+
+@q(
+    "gen_posexplode_outer",
+    """
+    SELECT has_pos, count(*) AS n FROM (
+      SELECT u.pos IS NOT NULL AS has_pos
+      FROM (
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 4 = 0 THEN NULL
+                    ELSE [n_nationkey, n_nationkey + 1] END AS arr
+        FROM nation
+      ) t LEFT JOIN LATERAL (
+        SELECT generate_subscripts(t.arr, 1) - 1 AS pos
+      ) u ON true
+    ) GROUP BY has_pos
+    """,
+    "generate", "outer",
+)
+def gen_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer: NULL arrays survive with NULL (pos, col) — the
+    positional sibling of explode_outer."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    arr = F.when(F.col("n_nationkey") % 4 == 0, None).otherwise(
+        F.array(F.col("n_nationkey"), F.col("n_nationkey") + 1)
+    )
+    ex = nation.select(F.posexplode_outer(arr).alias("pos", "val"))
+    return ex.groupBy(F.col("pos").isNotNull().alias("has_pos")).agg(
+        F.count("*").alias("n")
+    )
