@@ -1349,7 +1349,7 @@ def fn_null_empty_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "fn_sentences_golden",
     """
-    SELECT 2 AS n_sentences, 3 AS first_words, 'Hello' AS w0
+    SELECT 2 AS n_sentences, 4 AS first_words, 'Hello' AS w0
     """,
     "function", "string", "golden",
 )
