@@ -1929,3 +1929,84 @@ def gen_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy(F.col("pos").isNotNull().alias("has_pos")).agg(
         F.count("*").alias("n")
     )
+
+
+@q(
+    "op_asof_join",
+    """
+    SELECT p.event_id AS event_id, p.user_id AS user_id,
+           round(c.value, 4) AS asof_value,
+           CAST(c.ts AS TIMESTAMP) AS asof_ts
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+          FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts < p.ts
+    """,
+    "join", "asof",
+)
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase annotated with the user's most recent
+    prior click) — an operator Spark's join menu lacks, composed as
+    union -> one shuffle on the key -> per-key time sort -> IGNORE NULLS
+    carry-forward window. O(n log n) per key, no interval join blowup.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from incubator_gluten_spark.operators import asof_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts",
+        value_col="value", strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("asof_value", 4).alias("asof_value"),
+        "asof_ts",
+    )
+
+
+@q(
+    "op_range_join",
+    """
+    SELECT band_name, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM events e JOIN (
+      SELECT 'low' AS band_name, 0.0 AS lo, 5.0 AS hi UNION ALL
+      SELECT 'mid', 5.0, 20.0 UNION ALL
+      SELECT 'high', 20.0, 1000.0
+    ) b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band_name
+    """,
+    "join", "range",
+)
+def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value-to-interval containment) via banded equi-join:
+    intervals explode into width-sized buckets, candidates come from one
+    hash join on the bucket id, and the containment predicate only
+    verifies — never the BroadcastNestedLoopJoin a naive theta join
+    plans."""
+    from incubator_gluten_spark.operators import range_join
+
+    (ev,) = _t(spark, sf_dir, "events")
+    intervals = spark.createDataFrame(
+        [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 1000.0)],
+        "band_name string, lo double, hi double",
+    )
+    joined = range_join(
+        ev.select("event_id", "value"), intervals,
+        value_col="value", lo_col="lo", hi_col="hi", band_width=5.0,
+    )
+    return joined.groupBy("band_name").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -216,3 +216,19 @@ def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
     n_second = spark.read.parquet(out1).count()
     # state restored from the checkpoint -> every id in b.parquet is a dup
     assert n_second == n_first, (n_first, n_second)
+
+
+def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
+    """The banded range join must plan as an equi hash join on the bucket
+    id; a naive interval theta join would fall to BroadcastNestedLoopJoin."""
+    plan = plan_of(ALL["op_range_join"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join is one exchange on the key plus a sort — no join
+    node at all in the plan."""
+    plan = plan_of(ALL["op_asof_join"].build(spark, sf_dir))
+    assert "Join" not in plan or "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
