@@ -394,3 +394,45 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.when(F.col("extra").isNull(), 1).otherwise(0)).alias("n_null_extra"),
     )
+
+
+@q(
+    "src_hypertable_rollup",
+    """
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    "source", "hypertable", "rollup",
+)
+def src_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable continuous-aggregate pattern (TimescaleDB-style): the
+    raw events are rolled up ONCE into an hourly aggregate materialized as
+    day-partitioned parquet; coarser queries (daily report here) then
+    re-aggregate the tiny rollup instead of re-scanning raw data.
+    Mergeable aggregates only (count/sum — decimal-exact), so the
+    re-aggregation is lossless and the raw-scan oracle hash-matches."""
+    (ev,) = _t(spark, sf_dir, "events")
+    p = _path("hypertable_hourly")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total"),
+        )
+    )
+    # continuous aggregate: partitioned by day so coarser queries prune
+    hourly.write.mode("overwrite").partitionBy("day").parquet(p)
+    rollup = spark.read.parquet(p)
+    return (
+        rollup.groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total"), 2).cast("double").alias("total"),
+        )
+        .select("day", "event_type", "n", "total")
+    )
