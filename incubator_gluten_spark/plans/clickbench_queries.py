@@ -626,3 +626,25 @@ def cb_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+@q(
+    "cb_pair_distinct",
+    """
+    SELECT count(DISTINCT (user_id, event_type)) AS active_pairs,
+           count(DISTINCT (user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE))) AS user_days
+    FROM events
+    """,
+    "clickbench", "distinct",
+)
+def cb_pair_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct counts (ClickBench UNIQ-by-tuple shape):
+    distinct (user, type) pairs and (user, day) activity cells in one
+    aggregate — each compiles to a distinct-shuffle on the struct key."""
+    ev = _ev(spark, sf_dir)
+    return ev.agg(
+        F.countDistinct("user_id", "event_type").alias("active_pairs"),
+        F.countDistinct(
+            F.col("user_id"), F.col("ts").cast("date")
+        ).alias("user_days"),
+    )
