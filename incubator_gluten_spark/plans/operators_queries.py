@@ -2010,3 +2010,36 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "chx_ts_compare_rewrite",
+    """
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE epoch(CAST(o_orderdate AS TIMESTAMP)) >= epoch(TIMESTAMP '1997-06-01')
+      AND epoch(CAST(o_orderdate AS TIMESTAMP)) <  epoch(TIMESTAMP '1998-01-01')
+    """,
+    "filter", "clickhouse-delta", "pushdown",
+)
+def chx_ts_compare_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse backend's date/timestamp comparison rewrite
+    (RewriteDateTimestampComparisonRule.scala): a filter phrased as
+    unix_timestamp(col) >= unix_timestamp(literal) defeats parquet
+    pushdown (function wraps the column); the rewritten direct column
+    comparison — used here on the Spark side — is pushable. The oracle
+    keeps the pre-rewrite epoch form, certifying equivalence; the plan
+    test asserts the filter actually reaches the scan."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    lo = F.lit("1997-06-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    return (
+        orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )

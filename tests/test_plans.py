@@ -232,3 +232,11 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     plan = plan_of(ALL["op_asof_join"].build(spark, sf_dir))
     assert "Join" not in plan or "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_ts_compare_rewrite_pushes_down(spark, sf_dir):
+    """chx_ts_compare_rewrite's direct timestamp comparison must reach the
+    parquet scan (the epoch()-wrapped form the oracle uses would not)."""
+    plan = plan_of(ALL["chx_ts_compare_rewrite"].build(spark, sf_dir))
+    pf = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pf and "o_orderdate" in pf[0], plan
