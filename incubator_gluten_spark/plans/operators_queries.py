@@ -2043,3 +2043,33 @@ def chx_ts_compare_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@q(
+    "chx_multi_distinct_no_expand",
+    """
+    SELECT count(DISTINCT o_custkey) AS n_cust,
+           count(DISTINCT o_orderpriority) AS n_prio,
+           count(DISTINCT year(o_orderdate)) AS n_years
+    FROM orders
+    """,
+    "agg", "clickhouse-delta", "multi-distinct",
+)
+def chx_multi_distinct_no_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse backend's count-distinct-without-Expand rewrite
+    (CountDistinctWithoutExpand.scala): N distinct aggregates in one query
+    normally multiply the input N-fold through an Expand; computing each
+    distinct count as its own pre-aggregate and cross-joining the three
+    1-row results scans once per measure WITHOUT row multiplication —
+    the shape that wins when the fact table is wide and N is large."""
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def dcount(col, alias):
+        return (
+            orders.select(col.alias("v")).distinct().agg(F.count("*").alias(alias))
+        )
+
+    a = dcount(F.col("o_custkey"), "n_cust")
+    b = dcount(F.col("o_orderpriority"), "n_prio")
+    c = dcount(F.year("o_orderdate"), "n_years")
+    return a.crossJoin(b).crossJoin(c)
