@@ -2073,3 +2073,25 @@ def chx_multi_distinct_no_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = dcount(F.col("o_orderpriority"), "n_prio")
     c = dcount(F.year("o_orderdate"), "n_years")
     return a.crossJoin(b).crossJoin(c)
+
+
+@q(
+    "gen_explode_map",
+    """
+    SELECT k, count(*) AS n, sum(v) AS total FROM (
+      SELECT u.k AS k, u.v AS v FROM (
+        SELECT MAP {'a': n_nationkey, 'b': n_nationkey * 2} AS m FROM nation
+      ) t, LATERAL (SELECT unnest(map_keys(t.m)) AS k, unnest(map_values(t.m)) AS v) u
+    ) GROUP BY k
+    """,
+    "generate", "map",
+)
+def gen_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode over a MAP column: one row per (key, value) entry — the
+    map-typed Generate variant (arrays covered by gen_explode_*)."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("a"), F.col("n_nationkey"), F.lit("b"), F.col("n_nationkey") * 2
+    )
+    ex = nation.select(F.explode(m).alias("k", "v"))
+    return ex.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("total"))

@@ -436,3 +436,44 @@ def src_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "event_type", "n", "total")
     )
+
+
+@q(
+    "src_dynamic_overwrite",
+    """
+    SELECT o_orderpriority, count(*) AS n, max(src_tag) AS tag FROM (
+      SELECT o_orderpriority, CASE WHEN o_orderpriority = '1-URGENT'
+                                   THEN 'v2' ELSE 'v1' END AS src_tag
+      FROM orders WHERE o_orderstatus = 'O'
+    ) GROUP BY o_orderpriority
+    """,
+    "source", "write", "dynamic-overwrite",
+)
+def src_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present in
+    the incoming batch (partitionOverwriteMode=dynamic), leaving sibling
+    partitions untouched — the idempotent daily-reload pattern. Proven by
+    tagging: v2 lands only in the overwritten partition, v1 survives
+    everywhere else."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    p = _path("dyn_overwrite")
+    base = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit("v1").alias("src_tag"), "o_orderpriority"
+    )
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        urgent_v2 = (
+            orders.filter(
+                (F.col("o_orderstatus") == "O")
+                & (F.col("o_orderpriority") == "1-URGENT")
+            ).select("o_orderkey", F.lit("v2").alias("src_tag"), "o_orderpriority")
+        )
+        urgent_v2.write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    back = spark.read.parquet(p)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.max("src_tag").alias("tag")
+    )
