@@ -298,3 +298,41 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_pairs") >= 1)
     )
+
+
+@q(
+    "stream_file_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM events WHERE value > 10 GROUP BY event_type
+    """,
+    "streaming", "file-sink",
+)
+def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet file sink: append-mode rows land under a commit
+    manifest (_spark_metadata), so readers only see fully-committed files
+    — the exactly-once contract (vs the memory sink the other entries
+    use). The sink is read BACK through the manifest and aggregated; the
+    raw-table oracle certifies no loss and no duplication."""
+    import tempfile
+
+    ev = read_events_stream(spark, sf_dir)
+    filtered = ev.filter(F.col("value") > 10).select("event_type", "value")
+    out_dir = tempfile.mkdtemp(prefix="stream_file_sink_")
+    q = (
+        filtered.writeStream.format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(f"{out_dir}/data")
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
