@@ -560,3 +560,69 @@ def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fractions = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
     sampled = docs.sampleBy("lang", fractions, seed=42)
     return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+
+
+@q(
+    "dp_curation_pipeline",
+    f"""
+    WITH canonical AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY md5({_NORM})
+    ), kept AS (
+      SELECT d.lang, d.text,
+             round(greatest(least(
+               0.5 * (CASE WHEN len(string_split({_NORM}, ' ')) BETWEEN 20 AND 120
+                           THEN 1.0 ELSE 0.5 END)
+               + 0.5 * (len(list_distinct(string_split({_NORM}, ' ')))
+                        / len(string_split({_NORM}, ' ')))
+               - (length(regexp_replace(text, '[a-z ]', '', 'g')) / length(text)),
+               1.0), 0.0), 4) AS quality
+      FROM documents d JOIN canonical c ON d.doc_id = c.doc_id
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
+             AS tokens,
+           round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
+                 / count(*), 4) AS mean_quality
+    FROM kept WHERE quality >= 0.3
+    GROUP BY lang
+    """,
+    "datapipe", "capstone", "pipeline",
+)
+def dp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE plan: exact-dedup to canonical
+    docs (keep min id per content fingerprint) -> quality gate ->
+    per-language doc/token/quality report. Each stage is a narrow
+    transformation or a single shuffle; nothing leaves the JVM — the
+    whole pipeline is what a 100 TB pre-training data build runs, and the
+    oracle re-derives it stage for stage."""
+    from incubator_gluten_spark.datapipe.dedup import normalize_text
+    from incubator_gluten_spark.datapipe.textstats import (
+        bpe_token_count_expr,
+        quality_expr,
+    )
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    canonical = (
+        docs.groupBy(F.md5(normalize_text(F.col("text")).cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(canonical, "doc_id").select(
+        "lang",
+        quality_expr("text").alias("quality"),
+        bpe_token_count_expr("text").alias("n_tok"),
+    )
+    return (
+        kept.filter(F.col("quality") >= 0.3)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.round(
+                F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("mean_quality"),
+        )
+    )
