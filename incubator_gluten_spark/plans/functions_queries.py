@@ -1362,3 +1362,24 @@ def fn_sentences_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.element_at(s, 1)).cast("int").alias("first_words"),
         F.element_at(F.element_at(s, 1), 1).alias("w0"),
     )
+
+
+@q(
+    "fn_meta_golden",
+    """
+    SELECT 'INT' AS t_int, 'DOUBLE' AS t_double, 'STRING' AS t_str,
+           true AS is_v4, 'spark_catalog' AS cat
+    """,
+    "function", "meta", "golden",
+)
+def fn_meta_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-meta expressions: typeof (runtime type names), version
+    (pinned to the 4.x major), current_catalog — the reference maps these
+    in its 'special' block (version :298)."""
+    return spark.range(1).select(
+        F.upper(F.typeof(F.lit(1))).alias("t_int"),
+        F.upper(F.typeof(F.lit(1.5))).alias("t_double"),
+        F.upper(F.typeof(F.lit("x"))).alias("t_str"),
+        F.version().startswith("4.").alias("is_v4"),
+        F.current_catalog().alias("cat"),
+    )

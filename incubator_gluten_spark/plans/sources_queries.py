@@ -477,3 +477,23 @@ def src_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderpriority").agg(
         F.count("*").alias("n"), F.max("src_tag").alias("tag")
     )
+
+
+@q(
+    "src_file_metadata",
+    """
+    SELECT 'nation.parquet' AS file_name, count(*) AS n
+    FROM nation
+    """,
+    "source", "metadata",
+)
+def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden _metadata column on file sources (file_name / file_path /
+    file_size / row_index) — the lineage/debugging channel a lakehouse
+    audit uses; selecting it must not disturb the data columns."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    return (
+        nation.select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count("*").alias("n"))
+    )
