@@ -2095,3 +2095,65 @@ def gen_explode_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = nation.select(F.explode(m).alias("k", "v"))
     return ex.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+
+
+@q(
+    "agg_grouping_sets_distinct",
+    """
+    SELECT n_name, c_mktsegment, count(DISTINCT c_custkey) AS n_cust,
+           count(DISTINCT c_acctbal > 0) AS n_bal_signs
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+    """,
+    "agg", "grouping-sets", "distinct",
+)
+def agg_grouping_sets_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregates under GROUPING SETS — the planner corner where
+    the Expand for grouping sets composes with the Expand for distinct
+    rewriting (RewriteDistinctAggregates); the reference's CH backend has
+    a dedicated rewrite for exactly this composition."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupingSets([["n_name"], ["c_mktsegment"]], "n_name", "c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct(F.col("c_acctbal") > 0).alias("n_bal_signs"),
+        )
+        .select("n_name", "c_mktsegment", "n_cust", "n_bal_signs")
+    )
+
+
+@q(
+    "win_range_interval",
+    """
+    SELECT day, n,
+           sum(n) OVER (ORDER BY day
+                        RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+             AS n_3day
+    FROM (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    """,
+    "window", "range-interval",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame (trailing 3 calendar days — a frame
+    defined by VALUE distance, not row count, so gaps in the series are
+    handled correctly where a ROWS frame would silently span them)."""
+    from pyspark.sql import Window as W
+
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    # rangeBetween needs an orderable numeric: days-since-epoch via
+    # datediff keeps calendar semantics (1 unit == 1 day)
+    keyed = daily.withColumn(
+        "day_num", F.datediff("day", F.lit("1970-01-01").cast("date"))
+    )
+    w = W.orderBy("day_num").rangeBetween(-2, 0)
+    return keyed.select(
+        "day", "n", F.sum("n").over(w).alias("n_3day")
+    )
