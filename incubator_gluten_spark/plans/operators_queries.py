@@ -2157,3 +2157,40 @@ def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(
         "day", "n", F.sum("n").over(w).alias("n_3day")
     )
+
+
+@q(
+    "join_null_aware_anti",
+    """
+    SELECT
+      (SELECT count(*) FROM orders
+       WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 2 = 0 THEN NULL
+                                           ELSE c_custkey END
+                               FROM customer WHERE c_custkey < 50)) AS not_in_with_nulls,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey < 50 AND c.c_custkey % 2 <> 0
+                           AND c.c_custkey = o.o_custkey)) AS not_exists_same_set
+    """,
+    "join", "null-aware-anti", "sql",
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap: one NULL in the subquery makes NOT IN
+    three-valued-logic to zero rows, while NOT EXISTS over the same
+    non-null keys keeps them — Spark plans the former as a null-aware
+    anti join (BroadcastNestedLoopJoin under the hood), the latter as a
+    plain left-anti. Both counts certified against DuckDB."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT CASE WHEN c_custkey % 2 = 0 THEN NULL
+                                               ELSE c_custkey END
+                                   FROM customer WHERE c_custkey < 50)) AS not_in_with_nulls,
+          (SELECT count(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM customer c
+                             WHERE c.c_custkey < 50 AND c.c_custkey % 2 <> 0
+                               AND c.c_custkey = o.o_custkey)) AS not_exists_same_set
+        """
+    )
