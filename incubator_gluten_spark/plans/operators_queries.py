@@ -2194,3 +2194,33 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                                AND c.c_custkey = o.o_custkey)) AS not_exists_same_set
         """
     )
+
+
+@q(
+    "op_correlated_scalar",
+    """
+    SELECT n_name,
+           (SELECT round(max(c_acctbal), 2) FROM customer
+            WHERE c_nationkey = n_nationkey) AS max_bal,
+           (SELECT count(*) FROM supplier
+            WHERE s_nationkey = n_nationkey) AS n_supp
+    FROM nation
+    """,
+    "subquery", "correlated-scalar", "sql",
+)
+def op_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list (one per measure,
+    different tables) — Catalyst decorrelates each into a left outer join
+    against a pre-aggregate, so the per-row re-scan the syntax implies
+    never happens."""
+    register_views(spark, sf_dir, ("nation", "customer", "supplier"))
+    return spark.sql(
+        """
+        SELECT n_name,
+               (SELECT round(max(c_acctbal), 2) FROM customer
+                WHERE c_nationkey = n_nationkey) AS max_bal,
+               (SELECT count(*) FROM supplier
+                WHERE s_nationkey = n_nationkey) AS n_supp
+        FROM nation
+        """
+    )
