@@ -2224,3 +2224,42 @@ def op_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation
         """
     )
+
+
+@q(
+    "op_recursive_cte",
+    """
+    WITH RECURSIVE tree AS (
+      SELECT n_nationkey AS id, 0 AS depth FROM nation WHERE n_nationkey = 0
+      UNION ALL
+      SELECT n.n_nationkey, t.depth + 1
+      FROM nation n JOIN tree t
+        ON CAST(floor((n.n_nationkey - 1) / 2) AS BIGINT) = t.id
+      WHERE n.n_nationkey > 0
+    )
+    SELECT depth, count(*) AS n, sum(id) AS id_sum
+    FROM tree GROUP BY depth
+    """,
+    "recursive-cte", "sql",
+)
+def op_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE — a capability the
+    reference engine does NOT have): the nation keys arranged as an
+    implicit binary heap (parent = floor((k-1)/2)) expanded from the
+    root, reporting nodes per depth. Same recursive SQL runs on both
+    engines."""
+    register_views(spark, sf_dir, ("nation",))
+    return spark.sql(
+        """
+        WITH RECURSIVE tree AS (
+          SELECT n_nationkey AS id, 0 AS depth FROM nation WHERE n_nationkey = 0
+          UNION ALL
+          SELECT n.n_nationkey, t.depth + 1
+          FROM nation n JOIN tree t
+            ON CAST(floor((n.n_nationkey - 1) / 2) AS BIGINT) = t.id
+          WHERE n.n_nationkey > 0
+        )
+        SELECT depth, count(*) AS n, sum(id) AS id_sum
+        FROM tree GROUP BY depth
+        """
+    )
