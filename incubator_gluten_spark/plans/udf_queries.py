@@ -424,3 +424,64 @@ def udf_cogroup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             merge, "c_custkey bigint, acctbal double, n_orders bigint, total double"
         )
     )
+
+
+@q(
+    "udf_sql_function",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(round(CAST(l_extendedprice * (1.0 - l_discount)
+                                     AS DECIMAL(18,6)), 2)), 2) AS DOUBLE) AS net_total
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+    """,
+    "udf", "sql-udf",
+)
+def udf_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar UDF (CREATE FUNCTION ... RETURN expr, Spark 4):
+    unlike Python UDFs the body inlines into the plan — full codegen, zero
+    serialization boundary; the UDF registration surface (UDFMappings
+    analog) at its cheapest."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net2(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE
+        RETURN CAST(round(CAST(p * (1.0 - d) AS DECIMAL(18,6)), 2) AS DOUBLE)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n,
+               CAST(round(sum(net2(l_extendedprice, l_discount)), 2) AS DOUBLE)
+                 AS net_total
+        FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+        """
+    )
+
+
+@q(
+    "fn_lateral_alias",
+    """
+    SELECT l_orderkey,
+           CAST(round(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) AS net,
+           round(CAST(round(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)), 2)
+                AS DOUBLE) * 100.0, 2) AS net_cents
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    "udf", "lateral-column-alias",
+)
+def fn_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column alias: a SELECT item referencing an alias defined
+    earlier in the SAME select list (no subquery nesting needed) — sugar
+    Catalyst resolves to nested projection."""
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_orderkey,
+               CAST(round(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)), 2)
+                    AS DOUBLE) AS net,
+               round(net * 100.0, 2) AS net_cents
+        FROM lineitem WHERE l_orderkey < 100
+        """
+    )
