@@ -2263,3 +2263,29 @@ def op_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tree GROUP BY depth
         """
     )
+
+
+@q(
+    "op_parameterized_sql",
+    """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+    GROUP BY o_orderpriority
+    """,
+    "sql", "parameterized",
+)
+def op_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(query, args=...)): values bind as
+    typed literals, not string splices — the injection-safe templating
+    every production SQL entry point should use."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 250000},
+    )
