@@ -1383,3 +1383,27 @@ def fn_meta_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.version().startswith("4.").alias("is_v4"),
         F.current_catalog().alias("cat"),
     )
+
+
+@q(
+    "fn_regexp_family2",
+    """
+    SELECT p_name,
+           len(regexp_extract_all(p_name, '[aeiou]+')) AS vowel_runs,
+           CASE WHEN regexp_matches(p_name, '[0-9]') THEN 1 ELSE 0 END AS has_digit,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+    FROM part WHERE p_partkey < 30
+    """,
+    "function", "regex",
+)
+def fn_regexp_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_count / rlike-as-flag / regexp_substr (the Spark 3.4+ regex
+    additions) against DuckDB's regexp_extract_all/matches equivalents —
+    same RE2-compatible pattern subset both engines honor."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 30).select(
+        "p_name",
+        F.regexp_count("p_name", F.lit("[aeiou]+")).alias("vowel_runs"),
+        F.col("p_name").rlike("[0-9]").cast("int").alias("has_digit"),
+        F.regexp_substr("p_name", F.lit("[a-z]+")).alias("first_word"),
+    )
