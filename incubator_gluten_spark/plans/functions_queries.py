@@ -1407,3 +1407,22 @@ def fn_regexp_family2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_name").rlike("[0-9]").cast("int").alias("has_digit"),
         F.regexp_substr("p_name", F.lit("[a-z]+")).alias("first_word"),
     )
+
+
+@q(
+    "fn_variant_try",
+    """
+    SELECT true AS bad_is_null, 42 AS good_k
+    """,
+    "function", "variant", "try",
+)
+def fn_variant_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_parse_json: malformed input -> NULL variant instead of raising
+    (the try_* contract extended to the VARIANT type); the well-formed
+    path round-trips through variant_get."""
+    return spark.range(1).select(
+        F.try_parse_json(F.lit("{not json")).isNull().alias("bad_is_null"),
+        F.variant_get(
+            F.try_parse_json(F.lit('{"k": 42}')), "$.k", "bigint"
+        ).alias("good_k"),
+    )
