@@ -336,3 +336,50 @@ def stream_file_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "stream_stateful_topk",
+    """
+    SELECT user_id, round(top1, 4) AS top1, round(top3_sum, 4) AS top3_sum FROM (
+      SELECT user_id, max(value) AS top1,
+             sum(CASE WHEN rn <= 3 THEN value END) AS top3_sum
+      FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events
+      ) GROUP BY user_id
+    ) WHERE top1 > 49
+    """,
+    "streaming", "stateful-topk",
+)
+def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful top-k per user via applyInPandasWithState (bounded
+    list state; update-mode changelog). The last update per key equals the
+    batch window top-k, which the oracle pins."""
+    from incubator_gluten_spark.streaming.jobs import stateful_topk_values
+
+    ev = read_events_stream(spark, sf_dir)
+    sink = run_to_memory(stateful_topk_values(ev, k=3), mode="update")
+    # last update per key = the full-history top-k (top1 only grows)
+    from pyspark.sql import Window as W
+
+    latest = (
+        sink.withColumn("top1", F.element_at("topv", 1))
+        .groupBy("user_id")
+        .agg(
+            F.max("top1").alias("top1"),
+            # both metrics are monotone over a user's updates (the top-k
+            # list only ever improves), so max == the final state — and
+            # unlike max_by on the (tie-prone) top1 key, it's deterministic
+            F.max(
+                F.aggregate("topv", F.lit(0.0), lambda a, x: a + x)
+            ).alias("top3_sum"),
+        )
+    )
+    return latest.filter(F.col("top1") > 49).select(
+        "user_id",
+        F.round("top1", 4).alias("top1"),
+        F.round("top3_sum", 4).alias("top3_sum"),
+    )

@@ -1386,3 +1386,62 @@ def ds_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("share2"), 6).alias("hhi"),
         )
     )
+
+
+@q(
+    "ds_monthly_pivot",
+    """
+    SELECT n_name,
+           CAST(round(coalesce(sum(CASE WHEN mo = 1  THEN rev END), 0), 2) AS DOUBLE) AS m01,
+           CAST(round(coalesce(sum(CASE WHEN mo = 2  THEN rev END), 0), 2) AS DOUBLE) AS m02,
+           CAST(round(coalesce(sum(CASE WHEN mo = 3  THEN rev END), 0), 2) AS DOUBLE) AS m03,
+           CAST(round(coalesce(sum(CASE WHEN mo = 4  THEN rev END), 0), 2) AS DOUBLE) AS m04,
+           CAST(round(coalesce(sum(CASE WHEN mo = 5  THEN rev END), 0), 2) AS DOUBLE) AS m05,
+           CAST(round(coalesce(sum(CASE WHEN mo = 6  THEN rev END), 0), 2) AS DOUBLE) AS m06,
+           CAST(round(coalesce(sum(CASE WHEN mo = 7  THEN rev END), 0), 2) AS DOUBLE) AS m07,
+           CAST(round(coalesce(sum(CASE WHEN mo = 8  THEN rev END), 0), 2) AS DOUBLE) AS m08,
+           CAST(round(coalesce(sum(CASE WHEN mo = 9  THEN rev END), 0), 2) AS DOUBLE) AS m09,
+           CAST(round(coalesce(sum(CASE WHEN mo = 10 THEN rev END), 0), 2) AS DOUBLE) AS m10,
+           CAST(round(coalesce(sum(CASE WHEN mo = 11 THEN rev END), 0), 2) AS DOUBLE) AS m11,
+           CAST(round(coalesce(sum(CASE WHEN mo = 12 THEN rev END), 0), 2) AS DOUBLE) AS m12
+    FROM (
+      SELECT n_name, month(o_orderdate) AS mo,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE year(o_orderdate) = 1997
+    ) GROUP BY n_name
+    """,
+    "tpcds", "pivot", "wide-report",
+)
+def ds_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape: the 12-month wide report — a full-year pivot of
+    monthly revenue per nation (explicit value list keeps planning to one
+    pass; a WIDE pivot is where the one-scan conditional-agg plan beats
+    q66's hand-written 12-branch CASE by nothing — they're the same plan,
+    which is the point)."""
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    base = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            F.month("o_orderdate").alias("mo"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("rev"),
+        )
+    )
+    pivoted = (
+        base.groupBy("n_name")
+        .pivot("mo", list(range(1, 13)))
+        .agg(F.sum("rev"))
+    )
+    return pivoted.select(
+        "n_name",
+        *[
+            F.round(F.coalesce(F.col(str(m)), F.lit(0)), 2)
+            .cast("double")
+            .alias(f"m{m:02d}")
+            for m in range(1, 13)
+        ],
+    )

@@ -211,3 +211,30 @@ def stream_stream_join(events_a: DataFrame, events_b: DataFrame) -> DataFrame:
         & (F.col("c_ts") < F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     )
+
+
+def stateful_topk_values(events: DataFrame, k: int = 3) -> DataFrame:
+    """Custom stateful operator #2: running top-k VALUES per user kept in
+    state (a bounded list, not a counter — the state-shape that generalizes
+    to sessions, baskets, model features). Emits each user's current
+    top-k on every update; with availableNow the last emit is the global
+    answer."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        top = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                top.append(float(v))
+        top = sorted(top, reverse=True)[:k]
+        state.update((top,))
+        yield pd.DataFrame({"user_id": [user_id], "topv": [top]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, topv array<double>",
+        stateStructType="topv array<double>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
