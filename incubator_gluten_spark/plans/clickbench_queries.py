@@ -648,3 +648,50 @@ def cb_pair_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"), F.col("ts").cast("date")
         ).alias("user_days"),
     )
+
+
+@q(
+    "cb_position_analytics",
+    """
+    SELECT pos_bucket, count(*) AS n,
+           round(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS purchase_rate
+    FROM (
+      SELECT event_type,
+             CASE WHEN rn = 1 THEN 'first'
+                  WHEN rn <= 5 THEN 'early'
+                  ELSE 'late' END AS pos_bucket
+      FROM (
+        SELECT event_type,
+               row_number() OVER (
+                 PARTITION BY user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                 ORDER BY ts, event_id) AS rn
+        FROM events
+      )
+    ) GROUP BY pos_bucket
+    """,
+    "clickbench", "position", "window",
+)
+def cb_position_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-in-session analytics: how purchase propensity shifts from
+    the first event of a user-day to later ones — row_number within
+    (user, day), bucketed, then a rate per bucket."""
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    bucketed = ev.select(
+        "event_type",
+        F.when(F.row_number().over(w) == 1, "first")
+        .when(F.row_number().over(w) <= 5, "early")
+        .otherwise("late")
+        .alias("pos_bucket"),
+    )
+    return bucketed.groupBy("pos_bucket").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.count_if(F.col("event_type") == "purchase").cast("double")
+            / F.count("*"),
+            6,
+        ).alias("purchase_rate"),
+    )
