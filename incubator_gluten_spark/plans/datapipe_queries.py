@@ -626,3 +626,60 @@ def dp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_quality"),
         )
     )
+
+
+@q(
+    "dp_decontamination",
+    f"""
+    WITH eval_shingles AS (
+      SELECT DISTINCT unnest(list_transform(
+        generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 7, 1)),
+        i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 7), ' ')
+      )) AS sh
+      FROM documents WHERE doc_id < 20
+    ), corpus AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 7, 1)),
+               i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 7), ' ')
+             )) AS sh
+      FROM documents WHERE doc_id >= 20
+    )
+    SELECT count(*) AS n_contaminated,
+           coalesce(sum(n_hits), 0) AS total_hits
+    FROM (
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM corpus c, eval_shingles e
+      WHERE list_contains(c.sh, e.sh)
+      GROUP BY c.doc_id
+    )
+    """,
+    "datapipe", "decontamination",
+)
+def dp_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any 8-gram
+    with the eval set (the pre-training hygiene step every leaderboard
+    dispute comes down to). Spark side: explode eval 8-grams to a DISTINCT
+    shingle table (small -> broadcast), semi-style join against exploded
+    corpus shingles, count hits per doc — never a string-to-string cross
+    join."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh8 = token_shingles(F.col("text"), 8)
+    eval_sh = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(sh8).alias("sh"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode(sh8).alias("sh")
+    )
+    hits = (
+        corpus.join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return hits.agg(
+        F.count("*").alias("n_contaminated"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).alias("total_hits"),
+    )
