@@ -683,3 +683,53 @@ def dp_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_contaminated"),
         F.coalesce(F.sum("n_hits"), F.lit(0)).alias("total_hits"),
     )
+
+
+@q(
+    "dp_unigram_logprob",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+      FROM documents
+    ), vocab AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ), total AS (SELECT sum(c) AS n FROM vocab)
+    SELECT band, count(*) AS n_docs FROM (
+      SELECT t.doc_id,
+             CASE WHEN avg(ln(CAST(v.c AS DOUBLE) / (SELECT n FROM total))) >= -3.402
+                  THEN 'common' ELSE 'rare' END AS band
+      FROM tok t JOIN vocab v ON t.w = v.w
+      GROUP BY t.doc_id
+    ) GROUP BY band
+    """,
+    "datapipe", "lm-filter",
+)
+def dp_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality signal (the CCNet-style LM filter
+    reduced to its SQL-expressible core): corpus unigram distribution ->
+    per-document mean token log-probability -> banding. The vocabulary is
+    an aggregate (small) joined back broadcast; integer counts make the
+    log-prob doubles engine-identical."""
+    from pyspark.sql.functions import broadcast
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    from incubator_gluten_spark.datapipe.dedup import normalize_text
+
+    tok = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(broadcast(vocab), "w")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("c").cast("double") / F.col("n"))).alias("lp"))
+    )
+    return (
+        scored.select(
+            F.when(F.col("lp") >= -3.402, "common").otherwise("rare").alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_docs"))
+    )
