@@ -695,3 +695,36 @@ def cb_position_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purchase_rate"),
     )
+
+
+@q(
+    "cb_funnel_ordered",
+    """
+    SELECT count(*) AS converting_user_days FROM (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events
+      GROUP BY user_id, day
+      HAVING min(CASE WHEN event_type = 'view' THEN ts END) IS NOT NULL
+         AND min(CASE WHEN event_type = 'click' THEN ts END)
+             > min(CASE WHEN event_type = 'view' THEN ts END)
+         AND min(CASE WHEN event_type = 'purchase' THEN ts END)
+             > min(CASE WHEN event_type = 'click' THEN ts END)
+    )
+    """,
+    "clickbench", "funnel", "sequence",
+)
+def cb_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel (view -> click -> purchase within a
+    user-day, each stage's FIRST occurrence after the previous stage's):
+    the sequence-match analytics shape, computed with conditional min
+    timestamps in one aggregation — no self-joins per stage."""
+    ev = _ev(spark, sf_dir)
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    per_day = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        first_of("view").alias("v"),
+        first_of("click").alias("c"),
+        first_of("purchase").alias("p"),
+    )
+    return per_day.filter(
+        F.col("v").isNotNull() & (F.col("c") > F.col("v")) & (F.col("p") > F.col("c"))
+    ).agg(F.count("*").alias("converting_user_days"))
