@@ -1445,3 +1445,53 @@ def ds_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(1, 13)
         ],
     )
+
+
+@q(
+    "ds_rank_migration",
+    """
+    WITH yearly AS (
+      SELECT o_custkey, year(o_orderdate) AS yr,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT o_custkey, yr,
+             rank() OVER (PARTITION BY yr ORDER BY spend DESC, o_custkey) AS rnk
+      FROM yearly
+    )
+    SELECT a.o_custkey AS o_custkey, a.rnk AS rnk_1996, b.rnk AS rnk_1997,
+           a.rnk - b.rnk AS rank_gain
+    FROM ranked a JOIN ranked b
+      ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+    WHERE a.rnk - b.rnk >= 200
+    """,
+    "tpcds", "rank-migration", "window",
+)
+def ds_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q74 (full form): customers ranked by spend within each year,
+    self-joined across years to find the biggest rank climbers — rank
+    computed once per partition, the comparison a key-equi join of the
+    ranked result with itself."""
+    from pyspark.sql import Window as W
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    yearly = (
+        orders.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy("o_custkey", F.year("o_orderdate").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
+    )
+    w = W.partitionBy("yr").orderBy(F.desc("spend"), F.asc("o_custkey"))
+    ranked = yearly.withColumn("rnk", F.rank().over(w))
+    a = ranked.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("rnk").alias("rnk_1996")
+    )
+    b = ranked.filter(F.col("yr") == 1997).select(
+        F.col("o_custkey").alias("ck2"), F.col("rnk").alias("rnk_1997")
+    )
+    return (
+        a.join(b, F.col("o_custkey") == F.col("ck2"))
+        .withColumn("rank_gain", F.col("rnk_1996") - F.col("rnk_1997"))
+        .filter(F.col("rank_gain") >= 200)
+        .select("o_custkey", "rnk_1996", "rnk_1997", "rank_gain")
+    )
