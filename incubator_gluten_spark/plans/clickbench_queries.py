@@ -728,3 +728,50 @@ def cb_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.filter(
         F.col("v").isNotNull() & (F.col("c") > F.col("v")) & (F.col("p") > F.col("c"))
     ).agg(F.count("*").alias("converting_user_days"))
+
+
+@q(
+    "cb_gapfill_spine",
+    """
+    WITH sparse AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+      FROM events WHERE event_id % 97 = 0 GROUP BY 1
+    ), bounds AS (
+      SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS lo,
+             max(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    )
+    SELECT count(*) AS n_days,
+           count(CASE WHEN coalesce(n, 0) = 0 THEN 1 END) AS n_gap_days,
+           sum(coalesce(n, 0)) AS total
+    FROM spine LEFT JOIN sparse USING (day)
+    """,
+    "clickbench", "gapfill", "spine",
+)
+def cb_gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling: generate the full date range with
+    sequence+explode, left-join the sparse series, and count the filled
+    gaps — the reporting primitive that keeps time series dense (a ROWS
+    window over a gappy series silently spans holes; the spine makes them
+    explicit zeros)."""
+    ev = _ev(spark, sf_dir)
+    sparse = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    joined = spine.join(sparse, "day", "left")
+    return joined.agg(
+        F.count("*").alias("n_days"),
+        F.count_if(F.coalesce("n", F.lit(0)) == 0).alias("n_gap_days"),
+        F.sum(F.coalesce("n", F.lit(0))).alias("total"),
+    )
