@@ -1426,3 +1426,25 @@ def fn_variant_try(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_parse_json(F.lit('{"k": 42}')), "$.k", "bigint"
         ).alias("good_k"),
     )
+
+
+@q(
+    "fn_lev_bounded",
+    """
+    SELECT n_name,
+           CASE WHEN levenshtein(n_name, 'NATION_1') > 3 THEN -1
+                ELSE levenshtein(n_name, 'NATION_1') END AS lev3
+    FROM nation
+    """,
+    "function", "string", "bounded",
+)
+def fn_lev_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-bounded levenshtein (Spark 3.5 3-arg form: early-exits
+    and returns -1 past the bound — O(k*n) instead of O(m*n), the form a
+    fuzzy-match pipeline should use). Oracle emulates the contract with
+    unbounded levenshtein + CASE."""
+    (nation,) = _t(spark, sf_dir, "nation")
+    return nation.select(
+        "n_name",
+        F.levenshtein("n_name", F.lit("NATION_1"), 3).alias("lev3"),
+    )
