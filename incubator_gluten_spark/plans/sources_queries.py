@@ -497,3 +497,38 @@ def src_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count("*").alias("n"))
     )
+
+
+@q(
+    "src_csv_malformed",
+    """
+    SELECT 10 AS n_clean, 2 AS n_dropped, 12 AS n_permissive
+    """,
+    "source", "csv", "malformed",
+)
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV parse-mode semantics: 12 lines, 2 corrupt. DROPMALFORMED keeps
+    the 10 clean rows; PERMISSIVE keeps all 12 with NULLs in the broken
+    columns — the two production answers to dirty delimited feeds.
+    Inputs are synthesized literals, so the oracle pins the counts."""
+    import os
+
+    p = _path("csv_malformed")
+    os.makedirs(p, exist_ok=True)
+    lines = [f"{i},row_{i},{i * 1.5}" for i in range(10)]
+    lines.insert(3, "oops,not_an_int_row")
+    lines.insert(7, "13,unterminated,xx,extra,columns,9")
+    with open(f"{p}/data.csv", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    schema = "id INT, name STRING, score DOUBLE"
+    dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(p)
+    permissive = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(p)
+    # count() prunes every column, and malformed detection only fires for
+    # columns the parser actually converts — materialize full rows instead
+    n_clean = len(dropped.collect())
+    n_permissive = len(permissive.collect())
+    return spark.range(1).select(
+        F.lit(n_clean).alias("n_clean"),
+        F.lit(12 - n_clean).alias("n_dropped"),
+        F.lit(n_permissive).alias("n_permissive"),
+    )
