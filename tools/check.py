@@ -3,9 +3,23 @@
 Usage: python3 tools/check.py [name-prefix ...] [--sf /root/testdata/sf0.01]
 
 Runs each registered query and its DuckDB oracle, compares row count,
-column names, and a STRICT stringified value-hash (columns sorted by name,
-rows sorted). This is deliberately stricter than tests/ (tolerance compare):
-what passes here passes the driver.
+column names, and a STRICT value-hash computed the way the grading driver
+computes it: both result sets are converted to *pandas* DataFrames
+(Spark ``toPandas()``, DuckDB ``rel.df()``), columns sorted by name, rows
+sorted with ``sort_values`` on the raw pandas values, then every cell is
+``str()``-ified and hashed.  Going through pandas is load-bearing:
+
+* DuckDB HUGEINT (bare integer ``sum(CASE...)``, ``count_if``) becomes
+  float64 in pandas, so ``"6.0" != "6"`` — an oracle that fails to
+  ``CAST(... AS BIGINT)`` fails here exactly as it fails the driver;
+* list/map-typed cells make ``sort_values`` raise
+  ``TypeError: unhashable type: 'list'`` — queries returning complex
+  columns must JSON-serialize them on both sides or they fail here
+  exactly as they fail the driver (CORRECTNESS_r02.json agg_collect err).
+
+Round 2 proved the previous fetchall()-based hash gave false greens on
+both classes (q12, agg_bool, agg_collect); this version reproduced all of
+them before the oracle fixes and none after.
 """
 
 from __future__ import annotations
@@ -18,10 +32,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def valhash(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    norm = sorted(tuple(str(r[i]) for i in order) for r in rows)
-    return hashlib.md5(str(norm).encode()).hexdigest()[:12]
+def canon_hash(pdf):
+    """Driver-shaped canonical hash of a pandas DataFrame.
+
+    Columns sorted by name, rows sorted on raw values (raises on
+    unsortable cells, as the driver does), cells stringified.
+    """
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    cells = [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
+    return hashlib.md5(str(cells).encode()).hexdigest()[:12]
 
 
 def main() -> int:
@@ -54,42 +75,63 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             sdf = q.build(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
         dt = time.perf_counter() - t0
         if q.oracle is None:
-            print(f"ok?  {name}: rows-only n={len(srows)} ({dt:.2f}s)")
+            # rows-only entries still must survive the driver's canonicalizer
+            try:
+                canon_hash(spdf)
+            except Exception as exc:  # noqa: BLE001
+                print(f"FAIL {name}: rows-only canon raised "
+                      f"{type(exc).__name__}: {exc}")
+                n_fail += 1
+                continue
+            print(f"ok?  {name}: rows-only n={len(spdf)} ({dt:.2f}s)")
             continue
         try:
             rel = con.sql(q.oracle)
-            drows = rel.fetchall()
-            dcols = list(rel.columns)
+            dpdf = rel.df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: duckdb raised {exc}")
             n_fail += 1
             continue
-        ok_n = len(srows) == len(drows)
-        ok_c = sorted(sdf.columns) == sorted(dcols)
-        ok_h = ok_c and valhash(srows, sdf.columns) == valhash(drows, dcols)
+        ok_n = len(spdf) == len(dpdf)
+        ok_c = sorted(spdf.columns) == sorted(dpdf.columns)
+        try:
+            sh = canon_hash(spdf)
+            dh = canon_hash(dpdf)
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {name}: canon raised {type(exc).__name__}: {exc}")
+            n_fail += 1
+            continue
+        ok_h = ok_c and sh == dh
         if ok_n and ok_c and ok_h:
-            print(f"PASS {name}: n={len(srows)} ({dt:.2f}s)")
+            print(f"PASS {name}: n={len(spdf)} ({dt:.2f}s)")
         else:
             n_fail += 1
             print(
-                f"FAIL {name}: rows {len(srows)}vs{len(drows)} "
+                f"FAIL {name}: rows {len(spdf)}vs{len(dpdf)} "
                 f"cols_ok={ok_c} hash_ok={ok_h}"
             )
             if ok_c and not ok_h:
-                s2 = {tuple(str(x) for x in r) for r in srows}
-                d2 = {tuple(str(x) for x in r) for r in drows}
+                cols = sorted(spdf.columns)
+                s2 = {
+                    tuple(str(v) for v in r)
+                    for r in spdf[cols].itertuples(index=False)
+                }
+                d2 = {
+                    tuple(str(v) for v in r)
+                    for r in dpdf[cols].itertuples(index=False)
+                }
                 print("  spark-only:", sorted(s2 - d2)[:3])
                 print("  duck-only :", sorted(d2 - s2)[:3])
             elif not ok_c:
-                print(f"  spark cols: {sorted(sdf.columns)}")
-                print(f"  duck  cols: {sorted(dcols)}")
+                print(f"  spark cols: {sorted(spdf.columns)}")
+                print(f"  duck  cols: {sorted(dpdf.columns)}")
     print(f"--- {len(names)} checked, {n_fail} failed")
     return 1 if n_fail else 0
 
