@@ -59,10 +59,18 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
-    tpch_total = round(
-        sum(v for k, v in ok.items() if k.startswith("q") and k[1:].isdigit()), 3
-    )
+    tpch = {
+        k: v for k, v in ok.items() if k.startswith("q") and k[1:].isdigit()
+    }
+    tpch_total = round(sum(tpch.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Full per-query map (270+ entries, ~7 KB) goes to STDERR — it overflowed
+    # the driver's stdout tail capture in rounds 1-2 (BENCH parsed: null).
+    # The final stdout line stays compact: totals + the 22 TPC-H timings.
+    print(
+        "bench full timings: " + json.dumps({"queries": timings}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -71,7 +79,8 @@ def main() -> None:
                 "unit": "sec",
                 "tpch22_total": tpch_total,
                 "n_queries": len(ok),
-                "queries": timings,
+                "n_failed": len(timings) - len(ok),
+                "queries": tpch,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

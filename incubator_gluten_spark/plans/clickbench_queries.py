@@ -745,7 +745,7 @@ def cb_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n_days,
            count(CASE WHEN coalesce(n, 0) = 0 THEN 1 END) AS n_gap_days,
-           sum(coalesce(n, 0)) AS total
+           CAST(sum(coalesce(n, 0)) AS BIGINT) AS total
     FROM spine LEFT JOIN sparse USING (day)
     """,
     "clickbench", "gapfill", "spine",

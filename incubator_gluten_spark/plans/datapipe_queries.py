@@ -335,7 +335,7 @@ def dp_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dp_frame_sample",
     """
-    SELECT doc_id, n_frames, total_bytes FROM (
+    SELECT doc_id, n_frames, CAST(total_bytes AS BIGINT) AS total_bytes FROM (
       SELECT doc_id,
              greatest(least(length(text) // 64, 8), 1) AS n_frames,
              list_sum(list_transform(
@@ -439,7 +439,7 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CASE WHEN quality >= 0.66 THEN 'high'
                 WHEN quality >= 0.33 THEN 'mid' ELSE 'low' END AS band,
-           count(*) AS n_docs, sum(n_tok) AS tokens,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tokens,
            round(CAST(sum(n_tok) AS DOUBLE)
                  / sum(sum(n_tok)) OVER (), 6) AS token_share
     FROM scored GROUP BY 1, 2
@@ -488,7 +488,9 @@ def dp_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "dp_pii_scrub",
     r"""
-    SELECT n_email_before, n_email_after, n_tagged, n_docs FROM (
+    SELECT CAST(n_email_before AS BIGINT) AS n_email_before,
+           CAST(n_email_after AS BIGINT) AS n_email_after,
+           CAST(n_tagged AS BIGINT) AS n_tagged, n_docs FROM (
       SELECT
         sum(CASE WHEN regexp_matches(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
                  THEN 1 ELSE 0 END) AS n_email_before,
@@ -580,8 +582,8 @@ def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents d JOIN canonical c ON d.doc_id = c.doc_id
     )
     SELECT lang, count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
-             AS tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))
+                AS BIGINT) AS tokens,
            round(CAST(sum(CAST(quality AS DECIMAL(8,4))) AS DOUBLE)
                  / count(*), 4) AS mean_quality
     FROM kept WHERE quality >= 0.3
@@ -646,7 +648,7 @@ def dp_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id >= 20
     )
     SELECT count(*) AS n_contaminated,
-           coalesce(sum(n_hits), 0) AS total_hits
+           CAST(coalesce(sum(n_hits), 0) AS BIGINT) AS total_hits
     FROM (
       SELECT c.doc_id, count(*) AS n_hits
       FROM corpus c, eval_shingles e

@@ -103,7 +103,8 @@ def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang,
            count(*) AS n_match,
-           sum(CAST(regexp_extract(text, '([a-z]+)', 1) = 'key' AS INT)) AS n_key_first,
+           CAST(sum(CAST(regexp_extract(text, '([a-z]+)', 1) = 'key' AS INT)) AS BIGINT)
+             AS n_key_first,
            max(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS max_novowel_len,
            max(len(string_split(text, ' '))) AS max_words,
            max(array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')) AS first3
@@ -200,7 +201,7 @@ def fn_string_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
            least(p_size, 10, 25)                       AS ls,
            ((p_size % 7) + 7) % 7                      AS pm,
            round(sqrt(p_size*p_size + 9.0), 6)         AS hyp,
-           factorial(p_size % 10)                      AS fac,
+           CAST(factorial(p_size % 10) AS BIGINT)      AS fac,
            p_size & 12                                 AS band,
            p_size | 12                                 AS bor,
            xor(p_size, 12)                             AS bxor,
@@ -363,7 +364,8 @@ def fn_datetime_make(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*)                                              AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS INT))   AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                                                                 AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS INT))   AS max_k,
            min(json_extract_string(props, '$.k'))                AS min_k_str
     FROM events GROUP BY event_type
@@ -457,18 +459,18 @@ def fn_hash_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
            arr[len(arr)]                                    AS last_el,
            list_contains(arr, 5)                            AS has5,
            list_position(arr, 5)                            AS pos5,
-           list_sort(list_distinct(arr))                    AS dis,
-           list_slice(arr, 2, 4)                            AS sl,
-           list_sort(arr)                                   AS srt,
-           list_reverse_sort(arr)                           AS srt_desc,
+           to_json(list_sort(list_distinct(arr)))           AS dis,
+           to_json(list_slice(arr, 2, 4))                   AS sl,
+           to_json(list_sort(arr))                          AS srt,
+           to_json(list_reverse_sort(arr))                  AS srt_desc,
            list_min(arr)                                    AS mn,
            list_max(arr)                                    AS mx,
-           list_sum(arr)                                    AS sm,
-           list_transform(arr, x -> x * 2)                  AS dbl,
-           list_filter(arr, x -> x % 2 = 0)                 AS evens,
+           CAST(list_sum(arr) AS BIGINT)                    AS sm,
+           to_json(list_transform(arr, x -> x * 2))         AS dbl,
+           to_json(list_filter(arr, x -> x % 2 = 0))        AS evens,
            list_bool_or(list_transform(arr, x -> x > 8))    AS any_gt8,
            list_bool_and(list_transform(arr, x -> x > 0))   AS all_pos,
-           flatten([arr, [99]])                             AS flat,
+           to_json(flatten([arr, [99]]))                    AS flat,
            array_to_string(arr, ',')                        AS joined
     FROM (
       SELECT p_partkey,
@@ -499,18 +501,20 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(a, -1).alias("last_el"),
         F.array_contains(a, 5).alias("has5"),
         F.array_position(a, 5).alias("pos5"),
-        F.sort_array(F.array_distinct(a)).alias("dis"),
-        F.slice(a, 2, 3).alias("sl"),
-        F.sort_array(a).alias("srt"),
-        F.sort_array(a, asc=False).alias("srt_desc"),
+        # array-valued outputs JSON-serialized: the driver's pandas
+        # canonicalizer cannot sort ndarray cells (round-3 agg_collect err)
+        F.to_json(F.sort_array(F.array_distinct(a))).alias("dis"),
+        F.to_json(F.slice(a, 2, 3)).alias("sl"),
+        F.to_json(F.sort_array(a)).alias("srt"),
+        F.to_json(F.sort_array(a, asc=False)).alias("srt_desc"),
         F.array_min(a).alias("mn"),
         F.array_max(a).alias("mx"),
         F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("sm"),
-        F.transform(a, lambda x: x * 2).alias("dbl"),
-        F.filter(a, lambda x: x % 2 == 0).alias("evens"),
+        F.to_json(F.transform(a, lambda x: x * 2)).alias("dbl"),
+        F.to_json(F.filter(a, lambda x: x % 2 == 0)).alias("evens"),
         F.exists(a, lambda x: x > 8).alias("any_gt8"),
         F.forall(a, lambda x: x > 0).alias("all_pos"),
-        F.flatten(F.array(a, F.array(F.lit(99).cast("bigint")))).alias("flat"),
+        F.to_json(F.flatten(F.array(a, F.array(F.lit(99).cast("bigint"))))).alias("flat"),
         F.array_join(a, ",").alias("joined"),
     )
 
@@ -519,9 +523,10 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_setops",
     """
     SELECT p_partkey,
-           list_sort(list_distinct(a1 || a2))                                AS un,
-           list_sort(list_distinct(list_intersect(a1, a2)))                  AS inter,
-           list_sort(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))) AS ex,
+           to_json(list_sort(list_distinct(a1 || a2)))                       AS un,
+           to_json(list_sort(list_distinct(list_intersect(a1, a2))))         AS inter,
+           to_json(list_sort(list_distinct(list_filter(a1, x -> NOT list_contains(a2, x)))))
+                                                                             AS ex,
            list_has_any(a1, a2)                                              AS overlap
     FROM (
       SELECT p_partkey,
@@ -545,9 +550,9 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1, a2 = F.col("a1"), F.col("a2")
     return base.select(
         "p_partkey",
-        F.sort_array(F.array_union(a1, a2)).alias("un"),
-        F.sort_array(F.array_intersect(a1, a2)).alias("inter"),
-        F.sort_array(F.array_except(a1, a2)).alias("ex"),
+        F.to_json(F.sort_array(F.array_union(a1, a2))).alias("un"),
+        F.to_json(F.sort_array(F.array_intersect(a1, a2))).alias("inter"),
+        F.to_json(F.sort_array(F.array_except(a1, a2))).alias("ex"),
         F.arrays_overlap(a1, a2).alias("overlap"),
     )
 
@@ -592,8 +597,8 @@ def fn_array_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
            map_extract(m, 'key')[1]              AS v_key,
            map_extract(m, 'region')[1]           AS v_region,
            cardinality(m)                        AS n_entries,
-           list_sort(map_keys(m))                AS keys_sorted,
-           list_sort(map_values(m))              AS vals_sorted
+           to_json(list_sort(map_keys(m)))       AS keys_sorted,
+           to_json(list_sort(map_values(m)))     AS vals_sorted
     FROM (
       SELECT n_nationkey,
              map(['key', 'region'], [n_nationkey, n_regionkey]) AS m
@@ -616,8 +621,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "key").alias("v_key"),
         F.element_at("m", "region").alias("v_region"),
         F.size("m").alias("n_entries"),
-        F.sort_array(F.map_keys("m")).alias("keys_sorted"),
-        F.sort_array(F.map_values("m")).alias("vals_sorted"),
+        F.to_json(F.sort_array(F.map_keys("m"))).alias("keys_sorted"),
+        F.to_json(F.sort_array(F.map_values("m"))).alias("vals_sorted"),
     )
 
 
@@ -864,13 +869,14 @@ def fn_try_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_more",
     """
     SELECT p_partkey,
-           list_transform(generate_series(1, 3), i -> p_size)        AS repeated,
-           arr || [99]                                               AS appended,
-           [0] || arr                                                AS prepended,
-           list_filter(arr, e -> e != 2)                             AS removed,
-           list_filter(arr2, e -> e IS NOT NULL)                     AS compacted,
-           list_slice(arr, 1, 1) || [42] || list_slice(arr, 2, len(arr)) AS inserted,
-           list_transform(generate_series(0, 8, 2), i -> i)          AS stepped
+           to_json(list_transform(generate_series(1, 3), i -> p_size))  AS repeated,
+           to_json(arr || [99])                                         AS appended,
+           to_json([0] || arr)                                          AS prepended,
+           to_json(list_filter(arr, e -> e != 2))                       AS removed,
+           to_json(list_filter(arr2, e -> e IS NOT NULL))               AS compacted,
+           to_json(list_slice(arr, 1, 1) || [42] || list_slice(arr, 2, len(arr)))
+                                                                        AS inserted,
+           to_json(list_transform(generate_series(0, 8, 2), i -> i))    AS stepped
     FROM (
       SELECT p_partkey, p_size,
              list_transform(generate_series(1, 4), i -> (p_partkey + i) % 5) AS arr,
@@ -901,13 +907,13 @@ def fn_array_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.col("arr")
     return base.select(
         "p_partkey",
-        F.array_repeat(F.col("p_size"), 3).alias("repeated"),
-        F.array_append(a, F.lit(99)).alias("appended"),
-        F.array_prepend(a, F.lit(0)).alias("prepended"),
-        F.array_remove(a, 2).alias("removed"),
-        F.array_compact("arr2").alias("compacted"),
-        F.array_insert(a, 2, F.lit(42)).alias("inserted"),
-        F.sequence(F.lit(0), F.lit(8), F.lit(2)).alias("stepped"),
+        F.to_json(F.array_repeat(F.col("p_size"), 3)).alias("repeated"),
+        F.to_json(F.array_append(a, F.lit(99))).alias("appended"),
+        F.to_json(F.array_prepend(a, F.lit(0))).alias("prepended"),
+        F.to_json(F.array_remove(a, 2)).alias("removed"),
+        F.to_json(F.array_compact("arr2")).alias("compacted"),
+        F.to_json(F.array_insert(a, 2, F.lit(42))).alias("inserted"),
+        F.to_json(F.sequence(F.lit(0), F.lit(8), F.lit(2))).alias("stepped"),
     )
 
 
@@ -915,13 +921,14 @@ def fn_array_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_more",
     """
     SELECT n_nationkey,
-           list_sort(list_transform(string_split('a:1,b:2,c:3', ','),
-                                    kv -> string_split(kv, ':')[1]))  AS s2m_keys,
-           list_sort(list_transform(string_split('a:1,b:2,c:3', ','),
-                                    kv -> CAST(string_split(kv, ':')[2] AS INT))) AS s2m_vals,
-           list_sort([n_nationkey * 10, n_regionkey * 10])            AS tv_vals,
-           list_sort(['K_key', 'K_region'])                           AS tk_keys,
-           [n_nationkey]                                              AS filtered_vals
+           to_json(list_sort(list_transform(string_split('a:1,b:2,c:3', ','),
+                                    kv -> string_split(kv, ':')[1])))  AS s2m_keys,
+           to_json(list_sort(list_transform(string_split('a:1,b:2,c:3', ','),
+                                    kv -> CAST(string_split(kv, ':')[2] AS INT))))
+                                                                       AS s2m_vals,
+           to_json(list_sort([n_nationkey * 10, n_regionkey * 10]))    AS tv_vals,
+           to_json(list_sort(['K_key', 'K_region']))                   AS tk_keys,
+           to_json([n_nationkey])                                      AS filtered_vals
     FROM nation
     """,
     "function", "map",
@@ -941,13 +948,13 @@ def fn_map_more(spark: SparkSession, sf_dir: str) -> DataFrame:
     mf = F.map_filter(m, lambda k, v: k == "key")
     return nation.select(
         "n_nationkey",
-        F.sort_array(F.map_keys(s2m)).alias("s2m_keys"),
-        F.sort_array(F.transform(F.map_values(s2m), lambda v: v.cast("int"))).alias(
-            "s2m_vals"
-        ),
-        F.sort_array(F.map_values(tv)).alias("tv_vals"),
-        F.sort_array(F.map_keys(tk)).alias("tk_keys"),
-        F.map_values(mf).alias("filtered_vals"),
+        F.to_json(F.sort_array(F.map_keys(s2m))).alias("s2m_keys"),
+        F.to_json(
+            F.sort_array(F.transform(F.map_values(s2m), lambda v: v.cast("int")))
+        ).alias("s2m_vals"),
+        F.to_json(F.sort_array(F.map_values(tv))).alias("tv_vals"),
+        F.to_json(F.sort_array(F.map_keys(tk))).alias("tk_keys"),
+        F.to_json(F.map_values(mf)).alias("filtered_vals"),
     )
 
 
@@ -1024,7 +1031,8 @@ def fn_special(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS bucket,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum
     FROM events GROUP BY bucket
     """,
     "function", "variant",
@@ -1078,7 +1086,7 @@ def fn_xml_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "fn_url_golden",
     """
-    SELECT 'a+b%26c%3Dd' AS enc, 'a b&c' AS dec, NULL AS bad,
+    SELECT 'a+b%26c%3Dd' AS enc, 'a b&c' AS dec, 'NULL' AS bad,
            'spark.apache.org' AS host, 'q=join' AS query_kv,
            '1,234,567.89' AS fmt, 'FF' AS hx, '1010' AS bn, 'aGk=' AS b64
     """,
@@ -1092,7 +1100,11 @@ def fn_url_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.range(1).select(
         F.url_encode(F.lit("a b&c=d")).alias("enc"),
         F.url_decode(F.lit("a%20b%26c")).alias("dec"),
-        F.try_url_decode(F.lit("%zz")).cast("string").alias("bad"),
+        # sentinel instead of NULL: a NULL cell is NaN (float) in DuckDB's
+        # pandas frame but None (object) in Spark's — 'nan' vs 'None'
+        F.coalesce(
+            F.try_url_decode(F.lit("%zz")).cast("string"), F.lit("NULL")
+        ).alias("bad"),
         F.parse_url(
             F.lit("https://spark.apache.org/docs?q=join"), F.lit("HOST")
         ).alias("host"),
@@ -1251,8 +1263,8 @@ def fn_datetime_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_zip_sort",
     """
     SELECT list_sort([3, 1, 2], 'DESC') = [3, 2, 1] AS sorted_desc,
-           list_sum(list_transform(list_zip([1, 2, 3], [10, 20, 30]),
-                                   p -> p[1] * p[2])) AS dot_v,
+           CAST(list_sum(list_transform(list_zip([1, 2, 3], [10, 20, 30]),
+                                        p -> p[1] * p[2])) AS BIGINT) AS dot_v,
            140 AS dot_expected
     """,
     "function", "array", "zip",

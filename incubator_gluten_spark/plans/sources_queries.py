@@ -268,7 +268,7 @@ def src_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "src_python_datasource",
     """
-    SELECT tag, count(*) AS n, sum(sq) AS sum_sq
+    SELECT tag, count(*) AS n, CAST(sum(sq) AS BIGINT) AS sum_sq
     FROM (SELECT range AS id, range * range AS sq,
                  'row_' || (range % 7) AS tag
           FROM range(0, 500))
@@ -337,7 +337,7 @@ def src_from_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "src_text_roundtrip",
     """
-    SELECT count(*) AS n_lines, sum(length(line)) AS total_chars FROM (
+    SELECT count(*) AS n_lines, CAST(sum(length(line)) AS BIGINT) AS total_chars FROM (
       SELECT lang || '|' || doc_id AS line FROM documents
     )
     """,
@@ -365,7 +365,8 @@ def src_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "src_schema_evolution",
     """
     SELECT batch, count(*) AS n,
-           sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS n_null_extra
+           CAST(sum(CASE WHEN extra IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_extra
     FROM (
       SELECT 1 AS batch, NULL AS extra FROM nation WHERE n_nationkey < 10
       UNION ALL

@@ -77,7 +77,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session",
     """
     WITH gaps AS (
-      SELECT user_id,
+      SELECT user_id, ts,
              CASE WHEN CAST(ts AS TIMESTAMP)
                        - lag(CAST(ts AS TIMESTAMP), 1, TIMESTAMP '1900-01-01')
                          OVER (PARTITION BY user_id ORDER BY ts)
@@ -89,7 +89,8 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(new_session) OVER (PARTITION BY user_id ORDER BY rowid_all
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM (SELECT user_id, new_session,
-                   row_number() OVER (PARTITION BY user_id) AS rowid_all
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts)
+                     AS rowid_all
             FROM gaps)
     ), per_session AS (
       SELECT user_id, session_id, count(*) AS n_events
@@ -215,7 +216,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "stream_rate_source",
     """
-    SELECT range % 8 AS bucket, count(*) AS n, sum(range) AS total
+    SELECT range % 8 AS bucket, count(*) AS n, CAST(sum(range) AS BIGINT) AS total
     FROM range(0, 4096) GROUP BY bucket
     """,
     "streaming", "source",

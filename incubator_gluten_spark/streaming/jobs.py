@@ -19,31 +19,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source micro-batch stream over the events parquet.
 
-    The fixture stores TIMESTAMP(NANOS); with the session's nanosAsLong
-    conf the stream reads int64 nanos which we truncate to micros exactly
-    like the batch catalog (and DuckDB's CAST) do.
+    The stream schema is inferred from a batch read of the same file so the
+    reader survives fixture regeneration (round 3's fixture stored int64
+    nanos; round 4's stores TIMESTAMP(MICROS) — a hardcoded bigint schema
+    silently read raw micros as nanos and collapsed every event to 1970).
     """
+    from pyspark.sql.types import LongType, TimestampType
+
     from incubator_gluten_spark.catalog import ensure_runtime_confs
 
     ensure_runtime_confs(spark)  # nanosAsLong + UTC on foreign sessions
+    events_path = f"{sf_dir}/events.parquet"
+    batch_schema = spark.read.parquet(events_path).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(batch_schema)
         # the file stream source wants a directory; glob-filter to the one table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    ts_type = batch_schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        # int64-nanos fixture: truncate to micros like the batch catalog does
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(ts_type, TimestampType):
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     # watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
     # values and formatting agree with the batch catalog and DuckDB
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_to_memory(

@@ -40,8 +40,17 @@ def canon_hash(pdf):
     """
     pdf = pdf[sorted(pdf.columns)]
     if len(pdf.columns) and len(pdf):
-        pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
-    cells = [tuple(str(v) for v in row) for row in pdf.itertuples(index=False)]
+        # stable sort: single-column sorts would otherwise use quicksort,
+        # permuting raw-equal-but-str-distinct ties (int 6 vs float 6.0)
+        pdf = pdf.sort_values(
+            by=list(pdf.columns), kind="stable"
+        ).reset_index(drop=True)
+    # COLUMN-wise astype(str), not per-cell str(): pandas formats an
+    # all-midnight datetime64 column as bare dates ("1998-04-08") while
+    # str(Timestamp) keeps " 00:00:00".  Round-3 driver results prove the
+    # driver stringifies column-wise (q3/q18 DATE-vs-datetime64 pass, yet
+    # HUGEINT float64 "6.0" vs int64 "6" fails) — match it exactly.
+    cells = [tuple(row) for row in pdf.astype(str).itertuples(index=False)]
     return hashlib.md5(str(cells).encode()).hexdigest()[:12]
 
 
@@ -101,6 +110,14 @@ def main() -> int:
             continue
         ok_n = len(spdf) == len(dpdf)
         ok_c = sorted(spdf.columns) == sorted(dpdf.columns)
+        if not ok_c:
+            # report the column diff even when cells are unsortable —
+            # hashing a column-mismatched pair can only add noise
+            n_fail += 1
+            print(f"FAIL {name}: rows {len(spdf)}vs{len(dpdf)} cols_ok=False")
+            print(f"  spark cols: {sorted(spdf.columns)}")
+            print(f"  duck  cols: {sorted(dpdf.columns)}")
+            continue
         try:
             sh = canon_hash(spdf)
             dh = canon_hash(dpdf)
@@ -108,7 +125,7 @@ def main() -> int:
             print(f"FAIL {name}: canon raised {type(exc).__name__}: {exc}")
             n_fail += 1
             continue
-        ok_h = ok_c and sh == dh
+        ok_h = sh == dh
         if ok_n and ok_c and ok_h:
             print(f"PASS {name}: n={len(spdf)} ({dt:.2f}s)")
         else:
@@ -117,7 +134,7 @@ def main() -> int:
                 f"FAIL {name}: rows {len(spdf)}vs{len(dpdf)} "
                 f"cols_ok={ok_c} hash_ok={ok_h}"
             )
-            if ok_c and not ok_h:
+            if not ok_h:
                 cols = sorted(spdf.columns)
                 s2 = {
                     tuple(str(v) for v in r)
@@ -129,9 +146,6 @@ def main() -> int:
                 }
                 print("  spark-only:", sorted(s2 - d2)[:3])
                 print("  duck-only :", sorted(d2 - s2)[:3])
-            elif not ok_c:
-                print(f"  spark cols: {sorted(spdf.columns)}")
-                print(f"  duck  cols: {sorted(dpdf.columns)}")
     print(f"--- {len(names)} checked, {n_fail} failed")
     return 1 if n_fail else 0
 
