@@ -163,37 +163,117 @@ def dot(u: Column, v: Column) -> Column:
     return F.aggregate(F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
 
+def banded_lsh_bands(
+    vec: Column, bands: int = 24, band_bits: int = 3, dim: int = 64
+) -> Column:
+    """Banded hyperplane signatures: `bands` independent signatures of
+    `band_bits` sign-bits each (one long signature split into bands — the
+    MinHash-banding trick applied to hyperplane LSH).  Two vectors are
+    near-dup *candidates* iff ANY band matches: P(candidate) =
+    1-(1-p^r)^b with p = 1-theta/pi, so high-cosine pairs are caught with
+    near-certainty while the (band, sig) key cardinality keeps buckets
+    small.  Returns array<struct<band:int, sig:int>>.  Planes derive from
+    xxhash64 — deterministic on every executor, no broadcast state."""
+    dv = _as_double(vec)
+
+    def plane_fn(shift: int):
+        return lambda i: (F.xxhash64(i + F.lit(shift)) % 2001) / F.lit(1000.0)
+
+    entries = []
+    for band in range(bands):
+        bits = []
+        for j in range(band_bits):
+            shift = (band * band_bits + j) * dim
+            plane = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), plane_fn(shift))
+            dotp = F.aggregate(
+                F.zip_with(dv, plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            bits.append(
+                F.when(dotp > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
+            )
+        sig = bits[0]
+        for b in bits[1:]:
+            sig = sig + b
+        entries.append(F.struct(F.lit(band).alias("band"), sig.alias("sig")))
+    return F.array(*entries)
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
-    threshold: float = 0.35,
-    block_col: str = "label",
+    threshold: float = 0.5,
+    block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bands: int = 24,
+    band_bits: int = 3,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, *blocked* on a partition column
-    (here the label; in a real pipeline an LSH bucket — see ann_lsh_topk).
-    The join is an equi-join on the block key: never all-pairs.
+    """Embedding-cosine near-dup pairs via banded-LSH candidate generation.
 
-    Vectors are L2-normalized on each side BEFORE the join (n normalize
-    passes), so the per-pair cost is one dot product instead of the naive
-    dot + two norms — a 3x kernel saving on the quadratic stage, which is
-    the stage that matters at scale."""
+    Default path (block_col=None): candidates come from an equi-join on
+    (band, sig) — a key whose bucket population stays bounded as the
+    corpus grows (round 2 blocked on the low-cardinality `label` column,
+    which degenerates to within-block all-pairs at 100 TB).  The candidate
+    join carries only (band, sig, id); the normalized vectors are joined
+    back AFTER pair dedup, so the bands-x explosion never shuffles the
+    embeddings themselves.  Passing block_col keeps the attribute-blocked
+    path for callers with a real partition key.
+
+    Recall: P(miss) = (1-p^r)^b per pair, p = 1-theta/pi; at cosine 0.5
+    (p=2/3, r=3, b=24) that is ~0.1% per pair — tests/test_datapipe.py
+    asserts exact parity with brute force on the fixture."""
     corpus = corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
-    a = corpus.select(
-        F.col(block_col).alias("blk"),
-        F.col(id_col).alias("id1"),
-        normalize_vec(F.col(vec_col)).alias("v1"),
+    if block_col is not None:
+        a = corpus.select(
+            F.col(block_col).alias("blk"),
+            F.col(id_col).alias("id1"),
+            normalize_vec(F.col(vec_col)).alias("v1"),
+        )
+        b = corpus.select(
+            F.col(block_col).alias("blk2"),
+            F.col(id_col).alias("id2"),
+            normalize_vec(F.col(vec_col)).alias("v2"),
+        )
+        return (
+            a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("id1") < F.col("id2")))
+            .withColumn("cosine", F.round(dot(F.col("v1"), F.col("v2")), 6))
+            .filter(F.col("cosine") > threshold)
+            .select(F.col("blk").alias(block_col), "id1", "id2", "cosine")
+        )
+    normed = corpus.select(
+        F.col(id_col).alias("id"),
+        normalize_vec(F.col(vec_col)).alias("nvec"),
+        banded_lsh_bands(F.col(vec_col), bands, band_bits, dim).alias("bands"),
+    ).persist()
+    keys = normed.select("id", F.explode("bands").alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
     )
-    b = corpus.select(
-        F.col(block_col).alias("blk2"),
-        F.col(id_col).alias("id2"),
-        normalize_vec(F.col(vec_col)).alias("v2"),
+    cand = (
+        keys.alias("a")
+        .join(
+            keys.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .dropDuplicates(["id1", "id2"])
     )
+    vecs = normed.select("id", "nvec")
     return (
-        a.join(b, (F.col("blk") == F.col("blk2")) & (F.col("id1") < F.col("id2")))
+        cand.join(
+            vecs.withColumnRenamed("id", "id1").withColumnRenamed("nvec", "v1"),
+            "id1",
+        )
+        .join(
+            vecs.withColumnRenamed("id", "id2").withColumnRenamed("nvec", "v2"),
+            "id2",
+        )
         .withColumn("cosine", F.round(dot(F.col("v1"), F.col("v2")), 6))
         .filter(F.col("cosine") > threshold)
-        .select(F.col("blk").alias(block_col), "id1", "id2", "cosine")
+        .select("id1", "id2", "cosine")
     )
 
 

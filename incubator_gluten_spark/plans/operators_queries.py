@@ -1418,6 +1418,71 @@ def op_sortmerge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "op_bloom_filter_join",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+    "join", "bloom-filter", "runtime-filter",
+)
+def op_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (the reference's
+    BloomFilterMightContainJointRewriteRule analog, backends-velox
+    .../BloomFilterMightContainJointRewriteRule.scala, VeloxRuleApi.scala:
+    81-85): the selective dim side builds a bloom_filter_agg; the probe
+    side's scan gains a might_contain filter, discarding non-joining rows
+    BEFORE the shuffle — at 100 TB that turns a full-fact shuffle into a
+    near-dim-sized one.  Spark injects it only when the application-side
+    scan is big enough, so the entry pins the threshold confs for its own
+    execution, ASSERTS the filter actually fired in the optimized plan,
+    and restores the session confs (leaving applicationSideScanSizeThreshold=0
+    session-wide would tax every later shuffle join with a bloom build)."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # shuffle join, not broadcast: runtime filters target shuffle joins
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dim = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan, (
+            "runtime bloom filter did not fire:\n" + plan[:2000]
+        )
+        rows = j.collect()  # execute WHILE the confs are active
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, j.schema)
+
+
+@q(
     "agg_approx_percentile",
     """
     SELECT l_returnflag,

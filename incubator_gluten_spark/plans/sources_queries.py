@@ -525,9 +525,17 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = spark.read.schema(schema).option("mode", "DROPMALFORMED").csv(p)
     permissive = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(p)
     # count() prunes every column, and malformed detection only fires for
-    # columns the parser actually converts — materialize full rows instead
-    n_clean = len(dropped.collect())
-    n_permissive = len(permissive.collect())
+    # columns the parser actually converts — an aggregate that references
+    # every raw column keeps the full parse alive (a derived projection
+    # like xxhash64(*) does NOT: the scan still prunes under it), and the
+    # count happens executor-side with no driver row transfer
+    def full_row_count(df):
+        return df.agg(
+            F.count("*").alias("n"), *[F.count(c) for c in df.columns]
+        ).first()["n"]
+
+    n_clean = full_row_count(dropped)
+    n_permissive = full_row_count(permissive)
     return spark.range(1).select(
         F.lit(n_clean).alias("n_clean"),
         F.lit(12 - n_clean).alias("n_dropped"),

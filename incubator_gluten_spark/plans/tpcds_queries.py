@@ -1495,3 +1495,718 @@ def ds_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_gain") >= 200)
         .select("o_custkey", "rnk_1996", "rnk_1997", "rank_gain")
     )
+
+
+# ---------------------------------------------------------------- round 4:
+# multi-channel UNION pyramids (q14/q77/q78), EXISTS-chains (q10/q35/q95),
+# cross-channel cumulative/growth comparisons (q31/q4/q51), returns
+# arithmetic (q93/q25), calendar ratio pivots (q59/q66), threshold scans
+# (q6/q65), frequent-buyer intersections (q23).
+
+@q(
+    "ds_union_pyramid",
+    """
+    WITH chan AS (
+      SELECT l_partkey, l_linenumber % 3 AS channel,
+             CAST(l_extendedprice AS DECIMAL(18,4)) AS price
+      FROM lineitem
+    ), cross_items AS (
+      SELECT l_partkey FROM chan GROUP BY l_partkey
+      HAVING count(DISTINCT channel) = 3
+    ), threshold AS (
+      SELECT avg(price) AS avg_price FROM chan
+    )
+    SELECT channel, count(*) AS n,
+           CAST(round(sum(price), 2) AS DOUBLE) AS revenue
+    FROM chan JOIN cross_items USING (l_partkey), threshold
+    WHERE price > avg_price
+    GROUP BY channel
+    """,
+    "tpcds", "union-pyramid", "q14",
+)
+def ds_union_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape: 'cross items' appearing in ALL channels feed a
+    per-channel aggregate pyramid gated by a shared average-price scalar
+    subquery.  The cross-items set and the scalar threshold are both tiny
+    aggregates -> broadcast; the fact scan happens once."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    chan = li.select(
+        "l_partkey",
+        (F.col("l_linenumber") % 3).alias("channel"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+    )
+    cross_items = (
+        chan.groupBy("l_partkey")
+        .agg(F.countDistinct("channel").alias("nc"))
+        .filter(F.col("nc") == 3)
+        .select("l_partkey")
+    )
+    threshold = chan.agg(F.avg("price").alias("avg_price"))
+    return (
+        chan.join(F.broadcast(cross_items), "l_partkey")
+        .join(F.broadcast(threshold))
+        .filter(F.col("price") > F.col("avg_price"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@q(
+    "ds_channel_profit_union",
+    """
+    WITH base AS (
+      SELECT l_orderkey % 3 AS channel,
+             CAST(l_extendedprice AS DECIMAL(18,4)) AS gross,
+             CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE 0 END AS returned
+      FROM lineitem
+    )
+    SELECT CASE WHEN channel IS NULL THEN -1 ELSE channel END AS channel,
+           CAST(round(sum(gross), 2) AS DOUBLE) AS gross_rev,
+           CAST(round(sum(returned), 2) AS DOUBLE) AS returns_rev,
+           CAST(round(sum(gross) - sum(returned), 2) AS DOUBLE) AS net
+    FROM base GROUP BY ROLLUP (channel)
+    """,
+    "tpcds", "union-pyramid", "q77",
+)
+def ds_channel_profit_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q77 shape: per-channel gross/returns/net plus an all-channel
+    total row — the channel union + grand-total report expressed as one
+    ROLLUP (one Expand, one shuffle) instead of N scans UNION'd."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_orderkey") % 3).alias("channel"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("gross"),
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.col("l_extendedprice").cast("decimal(18,4)"),
+        )
+        .otherwise(F.lit(0).cast("decimal(18,4)"))
+        .alias("returned"),
+    )
+    return (
+        base.rollup("channel")
+        .agg(
+            F.round(F.sum("gross"), 2).cast("double").alias("gross_rev"),
+            F.round(F.sum("returned"), 2).cast("double").alias("returns_rev"),
+            F.round(F.sum("gross") - F.sum("returned"), 2)
+            .cast("double")
+            .alias("net"),
+        )
+        .select(
+            F.coalesce("channel", F.lit(-1)).alias("channel"),
+            "gross_rev",
+            "returns_rev",
+            "net",
+        )
+    )
+
+
+@q(
+    "ds_exists_or_chain",
+    """
+    SELECT c_mktsegment, count(*) AS n_cust
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1996-01-01')
+      AND (EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+                     ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+           OR EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'))
+    GROUP BY c_mktsegment
+    """,
+    "tpcds", "exists-chain", "q10",
+)
+def ds_exists_or_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10 shape: EXISTS(recent activity) AND (EXISTS a OR EXISTS b)
+    — planned as one semi join plus a union-of-semi-joins (the OR of two
+    EXISTS is a DISTINCT union of their key sets, avoiding a second pass
+    over customer)."""
+    customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    returned = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    either = returned.union(urgent).distinct()
+    return (
+        customer.join(recent, F.col("c_custkey") == recent["k"], "left_semi")
+        .join(either, F.col("c_custkey") == either["k"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+@q(
+    "ds_exists_agg_profile",
+    """
+    SELECT n_name, c_mktsegment, count(*) AS n,
+           round(avg(c_acctbal), 2) AS avg_bal,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(min(c_acctbal), 2) AS min_bal
+    FROM customer c JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o JOIN lineitem l
+                        ON l.l_orderkey = o.o_orderkey
+                      WHERE o.o_custkey = c.c_custkey
+                        AND l.l_returnflag = 'R')
+    GROUP BY n_name, c_mktsegment
+    """,
+    "tpcds", "exists-chain", "q35",
+)
+def ds_exists_agg_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q35 shape: demographic profile (count/avg/max/min) of
+    customers gated by EXISTS(purchases) AND NOT EXISTS(returns) — a
+    semi join chained with an anti join before the aggregate."""
+    customer, nation, orders, li = _t(
+        spark, sf_dir, "customer", "nation", "orders", "lineitem"
+    )
+    buyers = orders.select(F.col("o_custkey").alias("k")).distinct()
+    returners = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    return (
+        customer.join(buyers, F.col("c_custkey") == buyers["k"], "left_semi")
+        .join(returners, F.col("c_custkey") == returners["k"], "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
+
+
+@q(
+    "ds_frequent_top_spenders",
+    """
+    WITH frequent AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    ), top_spenders AS (
+      SELECT o_custkey FROM orders GROUP BY o_custkey
+      HAVING sum(o_totalprice) > (SELECT 0.0004 * sum(o_totalprice) FROM orders)
+    )
+    SELECT count(*) AS n_both,
+           CAST(round((SELECT sum(o_totalprice) FROM orders o
+                       JOIN frequent f ON o.o_custkey = f.o_custkey
+                       JOIN top_spenders t ON o.o_custkey = t.o_custkey
+                       WHERE o.o_orderpriority = '1-URGENT'), 2) AS DOUBLE)
+             AS urgent_rev
+    FROM frequent f JOIN top_spenders t ON f.o_custkey = t.o_custkey
+    """,
+    "tpcds", "cte-intersect", "q23",
+)
+def ds_frequent_top_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape: two independent qualifying CTEs (frequent buyers,
+    top spenders vs a global-share threshold) intersected, then the fact
+    re-scanned restricted to the intersection — both CTE outputs are tiny
+    key sets, broadcast into the final pass."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").alias("spend"),
+    )
+    total = orders.agg((F.sum("o_totalprice") * 0.0004).alias("cut"))
+    frequent = per_cust.filter(F.col("n") >= 12).select("o_custkey")
+    top = (
+        per_cust.join(F.broadcast(total))
+        .filter(F.col("spend") > F.col("cut"))
+        .select(F.col("o_custkey").alias("k2"))
+    )
+    both = frequent.join(top, F.col("o_custkey") == F.col("k2")).select("o_custkey")
+    urgent_rev = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(F.broadcast(both), "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).cast("double").alias("urgent_rev"))
+    )
+    n_both = both.agg(F.count("*").alias("n_both"))
+    return n_both.join(urgent_rev)
+
+
+@q(
+    "ds_cumulative_cross_channel",
+    """
+    WITH monthly AS (
+      SELECT CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS mon,
+             o_orderkey % 2 AS chan,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT mon, chan,
+             sum(rev) OVER (PARTITION BY chan ORDER BY mon
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM monthly
+    )
+    SELECT w.mon AS mon,
+           CAST(round(w.cum_rev, 2) AS DOUBLE) AS web_cum,
+           CAST(round(s.cum_rev, 2) AS DOUBLE) AS store_cum,
+           w.cum_rev > s.cum_rev AS web_ahead
+    FROM (SELECT * FROM cum WHERE chan = 1) w
+    JOIN (SELECT * FROM cum WHERE chan = 0) s ON w.mon = s.mon
+    """,
+    "tpcds", "cumulative", "q51",
+)
+def ds_cumulative_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: per-channel cumulative revenue series joined on
+    the calendar axis with an ahead/behind flag — ONE window pass over the
+    tiny monthly aggregate, then a self-join on month."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    monthly = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+            (F.col("o_orderkey") % 2).alias("chan"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = Window.partitionBy("chan").orderBy("mon").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = monthly.withColumn("cum_rev", F.sum("rev").over(w))
+    web = cum.filter(F.col("chan") == 1).select("mon", F.col("cum_rev").alias("wc"))
+    store = cum.filter(F.col("chan") == 0).select(
+        F.col("mon").alias("mon2"), F.col("cum_rev").alias("sc")
+    )
+    return (
+        web.join(store, F.col("mon") == F.col("mon2"))
+        .select(
+            "mon",
+            F.round("wc", 2).cast("double").alias("web_cum"),
+            F.round("sc", 2).cast("double").alias("store_cum"),
+            (F.col("wc") > F.col("sc")).alias("web_ahead"),
+        )
+    )
+
+
+@q(
+    "ds_effective_net_quantity",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_quantity END)
+                AS BIGINT) AS net_qty,
+           CAST(round(sum(CASE WHEN l_returnflag = 'R' THEN 0
+                    ELSE CAST(l_extendedprice AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             AS net_rev
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE l_quantity END) > 180
+    """,
+    "tpcds", "returns-arith", "q93",
+)
+def ds_effective_net_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape: effective order quantity after cancelling
+    returned lines — the returns subtraction folded into the aggregate
+    CASE (one scan, no returns-table join since returnflag is inline)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    not_r = F.col("l_returnflag") != "R"
+    agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.when(not_r, F.col("l_quantity")).otherwise(0))
+        .cast("bigint")
+        .alias("net_qty"),
+        F.round(
+            F.sum(
+                F.when(
+                    not_r, F.col("l_extendedprice").cast("decimal(18,4)")
+                ).otherwise(F.lit(0).cast("decimal(18,4)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("net_rev"),
+    )
+    return agg.filter(F.col("net_qty") > 180)
+
+
+@q(
+    "ds_two_supplier_orders",
+    """
+    SELECT count(*) AS n_orders FROM (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING count(DISTINCT l_suppkey) >= 2
+         AND count(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01' THEN 1 END) = 0
+    )
+    """,
+    "tpcds", "exists-chain", "q95",
+)
+def ds_two_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape: orders shipped from >= 2 suppliers with NO late
+    line — the EXISTS(other supplier) / NOT EXISTS(late line) pair
+    collapsed to one grouped scan (distinct-count + conditional count)
+    instead of two correlated self-joins of the fact."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.count_if(
+            F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp_ntz")
+        ).alias("n_late"),
+    )
+    return per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 0)
+    ).agg(F.count("*").alias("n_orders"))
+
+
+@q(
+    "ds_region_qoq_growth",
+    """
+    WITH q AS (
+      SELECT n_name, quarter(o_orderdate) AS qtr, o_orderkey % 2 AS chan,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE year(o_orderdate) = 1997
+      GROUP BY 1, 2, 3
+    )
+    SELECT a.n_name AS n_name, a.qtr AS qtr,
+           round(a.rev / b.rev, 4) AS web_growth,
+           round(c.rev / d.rev, 4) AS store_growth
+    FROM q a JOIN q b ON a.n_name = b.n_name AND a.qtr = b.qtr + 1
+                     AND a.chan = 1 AND b.chan = 1
+         JOIN q c ON a.n_name = c.n_name AND c.qtr = a.qtr AND c.chan = 0
+         JOIN q d ON a.n_name = d.n_name AND d.qtr = a.qtr - 1 AND d.chan = 0
+    WHERE b.rev > 0 AND d.rev > 0 AND a.rev / b.rev > c.rev / d.rev
+    """,
+    "tpcds", "growth-compare", "q31",
+)
+def ds_region_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape: quarter-over-quarter growth per nation computed
+    for two channels and compared (nations where web outgrew store) —
+    the four-way self-join runs over the tiny (nation x quarter x channel)
+    aggregate, never the fact."""
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    q_agg = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.col("o_orderkey") % 2).alias("chan"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    a = q_agg.filter(F.col("chan") == 1).select(
+        "n_name", "qtr", F.col("rev").alias("wa")
+    )
+    b = q_agg.filter(F.col("chan") == 1).select(
+        F.col("n_name").alias("n2"), F.col("qtr").alias("q2"), F.col("rev").alias("wb")
+    )
+    c = q_agg.filter(F.col("chan") == 0).select(
+        F.col("n_name").alias("n3"), F.col("qtr").alias("q3"), F.col("rev").alias("sc")
+    )
+    d = q_agg.filter(F.col("chan") == 0).select(
+        F.col("n_name").alias("n4"), F.col("qtr").alias("q4"), F.col("rev").alias("sd")
+    )
+    return (
+        a.join(b, (F.col("n_name") == F.col("n2")) & (F.col("qtr") == F.col("q2") + 1))
+        .join(c, (F.col("n_name") == F.col("n3")) & (F.col("qtr") == F.col("q3")))
+        .join(d, (F.col("n_name") == F.col("n4")) & (F.col("qtr") == F.col("q4") + 1))
+        .filter(
+            (F.col("wb") > 0)
+            & (F.col("sd") > 0)
+            & (F.col("wa") / F.col("wb") > F.col("sc") / F.col("sd"))
+        )
+        .select(
+            "n_name",
+            "qtr",
+            F.round(F.col("wa") / F.col("wb"), 4).cast("double").alias("web_growth"),
+            F.round(F.col("sc") / F.col("sd"), 4).cast("double").alias("store_growth"),
+        )
+    )
+
+
+@q(
+    "ds_three_year_pref",
+    """
+    WITH yearly AS (
+      SELECT o_custkey, year(o_orderdate) AS yr, o_orderkey % 2 AS chan,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+      GROUP BY 1, 2, 3
+    )
+    SELECT count(*) AS n_cust FROM (
+      SELECT w1.o_custkey
+      FROM yearly w1 JOIN yearly w2
+        ON w1.o_custkey = w2.o_custkey AND w1.chan = 1 AND w2.chan = 1
+       AND w1.yr = 1996 AND w2.yr = 1997
+      JOIN yearly s1 ON s1.o_custkey = w1.o_custkey AND s1.chan = 0 AND s1.yr = 1996
+      JOIN yearly s2 ON s2.o_custkey = w1.o_custkey AND s2.chan = 0 AND s2.yr = 1997
+      WHERE w1.rev > 0 AND s1.rev > 0
+        AND w2.rev / w1.rev > s2.rev / s1.rev
+    )
+    """,
+    "tpcds", "growth-compare", "q4",
+)
+def ds_three_year_pref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4 shape: customers present in BOTH channels in consecutive
+    years whose web growth beat their store growth — four joins of the
+    per-(customer, year, channel) aggregate against itself."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    yearly = (
+        orders.filter(F.year("o_orderdate").between(1996, 1998))
+        .groupBy(
+            "o_custkey",
+            F.year("o_orderdate").alias("yr"),
+            (F.col("o_orderkey") % 2).alias("chan"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+
+    def slice_(yr, chan, alias_rev, alias_key):
+        return yearly.filter((F.col("yr") == yr) & (F.col("chan") == chan)).select(
+            F.col("o_custkey").alias(alias_key), F.col("rev").alias(alias_rev)
+        )
+
+    w1 = slice_(1996, 1, "w1", "k1")
+    w2 = slice_(1997, 1, "w2", "k2")
+    s1 = slice_(1996, 0, "s1", "k3")
+    s2 = slice_(1997, 0, "s2", "k4")
+    return (
+        w1.join(w2, F.col("k1") == F.col("k2"))
+        .join(s1, F.col("k1") == F.col("k3"))
+        .join(s2, F.col("k1") == F.col("k4"))
+        .filter(
+            (F.col("w1") > 0)
+            & (F.col("s1") > 0)
+            & (F.col("w2") / F.col("w1") > F.col("s2") / F.col("s1"))
+        )
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+@q(
+    "ds_weekday_ratio_pivot",
+    """
+    WITH wk AS (
+      SELECT CASE WHEN month(o_orderdate) <= 6 THEN 'h1' ELSE 'h2' END AS half,
+             dayofweek(o_orderdate) AS dow,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY 1, 2
+    )
+    SELECT a.dow AS dow,
+           CAST(round(a.rev, 2) AS DOUBLE) AS h1_rev,
+           CAST(round(b.rev, 2) AS DOUBLE) AS h2_rev,
+           round(b.rev / a.rev, 4) AS ratio
+    FROM (SELECT * FROM wk WHERE half = 'h1') a
+    JOIN (SELECT * FROM wk WHERE half = 'h2') b ON a.dow = b.dow
+    WHERE a.rev > 0
+    """,
+    "tpcds", "calendar-pivot", "q59",
+)
+def ds_weekday_ratio_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape: weekday revenue profile of one half-year ratioed
+    against the other half — the pivot is a (half, dow) aggregate
+    self-joined on weekday.  DuckDB dayofweek is 0-6 Sunday-first vs
+    Spark 1-7; Spark side converts to DuckDB's numbering."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    wk = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy(
+            F.when(F.month("o_orderdate") <= 6, "h1").otherwise("h2").alias("half"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    a = wk.filter(F.col("half") == "h1").select("dow", F.col("rev").alias("r1"))
+    b = wk.filter(F.col("half") == "h2").select(
+        F.col("dow").alias("dow2"), F.col("rev").alias("r2")
+    )
+    return (
+        a.join(b, F.col("dow") == F.col("dow2"))
+        .filter(F.col("r1") > 0)
+        .select(
+            "dow",
+            F.round("r1", 2).cast("double").alias("h1_rev"),
+            F.round("r2", 2).cast("double").alias("h2_rev"),
+            F.round(F.col("r2") / F.col("r1"), 4).cast("double").alias("ratio"),
+        )
+    )
+
+
+@q(
+    "ds_half_year_share",
+    """
+    WITH t AS (
+      SELECT p_type,
+             sum(CASE WHEN month(l_shipdate) <= 6
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE 0 END) AS h1,
+             sum(CASE WHEN month(l_shipdate) > 6
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) ELSE 0 END) AS h2
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1997
+      GROUP BY p_type
+    )
+    SELECT p_type,
+           CAST(round(h1, 2) AS DOUBLE) AS h1_rev,
+           CAST(round(h2, 2) AS DOUBLE) AS h2_rev,
+           round(h1 / (h1 + h2), 4) AS h1_share
+    FROM t WHERE h1 + h2 > 0
+    """,
+    "tpcds", "calendar-pivot", "q66",
+)
+def ds_half_year_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape: per-carrier (p_type stands in) revenue split into
+    calendar buckets inside the aggregate (conditional sums, one scan) with
+    each bucket's share of the year."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    t = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type")
+        .agg(
+            F.sum(F.when(F.month("l_shipdate") <= 6, price).otherwise(zero)).alias("h1"),
+            F.sum(F.when(F.month("l_shipdate") > 6, price).otherwise(zero)).alias("h2"),
+        )
+    )
+    return (
+        t.filter(F.col("h1") + F.col("h2") > 0)
+        .select(
+            "p_type",
+            F.round("h1", 2).cast("double").alias("h1_rev"),
+            F.round("h2", 2).cast("double").alias("h2_rev"),
+            F.round(F.col("h1") / (F.col("h1") + F.col("h2")), 4).alias("h1_share"),
+        )
+    )
+
+
+@q(
+    "ds_below_avg_items",
+    """
+    WITH brand_item AS (
+      SELECT p_brand, l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), brand_stats AS (
+      SELECT p_brand, avg(rev) AS avg_rev FROM brand_item GROUP BY 1
+    )
+    SELECT b.p_brand AS p_brand, count(*) AS n_weak_items,
+           CAST(round(min(i.rev), 2) AS DOUBLE) AS weakest_rev
+    FROM brand_item i JOIN brand_stats b ON i.p_brand = b.p_brand
+    WHERE i.rev < 0.5 * b.avg_rev
+    GROUP BY b.p_brand
+    """,
+    "tpcds", "threshold-scan", "q65",
+)
+def ds_below_avg_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape: items revenue-underperforming their brand average
+    — the per-brand average joins back against the per-item aggregate
+    (tiny vs tiny; the fact is scanned once)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    brand_item = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    brand_stats = brand_item.groupBy(F.col("p_brand").alias("b2")).agg(
+        F.avg("rev").alias("avg_rev")
+    )
+    return (
+        brand_item.join(
+            F.broadcast(brand_stats), F.col("p_brand") == F.col("b2")
+        )
+        .filter(F.col("rev") < 0.5 * F.col("avg_rev"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_weak_items"),
+            F.round(F.min("rev"), 2).cast("double").alias("weakest_rev"),
+        )
+    )
+
+
+@q(
+    "ds_nation_above_global",
+    """
+    WITH nat AS (
+      SELECT n_name, avg(c_acctbal) AS nat_avg, count(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ), gstats AS (SELECT avg(c_acctbal) AS g FROM customer)
+    SELECT n_name, n_cust, round(nat_avg, 2) AS nat_avg
+    FROM nat, gstats WHERE nat_avg > 1.02 * g
+    """,
+    "tpcds", "threshold-scan", "q6",
+)
+def ds_nation_above_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q6 shape: states (nations) whose customer average exceeds
+    the global average by a margin — scalar subquery broadcast against the
+    per-nation aggregate."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    nat = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.avg("c_acctbal").alias("nat_avg"), F.count("*").alias("n_cust"))
+    )
+    glob = customer.agg(F.avg("c_acctbal").alias("g"))
+    return (
+        nat.join(F.broadcast(glob))
+        .filter(F.col("nat_avg") > 1.02 * F.col("g"))
+        .select("n_name", "n_cust", F.round("nat_avg", 2).alias("nat_avg"))
+    )
+
+
+@q(
+    "ds_return_then_reorder",
+    """
+    WITH returned_orders AS (
+      SELECT DISTINCT o_custkey, o_orderdate
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+    )
+    SELECT count(DISTINCT r.o_custkey) AS n_cust,
+           count(*) AS n_reorders,
+           CAST(round(sum(o2.o_totalprice), 2) AS DOUBLE) AS reorder_rev
+    FROM returned_orders r
+    JOIN orders o2 ON o2.o_custkey = r.o_custkey
+                  AND o2.o_orderdate > r.o_orderdate
+                  AND o2.o_orderdate <= r.o_orderdate + INTERVAL 30 DAY
+    """,
+    "tpcds", "sequence", "q25",
+)
+def ds_return_then_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q25/q29 shape: customers who re-ordered within 30 days of an
+    order containing a return — a banded temporal self-join on customer
+    (equi on custkey, range on date: the equi key carries the shuffle)."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    returned = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("o_custkey").alias("rk"), F.col("o_orderdate").alias("rdate"))
+        .distinct()
+    )
+    reorder = orders.join(
+        returned,
+        (F.col("o_custkey") == F.col("rk"))
+        & (F.col("o_orderdate") > F.col("rdate"))
+        & (F.col("o_orderdate") <= F.col("rdate") + F.expr("INTERVAL 30 DAY")),
+    )
+    return reorder.agg(
+        F.countDistinct("rk").alias("n_cust"),
+        F.count("*").alias("n_reorders"),
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("reorder_rev"),
+    )

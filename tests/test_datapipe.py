@@ -127,3 +127,37 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
         if lang in base and base[lang] >= 20:
             got = s1.get(lang, 0) / base[lang]
             assert abs(got - frac) < 0.35, (lang, got, frac)
+
+
+def test_embedding_near_dup_lsh_matches_bruteforce(spark, sf_dir):
+    """Banded-LSH candidate generation must recover EXACTLY the pairs the
+    exact all-pairs scan finds at the query threshold (total recall on the
+    fixture; precision is structural — every candidate is re-verified with
+    a true dot product)."""
+    from incubator_gluten_spark.datapipe import embedding_near_dup_pairs
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < 1000
+    )
+    lsh = {
+        (r.id1, r.id2): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    from incubator_gluten_spark.datapipe.similarity import cosine_similarity
+
+    exact = {
+        (r.id1, r.id2): r.cosine
+        for r in a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn(
+            "cosine", F.round(cosine_similarity(F.col("e1"), F.col("e2")), 6)
+        )
+        .filter(F.col("cosine") > 0.45)
+        .select("id1", "id2", "cosine")
+        .collect()
+    }
+    assert lsh == exact, (
+        f"missed={sorted(set(exact) - set(lsh))[:5]} "
+        f"spurious={sorted(set(lsh) - set(exact))[:5]}"
+    )

