@@ -775,3 +775,396 @@ def cb_gapfill_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.coalesce("n", F.lit(0)) == 0).alias("n_gap_days"),
         F.sum(F.coalesce("n", F.lit(0))).alias("total"),
     )
+
+
+# ---------------------------------------------------------------- round 4:
+# ClickBench URL / UserAgent / regex-extraction shapes (clickbench q20-28
+# URL family, q9-10 ad/mobile breakdowns, q28 heavy-hitter extraction).
+# The fixture has no URL or UA columns, so both engines SYNTHESIZE them
+# deterministically from the same columns — the string kernels under test
+# (regexp_extract, split, classify-by-LIKE) then run on identical inputs.
+
+_URL_SQL = (
+    "'https://' || CASE WHEN user_id % 3 = 0 THEN 'shop.example.com' "
+    "WHEN user_id % 3 = 1 THEN 'blog.example.org' ELSE 'docs.example.net' END "
+    "|| '/' || event_type || '/p' || CAST(event_id % 50 AS VARCHAR) "
+    "|| CASE WHEN event_id % 4 = 0 THEN '?ref=search&cmp=' || CAST(user_id % 5 AS VARCHAR) "
+    "WHEN event_id % 4 = 1 THEN '?ref=social' ELSE '' END"
+)
+
+_UA_SQL = (
+    "CASE WHEN user_id % 5 = 0 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_0) Mobile Safari/604.1' "
+    "WHEN user_id % 5 = 1 THEN 'Mozilla/5.0 (Linux; Android 14) Chrome/120.0 Mobile' "
+    "WHEN user_id % 5 = 2 THEN 'Mozilla/5.0 (Windows NT 10.0) Chrome/120.0' "
+    "WHEN user_id % 5 = 3 THEN 'Mozilla/5.0 (Macintosh) Safari/605.1' "
+    "ELSE 'curl/8.4.0' END"
+)
+
+
+def _url_col() -> F.Column:
+    host = (
+        F.when(F.col("user_id") % 3 == 0, "shop.example.com")
+        .when(F.col("user_id") % 3 == 1, "blog.example.org")
+        .otherwise("docs.example.net")
+    )
+    query = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(F.lit("?ref=search&cmp="), (F.col("user_id") % 5).cast("string")),
+        )
+        .when(F.col("event_id") % 4 == 1, F.lit("?ref=social"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("https://"),
+        host,
+        F.lit("/"),
+        F.col("event_type"),
+        F.lit("/p"),
+        (F.col("event_id") % 50).cast("string"),
+        query,
+    )
+
+
+def _ua_col() -> F.Column:
+    return (
+        F.when(
+            F.col("user_id") % 5 == 0,
+            "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0) Mobile Safari/604.1",
+        )
+        .when(
+            F.col("user_id") % 5 == 1,
+            "Mozilla/5.0 (Linux; Android 14) Chrome/120.0 Mobile",
+        )
+        .when(F.col("user_id") % 5 == 2, "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0")
+        .when(F.col("user_id") % 5 == 3, "Mozilla/5.0 (Macintosh) Safari/605.1")
+        .otherwise("curl/8.4.0")
+    )
+
+
+@q(
+    "cb_url_host_topk",
+    f"""
+    SELECT host, count(*) AS n, count(DISTINCT user_id) AS users
+    FROM (SELECT user_id, regexp_extract({_URL_SQL}, 'https://([^/]+)/', 1) AS host
+          FROM events)
+    GROUP BY host ORDER BY n DESC, host LIMIT 10
+    """,
+    "clickbench", "url", "regex",
+)
+def cb_url_host_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench URL-family shape: extract the host with one regex and
+    rank hosts by hits + unique users (q21-style heavy hitters)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.select(
+            "user_id",
+            F.regexp_extract(_url_col(), r"https://([^/]+)/", 1).alias("host"),
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("users"))
+        .orderBy(F.desc("n"), "host")
+        .limit(10)
+    )
+
+
+@q(
+    "cb_url_path_depth",
+    f"""
+    SELECT depth, count(*) AS n FROM (
+      SELECT len(string_split(
+        regexp_replace(regexp_extract({_URL_SQL}, 'https://[^/]+(/[^?]*)', 1),
+                       '^/', ''), '/')) AS depth
+      FROM events
+    ) GROUP BY depth
+    """,
+    "clickbench", "url",
+)
+def cb_url_path_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL path-depth histogram: extract the path, strip the leading
+    slash, count segments (q22-style URL structure breakdown)."""
+    ev = _ev(spark, sf_dir)
+    path = F.regexp_extract(_url_col(), r"https://[^/]+(/[^?]*)", 1)
+    return (
+        ev.select(
+            F.size(F.split(F.regexp_replace(path, r"^/", ""), "/")).alias("depth")
+        )
+        .groupBy("depth")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "cb_query_param_extract",
+    f"""
+    SELECT ref, cmp, count(*) AS n FROM (
+      SELECT coalesce(nullif(regexp_extract({_URL_SQL}, 'ref=([a-z]+)', 1), ''), 'none') AS ref,
+             coalesce(nullif(regexp_extract({_URL_SQL}, 'cmp=([0-9]+)', 1), ''), '-') AS cmp
+      FROM events
+    ) GROUP BY ref, cmp
+    """,
+    "clickbench", "url", "regex",
+)
+def cb_query_param_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-parameter extraction (utm-style attribution): pull ref= and
+    cmp= values out of the query string with anchored regexes, count every
+    (ref, campaign) combination."""
+    ev = _ev(spark, sf_dir)
+    url = _url_col()
+    ref = F.coalesce(
+        F.nullif(F.regexp_extract(url, r"ref=([a-z]+)", 1), F.lit("")), F.lit("none")
+    )
+    cmp_ = F.coalesce(
+        F.nullif(F.regexp_extract(url, r"cmp=([0-9]+)", 1), F.lit("")), F.lit("-")
+    )
+    return (
+        ev.select(ref.alias("ref"), cmp_.alias("cmp"))
+        .groupBy("ref", "cmp")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "cb_url_normalize_distinct",
+    f"""
+    SELECT count(DISTINCT url) AS n_raw,
+           count(DISTINCT regexp_replace(url, '[?#].*$', '')) AS n_norm
+    FROM (SELECT {_URL_SQL} AS url FROM events)
+    """,
+    "clickbench", "url",
+)
+def cb_url_normalize_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization dedup: distinct URLs before vs after stripping
+    query/fragment — the canonical-URL cardinality drop a crawler dedup
+    pass measures."""
+    ev = _ev(spark, sf_dir)
+    url = _url_col()
+    return ev.select(url.alias("url")).agg(
+        F.countDistinct("url").alias("n_raw"),
+        F.countDistinct(F.regexp_replace("url", r"[?#].*$", "")).alias("n_norm"),
+    )
+
+
+@q(
+    "cb_ua_breakdown",
+    f"""
+    SELECT browser, is_mobile, count(*) AS n,
+           count(DISTINCT user_id) AS users
+    FROM (
+      SELECT user_id,
+             CASE WHEN {_UA_SQL} LIKE '%Chrome%' THEN 'Chrome'
+                  WHEN {_UA_SQL} LIKE '%Safari%' THEN 'Safari'
+                  ELSE 'other' END AS browser,
+             ({_UA_SQL} LIKE '%Mobile%') AS is_mobile
+      FROM events
+    ) GROUP BY browser, is_mobile
+    """,
+    "clickbench", "useragent",
+)
+def cb_ua_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UserAgent breakdown (ClickBench q9/q10 family): classify browser by
+    LIKE chain (Chrome before Safari — every Chrome UA contains Safari)
+    and split by mobile flag."""
+    ev = _ev(spark, sf_dir)
+    ua = _ua_col()
+    browser = (
+        F.when(ua.like("%Chrome%"), "Chrome")
+        .when(ua.like("%Safari%"), "Safari")
+        .otherwise("other")
+    )
+    return (
+        ev.select(
+            "user_id", browser.alias("browser"), ua.like("%Mobile%").alias("is_mobile")
+        )
+        .groupBy("browser", "is_mobile")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("users"))
+    )
+
+
+@q(
+    "cb_mobile_share_hourly",
+    f"""
+    SELECT hour(CAST(ts AS TIMESTAMP)) AS hr,
+           count(*) AS n,
+           round(avg(CASE WHEN {_UA_SQL} LIKE '%Mobile%' THEN 1.0 ELSE 0.0 END), 4)
+             AS mobile_share
+    FROM events GROUP BY hr
+    """,
+    "clickbench", "useragent", "time-bucket",
+)
+def cb_mobile_share_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobile traffic share per hour-of-day — the conditional-average
+    time profile (ClickBench mobile-breakdown family)."""
+    ev = _ev(spark, sf_dir)
+    is_mobile = _ua_col().like("%Mobile%")
+    return (
+        ev.groupBy(F.hour("ts").alias("hr"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.when(is_mobile, 1.0).otherwise(0.0)), 4).alias(
+                "mobile_share"
+            ),
+        )
+    )
+
+
+@q(
+    "cb_word_heavy_hitters",
+    r"""
+    SELECT w, count(*) AS n FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]{4,}')) AS w
+      FROM documents
+    ) GROUP BY w ORDER BY n DESC, w LIMIT 20
+    """,
+    "clickbench", "regex", "heavy-hitters",
+)
+def cb_word_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench q28-style heavy-hitter extraction: regex-tokenize every
+    document (words of 4+ letters), explode, count, top-20 — the
+    extract-explode-count pattern that dominates log analytics. Partial
+    aggregation bounds the shuffle to the vocabulary, not the corpus."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]{4,}', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(20)
+    )
+
+
+@q(
+    "cb_referrer_classify",
+    f"""
+    SELECT chan, count(*) AS n, round(sum(value), 2) AS total
+    FROM (
+      SELECT CASE WHEN {_URL_SQL} LIKE '%ref=search%' THEN 'search'
+                  WHEN {_URL_SQL} LIKE '%ref=social%' THEN 'social'
+                  ELSE 'direct' END AS chan,
+             value
+      FROM events
+    ) GROUP BY chan
+    """,
+    "clickbench", "url", "classify",
+)
+def cb_referrer_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referrer-channel classification by LIKE chain (search / social /
+    direct) with per-channel volume and value."""
+    ev = _ev(spark, sf_dir)
+    url = _url_col()
+    chan = (
+        F.when(url.like("%ref=search%"), "search")
+        .when(url.like("%ref=social%"), "social")
+        .otherwise("direct")
+    )
+    return (
+        ev.select(chan.alias("chan"), "value")
+        .groupBy("chan")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@q(
+    "cb_ip_octet_buckets",
+    """
+    SELECT octet1, count(*) AS n, count(DISTINCT user_id) AS users
+    FROM (
+      SELECT user_id,
+             CAST(string_split('10.' || CAST(user_id % 256 AS VARCHAR) || '.'
+                  || CAST(event_id % 256 AS VARCHAR) || '.'
+                  || CAST((user_id + event_id) % 256 AS VARCHAR), '.')[2] AS INT)
+               AS octet1
+      FROM events
+    ) GROUP BY octet1 HAVING count(*) >= 40
+    """,
+    "clickbench", "ip", "string",
+)
+def cb_ip_octet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench IP-grouping shape: synthesize a dotted-quad per event,
+    split out the second octet, bucket traffic by it (the /16 subnet
+    rollup a DDoS dashboard runs)."""
+    ev = _ev(spark, sf_dir)
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("user_id") + F.col("event_id")) % 256).cast("string"),
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.split(ip, r"\.").getItem(1).cast("int").alias("octet1"),
+        )
+        .groupBy("octet1")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("users"))
+        .filter(F.col("n") >= 40)
+    )
+
+
+@q(
+    "cb_phrase_match_rate",
+    r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(CASE WHEN regexp_matches(text, '(spark|query|data)\s+\w+') THEN 1 END)
+                AS BIGINT) AS n_match,
+           round(count(CASE WHEN regexp_matches(text, '(spark|query|data)\s+\w+') THEN 1 END)
+                 * 1.0 / count(*), 4) AS match_rate
+    FROM documents GROUP BY lang
+    """,
+    "clickbench", "regex",
+)
+def cb_phrase_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-alternation phrase match rate per language — the
+    LIKE-escalated-to-regex shape (ClickBench q19-20 string matching)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hit = F.col("text").rlike(r"(spark|query|data)\s+\w+")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(hit).cast("bigint").alias("n_match"),
+        F.round(F.count_if(hit) * 1.0 / F.count("*"), 4).alias("match_rate"),
+    )
+
+
+@q(
+    "cb_url_product_topk_per_host",
+    f"""
+    SELECT host, product, n FROM (
+      SELECT host, product, n,
+             row_number() OVER (PARTITION BY host ORDER BY n DESC, product) AS rn
+      FROM (
+        SELECT regexp_extract({_URL_SQL}, 'https://([^/]+)/', 1) AS host,
+               regexp_extract({_URL_SQL}, '/p([0-9]+)', 1) AS product,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+      )
+    ) WHERE rn <= 3
+    """,
+    "clickbench", "url", "window",
+)
+def cb_url_product_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top products per host: two regex extractions feeding a grouped
+    count and a per-host WindowGroupLimit top-3 (rank pushed to
+    per-partition top-k, no global sort)."""
+    ev = _ev(spark, sf_dir)
+    url = _url_col()
+    agg = (
+        ev.select(
+            F.regexp_extract(url, r"https://([^/]+)/", 1).alias("host"),
+            F.regexp_extract(url, r"/p([0-9]+)", 1).alias("product"),
+        )
+        .groupBy("host", "product")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n"), "product")
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("host", "product", "n")
+    )

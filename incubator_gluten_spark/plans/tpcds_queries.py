@@ -2089,7 +2089,9 @@ def ds_half_year_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type",
             F.round("h1", 2).cast("double").alias("h1_rev"),
             F.round("h2", 2).cast("double").alias("h2_rev"),
-            F.round(F.col("h1") / (F.col("h1") + F.col("h2")), 4).alias("h1_share"),
+            F.round(F.col("h1") / (F.col("h1") + F.col("h2")), 4)
+            .cast("double")
+            .alias("h1_share"),
         )
     )
 
