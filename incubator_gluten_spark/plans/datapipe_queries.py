@@ -742,3 +742,128 @@ def dp_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@q(
+    "dp_chunk_windows",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+      WHERE doc_id < 300
+    ), chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0,
+               CAST(greatest(ceil((len(t) - 32) / 24.0), 0) AS BIGINT))) AS chunk_id,
+             len(t) AS n_tok
+      FROM tok
+    )
+    SELECT count(*) AS n_chunks,
+           count(DISTINCT doc_id) AS n_docs,
+           CAST(sum(least(32, n_tok - chunk_id * 24)) AS BIGINT) AS total_tokens,
+           CAST(min(least(32, n_tok - chunk_id * 24)) AS BIGINT) AS min_chunk_len
+    FROM chunks
+    """,
+    "datapipe", "chunking",
+)
+def dp_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window=32 tokens, stride=24 →
+    8-token overlap) — the tokenize-and-chunk pass every pre-training
+    pipeline runs before packing sequences. Chunk boundaries are pure
+    arithmetic over the token count (explode of a computed range — rows
+    scale with corpus_tokens/stride, never materializing token copies),
+    so DuckDB replays counts and token totals exactly."""
+    from incubator_gluten_spark.datapipe.dedup import normalize_text
+
+    WINDOW, STRIDE = 32, 24
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tok"),
+    )
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_tok") - WINDOW) / float(STRIDE)), F.lit(0)
+    ).cast("bigint")
+    chunks = tok.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks)).alias("chunk_id"),
+    )
+    chunk_len = F.least(F.lit(WINDOW), F.col("n_tok") - F.col("chunk_id") * STRIDE)
+    return chunks.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(chunk_len).cast("bigint").alias("total_tokens"),
+        F.min(chunk_len).cast("bigint").alias("min_chunk_len"),
+    )
+
+
+@q(
+    "dp_repetition_signals",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ), bi AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1]) AS bigrams,
+             len(t) AS n_tok
+      FROM tok WHERE len(t) >= 2
+    ), sig AS (
+      SELECT doc_id,
+             round(1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams), 4)
+               AS dup_bigram_frac,
+             round((SELECT max(c) FROM (
+                SELECT count(*) AS c FROM (SELECT unnest(bigrams) AS b) GROUP BY b
+              )) * 2.0 / n_tok, 4) AS top_bigram_frac
+      FROM bi
+    )
+    SELECT count(*) AS n_docs,
+           count(CASE WHEN dup_bigram_frac > 0.2 THEN 1 END) AS n_dup_flagged,
+           count(CASE WHEN top_bigram_frac > 0.18 THEN 1 END) AS n_top_flagged,
+           round(avg(dup_bigram_frac), 4) AS mean_dup_frac,
+           round(avg(top_bigram_frac), 4) AS mean_top_frac
+    FROM sig
+    """,
+    "datapipe", "quality", "repetition",
+)
+def dp_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-bigram fraction
+    (1 - distinct/total) and top-bigram token share — the intra-document
+    repetition filters used alongside dedup in pre-training curation.
+    All higher-order JVM lambdas over one token array per doc; corpus-
+    level output is the flag counts + means the mixture report consumes."""
+    from incubator_gluten_spark.datapipe.dedup import normalize_text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = F.split(normalize_text(F.col("text")), " ")
+    base = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("t", i), F.element_at("t", i + 1)
+        ),
+    )
+    bi = base.select(
+        "doc_id", bigrams.alias("bigrams"), F.size("t").alias("n_tok")
+    )
+    # top-bigram count via aggregate over the distinct set: for each
+    # distinct bigram count its occurrences with a filter-size, take max
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("bigrams"),
+            lambda b: F.size(F.filter("bigrams", lambda x: x == b)),
+        )
+    )
+    sig = bi.select(
+        F.round(
+            1.0 - F.size(F.array_distinct("bigrams")) * 1.0 / F.size("bigrams"), 4
+        ).alias("dup_bigram_frac"),
+        F.round(top_count * 2.0 / F.col("n_tok"), 4).alias("top_bigram_frac"),
+    )
+    return sig.agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("dup_bigram_frac") > 0.2).alias("n_dup_flagged"),
+        F.count_if(F.col("top_bigram_frac") > 0.18).alias("n_top_flagged"),
+        F.round(F.avg("dup_bigram_frac"), 4).alias("mean_dup_frac"),
+        F.round(F.avg("top_bigram_frac"), 4).alias("mean_top_frac"),
+    )
