@@ -1168,3 +1168,118 @@ def cb_url_product_topk_per_host(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("host", "product", "n")
     )
+
+
+@q(
+    "cb_latest_wide_rows",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 10
+    """,
+    "clickbench", "topn", "wide-row",
+)
+def cb_latest_wide_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench q23-style 'latest N full rows': full-width
+    TakeOrderedAndProject on the time axis — per-partition top-N merged
+    on the driver, never a global sort."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.select("event_id", "user_id", "event_type", F.round("value", 4).alias("value"), "ts")
+        .orderBy(F.desc("ts"), "event_id")
+        .limit(10)
+        .drop("ts")
+    )
+
+
+@q(
+    "cb_url_length_stats",
+    f"""
+    SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           count(*) AS n,
+           round(avg(length(url)), 4) AS avg_len,
+           max(length(url)) AS max_len,
+           min(length(url)) AS min_len
+    FROM (SELECT {_URL_SQL} AS url FROM events)
+    GROUP BY host
+    """,
+    "clickbench", "url", "string-stats",
+)
+def cb_url_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench q26-27 shape: URL length statistics per host (the
+    string-length scan that exposes row-store vs column-store string
+    handling)."""
+    ev = _ev(spark, sf_dir)
+    url = _url_col()
+    return (
+        ev.select(url.alias("url"))
+        .groupBy(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(F.length("url")), 4).alias("avg_len"),
+            F.max(F.length("url")).alias("max_len"),
+            F.min(F.length("url")).alias("min_len"),
+        )
+    )
+
+
+@q(
+    "cb_covisit_pairs",
+    """
+    SELECT t1, t2, count(*) AS n_users FROM (
+      SELECT DISTINCT a.user_id, a.event_type AS t1, b.event_type AS t2
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+    ) GROUP BY t1, t2 ORDER BY n_users DESC, t1, t2 LIMIT 10
+    """,
+    "clickbench", "covisitation", "self-join",
+)
+def cb_covisit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-visitation matrix (ClickBench URL-pair shape): event-type pairs
+    sharing a user, ranked — the self-join runs on per-user DISTINCT
+    types (5 rows/user), never raw events x events."""
+    ev = _ev(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.select(
+        F.col("user_id").alias("u2"), F.col("event_type").alias("t2")
+    ).alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("u2"))
+            & (F.col("a.event_type") < F.col("t2")),
+        )
+        .select(F.col("a.event_type").alias("t1"), "t2")
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy(F.desc("n_users"), "t1", "t2")
+        .limit(10)
+    )
+
+
+@q(
+    "cb_paged_aggregate",
+    """
+    SELECT user_id, n, total FROM (
+      SELECT user_id, count(*) AS n,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+      FROM events GROUP BY user_id
+    ) ORDER BY total DESC, user_id LIMIT 20 OFFSET 40
+    """,
+    "clickbench", "pagination",
+)
+def cb_paged_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench q39-43 pagination shape: page 3 of a ranked aggregate
+    (LIMIT+OFFSET over a total order with a unique tiebreaker)."""
+    ev = _ev(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+    return (
+        agg.orderBy(F.desc("total"), "user_id")
+        .offset(40)
+        .limit(20)
+    )
