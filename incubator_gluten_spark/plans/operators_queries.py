@@ -1164,8 +1164,8 @@ def chx_aggif_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, count(*) AS n,
            CAST(round(sum(CASE WHEN disc_price > 2000 THEN disc_price END), 2)
                 AS DOUBLE) AS big_total,
-           round(max(disc_price), 2) AS max_dp,
-           round(min(disc_price), 2) AS min_dp
+           CAST(round(max(disc_price), 2) AS DOUBLE) AS max_dp,
+           CAST(round(min(disc_price), 2) AS DOUBLE) AS min_dp
     FROM (
       SELECT l_returnflag,
              CAST(l_extendedprice AS DECIMAL(18,4))
@@ -1192,8 +1192,8 @@ def chx_cse_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.when(F.col("disc_price") > 2000, F.col("disc_price"))), 2)
         .cast("double")
         .alias("big_total"),
-        F.round(F.max("disc_price"), 2).alias("max_dp"),
-        F.round(F.min("disc_price"), 2).alias("min_dp"),
+        F.round(F.max("disc_price"), 2).cast("double").alias("max_dp"),
+        F.round(F.min("disc_price"), 2).cast("double").alias("min_dp"),
     )
 
 

@@ -384,3 +384,63 @@ def stream_stateful_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("top1", 4).alias("top1"),
         F.round("top3_sum", 4).alias("top3_sum"),
     )
+
+
+# NOTE: transformWithStateInPandas (Spark 4's successor to
+# applyInPandasWithState) is implemented in streaming/jobs.py
+# (transform_with_state_totals) but NOT registered: the API's driver-side
+# StreamingPythonRunner requires google.protobuf, which this container
+# lacks (`ModuleNotFoundError: No module named 'google'` — probed round 4,
+# query crashes with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE).
+# Environment-blocked like the connector jars; the applyInPandasWithState
+# entries (stream_stateful_counts, stream_stateful_topk) cover the custom
+# stateful-operator surface on this build.
+
+
+@q(
+    "stream_stream_left_outer",
+    """
+    SELECT p.user_id AS user_id,
+           count(*) AS n_rows,
+           CAST(count(CASE WHEN c.event_id IS NULL THEN 1 END) AS BIGINT)
+             AS n_unattributed
+    FROM (SELECT * FROM events WHERE event_type = 'purchase'
+          AND ts <= (SELECT max(ts) FROM events) - INTERVAL 24 HOUR) p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.user_id
+    """,
+    "streaming", "stream-stream-join", "outer",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: purchases keep NULLs
+    when no same-user click preceded them within the hour; NULL-padded
+    rows are emitted only when the watermark passes the purchase's match
+    window.  The final AvailableNow watermark sits 2h behind max event
+    time, so purchases inside that horizon are still open (held in state,
+    correct streaming semantics, not a bug) — both sides therefore
+    restrict to purchases at least 24h before the stream end (eviction
+    lag observed up to ~7h on sparse fixtures; 24h is a safe, still
+    data-rich horizon), making the batch LEFT JOIN oracle exact."""
+    from incubator_gluten_spark.catalog import load_tables
+    from incubator_gluten_spark.streaming.jobs import (
+        stream_stream_left_outer as sslo,
+    )
+
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    sink = run_to_memory(sslo(a, b), mode="append")
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOUR")).alias("cutoff")
+    )
+    return (
+        sink.join(F.broadcast(cutoff))
+        .filter(F.col("p_ts") <= F.col("cutoff"))
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_if(F.col("c_id").isNull()).cast("bigint").alias("n_unattributed"),
+        )
+    )

@@ -427,13 +427,19 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (address/phone/comment columns dropped)."""
     customer, orders, li, nation = _t(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    # join order: (filtered orders ⋈ lineitem-R) first, so the orderkey
+    # shuffle carries only order columns — joining customer first would
+    # drag its columns through that (much larger) exchange
+    ord_f = orders.filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
     return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(
-            (F.col("o_orderdate") >= _ts("1997-01-01"))
-            & (F.col("o_orderdate") < _ts("1997-04-01"))
+        ord_f.join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(_money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))

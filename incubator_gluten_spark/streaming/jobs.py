@@ -243,3 +243,80 @@ def stateful_topk_values(events: DataFrame, k: int = 3) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def transform_with_state_totals(events: DataFrame) -> DataFrame:
+    """Spark 4 transformWithStateInPandas — the successor API to
+    applyInPandasWithState (typed state variables via a StatefulProcessor
+    handle, multiple state vars, timers, TTL). Running per-user count +
+    value max kept in a ValueState; requires the RocksDB state store
+    provider (set per-query by the caller).
+
+    Reference analog: the custom stateful-operator surface
+    (SURVEY §2.11/2.12); this is the API a migrating reference user would
+    adopt on Spark 4."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, vmax DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, vmax = 0, float("-inf")
+            if self._agg.exists():
+                prev = self._agg.get()
+                n, vmax = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    vmax = max(vmax, float(pdf["value"].max()))
+            self._agg.update((n, vmax))
+            yield pd.DataFrame(
+                {"user_id": [int(key[0])], "n_events": [n], "value_max": [round(vmax, 4)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id bigint, n_events bigint, value_max double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def stream_stream_left_outer(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: purchases keep a NULL
+    click when no click preceded them within the hour. Outer rows emit
+    only once the watermark passes the join window — on a bounded
+    AvailableNow run the final watermark closes every window, so the
+    result equals the batch LEFT JOIN exactly."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
