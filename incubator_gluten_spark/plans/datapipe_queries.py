@@ -867,3 +867,71 @@ def dp_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dup_bigram_frac"), 4).alias("mean_dup_frac"),
         F.round(F.avg("top_bigram_frac"), 4).alias("mean_top_frac"),
     )
+
+
+@q(
+    "dp_tfidf_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(list_distinct(string_split({_NORM}, ' '))) AS w
+      FROM documents
+    ), n_docs AS (SELECT count(DISTINCT doc_id) AS nd FROM tok
+    ), df AS (
+      SELECT w, count(*) AS docfreq FROM tok GROUP BY w
+    ), scored AS (
+      SELECT t.lang, t.w,
+             count(*) AS tf_docs,
+             round(count(*) * ln(CAST((SELECT nd FROM n_docs) AS DOUBLE)
+                                 / d.docfreq), 6) AS tfidf
+      FROM tok t JOIN df d ON t.w = d.w
+      WHERE d.docfreq >= 3
+      GROUP BY t.lang, t.w, d.docfreq
+    )
+    SELECT lang, w, tf_docs, tfidf FROM (
+      SELECT lang, w, tf_docs, tfidf,
+             row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, w) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    "datapipe", "tfidf",
+)
+def dp_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top TF-IDF terms — the classic distinctive-vocabulary
+    report a corpus-curation run produces (which terms characterize each
+    language/domain slice).  Document frequencies are a small aggregate
+    broadcast back onto the token stream; top-k per language is a
+    WindowGroupLimit.  IDF uses integer counts + ln on both engines, so
+    the doubles agree bit-for-bit."""
+    from incubator_gluten_spark.datapipe.dedup import normalize_text
+    from pyspark.sql import Window as W
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(F.split(normalize_text(F.col("text")), " "))
+        ).alias("w"),
+    )
+    nd = tok.agg(F.countDistinct("doc_id").alias("nd"))
+    df_ = tok.groupBy("w").agg(F.count("*").alias("docfreq"))
+    scored = (
+        tok.join(F.broadcast(df_.filter(F.col("docfreq") >= 3)), "w")
+        .groupBy("lang", "w", "docfreq")
+        .agg(F.count("*").alias("tf_docs"))
+        .join(F.broadcast(nd))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf_docs")
+                * F.log(F.col("nd").cast("double") / F.col("docfreq")),
+                6,
+            ),
+        )
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("tfidf"), "w")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "w", "tf_docs", "tfidf")
+    )

@@ -541,3 +541,44 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(12 - n_clean).alias("n_dropped"),
         F.lit(n_permissive).alias("n_permissive"),
     )
+
+
+@q(
+    "src_python_stream_source",
+    """
+    SELECT m, count(*) AS n, CAST(sum(v) AS BIGINT) AS total,
+           CAST(sum(sq) AS BIGINT) AS total_sq
+    FROM (SELECT range AS v, range * range AS sq, range % 5 AS m
+          FROM range(0, 500))
+    GROUP BY m
+    """,
+    "source", "python-datasource", "streaming",
+)
+def src_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING data source (Spark 4
+    SimpleDataSourceStreamReader): dict offsets checkpointed by the
+    engine, replay via readBetweenOffsets — the jar-free custom-connector
+    slot (Kafka's role in SURVEY §2.1) exercised through a real
+    readStream -> stateful agg -> memory sink run, pinned by a
+    deterministic batch oracle."""
+    import uuid
+
+    from incubator_gluten_spark.sources.pyds import register_python_stream_source
+
+    register_python_stream_source(spark)
+    df = spark.readStream.format("graft_counter").option("n", "500").load()
+    agg = df.groupBy("m").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("bigint").alias("total"),
+        F.sum("sq").cast("bigint").alias("total_sq"),
+    )
+    name = f"pys_{uuid.uuid4().hex[:8]}"
+    qh = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qh.awaitTermination()
+    return spark.table(name)

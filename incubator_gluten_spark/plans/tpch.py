@@ -146,12 +146,15 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority: 3-way join -> agg -> TakeOrderedAndProject."""
     customer, orders, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    # the shipdate filter keeps only the tail of lineitem — join it first
+    # so the custkey shuffle carries the already-tiny (li ⋈ orders) rows
+    # instead of shuffling every BUILDING customer against full orders
+    li_f = li.filter(F.col("l_shipdate") > _ts("1998-06-01"))
+    ord_f = orders.filter(F.col("o_orderdate") < _ts("1998-06-01"))
+    cust_f = customer.filter(F.col("c_mktsegment") == "BUILDING")
     return (
-        customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .filter(F.col("o_orderdate") < _ts("1998-06-01"))
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .filter(F.col("l_shipdate") > _ts("1998-06-01"))
+        li_f.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_f, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
         .groupBy("l_orderkey", "o_orderdate")
         .agg(_money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select(

@@ -57,3 +57,52 @@ class SequenceDataSource(DataSource):
 
 def register_python_datasource(spark) -> None:
     spark.dataSource.register(SequenceDataSource)
+
+
+class _CounterStreamReader:
+    """SimpleDataSourceStreamReader for a bounded deterministic counter.
+
+    Emits [0, n) in micro-batches of `batch` rows; offsets are plain dicts
+    checkpointed by the engine (exactly-once via offset log + replay
+    through readBetweenOffsets). This Spark 4 Python streaming-source API
+    is the jar-free stand-in for a custom unbounded connector (message
+    queue, CDC feed) — note this build's AvailableNow falls back to
+    single-batch execution for Python sources (engine warning), so the
+    registry entry sizes batch == n to keep results deterministic."""
+
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("n", 500))
+        self.batch = int(options.get("batch", self.n))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.n)
+        return (self._rows(pos, end), {"pos": end})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["pos"], end["pos"])
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        return iter([(i, i * i, i % 5) for i in range(lo, hi)])
+
+
+class CounterStreamDataSource(DataSource):
+    """``spark.readStream.format("graft_counter")`` — bounded counter."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_counter"
+
+    def schema(self) -> str:
+        return "v bigint, sq bigint, m bigint"
+
+    def simpleStreamReader(self, schema):
+        return _CounterStreamReader(self.options)
+
+
+def register_python_stream_source(spark) -> None:
+    spark.dataSource.register(CounterStreamDataSource)
