@@ -2212,3 +2212,323 @@ def ds_return_then_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_reorders"),
         F.round(F.sum("o_totalprice"), 2).cast("double").alias("reorder_rev"),
     )
+
+
+@q(
+    "ds_three_channel_share",
+    """
+    WITH ch AS (
+      SELECT p_brand, l_orderkey % 3 AS channel,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), wide AS (
+      SELECT p_brand,
+             sum(CASE WHEN channel = 0 THEN rev ELSE 0 END) AS c0,
+             sum(CASE WHEN channel = 1 THEN rev ELSE 0 END) AS c1,
+             sum(CASE WHEN channel = 2 THEN rev ELSE 0 END) AS c2
+      FROM ch GROUP BY p_brand
+    )
+    SELECT p_brand,
+           round(CAST(least(c0, c1, c2) AS DOUBLE)
+                 / CAST(c0 + c1 + c2 AS DOUBLE), 4) AS min_share,
+           CAST(round(c0 + c1 + c2, 2) AS DOUBLE) AS total
+    FROM wide
+    WHERE c0 + c1 + c2 > 0
+      AND CAST(least(c0, c1, c2) AS DOUBLE) / CAST(c0 + c1 + c2 AS DOUBLE) >= 0.25
+    """,
+    "tpcds", "channel-balance", "q58",
+)
+def ds_three_channel_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58/q83 shape: brands whose revenue is BALANCED across all
+    three channels (each channel >= 25% of total) — the cross-channel
+    consistency report, pivoted wide so the share math is one pass."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    zero = F.lit(0).cast("decimal(18,4)")
+    ch = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", (F.col("l_orderkey") % 3).alias("channel"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    wide = ch.groupBy("p_brand").agg(
+        F.sum(F.when(F.col("channel") == 0, F.col("rev")).otherwise(zero)).alias("c0"),
+        F.sum(F.when(F.col("channel") == 1, F.col("rev")).otherwise(zero)).alias("c1"),
+        F.sum(F.when(F.col("channel") == 2, F.col("rev")).otherwise(zero)).alias("c2"),
+    )
+    total = F.col("c0") + F.col("c1") + F.col("c2")
+    min_c = F.least("c0", "c1", "c2")
+    share = min_c.cast("double") / total.cast("double")
+    return (
+        wide.filter((total > 0) & (share >= 0.25))
+        .select(
+            "p_brand",
+            F.round(share, 4).alias("min_share"),
+            F.round(total, 2).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
+    "ds_priority_switch_orders",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderpriority,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev_prio
+      FROM orders
+    )
+    SELECT o_orderpriority AS new_prio, prev_prio AS old_prio, count(*) AS n
+    FROM seq
+    WHERE prev_prio IS NOT NULL AND prev_prio <> o_orderpriority
+      AND (o_orderpriority = '1-URGENT' OR prev_prio = '1-URGENT')
+    GROUP BY 1, 2
+    """,
+    "tpcds", "sequence", "q46",
+)
+def ds_priority_switch_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46/q68 shape (city-change trips): consecutive orders where
+    the attribute changed across the urgency boundary — a lag window over
+    the per-customer order sequence, transition matrix out."""
+    from pyspark.sql import Window as W
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+    return (
+        seq.filter(
+            F.col("prev_prio").isNotNull()
+            & (F.col("prev_prio") != F.col("o_orderpriority"))
+            & (
+                (F.col("o_orderpriority") == "1-URGENT")
+                | (F.col("prev_prio") == "1-URGENT")
+            )
+        )
+        .groupBy(
+            F.col("o_orderpriority").alias("new_prio"),
+            F.col("prev_prio").alias("old_prio"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "ds_yoy_decline",
+    """
+    WITH yearly AS (
+      SELECT p_type, year(l_shipdate) AS yr,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    )
+    SELECT a.p_type AS p_type,
+           CAST(round(b.rev, 2) AS DOUBLE) AS rev_1996,
+           CAST(round(a.rev, 2) AS DOUBLE) AS rev_1997,
+           round(a.rev / b.rev, 4) AS ratio
+    FROM yearly a JOIN yearly b
+      ON a.p_type = b.p_type AND a.yr = 1997 AND b.yr = 1996
+    WHERE b.rev > 0 AND a.rev / b.rev < 0.98
+    """,
+    "tpcds", "yoy-decline", "q75",
+)
+def ds_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape: categories whose revenue DECLINED year over year
+    — the all-channels yearly aggregate self-joined across years with a
+    decline predicate on the ratio."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    yearly = (
+        li.filter(F.year("l_shipdate").isin(1996, 1997))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", F.year("l_shipdate").alias("yr"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    a = yearly.filter(F.col("yr") == 1997).select("p_type", F.col("rev").alias("r97"))
+    b = yearly.filter(F.col("yr") == 1996).select(
+        F.col("p_type").alias("pt2"), F.col("rev").alias("r96")
+    )
+    return (
+        a.join(b, F.col("p_type") == F.col("pt2"))
+        .filter((F.col("r96") > 0) & (F.col("r97") / F.col("r96") < 0.98))
+        .select(
+            "p_type",
+            F.round("r96", 2).cast("double").alias("rev_1996"),
+            F.round("r97", 2).cast("double").alias("rev_1997"),
+            F.round(F.col("r97") / F.col("r96"), 4).cast("double").alias("ratio"),
+        )
+    )
+
+
+@q(
+    "ds_above_part_avg_qty",
+    """
+    SELECT count(*) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS heavy_rev
+    FROM lineitem l JOIN (
+      SELECT l_partkey AS pk, avg(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) p ON l.l_partkey = p.pk
+    WHERE l.l_quantity > 1.2 * p.avg_qty
+    """,
+    "tpcds", "correlated-avg", "q17",
+)
+def ds_above_part_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17 shape: lines whose quantity exceeds 1.2x their part's
+    average — the correlated per-key average decorrelated into a
+    self-aggregate join (the per-part agg is small -> broadcast)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") > 1.2 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("heavy_rev"),
+        )
+    )
+
+
+@q(
+    "ds_scalar_slot_report",
+    """
+    SELECT
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 1 AND 10) AS b1,
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) AS b2,
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) AS b3,
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) AS b4,
+      (SELECT count(*) FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) AS b5
+    """,
+    "tpcds", "scalar-slots", "q9",
+)
+def ds_scalar_slot_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q9 shape: five scalar-subquery slots in one SELECT.  The
+    five correlated scans collapse to ONE pass with conditional counts —
+    the rewrite Catalyst/DS benchmarks reward (vs five fact scans)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.agg(
+        F.count_if(q.between(1, 10)).alias("b1"),
+        F.count_if(q.between(11, 20)).alias("b2"),
+        F.count_if(q.between(21, 30)).alias("b3"),
+        F.count_if(q.between(31, 40)).alias("b4"),
+        F.count_if(q.between(41, 50)).alias("b5"),
+    )
+
+
+@q(
+    "ds_attr_combo_exists",
+    """
+    SELECT DISTINCT p_brand FROM part p1
+    WHERE p_partkey < 500 AND EXISTS (
+      SELECT 1 FROM part p2
+      WHERE p2.p_brand = p1.p_brand
+        AND ((p2.p_size BETWEEN 10 AND 20 AND p2.p_type LIKE '%PROMO%')
+             OR (p2.p_size BETWEEN 30 AND 40 AND p2.p_type LIKE '%ECONOMY%'))
+    )
+    ORDER BY p_brand
+    """,
+    "tpcds", "exists-chain", "q41",
+)
+def ds_attr_combo_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape: brands having at least one item matching an
+    attribute-combination disjunction — EXISTS over the dimension itself,
+    planned as a semi join of part against its filtered self."""
+    (part,) = _t(spark, sf_dir, "part")
+    combo = part.filter(
+        (F.col("p_size").between(10, 20) & F.col("p_type").contains("PROMO"))
+        | (F.col("p_size").between(30, 40) & F.col("p_type").contains("ECONOMY"))
+    ).select(F.col("p_brand").alias("b2")).distinct()
+    return (
+        part.filter(F.col("p_partkey") < 500)
+        .join(F.broadcast(combo), F.col("p_brand") == F.col("b2"), "left_semi")
+        .select("p_brand")
+        .distinct()
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "ds_repeat_part_cross_year",
+    """
+    SELECT count(*) AS n_pairs, count(DISTINCT custkey) AS n_cust
+    FROM (
+      SELECT DISTINCT o1.o_custkey AS custkey, l1.l_partkey
+      FROM orders o1 JOIN lineitem l1 ON l1.l_orderkey = o1.o_orderkey
+      WHERE year(o1.o_orderdate) = 1996
+    ) y1 JOIN (
+      SELECT DISTINCT o2.o_custkey AS custkey2, l2.l_partkey AS partkey2
+      FROM orders o2 JOIN lineitem l2 ON l2.l_orderkey = o2.o_orderkey
+      WHERE year(o2.o_orderdate) = 1997
+    ) y2 ON y1.custkey = y2.custkey2 AND y1.l_partkey = y2.partkey2
+    """,
+    "tpcds", "cross-sale", "q64",
+)
+def ds_repeat_part_cross_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape (cross-sale chain): (customer, part) pairs bought
+    in BOTH years — two distinct fact passes equi-joined on the composite
+    key; the distinct collapses each year to its pair set before the
+    join."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+
+    def year_pairs(yr, ck, pk):
+        return (
+            orders.filter(F.year("o_orderdate") == yr)
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .select(F.col("o_custkey").alias(ck), F.col("l_partkey").alias(pk))
+            .distinct()
+        )
+
+    y1 = year_pairs(1996, "custkey", "l_partkey")
+    y2 = year_pairs(1997, "custkey2", "partkey2")
+    return (
+        y1.join(
+            y2,
+            (F.col("custkey") == F.col("custkey2"))
+            & (F.col("l_partkey") == F.col("partkey2")),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("custkey").alias("n_cust"),
+        )
+    )
+
+
+@q(
+    "ds_click_to_purchase_window",
+    """
+    SELECT count(DISTINCT c.user_id) AS n_converted,
+           count(*) AS n_conversions
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 7 DAY
+    """,
+    "tpcds", "attribution", "q54",
+)
+def ds_click_to_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape (click-to-purchase attribution window): users
+    converting within 7 days of a click — banded temporal self-join,
+    equi on user (the shuffle key), range on time."""
+    ev = _t(spark, sf_dir, "events")[0]
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    return (
+        c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") > F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 7 DAY")),
+        )
+        .agg(
+            F.countDistinct("cu").alias("n_converted"),
+            F.count("*").alias("n_conversions"),
+        )
+    )
