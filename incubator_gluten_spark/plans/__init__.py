@@ -52,11 +52,12 @@ _FRONT = (
     # TPC-H core: scans+pushdown, SHJ/BHJ joins, two-phase agg, sorts,
     # semi/anti, correlated subqueries (22 entries)
     *[f"q{i}" for i in range(1, 23)],
-    # joins beyond TPC-H
+    # joins beyond TPC-H (incl. the runtime bloom-filter join, plan-asserted)
     "op_asof_join",
     "op_range_join",
     "join_full_outer",
     "join_null_aware_anti",
+    "op_bloom_filter_join",
     # aggregation depth (incl. complex-output serialization)
     "agg_stats",
     "agg_collect",
@@ -65,10 +66,9 @@ _FRONT = (
     "win_rank_family",
     "win_topk_per_group",
     "win_range_interval",
-    # set ops + generate + sample
+    # set ops + generate
     "setop_except",
     "gen_explode_split",
-    "misc_sample_hash",
     # scalar-function families
     "fn_datetime",
     "fn_array",
@@ -84,9 +84,8 @@ _FRONT = (
     # UDF (Arrow-vectorized paths)
     "udf_pandas_vectorized",
     "udf_grouped_apply",
-    # LLM-datapipe
+    # LLM-datapipe (training_mix embeds the quality scoring too)
     "dp_dedup_exact",
-    "dp_quality",
     "dp_training_mix",
     # TPC-DS + ClickBench representatives
     "ds_yoy_growth",

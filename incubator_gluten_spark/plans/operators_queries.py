@@ -2368,3 +2368,36 @@ def op_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_price": 250000},
     )
+
+
+@q(
+    "op_sql_features",
+    """
+    SELECT grp, n, n * 2 AS doubled, n * 2 + 10 AS with_thresh
+    FROM (
+      SELECT l_returnflag AS grp, count(*) AS n
+      FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_returnflag
+    )
+    """,
+    "sql", "spark4-surface",
+)
+def op_sql_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL-surface sweep in one query: GROUP BY ALL (group on
+    every non-aggregate column), lateral column alias (`doubled` built
+    from `n` in the same SELECT), a session variable (DECLARE/SET VAR)
+    read as a literal, and IDENTIFIER()-resolved table name — the
+    ANSI-surface conveniences a SQL-first migration expects."""
+    register_views(spark, sf_dir, ("lineitem",))
+    spark.sql("DECLARE OR REPLACE VARIABLE graft_thresh INT DEFAULT 5")
+    spark.sql("SET VAR graft_thresh = 10")
+    return spark.sql(
+        """
+        SELECT grp, n, n * 2 AS doubled,
+               doubled + graft_thresh AS with_thresh
+        FROM (
+          SELECT l_returnflag AS grp, count(*) AS n
+          FROM IDENTIFIER('lineitem') WHERE l_orderkey < 1000
+          GROUP BY ALL
+        )
+        """
+    )
