@@ -935,3 +935,58 @@ def dp_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "w", "tf_docs", "tfidf")
     )
+
+
+@q(
+    "dp_sequence_packing",
+    f"""
+    WITH chunks AS (
+      SELECT doc_id, least(len(string_split({_NORM}, ' ')), 512) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tok,
+             CAST(floor((sum(n_tok) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 2048) AS BIGINT) AS seq_id
+      FROM chunks
+    )
+    SELECT count(DISTINCT seq_id) AS n_sequences,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(max(seq_tokens) AS BIGINT) AS max_seq_tokens,
+           round(avg(seq_tokens) / 2048, 4) AS mean_fill
+    FROM (
+      SELECT seq_id, sum(n_tok) AS seq_tokens, sum(n_tok) AS n_tok
+      FROM packed GROUP BY seq_id
+    )
+    """,
+    "datapipe", "packing",
+)
+def dp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-budget (2048-token)
+    training sequences by cumulative token count — the pack step between
+    chunking and batch assembly.  First-fit-by-order packing is a
+    prefix-sum window (one sort-shuffle on the order key), NOT a driver
+    loop; at 100 TB the ORDER BY becomes a range-partitioned sort and the
+    seq_id arithmetic stays distributed.  Fill-rate stats out."""
+    from incubator_gluten_spark.datapipe.dedup import normalize_text
+    from pyspark.sql import Window as W
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.least(
+            F.size(F.split(normalize_text(F.col("text")), " ")), F.lit(512)
+        ).alias("n_tok"),
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    packed = chunks.withColumn(
+        "seq_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).cast("bigint"),
+    )
+    per_seq = packed.groupBy("seq_id").agg(F.sum("n_tok").alias("seq_tokens"))
+    return per_seq.agg(
+        F.countDistinct("seq_id").alias("n_sequences"),
+        F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+        F.max("seq_tokens").cast("bigint").alias("max_seq_tokens"),
+        F.round(F.avg("seq_tokens") / 2048, 4).alias("mean_fill"),
+    )

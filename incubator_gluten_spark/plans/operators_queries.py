@@ -2401,3 +2401,42 @@ def op_sql_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@q(
+    "op_cbo_stats",
+    """
+    SELECT count(*) AS stat_rows, count(*) AS true_rows,
+           count(DISTINCT p_brand) AS n_brands
+    FROM part
+    """,
+    "sql", "cbo", "statistics",
+)
+def op_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based-optimizer plumbing: materialize a managed table, ANALYZE
+    TABLE ... COMPUTE STATISTICS, and read the recorded rowCount back from
+    the catalog — returned next to the true count so the oracle certifies
+    the stat is EXACT.  These stats are what CBO join reordering and
+    broadcast-threshold decisions consume on a real warehouse (the
+    reference relies on vanilla Spark stats the same way)."""
+    (part,) = _t(spark, sf_dir, "part")
+    part.write.mode("overwrite").saveAsTable("cbo_part")
+    spark.sql("ANALYZE TABLE cbo_part COMPUTE STATISTICS")
+    desc = spark.sql("DESCRIBE TABLE EXTENDED cbo_part").collect()
+    stats_line = next(
+        (r.data_type for r in desc if r.col_name == "Statistics"), ""
+    )
+    # "X bytes, N rows"
+    import re
+
+    m = re.search(r"(\d+) rows", stats_line)
+    stat_rows = int(m.group(1)) if m else -1
+    true_rows = spark.table("cbo_part").count()
+    n_brands = (
+        spark.table("cbo_part").select("p_brand").distinct().count()
+    )
+    return spark.range(1).select(
+        F.lit(stat_rows).cast("bigint").alias("stat_rows"),
+        F.lit(true_rows).cast("bigint").alias("true_rows"),
+        F.lit(n_brands).cast("bigint").alias("n_brands"),
+    )
