@@ -2419,7 +2419,14 @@ def op_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stat is EXACT.  These stats are what CBO join reordering and
     broadcast-threshold decisions consume on a real warehouse (the
     reference relies on vanilla Spark stats the same way)."""
+    import shutil
+
     (part,) = _t(spark, sf_dir, "part")
+    # the in-memory catalog forgets tables between sessions while their
+    # warehouse directories persist — drop both before recreating
+    spark.sql("DROP TABLE IF EXISTS cbo_part")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/cbo_part", ignore_errors=True)
     part.write.mode("overwrite").saveAsTable("cbo_part")
     spark.sql("ANALYZE TABLE cbo_part COMPUTE STATISTICS")
     desc = spark.sql("DESCRIBE TABLE EXTENDED cbo_part").collect()
