@@ -990,3 +990,49 @@ def dp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("seq_tokens").cast("bigint").alias("max_seq_tokens"),
         F.round(F.avg("seq_tokens") / 2048, 4).alias("mean_fill"),
     )
+
+
+@q(
+    "dp_cross_corpus_dedup",
+    f"""
+    WITH ref AS (
+      SELECT DISTINCT md5({_NORM}) AS fp FROM documents WHERE source = 'web'
+    ), incoming AS (
+      SELECT doc_id, lang, md5({_NORM}) AS fp FROM documents
+      WHERE source <> 'web'
+    )
+    SELECT lang,
+           count(*) AS n_incoming,
+           CAST(count(CASE WHEN r.fp IS NOT NULL THEN 1 END) AS BIGINT)
+             AS n_already_in_ref,
+           CAST(count(CASE WHEN r.fp IS NULL THEN 1 END) AS BIGINT) AS n_new
+    FROM incoming i LEFT JOIN ref r ON i.fp = r.fp
+    GROUP BY lang
+    """,
+    "datapipe", "dedup", "cross-corpus",
+)
+def dp_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus dedup: new data is fingerprint-anti-joined against an
+    existing reference corpus (keep only docs NOT already trained on —
+    the incremental-crawl hygiene step). One hash-join on the md5
+    fingerprint; the reference side reduces to a distinct fingerprint set
+    first, so at 100 TB the join's build side is |unique docs|, not
+    |corpus|."""
+    from incubator_gluten_spark.datapipe.dedup import normalize_text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text")).cast("binary"))
+    ref = (
+        docs.filter(F.col("source") == "web")
+        .select(fp.alias("rfp"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("source") != "web").select(
+        "doc_id", "lang", fp.alias("fp")
+    )
+    joined = incoming.join(ref, F.col("fp") == F.col("rfp"), "left")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_incoming"),
+        F.count_if(F.col("rfp").isNotNull()).cast("bigint").alias("n_already_in_ref"),
+        F.count_if(F.col("rfp").isNull()).cast("bigint").alias("n_new"),
+    )

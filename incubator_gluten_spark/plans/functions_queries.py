@@ -1460,3 +1460,35 @@ def fn_lev_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.levenshtein("n_name", F.lit("NATION_1"), 3).alias("lev3"),
     )
+
+
+@q(
+    "fn_string_batch3",
+    """
+    SELECT 'xycyx' AS tr, '00042-ok' AS fs, '1234.56' AS tn, 'NULL' AS ttn,
+           6 AS bc, 1 AS gb, 'B' AS ch, 65 AS asc_v, 'ababab' AS rp,
+           '007' AS lp, '1234.50' AS tc, 'AB' AS uh
+    """,
+    "function", "string", "golden",
+)
+def fn_string_batch3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/format long tail golden-pinned: translate, format_string,
+    to_number/try_to_number (NULL on malformed -> sentinel), bit_count,
+    getbit, char, ascii, repeat, lpad, to_char, unhex — closing the last
+    unexercised sigs of the reference's string block."""
+    return spark.range(1).select(
+        F.translate(F.lit("abcba"), "ab", "xy").alias("tr"),
+        F.format_string("%05d-%s", F.lit(42), F.lit("ok")).alias("fs"),
+        F.expr("to_number('1,234.56', '9,999.99')").cast("string").alias("tn"),
+        F.coalesce(
+            F.expr("try_to_number('bogus', '999')").cast("string"), F.lit("NULL")
+        ).alias("ttn"),
+        F.bit_count(F.lit(12345)).alias("bc"),
+        F.expr("getbit(5, 0)").alias("gb"),
+        F.expr("char(66)").alias("ch"),
+        F.ascii(F.lit("A")).alias("asc_v"),
+        F.repeat(F.lit("ab"), 3).alias("rp"),
+        F.lpad(F.lit("7"), 3, "0").alias("lp"),
+        F.expr("to_char(1234.5, '9999.99')").alias("tc"),
+        F.expr("CAST(unhex('4142') AS STRING)").alias("uh"),
+    )

@@ -485,3 +485,39 @@ def fn_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_orderkey < 100
         """
     )
+
+
+@q(
+    "udf_arrow_optimized",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           CAST(round(sum(CAST(l_quantity * 3 AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS tripled
+    FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_returnflag
+    """,
+    "udf", "arrow-optimized",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED Python UDF (Spark 4 ``@udf(useArrow=True)``) —
+    row-signature Python UDF with Arrow batch transfer under the hood:
+    the migration path for row UDFs that can't be rewritten as pandas
+    UDFs but shouldn't pay pickle serialization. Same plan shape as
+    udf_python_row, ~an order less Python overhead at scale."""
+    from pyspark.sql.functions import udf
+
+    @udf("double", useArrow=True)
+    def triple(x):
+        return float(x) * 3.0
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 2000)
+        .withColumn("t", triple("l_quantity"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("t").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("tripled"),
+        )
+    )
