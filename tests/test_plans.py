@@ -250,3 +250,33 @@ def test_ts_compare_rewrite_pushes_down(spark, sf_dir):
     plan = plan_of(ALL["chx_ts_compare_rewrite"].build(spark, sf_dir))
     pf = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pf and "o_orderdate" in pf[0], plan
+
+
+def test_embedding_near_dup_no_cartesian(spark, sf_dir):
+    """The banded-LSH near-dup candidate join must be an equi hash join on
+    (band, sig) — never a cartesian/BNLJ all-pairs plan."""
+    plan = plan_of(ALL["dp_embedding_near_dup"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_url_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-host top-3 must plan as WindowGroupLimit (per-partition top-k),
+    not a full global sort of the grouped counts."""
+    plan = plan_of(ALL["cb_url_product_topk_per_host"].build(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_union_pyramid_broadcasts_small_sides(spark, sf_dir):
+    """q14-style pyramid: the cross-items set and the avg threshold are
+    tiny aggregates and must reach the fact scan as broadcasts."""
+    plan = plan_of(ALL["ds_union_pyramid"].build(spark, sf_dir))
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_sequence_packing_single_sort(spark, sf_dir):
+    """Packing is ONE prefix-sum window over the chunk stream — no join,
+    no cartesian, exactly one Window operator before the aggregate."""
+    plan = plan_of(ALL["dp_sequence_packing"].build(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1, plan
