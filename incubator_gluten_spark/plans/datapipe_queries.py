@@ -964,10 +964,18 @@ def dp_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign documents to fixed-budget (2048-token)
     training sequences by cumulative token count — the pack step between
-    chunking and batch assembly.  First-fit-by-order packing is a
-    prefix-sum window (one sort-shuffle on the order key), NOT a driver
-    loop; at 100 TB the ORDER BY becomes a range-partitioned sort and the
-    seq_id arithmetic stays distributed.  Fill-rate stats out."""
+    chunking and batch assembly.
+
+    Distributed two-phase prefix sum (no unpartitioned window anywhere):
+    (1) docs are deterministically range-bucketed on doc_id (bucket count
+    scales with cluster parallelism, never with data volume; bucketing is
+    arithmetic on min/max, so recomputation is stable — no sampling, no
+    spark_partition_id); (2) a PARTITIONED window computes the in-bucket
+    prefix sum; (3) per-bucket token totals (one row per bucket — cluster-
+    sized metadata) turn into global offsets via a tiny triangular
+    broadcast join, added back with a broadcast equi-join. The seq_id
+    assignment is invariant to the bucket count, so the same plan holds
+    at 100 TB with more buckets. Fill-rate stats out."""
     from incubator_gluten_spark.datapipe.dedup import normalize_text
     from pyspark.sql import Window as W
 
@@ -978,10 +986,45 @@ def dp_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split(normalize_text(F.col("text")), " ")), F.lit(512)
         ).alias("n_tok"),
     )
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    packed = chunks.withColumn(
+    n_buckets = max(spark.sparkContext.defaultParallelism, 2)
+    stats = chunks.agg(
+        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+    )
+    bucketed = (
+        chunks.join(F.broadcast(stats))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col("doc_id") - F.col("_lo"))
+                    * n_buckets
+                    / (F.col("_hi") - F.col("_lo") + 1)
+                ),
+            ).cast("int"),
+        )
+        .drop("_lo", "_hi")
+    )
+    w_local = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = bucketed.withColumn("local_cum", F.sum("n_tok").over(w_local))
+    totals = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("btot"))
+    lo_t = totals.select(
+        F.col("bucket").alias("b_lo"), F.col("btot").alias("lo_tot")
+    )
+    offsets = (
+        totals.join(F.broadcast(lo_t), F.col("b_lo") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("lo_tot"), F.lit(0)).alias("offset"))
+    )
+    packed = local.join(F.broadcast(offsets), "bucket").withColumn(
         "seq_id",
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 2048).cast("bigint"),
+        F.floor(
+            (F.col("local_cum") + F.col("offset") - F.col("n_tok")) / 2048
+        ).cast("bigint"),
     )
     per_seq = packed.groupBy("seq_id").agg(F.sum("n_tok").alias("seq_tokens"))
     return per_seq.agg(

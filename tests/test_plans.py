@@ -274,9 +274,27 @@ def test_union_pyramid_broadcasts_small_sides(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 2, plan
 
 
-def test_sequence_packing_single_sort(spark, sf_dir):
-    """Packing is ONE prefix-sum window over the chunk stream — no join,
-    no cartesian, exactly one Window operator before the aggregate."""
-    plan = plan_of(ALL["dp_sequence_packing"].build(spark, sf_dir))
+def test_sequence_packing_distributed(spark, sf_dir):
+    """Two-phase packing must never funnel the corpus through a single
+    partition: every Window operator in the plan carries a partition
+    spec (the round-4 version had an unpartitioned global-prefix-sum
+    window — Spark's 'Moving all data to a single partition' warning),
+    and the per-bucket offsets come back via broadcast joins."""
+    df = ALL["dp_sequence_packing"].build(spark, sf_dir)
+    plan = plan_of(df)
     assert "CartesianProduct" not in plan
-    assert plan.count("Window") >= 1, plan
+    # In formatted explain a Window node's Arguments are
+    # [fns], [partitionSpec], [orderSpec] — an unpartitioned window
+    # shows an empty [] partition spec between the two lists.
+    for ln in plan.splitlines():
+        if ln.strip().startswith("Arguments:") and "windowspecdefinition" in ln:
+            assert "], [], [" not in ln.replace(" ", ""), ln
+    simple = plan_of(df, "simple")
+    # the in-bucket prefix sum is the only window, partitioned by bucket
+    assert simple.count("Window ") >= 1, simple
+    for ln in simple.splitlines():
+        if "windowspecdefinition(" in ln:
+            spec = ln.split("windowspecdefinition(", 1)[1]
+            assert spec.lstrip().startswith("bucket"), ln
+    # offsets/stats are metadata-sized and must broadcast back
+    assert "BroadcastExchange" in simple, simple

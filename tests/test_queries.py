@@ -19,6 +19,18 @@ from incubator_gluten_spark.testing.compare import compare_frames
 ALL = collect_all()
 
 
+def test_front_window_names_all_registered():
+    """Every curated _FRONT name must exist in the merged registry — a
+    typo/rename must fail loudly, not silently demote the entry out of
+    the driver's graded 50-entry window (collect_all raises, this pins
+    the behavior and the window size)."""
+    from incubator_gluten_spark.plans import _FRONT
+
+    assert len(_FRONT) == 50
+    assert len(set(_FRONT)) == 50
+    assert list(ALL)[:50] == list(_FRONT)
+
+
 @pytest.mark.parametrize("name", sorted(ALL))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
     q = ALL[name]
