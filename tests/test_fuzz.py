@@ -185,3 +185,174 @@ def test_random_join_matches_oracle(spark, duck, sf_dir, jt, cut, seg):
         """
     ).fetchone()[0]
     assert n_spark == n_duck, (jt, cut, seg, n_spark, n_duck)
+
+
+FRAME_AGGS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+@given(
+    part=st.sampled_from(STR_COLS),
+    lo=st.integers(min_value=0, max_value=6),
+    hi=st.integers(min_value=0, max_value=6),
+    agg=st.sampled_from(sorted(FRAME_AGGS)),
+    val=st.sampled_from(["l_linenumber", "l_suppkey"]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_rows_frame_matches_oracle(
+    spark, duck, sf_dir, part, lo, hi, agg, val
+):
+    """Random ROWS frames (x PRECEDING .. y FOLLOWING) with integer
+    aggregates over a TOTAL order — both engines must agree cell-exactly
+    on every row.  The fixture's (l_orderkey, l_linenumber) is NOT unique
+    (the hypothesis run that found this is why the input is distinct-ed
+    and the value column joins the sort key: frames over a non-total
+    order are legitimately engine-dependent)."""
+    from pyspark.sql import Window as W
+
+    li = (
+        _tables(spark, sf_dir)
+        .filter(F.col("l_orderkey") < 300)
+        .select(part, "l_orderkey", "l_linenumber", val)
+        .distinct()
+    )
+    w = (
+        W.partitionBy(part)
+        .orderBy("l_orderkey", "l_linenumber", val)
+        .rowsBetween(-lo, hi)
+    )
+    sdf = li.select(
+        part,
+        "l_orderkey",
+        "l_linenumber",
+        F.col(val),
+        FRAME_AGGS[agg](val).over(w).alias("v"),
+    )
+    srows = sorted(tuple(r) for r in sdf.collect())
+    duck_agg = f"{agg}({val})"
+    drows = sorted(
+        tuple(r)
+        for r in duck.sql(
+            f"""
+            SELECT {part}, l_orderkey, l_linenumber, {val},
+                   {duck_agg} OVER (PARTITION BY {part}
+                     ORDER BY l_orderkey, l_linenumber, {val}
+                     ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) AS v
+            FROM (SELECT DISTINCT {part}, l_orderkey, l_linenumber, {val}
+                  FROM lineitem WHERE l_orderkey < 300)
+            """
+        ).fetchall()
+    )
+    assert srows == drows, (part, lo, hi, agg, val)
+
+
+ROLLUP_KEYS = ["l_returnflag", "l_linestatus", "l_suppkey"]
+
+
+@given(
+    keys=st.lists(
+        st.sampled_from(ROLLUP_KEYS), min_size=1, max_size=3, unique=True
+    ),
+    cube=st.booleans(),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_rollup_cube_matches_oracle(spark, duck, sf_dir, keys, cube):
+    """Random rollup/cube key sets (the Expand operator): grouping_id +
+    exact integer aggregates must match DuckDB's ROLLUP/CUBE."""
+    li = _tables(spark, sf_dir).filter(F.col("l_orderkey") < 500)
+    grouped = li.cube(*keys) if cube else li.rollup(*keys)
+    sdf = grouped.agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.sum("l_linenumber").alias("s"),
+    )
+
+    def nkey(t):  # None-safe total order over mixed tuples
+        return tuple((x is None, "" if x is None else x) for x in t)
+
+    srows = sorted(
+        (tuple(r) for r in sdf.select(*keys, "gid", "n", "s").collect()),
+        key=nkey,
+    )
+    kw = "CUBE" if cube else "ROLLUP"
+    klist = ", ".join(keys)
+    drows = sorted(
+        (
+            tuple(r)
+            for r in duck.sql(
+                f"""
+                SELECT {klist}, grouping({klist}) AS gid,
+                       count(*) AS n, sum(l_linenumber) AS s
+                FROM lineitem WHERE l_orderkey < 500
+                GROUP BY {kw} ({klist})
+                """
+            ).fetchall()
+        ),
+        key=nkey,
+    )
+    assert srows == drows, (keys, cube)
+
+
+SETOPS = ["union_all", "union_distinct", "intersect", "except"]
+
+
+@given(
+    p1=predicate(),
+    p2=predicate(),
+    op=st.sampled_from(SETOPS),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_setop_matches_oracle(spark, duck, sf_dir, p1, p2, op):
+    """Random set operations between two predicate-derived projections:
+    row multiset (union all) / set (rest) cardinalities must match."""
+    li = _tables(spark, sf_dir)
+    proj = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+    def side(pred):
+        col, o, val = pred
+        c = F.col(col)
+        cond = {
+            "<": c < val, "<=": c <= val, ">": c > val,
+            ">=": c >= val, "=": c == val, "!=": c != val,
+        }[o]
+        lit = repr(val) if isinstance(val, str) else str(val)
+        sql = (
+            f"SELECT {', '.join(proj)} FROM lineitem "
+            f"WHERE {col} {'<>' if o == '!=' else o} {lit}"
+        )
+        return li.filter(cond).select(*proj), sql
+
+    d1, s1 = side(p1)
+    d2, s2 = side(p2)
+    if op == "union_all":
+        sdf, glue = d1.unionAll(d2), "UNION ALL"
+    elif op == "union_distinct":
+        sdf, glue = d1.union(d2).distinct(), "UNION"
+    elif op == "intersect":
+        sdf, glue = d1.intersect(d2), "INTERSECT"
+    else:
+        # subtract == SQL EXCEPT (set semantics); exceptAll().distinct()
+        # would wrongly KEEP rows present in both sides with higher
+        # multiplicity on the left
+        sdf, glue = d1.subtract(d2), "EXCEPT"
+    n_spark = sdf.count()
+    n_duck = duck.sql(
+        f"SELECT count(*) FROM (({s1}) {glue} ({s2}))"
+    ).fetchone()[0]
+    assert n_spark == n_duck, (p1, p2, op, n_spark, n_duck)

@@ -298,3 +298,18 @@ def test_sequence_packing_distributed(spark, sf_dir):
             assert spec.lstrip().startswith("bucket"), ln
     # offsets/stats are metadata-sized and must broadcast back
     assert "BroadcastExchange" in simple, simple
+
+
+def test_worst_return_ratio_uses_window_group_limit(spark, sf_dir):
+    """The global rank<=10 over per-supplier aggregates must plan as
+    WindowGroupLimit (per-partition top-k before the single-partition
+    rank), never a full single-partition sort of the whole aggregate."""
+    plan = plan_of(ALL["ds_worst_return_ratio"].build(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_best_worst_items_uses_window_group_limit(spark, sf_dir):
+    """Same property for the q44-shape double rank: the best_rnk<=10
+    filter must push a group limit into the window."""
+    plan = plan_of(ALL["ds_best_worst_items"].build(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
