@@ -316,3 +316,35 @@ def connected_components(
         return labels.select("id", F.col("lbl").alias("comp"))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+
+
+def md5_hash60(col: Column, seed: int) -> Column:
+    """Deterministic 60-bit integer hash both engines can reproduce:
+    int(md5(s || ':' || seed)[:15], 16).  Unlike xxhash64 (Spark-only),
+    md5 + hex-prefix conversion exists verbatim in DuckDB
+    (CAST('0x'||substr(md5(..),1,15) AS BIGINT)), making MinHash built on
+    it oracle-checkable — the cross-engine-verifiable variant of
+    minhash_signature."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(col, F.lit(f":{seed}")).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def minhash_md5_cols(shingles: Column, num_hashes: int = 16) -> list[Column]:
+    """MinHash signature as `num_hashes` scalar columns (mh0..mhN), each
+    the min md5_hash60 over the shingle set for that seed.  Scalar
+    columns (not an array) keep the pair-match count a flat sum of
+    equality flags in BOTH engines."""
+    def hash_fn(seed: int):
+        # single-arg closure, NOT `lambda s, j=j`: a two-arg lambda makes
+        # F.transform bind the second parameter to the ARRAY INDEX
+        return lambda s: md5_hash60(s, seed)
+
+    return [
+        F.array_min(F.transform(shingles, hash_fn(j))).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]

@@ -1086,3 +1086,121 @@ def dp_cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("rfp").isNotNull()).cast("bigint").alias("n_already_in_ref"),
         F.count_if(F.col("rfp").isNull()).cast("bigint").alias("n_new"),
     )
+
+
+_MH_SEEDS = 16
+_MH_SQL_SH = (
+    "list_distinct(list_transform("
+    f"  generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 2, 1)),"
+    f"  i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 2), ' ')"
+    "))"
+)
+_MH_SQL_SIG = ", ".join(
+    "list_min(list_transform(sh, s -> CAST(('0x' || substr(md5(s || ':"
+    f"{j}'), 1, 15)) AS BIGINT))) AS mh{j}"
+    for j in range(_MH_SEEDS)
+)
+_MH_SQL_MATCHES = " + ".join(
+    f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(_MH_SEEDS)
+)
+
+
+@q(
+    "dp_minhash_verifiable",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text FROM documents WHERE doc_id < 100
+    ), corpus AS (
+      SELECT doc_id, lang, source, text FROM base
+      UNION ALL
+      SELECT doc_id + 10000, lang, source,
+             array_to_string(list_slice(
+               string_split({_NORM}, ' '), 1,
+               greatest(len(string_split({_NORM}, ' ')) * 3 // 4, 1)), ' ')
+        AS text
+      FROM base
+    ), d AS (
+      SELECT doc_id, lang, source, sh, {_MH_SQL_SIG}
+      FROM (SELECT doc_id, lang, source, {_MH_SQL_SH} AS sh FROM corpus)
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           round(({_MH_SQL_MATCHES}) / {_MH_SEEDS}.0, 4) AS est_jaccard,
+           round(len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(a.sh || b.sh)), 4) AS exact_jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE ({_MH_SQL_MATCHES}) / {_MH_SEEDS}.0 >= 0.25
+    """,
+    "datapipe", "dedup", "minhash",
+)
+def dp_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE MinHash: the signature is built on md5-derived
+    60-bit integers (md5_hash60) instead of Spark's xxhash64, so DuckDB
+    reproduces every signature cell bit-for-bit and the hash gate
+    certifies the MinHash math itself — closing the 'hash-dependent ops
+    are rows-only' caveat for this family (the xxhash64 variant,
+    dp_dedup_minhash, stays as the fast production path; same pipeline
+    shape, different hash kernel).  Pairs block on (lang, source); the
+    estimated Jaccard (matching seeds / 16) rides next to the exact
+    shingle Jaccard for the same pair.  The corpus plants a 75%-prefix
+    variant of every doc (identical deterministic truncation in both
+    engines), so the query certifies DETECTION of real near-dups, not a
+    vacuous empty set — every planted (orig, variant) pair clears the
+    0.25 estimated-Jaccard gate with ~12/16 matching seeds."""
+    from incubator_gluten_spark.datapipe.dedup import (
+        minhash_md5_cols,
+        token_shingles,
+    )
+
+    from incubator_gluten_spark.datapipe.dedup import normalize_text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks = F.split(normalize_text(F.col("text")), " ")
+    variant = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat_ws(
+            " ",
+            F.slice(
+                toks, 1, F.greatest((F.size(toks) * 3 / 4).cast("int"), F.lit(1))
+            ),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(variant).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = corpus.select(
+        "doc_id",
+        "lang",
+        "source",
+        token_shingles(F.col("text"), 3).alias("sh"),
+    ).select(
+        "doc_id", "lang", "source", "sh", *minhash_md5_cols(F.col("sh"), _MH_SEEDS)
+    )
+    a, b = d.alias("a"), d.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        for j in range(_MH_SEEDS)
+    )
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("m", matches)
+        .filter(F.col("m") / _MH_SEEDS >= 0.25)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.round(F.col("m") / _MH_SEEDS, 4).alias("est_jaccard"),
+            F.round(inter / union, 4).alias("exact_jaccard"),
+        )
+    )

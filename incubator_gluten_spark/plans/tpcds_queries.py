@@ -3524,3 +3524,277 @@ def ds_channel_rollup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("channel", "priority", "lvl", "sales", "returns")
     )
+
+
+@q(
+    "ds_disjunct_band_avgs",
+    """
+    SELECT count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE (o_orderpriority = '1-URGENT'
+             AND l_quantity BETWEEN 1 AND 15 AND l_discount BETWEEN 0.02 AND 0.06)
+       OR (o_orderpriority = '2-HIGH'
+             AND l_quantity BETWEEN 16 AND 35 AND l_discount BETWEEN 0.04 AND 0.08)
+       OR (o_orderpriority = '5-LOW'
+             AND l_quantity BETWEEN 36 AND 50 AND l_discount BETWEEN 0.00 AND 0.04)
+    """,
+    "tpcds", "disjunct", "bands",
+)
+def ds_disjunct_band_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q13/q48/q85 shape: one aggregate under a three-way
+    DISJUNCTION of correlated band predicates — the filter Catalyst must
+    keep as a residual (no single band is pushable alone) while still
+    pushing the join keys.  Exact decimal sums; q13 reports avgs, which
+    are n + exact sums here (same information, no float-avg rounding
+    hazard)."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    band = (
+        (
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("l_quantity").between(1, 15)
+            & F.col("l_discount").between(0.02, 0.06)
+        )
+        | (
+            (F.col("o_orderpriority") == "2-HIGH")
+            & F.col("l_quantity").between(16, 35)
+            & F.col("l_discount").between(0.04, 0.08)
+        )
+        | (
+            (F.col("o_orderpriority") == "5-LOW")
+            & F.col("l_quantity").between(36, 50)
+            & F.col("l_discount").between(0.00, 0.04)
+        )
+    )
+    return j.filter(band).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_price"),
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_qty"),
+    )
+
+
+@q(
+    "ds_six_band_distinct_stats",
+    """
+    SELECT band, count(*) AS n,
+           count(DISTINCT l_partkey) AS n_parts,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT l_partkey, l_extendedprice,
+             CASE WHEN l_quantity <= 10 THEN 'b1'
+                  WHEN l_quantity <= 20 THEN 'b2'
+                  WHEN l_quantity <= 30 THEN 'b3'
+                  WHEN l_quantity <= 40 THEN 'b4'
+                  ELSE 'b5' END AS band
+      FROM lineitem
+    )
+    GROUP BY band
+    """,
+    "tpcds", "bands", "distinct",
+)
+def ds_six_band_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q28 shape: per-band count + COUNT DISTINCT + sum from one
+    table.  q28 writes six self-scan subqueries; the single-scan CASE
+    banding is the same result with one Expand-free aggregate (the
+    distinct lands in Spark's two-phase distinct-agg rewrite)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    band = (
+        F.when(F.col("l_quantity") <= 10, "b1")
+        .when(F.col("l_quantity") <= 20, "b2")
+        .when(F.col("l_quantity") <= 30, "b3")
+        .when(F.col("l_quantity") <= 40, "b4")
+        .otherwise("b5")
+    )
+    return (
+        li.select(
+            "l_partkey", "l_extendedprice", band.alias("band")
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
+    "ds_cohort_spend_bands",
+    """
+    WITH cohort AS (
+      SELECT DISTINCT o_custkey
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3
+        AND p_type LIKE 'PROMO%'
+    ), q2_spend AS (
+      SELECT o.o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+      FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+      WHERE year(o.o_orderdate) = 1997 AND quarter(o.o_orderdate) = 2
+      GROUP BY 1
+    )
+    SELECT CAST(floor(CAST(spend AS DOUBLE) / 50000) AS BIGINT) AS spend_band,
+           count(*) AS n_cust
+    FROM q2_spend
+    GROUP BY 1
+    """,
+    "tpcds", "cohort", "histogram",
+)
+def ds_cohort_spend_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape: pick a purchase cohort (bought a product type in
+    a given month), then histogram their NEXT-quarter total spend into
+    fixed-width revenue bands — q54's 50-dollar segments scaled to the
+    fixture.  The cohort is a distinct semi-join side; banding is
+    arithmetic on an exact decimal sum."""
+    orders, li, part = _t(spark, sf_dir, "orders", "lineitem", "part")
+    cohort = (
+        orders.filter(
+            (F.year("o_orderdate") == 1997) & (F.month("o_orderdate") == 3)
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            part.filter(F.col("p_type").like("PROMO%")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    q2 = (
+        orders.filter(
+            (F.year("o_orderdate") == 1997) & (F.quarter("o_orderdate") == 2)
+        )
+        .join(cohort, "o_custkey", "left_semi")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend"))
+    )
+    return (
+        q2.select(
+            F.floor(F.col("spend").cast("double") / 50000)
+            .cast("bigint")
+            .alias("spend_band")
+        )
+        .groupBy("spend_band")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+@q(
+    "ds_excess_discount",
+    """
+    WITH part_avg AS (
+      SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS avg_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT count(*) AS n_excess,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS excess_revenue
+    FROM lineitem JOIN part_avg ON l_partkey = pk
+    WHERE CAST(l_discount AS DOUBLE) > 1.3 * avg_disc
+    """,
+    "tpcds", "correlated", "above-avg",
+)
+def ds_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q32/q92 shape: 'excess discount' — lineitems discounted
+    more than 1.3x their part's average discount; the correlated scalar
+    subquery decorrelates into one per-part aggregate re-joined to the
+    detail (exactly what Catalyst's DecorrelateInnerQuery emits), exact
+    decimal sums for the averaged measure."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_disc")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_discount").cast("double") > 1.3 * F.col("avg_disc"))
+        .agg(
+            F.count("*").alias("n_excess"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("excess_revenue"),
+        )
+    )
+
+
+@q(
+    "ds_common_items_rollup",
+    """
+    WITH common AS (
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'P'
+    )
+    SELECT o_orderstatus AS channel, p_brand,
+           CAST(grouping(o_orderstatus) AS INT)
+             + CAST(grouping(p_brand) AS INT) AS lvl,
+           count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN common ON lineitem.l_partkey = common.l_partkey
+    GROUP BY ROLLUP (o_orderstatus, p_brand)
+    """,
+    "tpcds", "intersect", "rollup",
+)
+def ds_common_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14b shape: cross-channel common items (the three-way
+    INTERSECT of per-channel item sets) feeding a channel/brand ROLLUP of
+    revenue — q14's cross_items CTE re-joined to the facts.  The common
+    set is small and semi-joins the detail."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+
+    def chan_items(status: str) -> DataFrame:
+        return (
+            li.join(
+                orders.filter(F.col("o_orderstatus") == status),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_partkey")
+            .distinct()
+        )
+
+    common = (
+        chan_items("O").intersect(chan_items("F")).intersect(chan_items("P"))
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(common, "l_partkey", "left_semi")
+        .withColumnRenamed("o_orderstatus", "channel")
+        .rollup("channel", "p_brand")
+        .agg(
+            (
+                F.grouping("channel").cast("int")
+                + F.grouping("p_brand").cast("int")
+            ).alias("lvl"),
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("channel", "p_brand", "lvl", "n", "revenue")
+    )
