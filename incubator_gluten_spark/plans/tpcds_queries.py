@@ -3141,19 +3141,19 @@ def ds_cumulative_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev
       FROM lineitem GROUP BY 1, 2
     ), avgd AS (
-      SELECT l_suppkey,
-             CAST(sum(rev) AS DOUBLE) / count(*) AS supp_avg
+      SELECT l_suppkey, sum(rev) AS supp_sum, count(*) AS n_parts
       FROM sp GROUP BY 1
     )
-    SELECT s_name, p_name,
+    SELECT l_suppkey, l_partkey, s_name, p_name,
            CAST(round(rev, 2) AS DOUBLE) AS rev,
-           round(supp_avg, 2) AS supp_avg
+           CAST(round(supp_sum, 2) AS DOUBLE) AS supp_sum,
+           CAST(n_parts AS BIGINT) AS n_parts
     FROM sp
     JOIN avgd USING (l_suppkey)
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN part ON l_partkey = p_partkey
-    WHERE CAST(rev AS DOUBLE) < 0.25 * supp_avg
-    ORDER BY s_name, p_name LIMIT 100
+    WHERE CAST(rev AS DOUBLE) * n_parts < 0.25 * CAST(supp_sum AS DOUBLE)
+    ORDER BY l_suppkey, l_partkey LIMIT 100
     """,
     "tpcds", "having", "below-avg",
 )
@@ -3167,21 +3167,31 @@ def ds_supplier_below_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     sp = li.groupBy("l_suppkey", "l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev")
     )
+    # exact decimal sum + count displayed instead of a rounded float
+    # average: the two engines round half-way doubles apart
     avgd = sp.groupBy("l_suppkey").agg(
-        (F.sum("rev").cast("double") / F.count("*")).alias("supp_avg")
+        F.sum("rev").alias("supp_sum"), F.count("*").alias("n_parts")
     )
     return (
         sp.join(F.broadcast(avgd), "l_suppkey")
-        .filter(F.col("rev").cast("double") < 0.25 * F.col("supp_avg"))
+        .filter(
+            F.col("rev").cast("double") * F.col("n_parts")
+            < 0.25 * F.col("supp_sum").cast("double")
+        )
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
+            "l_suppkey",
+            "l_partkey",
             "s_name",
             "p_name",
             F.round("rev", 2).cast("double").alias("rev"),
-            F.round("supp_avg", 2).alias("supp_avg"),
+            F.round("supp_sum", 2).cast("double").alias("supp_sum"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
         )
-        .orderBy("s_name", "p_name")
+        # total order on the UNIQUE key pair: (s_name, p_name) has
+        # duplicate names, which made the LIMIT boundary nondeterministic
+        .orderBy("l_suppkey", "l_partkey")
         .limit(100)
     )
 
@@ -3423,18 +3433,18 @@ def ds_yearly_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN customer ON o_custkey = c_custkey
       WHERE l_returnflag = 'R'
       GROUP BY 1, 2
-    ), nation_avg AS (
-      SELECT c_nationkey,
-             CAST(sum(ret_amt) AS DOUBLE) / count(*) AS avg_ret
+    ), nation_tot AS (
+      SELECT c_nationkey, sum(ret_amt) AS nat_sum, count(*) AS n_ret
       FROM ret GROUP BY 1
     )
     SELECT o_custkey, n_name,
            CAST(round(ret_amt, 2) AS DOUBLE) AS ret_amt,
-           round(avg_ret, 2) AS nation_avg
+           CAST(round(nat_sum, 2) AS DOUBLE) AS nat_sum,
+           CAST(n_ret AS BIGINT) AS n_ret
     FROM ret
-    JOIN nation_avg USING (c_nationkey)
+    JOIN nation_tot USING (c_nationkey)
     JOIN nation ON c_nationkey = n_nationkey
-    WHERE CAST(ret_amt AS DOUBLE) > 1.2 * avg_ret
+    WHERE CAST(ret_amt AS DOUBLE) * n_ret > 1.2 * CAST(nat_sum AS DOUBLE)
     """,
     "tpcds", "returns", "above-avg",
 )
@@ -3452,18 +3462,23 @@ def ds_returns_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "c_nationkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("ret_amt"))
     )
-    nation_avg = ret.groupBy("c_nationkey").agg(
-        (F.sum("ret_amt").cast("double") / F.count("*")).alias("avg_ret")
+    # exact decimal nation sum + returner count, not a rounded float avg
+    nation_tot = ret.groupBy("c_nationkey").agg(
+        F.sum("ret_amt").alias("nat_sum"), F.count("*").alias("n_ret")
     )
     return (
-        ret.join(F.broadcast(nation_avg), "c_nationkey")
-        .filter(F.col("ret_amt").cast("double") > 1.2 * F.col("avg_ret"))
+        ret.join(F.broadcast(nation_tot), "c_nationkey")
+        .filter(
+            F.col("ret_amt").cast("double") * F.col("n_ret")
+            > 1.2 * F.col("nat_sum").cast("double")
+        )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "o_custkey",
             "n_name",
             F.round("ret_amt", 2).cast("double").alias("ret_amt"),
-            F.round("avg_ret", 2).alias("nation_avg"),
+            F.round("nat_sum", 2).cast("double").alias("nat_sum"),
+            F.col("n_ret").cast("bigint").alias("n_ret"),
         )
     )
 
