@@ -1204,3 +1204,107 @@ def dp_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / union, 4).alias("exact_jaccard"),
         )
     )
+
+
+_SH_BITS = 16
+_SH_SQL_H = "CAST(('0x' || substr(md5(t || ':0'), 1, 15)) AS BIGINT)"
+_SH_SQL_FP = " + ".join(
+    f"(CASE WHEN list_sum(list_transform(toks, t -> (({_SH_SQL_H} >> {i}) & 1)"
+    f" * 2 - 1)) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_SH_BITS)
+)
+
+
+@q(
+    "dp_simhash_verifiable",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, source, text FROM documents WHERE doc_id < 100
+    ), corpus AS (
+      SELECT doc_id, lang, source, text FROM base
+      UNION ALL
+      SELECT doc_id + 10000, lang, source,
+             array_to_string(list_slice(
+               string_split({_NORM}, ' '), 1,
+               greatest(len(string_split({_NORM}, ' ')) * 3 // 4, 1)), ' ')
+        AS text
+      FROM base
+    ), fps AS (
+      SELECT doc_id, lang, source, CAST({_SH_SQL_FP} AS BIGINT) AS fp
+      FROM (SELECT doc_id, lang, source,
+                   list_distinct(string_split({_NORM}, ' ')) AS toks
+            FROM corpus)
+    )
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fps a JOIN fps b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    """,
+    "datapipe", "dedup", "simhash",
+)
+def dp_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE SimHash: the 16-bit fingerprint is built from
+    md5-derived token hashes (md5_hash60) that DuckDB reproduces
+    bit-for-bit — per bit i, sign of the +/-1 vote sum over distinct
+    tokens; near-dup pairs are hamming(fp1, fp2) <= 3 within
+    (lang, source) blocks.  Same planted 75%-prefix corpus as
+    dp_minhash_verifiable, so the entry certifies DETECTION: planted
+    pairs share most token votes and land within the hamming budget,
+    random pairs sit near hamming ~8/16.  The xxhash64 SimHash
+    (dp_dedup_simhash) stays as the fast path."""
+    from incubator_gluten_spark.datapipe.dedup import md5_hash60, normalize_text
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 100).select(
+        "doc_id", "lang", "source", "text"
+    )
+    toks_of = lambda c: F.split(normalize_text(c), " ")  # noqa: E731
+    toks = toks_of(F.col("text"))
+    variant = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "lang",
+        "source",
+        F.concat_ws(
+            " ",
+            F.slice(
+                toks, 1, F.greatest((F.size(toks) * 3 / 4).cast("int"), F.lit(1))
+            ),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(variant).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok_arr = F.array_distinct(toks_of(F.col("text")))
+
+    def vote(i: int):
+        return F.aggregate(
+            F.col("toks"),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc
+            + (F.shiftright(md5_hash60(t, 0), i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    fp = sum(
+        F.when(vote(i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_SH_BITS)
+    ).cast("bigint")
+    fps = corpus.select(
+        "doc_id", "lang", "source", tok_arr.alias("toks")
+    ).select("doc_id", "lang", "source", fp.alias("fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )

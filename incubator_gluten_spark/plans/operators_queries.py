@@ -2454,3 +2454,51 @@ def op_cbo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(true_rows).cast("bigint").alias("true_rows"),
         F.lit(n_brands).cast("bigint").alias("n_brands"),
     )
+
+
+@q(
+    "chx_json_collapse",
+    """
+    WITH docs AS (
+      SELECT printf('{"k": %d, "t": "%s", "u": %d}',
+                    CAST(json_extract_string(props, '$.k') AS INT),
+                    event_type, CAST(user_id AS INT)) AS doc
+      FROM events WHERE event_id < 2000
+    )
+    SELECT json_extract_string(doc, '$.t') AS t,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(doc, '$.k') AS INT)) AS BIGINT) AS k_sum,
+           count(DISTINCT CAST(json_extract(doc, '$.u') AS BIGINT)) AS n_users
+    FROM docs GROUP BY 1
+    """,
+    "chx", "json", "rewrite",
+)
+def chx_json_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH-backend CollapseGetJsonObjectExpressionRule analog
+    (backends-clickhouse/.../CollapseGetJsonObjectExpressionRule.scala):
+    N get_json_object calls on the same document = N full JSON parses;
+    the rewrite parses ONCE into a struct and projects fields.  Here the
+    collapsed form is built directly — a single from_json over the
+    document, three field accesses, zero get_json_object (plan-asserted
+    in tests/test_plans.py).  The oracle extracts the same three paths
+    with DuckDB's json functions."""
+    (ev,) = _t(spark, sf_dir, "events")
+    doc = F.format_string(
+        '{"k": %s, "t": "%s", "u": %s}',
+        F.get_json_object("props", "$.k").cast("int"),
+        F.col("event_type"),
+        F.col("user_id"),
+    )
+    parsed = (
+        ev.filter(F.col("event_id") < 2000)
+        .select(doc.alias("doc"))
+        .select(
+            "doc",
+            F.from_json("doc", "k INT, t STRING, u BIGINT").alias("j"),
+        )
+    )
+    return parsed.groupBy(F.col("j.t").alias("t")).agg(
+        F.count("*").alias("n"),
+        F.sum("j.k").cast("bigint").alias("k_sum"),
+        F.countDistinct("j.u").alias("n_users"),
+    )

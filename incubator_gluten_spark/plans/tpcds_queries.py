@@ -3813,3 +3813,149 @@ def ds_common_items_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("channel", "p_brand", "lvl", "n", "revenue")
     )
+
+
+@q(
+    "ds_inlist_or_members",
+    """
+    WITH big AS (
+      SELECT o_custkey AS bk
+      FROM orders GROUP BY 1
+      ORDER BY sum(CAST(o_totalprice AS DECIMAL(18,4))) DESC, o_custkey
+      LIMIT 100
+    )
+    SELECT c_mktsegment, count(*) AS n,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer LEFT JOIN big ON c_custkey = bk
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') OR bk IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+    "tpcds", "disjunct", "semi-join",
+)
+def ds_inlist_or_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q15/q45 shape: an attribute IN-list OR membership in a
+    subquery-derived set — the disjunction a semi-join cannot express
+    alone, planned as a LEFT join against the (tiny, broadcast) member
+    set with an is-not-null flag in the OR.  The member set is a
+    deterministic top-k (total order with key tie-break)."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    big = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("t"))
+        .orderBy(F.col("t").desc(), "o_custkey")
+        .limit(100)
+        .select(F.col("o_custkey").alias("bk"))
+    )
+    return (
+        customer.join(F.broadcast(big), F.col("c_custkey") == F.col("bk"), "left")
+        .filter(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+            | F.col("bk").isNotNull()
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@q(
+    "ds_multi_supplier_no_return",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        WHERE l1.l_orderkey = o_orderkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem lr
+        WHERE lr.l_orderkey = o_orderkey AND lr.l_returnflag = 'R'
+      )
+    GROUP BY o_orderpriority
+    """,
+    "tpcds", "exists", "anti-join",
+)
+def ds_multi_supplier_no_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q16 shape: orders involving AT LEAST TWO suppliers
+    (EXISTS a sibling line with a different supplier) and NO returned
+    line (NOT EXISTS) — the semi + anti join pair on the same fact.
+    The multi-supplier set computes as one aggregate
+    (countDistinct(suppkey) > 1), not q16's literal self-join, then
+    semi/anti joins apply in sequence."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    return (
+        orders.join(
+            multi, F.col("o_orderkey") == multi["l_orderkey"], "left_semi"
+        )
+        .join(
+            returned,
+            F.col("o_orderkey") == returned["l_orderkey"],
+            "left_anti",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@q(
+    "ds_single_channel_profile",
+    """
+    WITH o97 AS (SELECT * FROM orders WHERE year(o_orderdate) = 1997)
+    SELECT c_mktsegment, count(DISTINCT c_custkey) AS n_cust,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM o97 WHERE o_custkey = c_custkey
+                    AND o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM o97 WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM o97 WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+    "tpcds", "exists", "anti-join",
+)
+def ds_single_channel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q69 shape: customers active in exactly one channel — one
+    semi join (the required channel) chained with TWO anti joins (the
+    excluded channels), all on the same year slice, then a demographic
+    profile.  Three derived channel key-sets from one scan."""
+    orders, customer = _t(spark, sf_dir, "orders", "customer")
+    o97 = orders.filter(F.year("o_orderdate") == 1997)
+
+    def chan_keys(status: str) -> DataFrame:
+        return (
+            o97.filter(F.col("o_orderstatus") == status)
+            .select(F.col("o_custkey").alias(f"k_{status}"))
+            .distinct()
+        )
+
+    return (
+        customer.join(
+            chan_keys("O"), F.col("c_custkey") == F.col("k_O"), "left_semi"
+        )
+        .join(chan_keys("F"), F.col("c_custkey") == F.col("k_F"), "left_anti")
+        .join(chan_keys("P"), F.col("c_custkey") == F.col("k_P"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

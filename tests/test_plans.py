@@ -313,3 +313,15 @@ def test_best_worst_items_uses_window_group_limit(spark, sf_dir):
     filter must push a group limit into the window."""
     plan = plan_of(ALL["ds_best_worst_items"].build(spark, sf_dir))
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_json_collapse_single_parse(spark, sf_dir):
+    """chx_json_collapse's point: ONE from_json parse feeding all field
+    accesses — the plan must not contain get_json_object on the composed
+    document (the CH CollapseGetJsonObjectExpressionRule property)."""
+    plan = plan_of(ALL["chx_json_collapse"].build(spark, sf_dir))
+    agg_side = plan.split("Scan parquet")[0]
+    assert "from_json" in plan, plan
+    # the only get_json_object permitted is the source-side k extraction
+    # used to COMPOSE the document, which lives at the scan projection
+    assert "get_json_object(doc" not in agg_side, agg_side
