@@ -356,3 +356,96 @@ def test_random_setop_matches_oracle(spark, duck, sf_dir, p1, p2, op):
         f"SELECT count(*) FROM (({s1}) {glue} ({s2}))"
     ).fetchone()[0]
     assert n_spark == n_duck, (p1, p2, op, n_spark, n_duck)
+
+
+@given(
+    off=st.integers(min_value=-1000, max_value=1000),
+    trunc=st.sampled_from(["year", "quarter", "month", "week"]),
+    cut=st.integers(min_value=100, max_value=2000),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_date_arithmetic_matches_oracle(spark, duck, sf_dir, off, trunc, cut):
+    """Random calendar arithmetic: date_add offsets, date_trunc grains,
+    month boundaries — both engines must agree on every derived date
+    (calendar math is exactly the kind of scalar surface where engines
+    silently diverge; SURVEY §2.9 datetime family)."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    if "ord" not in _cache:
+        t = load_tables(spark, sf_dir, ("orders", "customer"))
+        _cache["cust"] = t["customer"]
+        _cache["ord"] = t["orders"]
+    orders = _cache["ord"]
+    sdf = (
+        orders.filter(F.col("o_orderkey") < cut)
+        .select(
+            "o_orderkey",
+            F.date_add(F.to_date("o_orderdate"), off).alias("d_off"),
+            F.to_date(F.date_trunc(trunc, "o_orderdate")).alias("d_trunc"),
+            F.last_day("o_orderdate").alias("d_last"),
+            F.month(F.add_months("o_orderdate", off % 13)).alias("m_add"),
+        )
+    )
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in duck.sql(
+            f"""
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) + {off} AS d_off,
+                   CAST(date_trunc('{trunc}', o_orderdate) AS DATE) AS d_trunc,
+                   last_day(CAST(o_orderdate AS DATE)) AS d_last,
+                   month(CAST(o_orderdate AS DATE)
+                         + to_months({off % 13})) AS m_add
+            FROM orders WHERE o_orderkey < {cut}
+            """
+        ).fetchall()
+    )
+    assert srows == drows, (off, trunc, cut)
+
+
+@given(
+    pos=st.integers(min_value=1, max_value=40),
+    ln=st.integers(min_value=0, max_value=30),
+    pad=st.integers(min_value=1, max_value=20),
+    needle=st.sampled_from(["the", "a ", "ing", "zz", " of "]),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_string_slicing_matches_oracle(spark, duck, sf_dir, pos, ln, pad, needle):
+    """Random substring/pad/locate parameters over real fixture text —
+    1-based positions, zero lengths, out-of-range slices, pad-to-shorter
+    truncation all must agree (SURVEY §2.9 string family)."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    if "docs" not in _cache:
+        _cache["docs"] = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs = _cache["docs"].filter(F.col("doc_id") < 150)
+    sdf = docs.select(
+        "doc_id",
+        F.substring("text", pos, ln).alias("sub"),
+        F.lpad(F.substring("text", 1, 10), pad, "_").alias("pl"),
+        F.locate(needle, "text").alias("loc"),
+    )
+    srows = sorted(tuple(r) for r in sdf.collect())
+    nl = needle.replace("'", "''")
+    drows = sorted(
+        tuple(r)
+        for r in duck.sql(
+            f"""
+            SELECT doc_id,
+                   substr(text, {pos}, {ln}) AS sub,
+                   lpad(substr(text, 1, 10), {pad}, '_') AS pl,
+                   CAST(instr(text, '{nl}') AS INT) AS loc
+            FROM documents WHERE doc_id < 150
+            """
+        ).fetchall()
+    )
+    assert srows == drows, (pos, ln, pad, needle)

@@ -78,7 +78,12 @@ def main() -> int:
     from incubator_gluten_spark.session import get_session
     from incubator_gluten_spark.testing.compare import duckdb_connection
 
-    spark = get_session(app_name="check")
+    # console progress bars interleave carriage returns into PASS/FAIL
+    # lines; this is a log-oriented tool
+    spark = get_session(
+        app_name="check",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     con = duckdb_connection(sf_dir)
     all_q = collect_all()
     if front:
