@@ -325,3 +325,27 @@ def test_json_collapse_single_parse(spark, sf_dir):
     # the only get_json_object permitted is the source-side k extraction
     # used to COMPOSE the document, which lives at the scan projection
     assert "get_json_object(doc" not in agg_side, agg_side
+
+
+def test_single_channel_profile_semi_anti_chain(spark, sf_dir):
+    """q69 shape must plan as one semi + two anti joins (channel
+    membership sets), never inner joins with post-filters."""
+    plan = plan_of(ALL["ds_single_channel_profile"].build(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 1, plan
+    assert plan.count("LeftAnti") >= 2, plan
+
+
+def test_inlist_or_members_broadcasts_member_set(spark, sf_dir):
+    """q15/q45 shape: the top-k member set is tiny and must broadcast
+    into the OR-disjunction left join."""
+    plan = plan_of(ALL["ds_inlist_or_members"].build(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_verifiable_hash_dedup_no_cartesian(spark, sf_dir):
+    """The md5-verifiable MinHash/SimHash pair joins are blocked
+    equi-joins on (lang, source); a cartesian would mean the block keys
+    fell out of the join condition."""
+    for name in ("dp_minhash_verifiable", "dp_simhash_verifiable"):
+        plan = plan_of(ALL[name].build(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
