@@ -1308,3 +1308,108 @@ def dp_simhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("int").alias("hamming"),
         )
     )
+
+
+def _ann_planes(n_planes: int = 6, dim: int = 64) -> list[list[float]]:
+    """Hyperplane constants from hashlib.md5 — the SAME md5 both engines
+    expose, evaluated once in Python and embedded as literals in BOTH the
+    Spark plan and the oracle SQL, so the bucket assignment is
+    cross-engine-identical by construction."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"p{j * dim + i}".encode()).hexdigest()[:15], 16)
+            % 2001
+            / 1000.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+_ANN_PLANES = _ann_planes()
+_ANN_SQL_SIG = " + ".join(
+    "(CASE WHEN list_inner_product(embedding::DOUBLE[], ["
+    + ", ".join(repr(v) for v in plane)
+    + f"]) > 0 THEN {1 << j} ELSE 0 END)"
+    for j, plane in enumerate(_ANN_PLANES)
+)
+
+
+@q(
+    "dp_ann_lsh_verifiable",
+    f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, CAST({_ANN_SQL_SIG} AS INT) AS sig
+      FROM embeddings WHERE vec_id < 500
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qvec, sig AS qsig
+      FROM sigs WHERE vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.v, q.qvec), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(e.v, q.qvec), 6) DESC,
+                        e.vec_id) AS rn
+      FROM sigs e JOIN q ON e.sig = q.qsig AND e.vec_id != q.query_id
+    ) WHERE rn <= 3
+    """,
+    "datapipe", "ann", "lsh",
+)
+def dp_ann_lsh_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE LSH-bucketed ANN: 6 hyperplanes whose constants
+    derive from hashlib.md5 in Python and are embedded as LITERALS in
+    both the Spark plan and the DuckDB oracle — bucket signatures are
+    cross-engine-identical by construction, so the hash gate certifies
+    the whole bucket-join + top-k pipeline (candidate generation,
+    equi-join on the signature, per-query WindowGroupLimit rank).  The
+    xxhash64 variant (dp_ann_lsh) stays as the self-contained fast path;
+    this one is the certification twin.  Reference analog: the LSH
+    bucketing the dedup/ANN layer uses throughout (SURVEY 'LLM-pipeline
+    operators')."""
+    from incubator_gluten_spark.datapipe.similarity import _as_double, dot
+    from pyspark.sql import Window as W
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 500).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    sig = sum(
+        F.when(
+            dot(F.col("v"), F.array(*[F.lit(x) for x in plane])) > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j, plane in enumerate(_ANN_PLANES)
+    ).cast("int")
+    sigs = base.withColumn("sig", sig)
+    q = sigs.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvec"),
+        F.col("sig").alias("qsig"),
+    )
+    nu = F.sqrt(dot(F.col("v"), F.col("v")))
+    nq = F.sqrt(dot(F.col("qvec"), F.col("qvec")))
+    scored = (
+        sigs.join(
+            F.broadcast(q),
+            (F.col("sig") == F.col("qsig"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot(F.col("v"), F.col("qvec")) / (nu * nq), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+    )
