@@ -1413,3 +1413,111 @@ def dp_ann_lsh_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+_ND_BANDS, _ND_BITS = 6, 3
+_ND_PLANES = _ann_planes(_ND_BANDS * _ND_BITS)
+
+
+def _nd_sql_sig(band: int) -> str:
+    bits = []
+    for r in range(_ND_BITS):
+        plane = _ND_PLANES[band * _ND_BITS + r]
+        lits = ", ".join(repr(v) for v in plane)
+        bits.append(
+            f"(CASE WHEN list_inner_product(v, [{lits}]) > 0"
+            f" THEN {1 << r} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+_ND_SQL_BANDS = ", ".join(
+    f"CAST({_nd_sql_sig(b)} AS INT) AS s{b}" for b in range(_ND_BANDS)
+)
+_ND_SQL_ANYBAND = " OR ".join(f"a.s{b} = b.s{b}" for b in range(_ND_BANDS))
+
+
+@q(
+    "dp_embedding_lsh_verifiable",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings
+      WHERE vec_id < 150
+    ), corpus AS (
+      SELECT vec_id, v0 AS v FROM base
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(v0, x -> x * 1.0 + 0.02) AS v
+      FROM base
+    ), banded AS (
+      SELECT vec_id, v, {_ND_SQL_BANDS} FROM corpus
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM banded a JOIN banded b ON a.vec_id < b.vec_id
+    WHERE ({_ND_SQL_ANYBAND})
+      AND round(list_cosine_similarity(a.v, b.v), 6) > 0.9
+    """,
+    "datapipe", "dedup", "ann", "lsh",
+)
+def dp_embedding_lsh_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE banded-LSH near-dup: the full band pipeline —
+    per-band sign signatures, any-band candidate match, exact-cosine
+    verification at threshold 0.9 — with hyperplane constants embedded
+    as md5-derived LITERALS in both engines, so DuckDB reproduces the
+    exact candidate set and the hash gate certifies the banding math
+    itself (not just its output rows).  The corpus plants a shifted copy
+    of every vector (x -> x + 0.1, cosine ~0.95+ to its original) so the
+    entry certifies detection of real near-dups.  Candidate generation
+    here rides the oracle's triangular form for bit-parity; the
+    production path (embedding_near_dup_pairs) explodes bands into an
+    equi-join — same candidates, scale-shaped plan, recall
+    property-tested in tests/test_datapipe.py."""
+    from incubator_gluten_spark.datapipe.similarity import _as_double, dot
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 150).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v0")
+    )
+    shifted = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("v0"), lambda x: x * 1.0 + 0.02).alias("v"),
+    )
+    corpus = base.select("vec_id", F.col("v0").alias("v")).unionByName(shifted)
+
+    def sig(band: int):
+        bits = []
+        for r in range(_ND_BITS):
+            plane = _ND_PLANES[band * _ND_BITS + r]
+            bits.append(
+                F.when(
+                    dot(F.col("v"), F.array(*[F.lit(x) for x in plane])) > 0,
+                    F.lit(1 << r),
+                ).otherwise(F.lit(0))
+            )
+        return sum(bits).cast("int").alias(f"s{band}")
+
+    banded = corpus.select("vec_id", "v", *[sig(b) for b in range(_ND_BANDS)])
+    a, b = banded.alias("a"), banded.alias("b")
+    anyband = None
+    for i in range(_ND_BANDS):
+        c = F.col(f"a.s{i}") == F.col(f"b.s{i}")
+        anyband = c if anyband is None else (anyband | c)
+    cosine = F.round(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (
+            F.sqrt(dot(F.col("a.v"), F.col("a.v")))
+            * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+        ),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.vec_id") < F.col("b.vec_id")) & anyband)
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") > 0.9)
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            "cosine",
+        )
+    )
