@@ -3959,3 +3959,328 @@ def ds_single_channel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+@q(
+    "ds_attr_avg_report",
+    """
+    SELECT p_brand,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_disc,
+           round(CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_tax
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY p_brand
+    """,
+    "tpcds", "star-avg",
+)
+def ds_attr_avg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q7/q26 shape: four averaged measures per item over a
+    demographic+promotion slice of the fact (q7 store, q26 catalog —
+    identical form).  Averages are exact-decimal sums divided by the
+    group count in double, so both engines round identical values —
+    a double-accumulated avg() could differ in the last ulp."""
+    li, orders, customer, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part"
+    )
+
+    def dec_avg(col: str, alias: str):
+        return F.round(
+            F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias(alias)
+
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy("p_brand")
+        .agg(
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            dec_avg("l_tax", "avg_tax"),
+        )
+    )
+
+
+@q(
+    "ds_substr_inlist_revenue",
+    """
+    WITH rich AS (
+      SELECT c_nationkey FROM customer GROUP BY c_nationkey
+      HAVING sum(CASE WHEN c_acctbal > 4000 THEN 1 ELSE 0 END) >= 30
+    )
+    SELECT n_name,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE substr(n_name, 8, 1) IN ('1', '2')
+      AND c_nationkey IN (SELECT c_nationkey FROM rich)
+    GROUP BY n_name
+    """,
+    "tpcds", "substr-inlist",
+)
+def ds_substr_inlist_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q8 shape: revenue per store restricted to an IN-list over
+    substr(zip) INTERSECTED with a derived set (zips with enough
+    preferred customers).  Here: nation-prefix IN-list + nations with
+    >= 3 high-balance customers, as a broadcast-able semi join."""
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    rich = (
+        customer.groupBy("c_nationkey")
+        .agg(
+            F.sum(F.when(F.col("c_acctbal") > 4000, 1).otherwise(0)).alias("nr")
+        )
+        .filter(F.col("nr") >= 30)
+        .select("c_nationkey")
+    )
+    picked = nation.filter(F.substring("n_name", 8, 1).isin("1", "2"))
+    return (
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(picked), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            rich.withColumnRenamed("c_nationkey", "rk"),
+            F.col("c_nationkey") == F.col("rk"),
+            "left_semi",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "ds_cross_border_brand",
+    """
+    SELECT p_brand, month(o_orderdate) AS mth,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE year(o_orderdate) = 1996
+      AND c_nationkey <> s_nationkey
+    GROUP BY p_brand, month(o_orderdate)
+    """,
+    "tpcds", "cross-border",
+)
+def ds_cross_border_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q19 shape: brand revenue by month where the buyer and the
+    fulfilling store sit in DIFFERENT zip zones — here customer nation
+    != supplier nation.  The inequality predicate rides on the joined
+    row (no extra join), so the plan is the plain 5-way star."""
+    li, orders, customer, supplier, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "part"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (F.year("o_orderdate") == 1996)
+            & (F.col("c_nationkey") != F.col("s_nationkey"))
+        )
+        .groupBy("p_brand", F.month("o_orderdate").alias("mth"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "ds_qty_shift_ratio",
+    """
+    WITH qty AS (
+      SELECT s_name, p_brand,
+             sum(CASE WHEN l_shipdate < TIMESTAMP '1998-06-01'
+                      THEN CAST(l_quantity AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty_before,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01'
+                      THEN CAST(l_quantity AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS qty_after
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1998-12-01'
+      GROUP BY s_name, p_brand
+    )
+    SELECT s_name, p_brand,
+           CAST(qty_before AS DOUBLE) AS qty_before,
+           CAST(qty_after AS DOUBLE) AS qty_after
+    FROM qty
+    WHERE qty_before > 0 AND qty_after > 0
+      AND CAST(qty_after AS DOUBLE) / CAST(qty_before AS DOUBLE) >= 2.0/3.0
+      AND CAST(qty_after AS DOUBLE) / CAST(qty_before AS DOUBLE) <= 3.0/2.0
+    """,
+    "tpcds", "before-after-ratio",
+)
+def ds_qty_shift_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 shape: per (warehouse, item) inventory BEFORE vs
+    AFTER a date cut, keeping pairs whose shift ratio stays within
+    [2/3, 3/2].  Both conditional sums come from ONE scan (no
+    self-join), the reference's preferred form for this query
+    (backends-velox ScalarFunctionsValidateSuite covers the
+    conditional-aggregate rewrite).  Ratio compares in double on
+    exact-decimal sums — identical in both engines."""
+    li, supplier, part = _t(spark, sf_dir, "lineitem", "supplier", "part")
+    cut = F.lit("1998-06-01").cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,4)")
+    qdec = F.col("l_quantity").cast("decimal(18,4)")
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-12-01").cast("timestamp"))
+        )
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("s_name", "p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_shipdate") < cut, qdec).otherwise(zero)).alias(
+                "qb"
+            ),
+            F.sum(
+                F.when(F.col("l_shipdate") >= cut, qdec).otherwise(zero)
+            ).alias("qa"),
+        )
+    )
+    ratio = F.col("qa").cast("double") / F.col("qb").cast("double")
+    return (
+        agg.filter(
+            (F.col("qb") > 0)
+            & (F.col("qa") > 0)
+            & (ratio >= 2.0 / 3.0)
+            & (ratio <= 3.0 / 2.0)
+        )
+        .select(
+            "s_name",
+            "p_brand",
+            F.col("qb").cast("double").alias("qty_before"),
+            F.col("qa").cast("double").alias("qty_after"),
+        )
+    )
+
+
+@q(
+    "ds_spend_above_frac_avg",
+    """
+    WITH spend AS (
+      SELECT c_name, p_brand,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS paid
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N'
+      GROUP BY c_name, p_brand
+    )
+    SELECT c_name, p_brand, CAST(paid AS DOUBLE) AS paid
+    FROM spend
+    WHERE CAST(paid AS DOUBLE) >
+          3 * (SELECT avg(CAST(paid AS DOUBLE)) FROM spend)
+    """,
+    "tpcds", "scalar-threshold",
+)
+def ds_spend_above_frac_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24 shape: per-(customer, color) net-paid kept only when
+    it exceeds a FRACTION OF THE GLOBAL AVERAGE of the same aggregate —
+    the scalar-subquery-over-the-CTE-itself pattern.  The grouped CTE
+    computes once; the global avg is a 1-row broadcast cross join, not
+    a re-scan (the reference validates this exact plan in
+    VeloxTPCDSSuite q24)."""
+    li, orders, customer, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part"
+    )
+    spend = (
+        li.filter(F.col("l_returnflag") == "N")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("c_name", "p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("paid")
+        )
+    )
+    thresh = spend.agg(
+        F.avg(F.col("paid").cast("double")).alias("gavg")
+    )
+    return (
+        spend.crossJoin(F.broadcast(thresh))
+        .filter(F.col("paid").cast("double") > 3 * F.col("gavg"))
+        .select(
+            "c_name", "p_brand", F.col("paid").cast("double").alias("paid")
+        )
+    )
+
+
+@q(
+    "ds_rollup_geo_avgs",
+    """
+    SELECT n_name, c_mktsegment,
+           CAST(grouping(n_name) AS INT) * 2
+             + CAST(grouping(c_mktsegment) AS INT) AS gid,
+           count(*) AS n_cust,
+           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 4) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_nationkey < 12
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    "tpcds", "rollup-avg",
+)
+def ds_rollup_geo_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q27 shape: averaged measures ROLLED UP along the
+    geography hierarchy (state -> country -> total) with a grouping-id
+    so report rows carry their aggregation level.  Averages are
+    exact-decimal sum / count to keep the cross-engine hash stable at
+    every rollup level."""
+    customer, nation = _t(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(
+            F.broadcast(nation.filter(F.col("n_nationkey") < 12)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            (
+                F.grouping("n_name").cast("int") * 2
+                + F.grouping("c_mktsegment").cast("int")
+            ).alias("gid"),
+            F.count("*").alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_bal"),
+        )
+        .select("n_name", "c_mktsegment", "gid", "n_cust", "avg_bal")
+    )
