@@ -4284,3 +4284,621 @@ def ds_rollup_geo_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "c_mktsegment", "gid", "n_cust", "avg_bal")
     )
+
+
+@q(
+    "ds_mfr_tri_channel_union",
+    """
+    WITH wanted AS (
+      SELECT p_partkey, substr(p_brand, 1, 7) AS mfr FROM part
+      WHERE p_type = 'ECONOMY'
+    ),
+    slice1 AS (
+      SELECT mfr, CAST(l_extendedprice AS DECIMAL(18,4)) AS amt
+      FROM lineitem JOIN wanted ON l_partkey = p_partkey
+      WHERE l_returnflag = 'N' AND year(l_shipdate) = 1996
+    ),
+    slice2 AS (
+      SELECT mfr, CAST(l_extendedprice AS DECIMAL(18,4)) AS amt
+      FROM lineitem JOIN wanted ON l_partkey = p_partkey
+      WHERE l_returnflag = 'A' AND year(l_shipdate) = 1996
+    ),
+    slice3 AS (
+      SELECT mfr, CAST(l_extendedprice AS DECIMAL(18,4)) AS amt
+      FROM lineitem JOIN wanted ON l_partkey = p_partkey
+      WHERE l_returnflag = 'R' AND year(l_shipdate) = 1996
+    )
+    SELECT mfr, CAST(round(sum(amt), 2) AS DOUBLE) AS total_sales
+    FROM (SELECT * FROM slice1 UNION ALL
+          SELECT * FROM slice2 UNION ALL
+          SELECT * FROM slice3)
+    GROUP BY mfr
+    """,
+    "tpcds", "channel-union",
+)
+def ds_mfr_tri_channel_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33/q56/q60 shape: three per-channel slices restricted to
+    a derived manufacturer set, UNION ALL'd, then re-aggregated by
+    manufacturer.  The wanted-item set computes once and broadcasts to
+    all three slices (the reference reuses one subquery per channel)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    wanted = part.filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", F.substring("p_brand", 1, 7).alias("mfr")
+    )
+    base = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(F.broadcast(wanted), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "mfr",
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,4)").alias("amt"),
+        )
+    )
+    slices = [base.filter(F.col("l_returnflag") == fl).select("mfr", "amt")
+              for fl in ("N", "A", "R")]
+    unioned = slices[0].unionAll(slices[1]).unionAll(slices[2])
+    return unioned.groupBy("mfr").agg(
+        F.round(F.sum("amt"), 2).cast("double").alias("total_sales")
+    )
+
+
+@q(
+    "ds_range_scan_items",
+    """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    JOIN (
+      SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS on_hand
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-03-01'
+      GROUP BY l_partkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) BETWEEN 100 AND 500
+    ) inv ON p_partkey = l_partkey
+    WHERE p_size BETWEEN 10 AND 40
+      AND p_retailprice BETWEEN 200 AND 1400
+    ORDER BY p_partkey
+    LIMIT 50
+    """,
+    "tpcds", "range-scan",
+)
+def ds_range_scan_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37/q82 shape: items inside price+size bands whose
+    60-day inventory position lands in a quantity band — range
+    predicates pushed to the dimension scan, a date-windowed
+    aggregate on the fact, ordered limited output (unique key order
+    so LIMIT is deterministic)."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    inv = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("on_hand"))
+        .filter(F.col("on_hand").between(100, 500))
+    )
+    return (
+        part.filter(
+            F.col("p_size").between(10, 40)
+            & F.col("p_retailprice").between(200, 1400)
+        )
+        .join(inv, F.col("p_partkey") == F.col("l_partkey"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+        .limit(50)
+    )
+
+
+@q(
+    "ds_monthly_cov_pair",
+    """
+    WITH m AS (
+      SELECT l_suppkey, month(l_shipdate) AS mth,
+             CAST(stddev_samp(l_quantity) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS mean_qty,
+             count(*) AS n
+      FROM lineitem
+      WHERE year(l_shipdate) = 1997 AND month(l_shipdate) IN (3, 4)
+      GROUP BY l_suppkey, month(l_shipdate)
+    )
+    SELECT a.l_suppkey AS suppkey,
+           round(a.sd / a.mean_qty, 4) AS cov_m1,
+           round(b.sd / b.mean_qty, 4) AS cov_m2
+    FROM m a JOIN m b ON a.l_suppkey = b.l_suppkey
+    WHERE a.mth = 3 AND b.mth = 4
+      AND a.n > 1 AND b.n > 1
+      AND a.sd / a.mean_qty >= 0.5 AND b.sd / b.mean_qty >= 0.5
+    """,
+    "tpcds", "cov-pair",
+)
+def ds_monthly_cov_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape: per (warehouse, item, month) coefficient of
+    variation (stddev/mean), self-joined across two consecutive months
+    keeping pairs where BOTH months are volatile.  stddev_samp agrees
+    bit-for-bit across engines on this data (already certified by
+    agg_stats); the mean uses the exact-decimal-sum form."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    m = (
+        li.filter(
+            (F.year("l_shipdate") == 1997)
+            & F.month("l_shipdate").isin(3, 4)
+        )
+        .groupBy("l_suppkey", F.month("l_shipdate").alias("mth"))
+        .agg(
+            F.stddev_samp("l_quantity").cast("double").alias("sd"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("mean_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    cov_a = F.col("a.sd") / F.col("a.mean_qty")
+    cov_b = F.col("b.sd") / F.col("b.mean_qty")
+    return (
+        a.join(b, F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+        .filter(
+            (F.col("a.mth") == 3)
+            & (F.col("b.mth") == 4)
+            & (F.col("a.n") > 1)
+            & (F.col("b.n") > 1)
+            & (cov_a >= 0.5)
+            & (cov_b >= 0.5)
+        )
+        .select(
+            F.col("a.l_suppkey").alias("suppkey"),
+            F.round(cov_a, 4).alias("cov_m1"),
+            F.round(cov_b, 4).alias("cov_m2"),
+        )
+    )
+
+
+@q(
+    "ds_brand_month_top",
+    """
+    SELECT * FROM (
+      SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mth, p_brand,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS revenue,
+             rank() OVER (
+               ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,4))) DESC,
+                        year(l_shipdate), month(l_shipdate), p_brand) AS rnk
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE year(l_shipdate) = 1996
+      GROUP BY 1, 2, p_brand
+    ) WHERE rnk <= 10
+    """,
+    "tpcds", "star-topk",
+)
+def ds_brand_month_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q42/q52/q55 shape: the simple star — brand revenue by
+    calendar month, top-10 by revenue.  The rank's ORDER BY carries
+    (yr, mth, brand) tie-breakers so the cut is deterministic in both
+    engines; the rank rides on the exact-decimal aggregate."""
+    li, part = _t(spark, sf_dir, "lineitem", "part")
+    agg = (
+        li.filter(F.year("l_shipdate") == 1996)
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").alias("yr"),
+            F.month("l_shipdate").alias("mth"),
+            "p_brand",
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev")
+        )
+    )
+    w = Window.orderBy(
+        F.col("rev").desc(), F.col("yr"), F.col("mth"), F.col("p_brand")
+    )
+    return (
+        agg.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "yr",
+            "mth",
+            "p_brand",
+            F.round("rev", 2).cast("double").alias("revenue"),
+            "rnk",
+        )
+    )
+
+
+@q(
+    "ds_weekday_matrix",
+    """
+    SELECT n_name,
+           CAST(round(sum(CASE WHEN dayofweek(o_orderdate) = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS sun_sales,
+           CAST(round(sum(CASE WHEN dayofweek(o_orderdate) = 1
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS mon_sales,
+           CAST(round(sum(CASE WHEN dayofweek(o_orderdate) = 2
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS tue_sales,
+           CAST(round(sum(CASE WHEN dayofweek(o_orderdate) = 3
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS wed_sales,
+           CAST(round(sum(CASE WHEN dayofweek(o_orderdate) = 4
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS thu_sales,
+           CAST(round(sum(CASE WHEN dayofweek(o_orderdate) = 5
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS fri_sales,
+           CAST(round(sum(CASE WHEN dayofweek(o_orderdate) = 6
+                    THEN CAST(o_totalprice AS DECIMAL(18,4))
+                    ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS sat_sales
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) = 1997
+    GROUP BY n_name
+    """,
+    "tpcds", "weekday-matrix",
+)
+def ds_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q43 shape: the per-store 7-weekday-column sales matrix —
+    one scan, seven conditional decimal sums (no pivot shuffle).
+    Spark dayofweek() is 1-7 Sunday-first; DuckDB's is 0-6 — the Spark
+    side subtracts 1 so both sides bucket identically."""
+    orders, customer, nation = _t(spark, sf_dir, "orders", "customer", "nation")
+    dow = F.dayofweek("o_orderdate") - 1
+    zero = F.lit(0).cast("decimal(18,4)")
+    price = F.col("o_totalprice").cast("decimal(18,4)")
+    names = ["sun", "mon", "tue", "wed", "thu", "fri", "sat"]
+    cols = [
+        F.round(F.sum(F.when(dow == i, price).otherwise(zero)), 2)
+        .cast("double")
+        .alias(f"{names[i]}_sales")
+        for i in range(7)
+    ]
+    return (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*cols)
+    )
+
+
+@q(
+    "ds_delay_crosstab",
+    """
+    SELECT l_returnflag, o_orderpriority,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 30
+                          AND datediff('day', o_orderdate, l_shipdate) <= 60
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 60
+                          AND datediff('day', o_orderdate, l_shipdate) <= 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS d120
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(o_orderdate) = 1996
+    GROUP BY l_returnflag, o_orderpriority
+    """,
+    "tpcds", "delay-crosstab",
+)
+def ds_delay_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q50/q62 shape: order-to-ship latency bucketed into
+    30/60/90/120-day bands, cross-tabbed by (ship mode, warehouse) —
+    here (returnflag, priority).  One fact-fact join, conditional
+    counts, no pivot operator."""
+    li, orders = _t(spark, sf_dir, "lineitem", "orders")
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    def band(cond, alias):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(alias)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.year("o_orderdate") == 1996)
+        .groupBy("l_returnflag", "o_orderpriority")
+        .agg(
+            band(delay <= 30, "d30"),
+            band((delay > 30) & (delay <= 60), "d60"),
+            band((delay > 60) & (delay <= 90), "d90"),
+            band(delay > 90, "d120"),
+        )
+    )
+
+
+@q(
+    "ds_hour_band_channels",
+    """
+    WITH sliced AS (
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+      WHERE day(ts) BETWEEN 1 AND 7
+      UNION ALL
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+      WHERE day(ts) BETWEEN 11 AND 17
+      UNION ALL
+      SELECT event_type, extract(hour FROM ts) AS hr,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+      WHERE day(ts) BETWEEN 21 AND 27
+    )
+    SELECT event_type,
+           CASE WHEN hr BETWEEN 6 AND 9 THEN 'breakfast'
+                WHEN hr BETWEEN 17 AND 20 THEN 'dinner'
+                ELSE 'other' END AS meal_band,
+           count(*) AS n_events,
+           CAST(round(sum(v), 2) AS DOUBLE) AS total_value
+    FROM sliced
+    GROUP BY 1, 2
+    """,
+    "tpcds", "hour-band-union",
+)
+def ds_hour_band_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q71 shape: three channel slices UNION ALL'd, then
+    aggregated by (brand, time-of-day band) — breakfast/dinner hours
+    against the events stream table (the only fixture with
+    time-of-day).  The band CASE runs post-union so all three slices
+    share one aggregate."""
+    (events,) = _t(spark, sf_dir, "events")
+    base = events.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.dayofmonth("ts").alias("dy"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    slices = [
+        base.filter(F.col("dy").between(lo, hi)).select("event_type", "hr", "v")
+        for lo, hi in ((1, 7), (11, 17), (21, 27))
+    ]
+    unioned = slices[0].unionAll(slices[1]).unionAll(slices[2])
+    band = (
+        F.when(F.col("hr").between(6, 9), "breakfast")
+        .when(F.col("hr").between(17, 20), "dinner")
+        .otherwise("other")
+    )
+    return (
+        unioned.groupBy("event_type", band.alias("meal_band"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("v"), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+@q(
+    "ds_late_ship_promo_nulls",
+    """
+    SELECT p_brand,
+           CAST(sum(CASE WHEN promo.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS no_promo,
+           CAST(sum(CASE WHEN promo.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS promo,
+           count(*) AS total_cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    LEFT JOIN (SELECT p_partkey AS pk FROM part WHERE p_size > 45) promo
+      ON l_partkey = promo.pk
+    WHERE l_shipdate > o_orderdate + INTERVAL 5 DAY
+      AND year(o_orderdate) = 1997
+    GROUP BY p_brand
+    """,
+    "tpcds", "late-ship", "left-outer",
+)
+def ds_late_ship_promo_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape: lines shipped MORE THAN N DAYS after the order
+    (the d1.d_date > d2.d_date + 5 inequality rides the joined row),
+    LEFT OUTER joined to a promotion dim, reporting promo vs no-promo
+    counts per item.  The promo dim is small and broadcast."""
+    li, orders, part = _t(spark, sf_dir, "lineitem", "orders", "part")
+    promo = part.filter(F.col("p_size") > 45).select(
+        F.col("p_partkey").alias("pk")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("pk"), "left")
+        .filter(
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 5 DAY")
+            )
+            & (F.year("o_orderdate") == 1997)
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("no_promo"),
+            F.sum(F.when(F.col("pk").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("promo"),
+            F.count("*").alias("total_cnt"),
+        )
+    )
+
+
+@q(
+    "ds_hour_profile_users",
+    """
+    SELECT * FROM (
+      SELECT user_id, count(*) AS n_ev,
+             CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_value
+      FROM events
+      WHERE extract(hour FROM ts) BETWEEN 17 AND 20
+        AND event_type IN ('purchase', 'click')
+      GROUP BY user_id
+    ) WHERE n_ev >= 5
+    ORDER BY n_ev DESC, user_id
+    LIMIT 40
+    """,
+    "tpcds", "hour-profile",
+)
+def ds_hour_profile_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q79/q96 shape: per-customer activity inside one
+    time-of-day band (q96 counts the band, q79 profiles per-customer
+    amounts within it), HAVING-filtered and top-limited with a unique
+    tie-breaker (user_id) so the LIMIT cut is deterministic."""
+    (events,) = _t(spark, sf_dir, "events")
+    return (
+        events.filter(
+            F.hour("ts").between(17, 20)
+            & F.col("event_type").isin("purchase", "click")
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_ev"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .filter(F.col("n_ev") >= 5)
+        .orderBy(F.col("n_ev").desc(), "user_id")
+        .limit(40)
+    )
+
+
+@q(
+    "ds_customer_band_lookup",
+    """
+    SELECT c_custkey,
+           c_name || ' [' || c_mktsegment || ']' AS customer_id,
+           n_name, r_name, c_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal BETWEEN 2000 AND 2500
+      AND c_mktsegment = 'AUTOMOBILE'
+    ORDER BY c_custkey
+    LIMIT 60
+    """,
+    "tpcds", "lookup-chain",
+)
+def ds_customer_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q84 shape: customer directory lookup through a
+    dimension join chain (household income band -> demographics ->
+    address; here acctbal band -> nation -> region), emitting a
+    concatenated display id.  Pure broadcast-chain lookup, ordered on
+    the unique key."""
+    customer, nation, region = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        customer.filter(
+            F.col("c_acctbal").between(2000, 2500)
+            & (F.col("c_mktsegment") == "AUTOMOBILE")
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "c_custkey",
+            F.concat(
+                F.col("c_name"), F.lit(" ["), F.col("c_mktsegment"), F.lit("]")
+            ).alias("customer_id"),
+            "n_name",
+            "r_name",
+            "c_acctbal",
+        )
+        .orderBy("c_custkey")
+        .limit(60)
+    )
+
+
+@q(
+    "ds_returns_month_status",
+    """
+    SELECT month(o_orderdate) AS mth, o_orderstatus,
+           count(*) AS n_returns,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS returned_value
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND year(o_orderdate) = 1997
+      AND c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY month(o_orderdate), o_orderstatus
+    """,
+    "tpcds", "returns-report",
+)
+def ds_returns_month_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q91 shape: the call-center returns report — returned
+    value by (month, status) for a demographic slice of customers.
+    Straight star aggregate over the returns subset of the fact."""
+    li, orders, customer = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            (F.year("o_orderdate") == 1997)
+            & F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+        )
+        .groupBy(F.month("o_orderdate").alias("mth"), "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_returns"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("returned_value"),
+        )
+    )
+
+
+@q(
+    "ds_bounded_ship_check",
+    """
+    SELECT count(DISTINCT o_orderkey) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+        WHERE l1.l_orderkey = o_orderkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem lr
+        WHERE lr.l_orderkey = o_orderkey AND lr.l_returnflag = 'R'
+      )
+    """,
+    "tpcds", "semi-anti-agg",
+)
+def ds_bounded_ship_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q94 shape (q16's web twin): a 6-month order window,
+    shipped from MORE THAN ONE warehouse (semi), never returned
+    (anti), reduced to a single distinct-count + revenue row.  The
+    multi-supplier set computes as countDistinct > 1, not the literal
+    self-join."""
+    orders, li = _t(spark, sf_dir, "orders", "lineitem")
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("l_orderkey")
+    )
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(multi, F.col("o_orderkey") == multi["l_orderkey"], "left_semi")
+        .join(
+            returned, F.col("o_orderkey") == returned["l_orderkey"], "left_anti"
+        )
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
