@@ -3965,14 +3965,14 @@ def ds_single_channel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ds_attr_avg_report",
     """
     SELECT p_brand,
-           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 4) AS avg_qty,
-           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 4) AS avg_price,
-           round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 4) AS avg_disc,
-           round(CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 4) AS avg_tax
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_disc,
+           CAST(sum(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_tax
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -3994,10 +3994,14 @@ def ds_attr_avg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dec_avg(col: str, alias: str):
-        return F.round(
+        # UNROUNDED on purpose: the decimal sum is exact and IEEE
+        # double division is deterministic, so both engines emit the
+        # bit-identical double; round()-ing at Ndp would re-introduce
+        # the half-way-tie divergence (Spark HALF_UP vs DuckDB's
+        # to-even on doubles) this entry once hit at sf0.001.
+        return (
             F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
-            / F.count("*"),
-            4,
+            / F.count("*")
         ).alias(alias)
 
     return (
@@ -4249,8 +4253,8 @@ def ds_spend_above_frac_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(grouping(n_name) AS INT) * 2
              + CAST(grouping(c_mktsegment) AS INT) AS gid,
            count(*) AS n_cust,
-           round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
-                 / count(*), 4) AS avg_bal
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*) AS avg_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WHERE n_nationkey < 12
     GROUP BY ROLLUP (n_name, c_mktsegment)
@@ -4276,10 +4280,9 @@ def ds_rollup_geo_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.grouping("c_mktsegment").cast("int")
             ).alias("gid"),
             F.count("*").alias("n_cust"),
-            F.round(
+            (
                 F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
-                / F.count("*"),
-                4,
+                / F.count("*")
             ).alias("avg_bal"),
         )
         .select("n_name", "c_mktsegment", "gid", "n_cust", "avg_bal")
