@@ -4494,19 +4494,22 @@ def ds_brand_month_top(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("rev")
         )
     )
+    # TakeOrderedAndProject first (distributed top-k, no global window
+    # over the full aggregate), THEN rank inside the 10 kept rows: the
+    # ORDER BY is total (unique tie-breakers), so rank()==row_number and
+    # the within-limit rank equals the global rank.
+    top = agg.orderBy(
+        F.col("rev").desc(), F.col("yr"), F.col("mth"), F.col("p_brand")
+    ).limit(10)
     w = Window.orderBy(
         F.col("rev").desc(), F.col("yr"), F.col("mth"), F.col("p_brand")
     )
-    return (
-        agg.withColumn("rnk", F.rank().over(w))
-        .filter(F.col("rnk") <= 10)
-        .select(
-            "yr",
-            "mth",
-            "p_brand",
-            F.round("rev", 2).cast("double").alias("revenue"),
-            "rnk",
-        )
+    return top.withColumn("rnk", F.rank().over(w)).select(
+        "yr",
+        "mth",
+        "p_brand",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        "rnk",
     )
 
 
