@@ -1521,3 +1521,172 @@ def dp_embedding_lsh_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+_QNT_SCALE_SQL = "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0"
+_QNT_Q_SQL = (
+    "CAST(greatest(-127.0, least(127.0,"
+    " round(CAST(x AS DOUBLE) / scale))) AS BIGINT)"
+)
+
+
+@q(
+    "dp_embedding_quantize",
+    f"""
+    WITH scaled AS (
+      SELECT vec_id, label, embedding, {_QNT_SCALE_SQL} AS scale
+      FROM embeddings
+      WHERE {_QNT_SCALE_SQL} > 0
+    ), quantized AS (
+      SELECT vec_id, label, scale,
+             CAST(list_sum(list_transform(embedding,
+                  x -> {_QNT_Q_SQL})) AS BIGINT) AS sum_q,
+             CAST(list_sum(list_transform(embedding,
+                  x -> CASE WHEN abs({_QNT_Q_SQL}) >= 127
+                            THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat
+      FROM scaled
+    )
+    SELECT label, count(*) AS n_vecs,
+           CAST(sum(sum_q) AS BIGINT) AS total_q,
+           CAST(sum(n_sat) AS BIGINT) AS total_saturated,
+           round(min(scale), 5) AS min_scale,
+           round(max(scale), 5) AS max_scale
+    FROM quantized
+    GROUP BY label
+    """,
+    "datapipe", "quantization",
+)
+def dp_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the
+    compression step a 100 TB vector corpus applies before ANN
+    serving (4x smaller, SIMD-friendly).  Per vector: scale =
+    max|x|/127, q_i = clamp(round(x_i/scale)).  Entirely JVM-side
+    higher-order lambdas (transform/aggregate) — no Python, no
+    shuffle until the final per-label rollup.  The certified outputs
+    are INTEGER sums (quantized values and saturation counts), exact
+    in both engines; float->double promotion and IEEE division are
+    bit-identical, so the per-label scale extrema also agree.
+    Reference analog: Velox's columnar compute over array columns
+    (backends-velox ScalarFunctionsValidateSuite transform/aggregate
+    coverage)."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast(
+        "double"
+    ) / F.lit(127.0)
+
+    def quant(x):
+        return F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.round(x.cast("double") / F.col("scale"))),
+        ).cast("bigint")
+
+    scaled = emb.withColumn("scale", scale).filter(F.col("scale") > 0)
+    quantized = scaled.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + quant(x),
+        ).alias("sum_q"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc
+            + F.when(F.abs(quant(x)) >= 127, 1).otherwise(0),
+        ).alias("n_sat"),
+    )
+    return quantized.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("sum_q").cast("bigint").alias("total_q"),
+        F.sum("n_sat").cast("bigint").alias("total_saturated"),
+        F.round(F.min("scale"), 5).alias("min_scale"),
+        F.round(F.max("scale"), 5).alias("max_scale"),
+    )
+
+
+@q(
+    "dp_cluster_balanced_sample",
+    """
+    WITH sized AS (
+      SELECT label, count(*) AS cnt FROM embeddings GROUP BY label
+    )
+    SELECT vec_id, e.label AS label
+    FROM embeddings e JOIN sized s ON e.label = s.label
+    WHERE (CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 1000) * s.cnt < 40 * 1000
+    """,
+    "datapipe", "sampling",
+)
+def dp_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced downsampling: cap every cluster (label) at an
+    EXPECTED 40 rows via a deterministic md5-derived Bernoulli draw
+    with rate min(1, cap/cluster_size) — the standard trick for
+    rebalancing a skewed training corpus without a per-cluster topK
+    shuffle.  The keep decision is pure integer arithmetic
+    ((h % 1000) * cnt < cap * 1000) on an md5 prefix both engines
+    compute bit-identically, so the SAMPLE ITSELF is hash-certified,
+    not just its size.  Plan: map-side hash + one broadcast join of
+    the tiny per-label count table; no window, no sort, scales
+    linearly at 100 TB."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    sized = emb.groupBy("label").agg(F.count("*").alias("cnt"))
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        emb.alias("e")
+        .join(F.broadcast(sized.alias("s")), "label")
+        .filter((h % 1000) * F.col("cnt") < 40 * 1000)
+        .select("vec_id", "label")
+    )
+
+
+@q(
+    "dp_dedup_keep_best",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars, md5({_NORM}) AS fp,
+             row_number() OVER (PARTITION BY md5({_NORM})
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY md5({_NORM})) AS group_size
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, fp,
+           CAST(group_size - 1 AS BIGINT) AS n_dropped
+    FROM ranked WHERE rn = 1
+    """,
+    "datapipe", "dedup",
+)
+def dp_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST representative per duplicate
+    cluster (longest doc, then smallest id) instead of an arbitrary
+    first — what a production corpus dedup actually ships.  One
+    fingerprint-partitioned window (row_number + count over the same
+    partition spec share a single shuffle+sort), no global window.
+    Companion to dp_dedup_exact (reference analog: gluten's
+    HashAggregate dedup path, WindowGroupLimitExecTransformer for the
+    rank-1 cut)."""
+    from pyspark.sql import Window as W
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    wp = W.partitionBy("fp")
+    ranked = docs.withColumn("fp", F.md5(norm)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "fp",
+        F.row_number()
+        .over(wp.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count("*").over(wp).alias("group_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "fp",
+        (F.col("group_size") - 1).cast("bigint").alias("n_dropped"),
+    )
