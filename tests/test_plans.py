@@ -349,3 +349,56 @@ def test_verifiable_hash_dedup_no_cartesian(spark, sf_dir):
     for name in ("dp_minhash_verifiable", "dp_simhash_verifiable"):
         plan = plan_of(ALL[name].build(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+# Entries allowed an unpartitioned window, each with a boundedness proof:
+#   - the window input is a DIMENSION-bounded aggregate (its cardinality is
+#     fixed by the schema — brands, nations, weeks, sources, k centroids —
+#     not by fact rows), or
+#   - Spark protects it with WindowGroupLimit (map-side partial top-k), or
+#   - it is a documented demo of the anti-pattern / frame semantics.
+_UNPARTITIONED_WINDOW_OK = {
+    "cb_weekly_wow": "lag over per-week aggregate (weeks are calendar-bounded)",
+    "dp_ann_ivf": "row_number over k centroid rows (k is a constant)",
+    "dp_training_mix": "share-of-total over the ~15-cell (lang, band) report",
+    "ds_best_worst_items": "rank<=k -> WindowGroupLimit partial top-k",
+    "ds_brand_month_top": "window runs AFTER TakeOrderedAndProject limit(10)",
+    "ds_cust_percentile_band": "documented single-partition ntile demo (dim table)",
+    "ds_top_half_contributors": "cumulative share over 25 nation rows",
+    "ds_worst_return_ratio": "rank<=k -> WindowGroupLimit partial top-k",
+    "win_range_interval": "RANGE-interval frame semantics demo over day domain",
+}
+
+
+def test_unpartitioned_windows_are_whitelisted(spark, sf_dir):
+    """Registry-wide invariant: an unpartitioned WindowExec moves the
+    whole input to ONE partition (the round-4 dp_sequence_packing
+    scale defect).  Every batch entry's plan is scanned; any
+    unpartitioned windowspecdefinition outside the justified
+    whitelist above fails, so the anti-pattern cannot silently
+    reappear as the registry grows."""
+    offenders = {}
+    for name in sorted(ALL):
+        if name.startswith("stream_"):
+            continue
+        q = ALL[name]
+        try:
+            plan = plan_of(q.build(spark, sf_dir))
+        except Exception:
+            continue
+        for chunk in plan.split("windowspecdefinition(")[1:]:
+            first = chunk.split(",")[0].strip()
+            if (
+                " ASC" in first
+                or " DESC" in first
+                or first.startswith("specifiedwindowframe")
+            ):
+                offenders[name] = first[:60]
+                break
+    unexpected = {n: s for n, s in offenders.items()
+                  if n not in _UNPARTITIONED_WINDOW_OK}
+    assert not unexpected, (
+        f"unpartitioned windows outside whitelist: {unexpected}"
+    )
+    stale = set(_UNPARTITIONED_WINDOW_OK) - set(offenders)
+    assert not stale, f"whitelist entries no longer needed: {stale}"
