@@ -1690,3 +1690,162 @@ def dp_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fp",
         (F.col("group_size") - 1).cast("bigint").alias("n_dropped"),
     )
+
+
+@q(
+    "dp_contamination_score",
+    f"""
+    WITH eval_shingles AS (
+      SELECT DISTINCT unnest(list_transform(
+        generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 7, 1)),
+        i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 7), ' ')
+      )) AS sh
+      FROM documents WHERE doc_id < 20
+    ), corpus AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 7, 1)),
+        i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 7), ' ')
+      ))) AS sh
+      FROM documents WHERE doc_id >= 20
+    ), per_doc AS (
+      SELECT c.doc_id,
+             count(*) AS n_total,
+             CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+      FROM corpus c LEFT JOIN eval_shingles e ON c.sh = e.sh
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_total, n_hit,
+           CAST((n_hit * 10000) // n_total AS BIGINT) AS contamination_bp
+    FROM per_doc WHERE n_hit > 0
+    """,
+    "datapipe", "decontamination",
+)
+def dp_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL contamination scoring — dp_decontamination's binary
+    flag graduated to the per-document overlap fraction an actual
+    training-data audit reports (how MUCH of each doc's 8-gram set
+    appears in the eval benchmark).  The score is integer basis points
+    ((hits * 10000) DIV total) — integer floor division on exact
+    counts, so the cross-engine hash certifies the fraction itself
+    with no float-rounding tie risk.  Plan: distinct eval shingles
+    broadcast into a LEFT join against exploded corpus shingles; one
+    aggregation; linear in corpus size at 100 TB."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh8 = token_shingles(F.col("text"), 8)
+    eval_sh = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(sh8).alias("esh"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.explode_outer(F.array_distinct(sh8)).alias("sh")
+    )
+    per_doc = (
+        corpus.join(
+            F.broadcast(eval_sh), F.col("sh") == F.col("esh"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("esh").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+    )
+    return per_doc.filter(F.col("n_hit") > 0).select(
+        "doc_id",
+        "n_total",
+        "n_hit",
+        F.expr("CAST((n_hit * 10000) DIV n_total AS BIGINT)").alias(
+            "contamination_bp"
+        ),
+    )
+
+
+@q(
+    "dp_vocab_pair_counts",
+    f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS w FROM documents
+    ), pairs AS (
+      SELECT unnest(list_transform(
+        generate_series(1, length(w) - 1), i -> substr(w, i, 2))) AS pair
+      FROM words WHERE length(w) >= 2
+    )
+    SELECT pair, count(*) AS freq
+    FROM pairs
+    GROUP BY pair
+    ORDER BY freq DESC, pair
+    LIMIT 30
+    """,
+    "datapipe", "tokenizer",
+)
+def dp_vocab_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step, distributed: count every adjacent
+    character pair inside every word across the corpus and rank the
+    merge candidates — the inner loop of byte-pair-encoding vocabulary
+    construction, which at 100 TB is exactly a distributed
+    explode+count (the driver only ever sees the top merge).  All
+    JVM-side: split + transform(sequence) + explode; one aggregation
+    shuffle; deterministic LIMIT via (freq DESC, pair) total order."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    words = docs.select(F.explode(F.split(norm, " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(30)
+    )
+
+
+@q(
+    "dp_inverted_index",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split({_NORM}, ' '))) AS term
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT term, count(*) AS df,
+           to_json(list_sort(list(doc_id))) AS postings
+    FROM tok
+    GROUP BY term
+    HAVING count(*) >= 40
+    ORDER BY df DESC, term
+    LIMIT 30
+    """,
+    "datapipe", "index",
+)
+def dp_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inverted-index build: term -> sorted posting list of
+    doc ids + document frequency, for the high-DF vocabulary slice.
+    The posting list is emitted as its JSON string (the agg_collect
+    canonicalization pattern) so the list content itself is
+    hash-certified.  explode(distinct terms) -> one groupBy shuffle;
+    posting lists per term stay bounded by the doc-slice, and at
+    100 TB the same plan shards by term hash."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    tok = docs.filter(F.col("doc_id") < 120).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(norm, " "))).alias("term"),
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.to_json(F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+        )
+        .filter(F.col("df") >= 40)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(30)
+    )
