@@ -200,3 +200,122 @@ def test_lsh_recovers_planted_near_dups(spark, sf_dir):
         f"missed={sorted(set(exact) - set(lsh))[:5]} "
         f"spurious={sorted(set(lsh) - set(exact))[:5]}"
     )
+
+
+def test_quantize_reconstruction_bound(spark, sf_dir):
+    """Int8 quantization invariants: every reconstructed element sits
+    within scale/2 of the original (round-to-nearest bound), and the
+    max-magnitude element hits exactly ±127."""
+    from incubator_gluten_spark.plans import collect_all
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x))).cast(
+        "double"
+    ) / F.lit(127.0)
+    checked = (
+        emb.withColumn("scale", scale)
+        .filter(F.col("scale") > 0)
+        .select(
+            F.aggregate(
+                "embedding",
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(
+                    F.abs(
+                        x.cast("double")
+                        - F.round(x.cast("double") / F.col("scale"))
+                        * F.col("scale")
+                    )
+                    > F.col("scale") / 2 + 1e-12,
+                    1,
+                ).otherwise(0),
+            ).alias("n_out_of_bound"),
+            F.aggregate(
+                "embedding",
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(
+                    F.abs(F.round(x.cast("double") / F.col("scale"))) >= 127, 1
+                ).otherwise(0),
+            ).alias("n_sat"),
+        )
+        .agg(
+            F.sum("n_out_of_bound").alias("bad"),
+            F.min("n_sat").alias("min_sat"),
+        )
+        .first()
+    )
+    assert checked["bad"] == 0
+    assert checked["min_sat"] >= 1  # the max element saturates by construction
+    # and the registry entry returns one row per label
+    out = collect_all()["dp_embedding_quantize"].build(spark, sf_dir).collect()
+    assert len(out) == 10 and all(r["n_vecs"] > 0 for r in out)
+
+
+def test_cluster_balanced_sample_caps_expected_rate(spark, sf_dir):
+    """The balanced sample keeps each cluster near min(cap, size) rows in
+    EXPECTATION, is a strict subset, and is deterministic (pure function
+    of vec_id)."""
+    from incubator_gluten_spark.plans import collect_all
+
+    q = collect_all()["dp_cluster_balanced_sample"]
+    a = {tuple(r) for r in q.build(spark, sf_dir).collect()}
+    b = {tuple(r) for r in q.build(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    sizes = {
+        r["label"]: r["cnt"]
+        for r in emb.groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+    kept = {}
+    for vec_id, label in a:
+        kept[label] = kept.get(label, 0) + 1
+    for label, n in kept.items():
+        cap_rate = min(1.0, 40 / sizes[label])
+        expected = cap_rate * sizes[label]
+        # 5-sigma-ish slack on a Bernoulli(cap_rate) sum
+        slack = 5 * (sizes[label] * cap_rate * (1 - cap_rate)) ** 0.5 + 1
+        assert abs(n - expected) <= slack, (label, n, expected)
+
+
+def test_dedup_keep_best_is_argmax(spark, sf_dir):
+    """Every kept doc is the longest (then lowest-id) member of its
+    fingerprint group, and group accounting adds back to the corpus."""
+    from incubator_gluten_spark.plans import collect_all
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    out = collect_all()["dp_dedup_keep_best"].build(spark, sf_dir)
+    rows = out.collect()
+    n_docs = docs.count()
+    assert sum(r["n_dropped"] + 1 for r in rows) == n_docs
+    # spot-check the biggest duplicate group
+    worst = max(rows, key=lambda r: r["n_dropped"])
+    if worst["n_dropped"] > 0:
+        norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+        group = (
+            docs.withColumn("fp", F.md5(norm))
+            .filter(F.col("fp") == worst["fp"])
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+            .collect()
+        )
+        assert group[0]["doc_id"] == worst["doc_id"]
+
+
+def test_vocab_pair_counts_matches_local_recount(spark, sf_dir):
+    """The distributed BPE pair count equals a driver-side recount over
+    the same normalization (on the sf0.001 corpus it is small enough)."""
+    from collections import Counter
+
+    from incubator_gluten_spark.plans import collect_all
+
+    small = "/root/testdata/sf0.001"
+    docs = load_tables(spark, small, ("documents",))["documents"]
+    local = Counter()
+    for r in docs.select("text").collect():
+        t = " ".join(r["text"].lower().split())
+        for w in t.split(" "):
+            for i in range(len(w) - 1):
+                local[w[i : i + 2]] += 1
+    got = collect_all()["dp_vocab_pair_counts"].build(spark, small).collect()
+    expect = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert [(r["pair"], r["freq"]) for r in got] == expect
