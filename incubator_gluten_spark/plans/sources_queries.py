@@ -582,3 +582,111 @@ def src_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qh.awaitTermination()
     return spark.table(name)
+
+
+_TXNLOG_BUILT: dict[tuple[str, str], str] = {}
+
+
+def _txnlog_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Build the demo transaction-log table: create(1996 orders) ->
+    append(1997 orders) -> copy-on-write delete of 1-URGENT rows.
+    The build is deterministic, so within one session both txnlog
+    entries share a single materialization per sf_dir (keyed on the
+    Spark applicationId so a fresh session always rebuilds)."""
+    from incubator_gluten_spark.sources import txnlog
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TXNLOG_BUILT.get(key)
+    if cached is not None:
+        return cached
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path(name)
+    create_df = orders.filter(F.year("o_orderdate") == 1996)
+    txnlog.create_table(create_df, root, stats_cols=["o_orderpriority"])
+    txnlog.append(
+        orders.filter(F.year("o_orderdate") == 1997),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    outcome = txnlog.delete_where(spark, root, "o_orderpriority", "1-URGENT")
+    # range-clustering on the stats column must let SOME files skip the
+    # rewrite, or the manifest stats are dead weight
+    if outcome["files_skipped"] == 0:
+        raise RuntimeError(f"txnlog delete pruned nothing: {outcome}")
+    _TXNLOG_BUILT[key] = root
+    return root
+
+
+@q(
+    "src_txnlog_snapshot",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+      AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderstatus
+    """,
+    "sources", "lakehouse",
+)
+def src_txnlog_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse-format analog (gluten-iceberg IcebergScanTransformer
+    .scala:44, gluten-delta/, gluten-hudi/ — jars absent in this
+    container): a JSON transaction log over immutable parquet gives
+    versioned snapshot reads, copy-on-write deletes, and manifest-stats
+    file skipping.  This entry materializes create(1996) ->
+    append(1997) -> delete(1-URGENT) and reads the LATEST snapshot; the
+    oracle states the equivalent final table, so the whole commit
+    protocol is hash-certified end-to-end."""
+    from incubator_gluten_spark.sources import txnlog
+
+    root = _txnlog_table(spark, sf_dir, "txnlog_orders")
+    snap = txnlog.read_snapshot(spark, root)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_txnlog_timetravel",
+    """
+    SELECT 0 AS version, count(*) AS n_rows
+    FROM orders WHERE year(o_orderdate) = 1996
+    UNION ALL
+    SELECT 1 AS version, count(*) AS n_rows
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    UNION ALL
+    SELECT 2 AS version, count(*) AS n_rows
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+      AND o_orderpriority <> '1-URGENT'
+    """,
+    "sources", "lakehouse", "timetravel",
+)
+def src_txnlog_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel across the commit log: the same table read AS OF
+    versions 0, 1, and 2 (Delta `VERSION AS OF` / Iceberg snapshot-id
+    analog).  Each snapshot resolves add/remove sets from the log
+    prefix only — no data file is ever mutated, so every historical
+    version stays exactly reproducible (certified by the oracle's
+    per-version row counts)."""
+    from functools import reduce
+
+    from incubator_gluten_spark.sources import txnlog
+
+    root = _txnlog_table(spark, sf_dir, "txnlog_orders")
+    frames = [
+        txnlog.read_snapshot(spark, root, v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").alias("n_rows"),
+        )
+        for v in (0, 1, 2)
+    ]
+    return reduce(lambda a, b: a.unionAll(b), frames).select(
+        "version", "n_rows"
+    )
