@@ -690,3 +690,62 @@ def src_txnlog_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionAll(b), frames).select(
         "version", "n_rows"
     )
+
+
+@q(
+    "src_txnlog_merge",
+    """
+    WITH base AS (
+      SELECT CASE WHEN o_orderkey < 1000 THEN 'MERGED'
+                  ELSE o_orderpriority END AS prio,
+             o_totalprice
+      FROM orders WHERE year(o_orderdate) = 1996
+    ), ins AS (
+      SELECT o_orderpriority AS prio, o_totalprice
+      FROM orders WHERE year(o_orderdate) = 1997
+    )
+    SELECT prio, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    GROUP BY prio
+    """,
+    "sources", "lakehouse", "merge",
+)
+def src_txnlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) on the transaction-log table — Delta's
+    whenMatchedUpdateAll / whenNotMatchedInsertAll over immutable
+    parquet.  Two merges exercise both pruning paths: an UPDATE whose
+    source keys sit in one file's [min,max] bounds (every other file
+    skipped via manifest bounds, asserted), then an INSERT whose keys
+    exceed all bounds (zero files rewritten — a pure append commit,
+    asserted).  The oracle states the equivalent final table, so the
+    merge protocol itself is hash-certified."""
+    from incubator_gluten_spark.sources import txnlog
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("txnlog_merge")
+    tgt = orders.filter(F.year("o_orderdate") == 1996)
+    txnlog.create_table(tgt, root, stats_cols=["o_orderkey"])
+
+    upd = tgt.filter(F.col("o_orderkey") < 1000).withColumn(
+        "o_orderpriority", F.lit("MERGED")
+    )
+    out1 = txnlog.merge_into(spark, root, upd, "o_orderkey")
+    if out1["files_skipped"] == 0:
+        raise RuntimeError(f"update-merge pruned nothing: {out1}")
+
+    ins = orders.filter(F.year("o_orderdate") == 1997).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    out2 = txnlog.merge_into(spark, root, ins, "o_orderkey")
+    if out2["files_rewritten"] != 0:
+        raise RuntimeError(f"insert-merge rewrote files: {out2}")
+
+    snap = txnlog.read_snapshot(spark, root)
+    return snap.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -80,12 +80,17 @@ def _file_stats(path: str, stats_cols: list[str]) -> dict:
     import pyarrow.parquet as pq
 
     stats: dict[str, list] = {}
+    bounds: dict[str, list] = {}
     table = pq.read_table(path, columns=[c for c in stats_cols])
     for c in stats_cols:
-        vals = sorted(set(table.column(c).to_pylist()))
+        pyvals = table.column(c).to_pylist()
+        vals = sorted(set(pyvals))
         if len(vals) <= _STATS_MAX_DISTINCT:
             stats[c] = vals
-    return {"rows": table.num_rows, "stats": stats}
+        if vals and isinstance(vals[0], (int, float, str)):
+            # JSON-serializable min/max bounds (Iceberg lower/upper_bounds)
+            bounds[c] = [vals[0], vals[-1]]
+    return {"rows": table.num_rows, "stats": stats, "bounds": bounds}
 
 
 def _write_data_files(
@@ -205,3 +210,54 @@ def history(root: str) -> list[dict]:
             }
         )
     return out
+
+
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_col: str,
+) -> dict:
+    """MERGE INTO (upsert): update rows whose key matches the source,
+    insert source rows with no target match — Delta's
+    whenMatchedUpdateAll/whenNotMatchedInsertAll in miniature.
+
+    Copy-on-write at file granularity: only target files whose key
+    range ([min, max] manifest bounds) intersects the source's key
+    range are rewritten; every other file survives untouched.  The
+    rewrite itself is one outer join per affected file-set — matched
+    rows take the source version, unmatched keep the target version,
+    and unmatched SOURCE rows append as inserts."""
+    from pyspark.sql import functions as F
+
+    v = current_version(root) + 1
+    live, schema = resolve(root)
+    lo, hi = source.agg(F.min(key_col), F.max(key_col)).first()
+    rewrite, untouched = [], []
+    for rec in live:
+        b = rec.get("bounds", {}).get(key_col)
+        if b is not None and (b[1] < lo or b[0] > hi):
+            untouched.append(rec["path"])
+        else:
+            rewrite.append(rec)
+    add: list[dict] = []
+    src = source.alias("s")
+    if rewrite:
+        paths = [os.path.join(root, r["path"]) for r in rewrite]
+        tgt = spark.read.parquet(*paths).alias("t")
+        joined = tgt.join(
+            src, tgt[key_col] == src[key_col], "full_outer"
+        )
+        merged = joined.select(
+            *[F.coalesce(src[c], tgt[c]).alias(c) for c in tgt.columns]
+        )
+        add = _write_data_files(merged, root, v, [key_col])
+    else:
+        # no target file intersects the source key range: pure insert
+        add = _write_data_files(src, root, v, [key_col])
+    _commit(root, v, add, [r["path"] for r in rewrite], schema)
+    return {
+        "version": v,
+        "files_skipped": len(untouched),
+        "files_rewritten": len(rewrite),
+    }

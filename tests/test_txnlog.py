@@ -79,3 +79,34 @@ def test_data_files_are_immutable(spark, table):
         full = os.path.join(ROOT, path)
         if os.path.exists(full):
             assert os.path.getmtime(full) == mtime
+
+
+def test_merge_into_update_and_insert(spark, sf_dir, table=None):
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    root = "/tmp/spark_graft_io/txnlog_merge_unit"
+    tgt = orders.filter(F.year("o_orderdate") == 1996)
+    txnlog.create_table(tgt, root, stats_cols=["o_orderkey"])
+    n0 = tgt.count()
+
+    upd = tgt.filter(F.col("o_orderkey") < 1000).withColumn(
+        "o_orderpriority", F.lit("MERGED")
+    )
+    n_upd = upd.count()
+    out = txnlog.merge_into(spark, root, upd, "o_orderkey")
+    assert out["files_skipped"] > 0  # bounds pruning fired
+    snap = txnlog.read_snapshot(spark, root)
+    assert snap.count() == n0  # update changed no row count
+    assert (
+        snap.filter(F.col("o_orderpriority") == "MERGED").count() == n_upd
+    )
+
+    ins = tgt.limit(50).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(50_000_000)
+    )
+    out2 = txnlog.merge_into(spark, root, ins, "o_orderkey")
+    assert out2["files_rewritten"] == 0  # pure append commit
+    assert txnlog.read_snapshot(spark, root).count() == n0 + 50
+    # pre-merge snapshot unchanged (time travel across merges)
+    assert txnlog.read_snapshot(spark, root, 0).filter(
+        F.col("o_orderpriority") == "MERGED"
+    ).count() == 0
