@@ -173,8 +173,10 @@ def delete_where(
             rewrite.append(rec)
     add: list[dict] = []
     if rewrite:
+        from pyspark.sql import functions as F
+
         paths = [os.path.join(root, r["path"]) for r in rewrite]
-        kept = spark.read.parquet(*paths).filter(f"{column} <> '{value}'")
+        kept = spark.read.parquet(*paths).filter(F.col(column) != F.lit(value))
         add = _write_data_files(kept, root, v, [column])
     _commit(root, v, add, [r["path"] for r in rewrite], schema)
     return {
