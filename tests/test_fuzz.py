@@ -449,3 +449,62 @@ def test_random_string_slicing_matches_oracle(spark, duck, sf_dir, pos, ln, pad,
         ).fetchall()
     )
     assert srows == drows, (pos, ln, pad, needle)
+
+
+@given(
+    sa=st.sampled_from(["left_semi", "left_anti"]),
+    preds=st.lists(predicate(), min_size=1, max_size=2),
+    ocut=st.integers(min_value=0, max_value=60000),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_semi_anti_matches_oracle(spark, duck, sf_dir, sa, preds, ocut):
+    """Random EXISTS / NOT EXISTS shapes: orders filtered on a key cut,
+    semi- or anti-joined against lineitem rows matching 1-2 random
+    predicates — the null-handling and dedup semantics of semi/anti
+    joins under arbitrary inner filters must agree with DuckDB's
+    correlated EXISTS exactly (count + priority breakdown)."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    if "ord" not in _cache:
+        t = load_tables(spark, sf_dir, ("orders", "customer"))
+        _cache["ord"] = t["orders"]
+    orders = _cache["ord"]
+    li = _tables(spark, sf_dir)
+
+    cond = None
+    sql_parts = []
+    for col, op, val in preds:
+        lit = repr(val) if isinstance(val, str) else str(val)
+        sql_parts.append(f"l.{col} {'<>' if op == '!=' else op} {lit}")
+        c = F.expr(f"{col} {op} {lit}")
+        cond = c if cond is None else (cond & c)
+
+    inner = li.filter(cond).select("l_orderkey")
+    joined = (
+        orders.filter(F.col("o_orderkey") < ocut)
+        .join(inner, F.col("o_orderkey") == F.col("l_orderkey"), sa)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    got = {r["o_orderpriority"]: r["n"] for r in joined.collect()}
+    neg = "NOT " if sa == "left_anti" else ""
+    want = {
+        r[0]: r[1]
+        for r in duck.sql(
+            f"""
+            SELECT o_orderpriority, count(*) FROM orders o
+            WHERE o.o_orderkey < {ocut}
+              AND {neg}EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND {' AND '.join(sql_parts)}
+              )
+            GROUP BY o_orderpriority
+            """
+        ).fetchall()
+    }
+    assert got == want, (sa, preds, ocut, got, want)
