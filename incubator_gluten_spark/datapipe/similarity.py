@@ -275,7 +275,7 @@ def _plane_values(n_planes: int, dim: int) -> list[list[float]]:
 def exact_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -295,6 +295,13 @@ def exact_near_dup_pairs(
     thresholds (>= 0.85) use embedding_near_dup_pairs + lsh_params_for,
     where sparse buckets genuinely prune.
     """
+    if n_blocks is None:
+        # Adaptive fan-out: keep ~250 rows per block so small corpora
+        # don't pay 500+ near-empty block-pair tasks of pure scheduling
+        # overhead, while large ones still cap the per-task pair count.
+        # corpus.count() on parquet resolves from footer metadata.
+        n_rows = corpus.count()
+        n_blocks = max(2, min(32, -(-n_rows // 250)))
     vecs = corpus.select(
         F.col(id_col).alias("id"),
         normalize_vec(F.col(vec_col)).alias("nvec"),
