@@ -803,3 +803,62 @@ def src_txnlog_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_txnlog_schema_evolution",
+    """
+    WITH legacy AS (
+      SELECT o_orderkey, o_totalprice, NULL AS channel
+      FROM orders WHERE year(o_orderdate) = 1996
+    ), evolved AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'express' ELSE 'standard' END AS channel
+      FROM orders WHERE year(o_orderdate) = 1997
+    )
+    SELECT coalesce(channel, 'legacy') AS channel,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (SELECT * FROM legacy UNION ALL SELECT * FROM evolved)
+    GROUP BY 1
+    """,
+    "sources", "lakehouse", "schema-evolution",
+)
+def src_txnlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across commits (Delta mergeSchema=true write /
+    ALTER TABLE ADD COLUMN): version 0 has no `channel` column, version
+    1 appends rows that do.  The snapshot read merges both schemas —
+    pre-evolution files surface NULL for the new column — and the
+    commit log records the evolved schema.  Oracle states the same
+    union with an explicit NULL column for the legacy half."""
+    from incubator_gluten_spark.sources import txnlog
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("txnlog_schema_evo")
+    v0 = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_totalprice"
+    )
+    txnlog.create_table(v0, root, stats_cols=["o_orderkey"])
+    v1 = orders.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express"
+        )
+        .otherwise("standard")
+        .alias("channel"),
+    )
+    txnlog.append(v1, root, stats_cols=["o_orderkey"])
+    snap = txnlog.read_snapshot(spark, root)
+    if "channel" not in snap.columns:
+        raise RuntimeError("schema evolution lost the new column")
+    return snap.groupBy(
+        F.coalesce(F.col("channel"), F.lit("legacy")).alias("channel")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -190,11 +190,16 @@ def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """DataFrame over a snapshot's live files.  An empty snapshot
-    resolves to an empty frame with the committed schema."""
+    resolves to an empty frame with the committed schema.  mergeSchema
+    handles schema evolution across commits (an append may carry new
+    columns — Delta's ADD COLUMN / mergeSchema=true write): files from
+    pre-evolution commits surface NULL for columns they never wrote."""
     live, schema = resolve(root, version)
     if not live:
         return spark.createDataFrame([], schema)
-    return spark.read.parquet(*[os.path.join(root, r["path"]) for r in live])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, r["path"]) for r in live]
+    )
 
 
 def history(root: str) -> list[dict]:
