@@ -255,8 +255,16 @@ def merge_into(
         joined = tgt.join(
             src, tgt[key_col] == src[key_col], "full_outer"
         )
+        # row is source-matched iff the SOURCE key is present; select
+        # whole-row by that flag, not per-column coalesce — a source row
+        # may legitimately carry NULL in a non-key column and
+        # whenMatchedUpdateAll must still take it
+        matched = src[key_col].isNotNull()
         merged = joined.select(
-            *[F.coalesce(src[c], tgt[c]).alias(c) for c in tgt.columns]
+            *[
+                F.when(matched, src[c]).otherwise(tgt[c]).alias(c)
+                for c in tgt.columns
+            ]
         )
         add = _write_data_files(merged, root, v, [key_col])
     else:
@@ -309,6 +317,8 @@ def optimize(
     returns identical rows from fewer, bigger files."""
     v = current_version(root) + 1
     live, schema = resolve(root)
+    if not live:
+        return {"version": v - 1, "files_before": 0, "files_after": 0}
     paths = [os.path.join(root, r["path"]) for r in live]
     compacted = spark.read.parquet(*paths).coalesce(target_files)
     add = _write_data_files(compacted, root, v, [])
