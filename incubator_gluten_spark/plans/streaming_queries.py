@@ -506,3 +506,68 @@ def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "stream_stream_full_outer",
+    """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts
+          FROM events WHERE event_type = 'click'),
+    j AS (
+      SELECT * FROM p FULL JOIN c
+        ON p_user = c_user AND c_ts < p_ts
+       AND c_ts >= p_ts - INTERVAL 1 HOUR
+    )
+    SELECT CAST(sum(CASE WHEN p_id IS NOT NULL AND c_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchase_only,
+           CAST(sum(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_click_only
+    FROM j, m
+    WHERE (p_id IS NULL OR p_ts <= mx - INTERVAL 24 HOUR)
+      AND (c_id IS NULL OR c_ts <= mx - INTERVAL 24 HOUR)
+    """,
+    "streaming", "stream-stream-join", "full-outer",
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join (completes the
+    stream-stream family: inner + left outer + full outer): both
+    unmatched purchases AND unmatched clicks NULL-pad once the
+    watermark closes their window.  Same 24h end-of-stream horizon as
+    the left-outer entry (rows inside the final watermark's reach are
+    legitimately still open), applied per side, making the batch FULL
+    JOIN oracle exact."""
+    from incubator_gluten_spark.catalog import load_tables
+    from incubator_gluten_spark.streaming.jobs import (
+        stream_stream_full_outer as ssfo,
+    )
+
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    sink = run_to_memory(ssfo(a, b), mode="append")
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOUR")).alias("cutoff")
+    )
+    bounded = sink.join(F.broadcast(cutoff)).filter(
+        (F.col("p_id").isNull() | (F.col("p_ts") <= F.col("cutoff")))
+        & (F.col("c_id").isNull() | (F.col("c_ts") <= F.col("cutoff")))
+    )
+    return bounded.agg(
+        F.sum(
+            F.when(F.col("p_id").isNotNull() & F.col("c_id").isNotNull(), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("c_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase_only"),
+        F.sum(F.when(F.col("p_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click_only"),
+    )

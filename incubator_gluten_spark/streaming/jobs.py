@@ -331,3 +331,37 @@ def stream_stream_left_outer(purchases: DataFrame, clicks: DataFrame) -> DataFra
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
         "left_outer",
     )
+
+
+def stream_stream_full_outer(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join: unmatched rows on BOTH
+    sides NULL-pad and emit once the watermark passes their match
+    window (purchases with no prior click in the hour AND clicks that
+    led to no purchase within the hour).  The range condition bounds
+    each side's state against the other, so state stays finite — the
+    requirement Spark enforces for outer stream-stream joins."""
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    )
