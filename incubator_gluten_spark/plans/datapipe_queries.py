@@ -1849,3 +1849,44 @@ def dp_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(30)
     )
+
+
+@q(
+    "dp_train_val_split",
+    """
+    WITH tagged AS (
+      SELECT source, lang,
+             CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 100) < 90 THEN 'train'
+                  WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 100) < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, source, count(*) AS n_docs
+    FROM tagged
+    GROUP BY split, source
+    """,
+    "datapipe", "split",
+)
+def dp_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split by content-stable hash
+    of the document id — the split every training pipeline needs to be
+    (a) reproducible across runs and engines, (b) stable under corpus
+    growth (a doc never changes split when new docs arrive — unlike
+    row_number() % k), and (c) shuffle-free (a map-side expression).
+    The md5-integer draw is bit-identical in both engines, so split
+    MEMBERSHIP itself is hash-certified via the per-(split, source)
+    counts."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", "lang", split.alias("split"))
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
