@@ -402,3 +402,50 @@ def test_unpartitioned_windows_are_whitelisted(spark, sf_dir):
     )
     stale = set(_UNPARTITIONED_WINDOW_OK) - set(offenders)
     assert not stale, f"whitelist entries no longer needed: {stale}"
+
+
+def test_delay_crosstab_single_scan_no_pivot(spark, sf_dir):
+    """q50/q62 shape: the 4 delay bands are conditional aggregates over
+    ONE lineitem-orders join — no Pivot operator, no second scan of
+    lineitem, no Expand."""
+    plan = plan_of(ALL["ds_delay_crosstab"].build(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    # numbered node headers only (details section repeats the string)
+    import re
+
+    n_scans = len(re.findall(r"Scan parquet\s+\(\d+\)", plan))
+    assert n_scans <= 2, plan  # lineitem + orders once each
+
+
+def test_mfr_tri_channel_union_broadcasts_wanted_set(spark, sf_dir):
+    """q33/q56/q60 shape: the wanted-manufacturer dim broadcasts into
+    each channel slice; the union must not shuffle before the final
+    aggregate's own exchange."""
+    plan = plan_of(ALL["ds_mfr_tri_channel_union"].build(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_is_broadcast_map_side(spark, sf_dir):
+    """The per-label count table is metadata-sized and must broadcast;
+    the keep decision is a map-side filter (no window, no sort)."""
+    plan = plan_of(ALL["dp_cluster_balanced_sample"].build(spark, sf_dir))
+    assert "BroadcastExchange" in plan, plan
+    assert "Window" not in plan and "Sort" not in plan, plan
+
+
+def test_train_val_split_is_shuffle_free_until_agg(spark, sf_dir):
+    """The split tag is a map-side expression: exactly ONE exchange in
+    the plan (the final count aggregate's), nothing upstream."""
+    plan = plan_of(ALL["dp_train_val_split"].build(spark, sf_dir))
+    assert plan.count("Exchange") <= 2, plan  # partial->final agg only
+    assert "Window" not in plan, plan
+
+
+def test_txnlog_snapshot_is_plain_parquet_scan(spark, sf_dir):
+    """Snapshot reads resolve to direct parquet scans of the live files
+    — the commit-log indirection adds zero plan overhead (no unions of
+    per-file sub-plans, no Python nodes)."""
+    plan = plan_of(ALL["src_txnlog_snapshot"].build(spark, sf_dir))
+    assert "Scan parquet" in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan, plan
