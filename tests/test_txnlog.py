@@ -110,3 +110,26 @@ def test_merge_into_update_and_insert(spark, sf_dir, table=None):
     assert txnlog.read_snapshot(spark, root, 0).filter(
         F.col("o_orderpriority") == "MERGED"
     ).count() == 0
+
+
+def test_merge_into_source_null_overwrites(spark, sf_dir):
+    """whenMatchedUpdateAll semantics: a matched source row carrying
+    NULL in a non-key column must STILL replace the target row whole —
+    per-column coalesce would silently keep the stale target value
+    (the bug this test pins)."""
+    root = "/tmp/spark_graft_io/txnlog_nullmerge_unit"
+    tgt = spark.createDataFrame(
+        [(1, "keep", 10.0), (2, "stale", 20.0)],
+        "k bigint, tag string, v double",
+    )
+    txnlog.create_table(tgt, root, stats_cols=["k"])
+    src = spark.createDataFrame(
+        [(2, None, 99.0)], "k bigint, tag string, v double"
+    )
+    txnlog.merge_into(spark, root, src, "k")
+    rows = {
+        r["k"]: (r["tag"], r["v"])
+        for r in txnlog.read_snapshot(spark, root).collect()
+    }
+    assert rows[1] == ("keep", 10.0)
+    assert rows[2] == (None, 99.0), rows[2]  # NULL overwrote 'stale'
