@@ -2502,3 +2502,51 @@ def chx_json_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("j.k").cast("bigint").alias("k_sum"),
         F.countDistinct("j.u").alias("n_users"),
     )
+
+
+@q(
+    "agg_hll_sketch_rollup",
+    """
+    SELECT day(ts) AS d,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           count(*) AS n_events
+    FROM events GROUP BY day(ts)
+    UNION ALL
+    SELECT 0 AS d,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+           count(*) AS n_events
+    FROM events
+    """,
+    "agg", "sketch", "rollup",
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RE-AGGREGATABLE distinct-count sketches (hll_sketch_agg /
+    hll_union_agg / hll_sketch_estimate, Spark 3.5 Datasketches): one
+    scan builds per-day HLL sketches; the corpus-wide distinct count
+    comes from UNIONING the daily sketches, never rescanning the fact —
+    the pre-aggregated-cube pattern that makes distinct counts
+    tractable at 100 TB (approx_count_distinct alone cannot roll up).
+    lgConfigK=14 keeps the sketch in exact mode at fixture
+    cardinalities (~1.5k users), so the exact-count oracle hash-matches
+    while the PLAN is the genuine sketch pipeline.  Reference:
+    ExpressionMappings.scala:309 (HLL rewrite family),
+    HLLRewriteRule.scala."""
+    (ev,) = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    per_day = daily.select(
+        "d",
+        F.expr("CAST(hll_sketch_estimate(sk) AS BIGINT)").alias(
+            "distinct_users"
+        ),
+        "n_events",
+    )
+    total = daily.agg(
+        F.expr(
+            "CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)"
+        ).alias("distinct_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit(0).cast("int").alias("d"), "distinct_users", "n_events")
+    return per_day.unionAll(total)
