@@ -2550,3 +2550,36 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     ).select(F.lit(0).cast("int").alias("d"), "distinct_users", "n_events")
     return per_day.unionAll(total)
+
+
+@q(
+    "op_pipe_sql",
+    """
+    SELECT o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    "sql", "spark4-surface", "pipe",
+)
+def op_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the same logical plan
+    as the classic form, written as a linear FROM -> WHERE ->
+    AGGREGATE pipeline.  Catalyst parses pipes into the identical
+    tree, so the entry certifies the *parser surface*, not new
+    semantics — exactly how the reference treats SQL dialect features
+    (they ride through to the same Substrait plan)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS total
+             GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, total
+        """
+    )
