@@ -2583,3 +2583,67 @@ def op_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT o_orderpriority, n, total
         """
     )
+
+
+@q(
+    "op_collation",
+    """
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0
+                  THEN upper(p_type)
+                  ELSE lower(p_type) END AS tc
+      FROM part
+    )
+    SELECT lower(min(tc)) AS t, count(*) AS n
+    FROM mixed
+    GROUP BY lower(tc)
+    """,
+    "sql", "spark4-surface", "collation",
+)
+def op_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4 COLLATE): case-INSENSITIVE grouping
+    via UTF8_LCASE over a deliberately mixed-case column — upper/lower
+    variants of the same type land in ONE group without any lower()
+    normalization in the grouping key.  The oracle normalizes with
+    lower() instead (DuckDB's equivalent), and both emit
+    lower(min(raw)) so the displayed key is deterministic.  Reference
+    analog: the CH backend's case-insensitive-only limitation
+    (docs/velox-backend-limitations.md) — here the engine supports BOTH
+    binary and LCASE collations per expression."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN p_partkey % 2 = 0
+                      THEN upper(p_type)
+                      ELSE lower(p_type) END AS tc
+          FROM part
+        )
+        SELECT lower(min(tc)) AS t, count(*) AS n
+        FROM mixed
+        GROUP BY tc COLLATE UTF8_LCASE
+        """
+    )
+
+
+@q(
+    "op_execute_immediate",
+    """
+    SELECT p_brand, count(*) AS n
+    FROM part WHERE p_size < 25
+    GROUP BY p_brand
+    """,
+    "sql", "spark4-surface", "dynamic-sql",
+)
+def op_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): a query TEXT built at
+    runtime, executed with a positional parameter — the stored-
+    procedure-style surface SQL-first migrations expect.  The
+    parameter binds as a true literal in the plan (no string
+    concatenation), so pushdown still applies."""
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT p_brand, count(*) AS n FROM part WHERE p_size < ? "
+        "GROUP BY p_brand' USING 25"
+    )
