@@ -2647,3 +2647,100 @@ def op_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'SELECT p_brand, count(*) AS n FROM part WHERE p_size < ? "
         "GROUP BY p_brand' USING 25"
     )
+
+
+@q(
+    "op_sql_scripting",
+    """
+    SELECT CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_1997,
+           CAST(12 AS INT) AS n_iterations
+    FROM orders WHERE year(o_orderdate) = 1997
+    """,
+    "sql", "spark4-surface", "scripting",
+)
+def op_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/END compound statements): DECLARE +
+    WHILE loop accumulating per-month revenue through 12 iterations of
+    real scalar subqueries — the procedural control-flow surface of a
+    SQL-first migration.  The accumulator is DECIMAL so the 12
+    sequential adds are exact and the single-query oracle
+    hash-matches; each iteration's subquery still plans with pushdown
+    (month+year predicates reach the scan)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE m INT DEFAULT 1;
+          DECLARE total DECIMAL(18,4) DEFAULT 0;
+          WHILE m <= 12 DO
+            SET total = total + (
+              SELECT coalesce(sum(CAST(o_totalprice AS DECIMAL(18,4))),
+                              CAST(0 AS DECIMAL(18,4)))
+              FROM orders
+              WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = m
+            );
+            SET m = m + 1;
+          END WHILE;
+          SELECT CAST(round(total, 2) AS DOUBLE) AS total_1997,
+                 CAST(m - 1 AS INT) AS n_iterations;
+        END
+        """
+    )
+
+
+@q(
+    "op_column_defaults",
+    """
+    WITH partial_rows AS (
+      SELECT o_orderkey AS k, 'none' AS priority, CAST(0.0 AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey < 1000
+    ), full_rows AS (
+      SELECT o_orderkey AS k, o_orderpriority AS priority, o_totalprice AS price
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    )
+    SELECT priority, count(*) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (SELECT * FROM partial_rows UNION ALL SELECT * FROM full_rows)
+    GROUP BY priority
+    """,
+    "sql", "spark4-surface", "ddl-defaults",
+)
+def op_column_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT column values (ANSI DDL surface): a table declares
+    per-column defaults; a PARTIAL insert (key only) fills them in, a
+    full insert overrides them.  The oracle simulates the two insert
+    paths with literal defaults — certifying that the engine's
+    default-resolution produced exactly those rows."""
+    import shutil
+
+    register_views(spark, sf_dir, ("orders",))
+    spark.sql("DROP TABLE IF EXISTS graft_defaults")
+    # the in-memory catalog forgets tables across sessions while the
+    # managed location persists — clear it or CREATE fails with
+    # LOCATION_ALREADY_EXISTS (same pitfall as op_cbo_stats)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/graft_defaults", ignore_errors=True)
+    spark.sql(
+        "CREATE TABLE graft_defaults "
+        "(k BIGINT, priority STRING DEFAULT 'none', "
+        "price DOUBLE DEFAULT 0.0) USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO graft_defaults (k) "
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 1000"
+    )
+    spark.sql(
+        "INSERT INTO graft_defaults "
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+        "WHERE o_orderkey >= 1000 AND o_orderkey < 2000"
+    )
+    return spark.sql(
+        """
+        SELECT priority, count(*) AS n,
+               CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total
+        FROM graft_defaults GROUP BY priority
+        """
+    )
