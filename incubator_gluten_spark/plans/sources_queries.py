@@ -862,3 +862,23 @@ def src_txnlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q("src_xml_roundtrip", _LI_AGG_ORACLE, "source", "xml", "write")
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML write + schema'd read-back (built-in XML source, Spark 4 —
+    the reference maps XML only as scalar functions, xpath family;
+    here the full source/sink surface).  Explicit read schema keeps
+    types exact (inference widens int to long), so the agg
+    hash-matches the parquet oracle."""
+    p = _path("xml_roundtrip")
+    _li_subset(spark, sf_dir).write.mode("overwrite").option(
+        "rootTag", "lineitems"
+    ).option("rowTag", "line").format("xml").save(p)
+    back = (
+        spark.read.schema(_LI_SCHEMA)
+        .option("rowTag", "line")
+        .format("xml")
+        .load(p)
+    )
+    return _agg(back)
