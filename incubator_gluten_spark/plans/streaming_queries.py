@@ -571,3 +571,45 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_click_only"),
     )
+
+
+@q(
+    "stream_state_reader",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    "streaming", "state-reader",
+)
+def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State Data Source (Spark 4): the streaming aggregation's state
+    store read back as a BATCH DataFrame from the checkpoint — the
+    ops/debugging surface for inspecting (and at scale, auditing or
+    repairing) keyed state without replaying the stream.  The state
+    rows themselves are the certified output: for a completed
+    AvailableNow run the per-key counts in state equal the batch
+    GROUP BY exactly."""
+    import shutil
+
+    ckpt = "/tmp/spark_graft_io/stream_state_reader_ckpt"
+    shutil.rmtree(ckpt, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        sq = (
+            agg.writeStream.format("memory")
+            .queryName("state_reader_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+    )
