@@ -882,3 +882,32 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(p)
     )
     return _agg(back)
+
+
+@q("src_python_datasink", _LI_AGG_ORACLE, "source", "pyds", "write")
+def src_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource WRITER (Spark 4, SPARK-45600 family): the
+    lineitem subset written through a pure-Python sink with the
+    two-phase commit protocol (per-task commit messages -> driver
+    manifest; aborted tasks' files removed), read back as schema'd
+    JSONL.  Completes the Python DataSource surface (batch Arrow
+    reader + streaming reader + writer).  Like the reader entries,
+    this is API-surface coverage — a demo-grade path, not a 100 TB
+    sink."""
+    import json
+    import shutil
+
+    from incubator_gluten_spark.sources.pyds import register_python_datasink
+
+    register_python_datasink(spark)
+    p = _path("pyds_jsonl_sink")
+    shutil.rmtree(p, ignore_errors=True)
+    _li_subset(spark, sf_dir).write.format("graft_jsonl").mode(
+        "append"
+    ).option("path", p).save()
+    with open(f"{p}/_COMMIT") as f:
+        manifest = json.load(f)
+    if not manifest["files"] or manifest["rows"] <= 0:
+        raise RuntimeError(f"python sink committed nothing: {manifest}")
+    back = spark.read.schema(_LI_SCHEMA).json(f"{p}/part-*.jsonl")
+    return _agg(back)

@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _SeqPartition(InputPartition):
@@ -121,3 +127,73 @@ class CounterStreamDataSource(DataSource):
 
 def register_python_stream_source(spark) -> None:
     spark.dataSource.register(CounterStreamDataSource)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: file written + row count."""
+
+    def __init__(self, path: str, n_rows: int) -> None:
+        self.path = path
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-side writer: one JSONL file per partition, committed via the
+    two-phase protocol (write -> driver-side commit manifest), so a
+    failed task's partial file is never referenced — the same
+    commit-message contract Spark's native sinks use."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        out = f"{self.path}/part-{pid:05d}.jsonl"
+        n = 0
+        with open(out, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(out, n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+
+        manifest = {
+            "files": sorted(m.path for m in messages),
+            "rows": sum(m.n_rows for m in messages),
+        }
+        with open(f"{self.path}/_COMMIT", "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages) -> None:
+        import os as _os
+
+        for m in messages:
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """Python DataSource WRITER (Spark 4): df.write.format("graft_jsonl")
+    — completes the Python DataSource API surface next to the batch
+    Arrow reader and the streaming reader."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "graft_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlWriter:
+        return _JsonlWriter(self.options)
+
+
+def register_python_datasink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
