@@ -613,3 +613,31 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n"),
     )
+
+
+@q(
+    "stream_dedup_within_watermark",
+    """
+    SELECT event_type, count(DISTINCT event_id) AS n
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "dedup",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark (Spark 3.5+): dedup keyed on
+    event_id alone, with state EVICTED by the watermark even though the
+    event-time column is NOT part of the dedup key — the API for
+    at-least-once sources whose duplicates arrive within a bounded
+    delay (plain dropDuplicates would keep the key in state forever;
+    keying on the timestamp would miss duplicates with differing
+    timestamps).  Doubled input stream; survivors equal the batch
+    DISTINCT."""
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.union(ev)
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = run_to_memory(deduped, mode="append")
+    return sink.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n")
+    )
