@@ -523,6 +523,14 @@ def ann_ivf_topk(
     cents = ivf_build_centroids(
         corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )
+    # cents feeds TWO consumers (corpus inventory assignment + query
+    # probe scoring); without materializing, the k-means training job
+    # runs twice.  One collect of k rows (k x dim doubles, bounded by
+    # construction — the same class as the LSH plane literals) halves
+    # the build cost.
+    cents = corpus.sparkSession.createDataFrame(
+        cents.collect(), schema=cents.schema
+    )
     vecs = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
