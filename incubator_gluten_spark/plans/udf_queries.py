@@ -521,3 +521,55 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tripled"),
         )
     )
+
+
+@q(
+    "udf_udtf_polymorphic",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t
+      FROM documents WHERE doc_id < 60
+    )
+    SELECT t[1] AS tok_0, count(*) AS n,
+           count(DISTINCT t[2]) AS n_second
+    FROM toks
+    GROUP BY t[1]
+    """,
+    "udf", "udtf", "polymorphic",
+)
+def udf_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 static analyze()): the output
+    schema is computed at ANALYSIS time from the call's literal
+    argument (n leading tokens -> n columns) — the table function
+    shape-shifts per call site, which a fixed returnType UDTF cannot.
+    The lateral apply then aggregates by the first token; the oracle
+    replays it with list indexing."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class LeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"tok_{i}", "string")
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(
+                (toks[i] if i < len(toks) else None) for i in range(n)
+            )
+
+    spark.udtf.register("lead_tokens", LeadTokens)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        """
+        SELECT tok_0, count(*) AS n, count(DISTINCT tok_1) AS n_second
+        FROM documents, LATERAL lead_tokens(text, 2)
+        WHERE doc_id < 60
+        GROUP BY tok_0
+        """
+    )
