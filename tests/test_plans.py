@@ -359,7 +359,9 @@ def test_verifiable_hash_dedup_no_cartesian(spark, sf_dir):
 #   - it is a documented demo of the anti-pattern / frame semantics.
 _UNPARTITIONED_WINDOW_OK = {
     "cb_weekly_wow": "lag over per-week aggregate (weeks are calendar-bounded)",
-    "dp_ann_ivf": "row_number over k centroid rows (k is a constant)",
+    # dp_ann_ivf left the list when its k-row centroid window moved into
+    # the materialized (collected) build phase — the returned plan no
+    # longer contains it.
     "dp_training_mix": "share-of-total over the ~15-cell (lang, band) report",
     "ds_best_worst_items": "rank<=k -> WindowGroupLimit partial top-k",
     "ds_brand_month_top": "window runs AFTER TakeOrderedAndProject limit(10)",
