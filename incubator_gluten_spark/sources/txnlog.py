@@ -96,11 +96,18 @@ def _file_stats(path: str, stats_cols: list[str]) -> dict:
 def _write_data_files(
     df: DataFrame, root: str, version: int, stats_cols: list[str]
 ) -> list[dict]:
-    """Write df as immutable data files named part-<version>-<i> and
-    return their manifest records.  Files are range-clustered on the
+    """Write df as immutable data files named part-<version>-<i>-<token>
+    and return their manifest records.  Files are range-clustered on the
     first stats column so low-cardinality predicates can skip whole
-    files from stats alone."""
-    staging = os.path.join(root, f"_staging_{version}")
+    files from stats alone.  The per-attempt token keeps CONCURRENT
+    writers of the same version from colliding on file names: the
+    commit-file race decides the winner, and the loser's abort removes
+    only its own files (deterministic names would let the loser delete
+    files the winner's commit references)."""
+    import uuid
+
+    token = uuid.uuid4().hex[:8]
+    staging = os.path.join(root, f"_staging_{version}_{token}")
     shutil.rmtree(staging, ignore_errors=True)
     if stats_cols:
         df = df.repartitionByRange(4, *stats_cols)
@@ -110,7 +117,7 @@ def _write_data_files(
     for i, src in enumerate(
         sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
     ):
-        rel = f"{_DATA}/part-{version:08d}-{i:04d}.parquet"
+        rel = f"{_DATA}/part-{version:08d}-{i:04d}-{token}.parquet"
         dst = os.path.join(root, rel)
         shutil.move(src, dst)
         rec = {"path": rel}
