@@ -909,5 +909,7 @@ def src_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest = json.load(f)
     if not manifest["files"] or manifest["rows"] <= 0:
         raise RuntimeError(f"python sink committed nothing: {manifest}")
-    back = spark.read.schema(_LI_SCHEMA).json(f"{p}/part-*.jsonl")
+    # read the COMMITTED file list, not a glob — a glob would also pick
+    # up files from aborted speculative attempts
+    back = spark.read.schema(_LI_SCHEMA).json(manifest["files"])
     return _agg(back)

@@ -152,9 +152,13 @@ class _JsonlWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         _os.makedirs(self.path, exist_ok=True)
-        out = f"{self.path}/part-{pid:05d}.jsonl"
+        # attempt id in the name: a speculative/retried attempt writes
+        # its own file; only the committed attempt's file enters the
+        # manifest, and abort removes only this attempt's output
+        out = f"{self.path}/part-{pid:05d}-{attempt}.jsonl"
         n = 0
         with open(out, "w") as f:
             for row in iterator:
