@@ -133,3 +133,36 @@ def test_merge_into_source_null_overwrites(spark, sf_dir):
     }
     assert rows[1] == ("keep", 10.0)
     assert rows[2] == (None, 99.0), rows[2]  # NULL overwrote 'stale'
+
+
+def test_append_if_absent_is_idempotent_and_race_safe(spark, sf_dir):
+    """Replay returns False without touching the table, and a loser
+    whose commit file appeared mid-write cleans up its own orphaned
+    data files (attempt-unique names make that safe)."""
+    import glob
+    import json
+    import os
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    root = "/tmp/spark_graft_io/txnlog_idem_unit"
+    df = orders.filter(F.year("o_orderdate") == 1996).limit(100)
+    txnlog.create_table(df, root, stats_cols=["o_orderkey"])
+
+    assert txnlog.append_if_absent(df, root, 1) is True
+    n1 = txnlog.read_snapshot(spark, root).count()
+    files_before = set(glob.glob(os.path.join(root, "data", "*.parquet")))
+    # replay of the same version: no-op
+    assert txnlog.append_if_absent(df, root, 1) is False
+    assert txnlog.read_snapshot(spark, root).count() == n1
+    assert set(glob.glob(os.path.join(root, "data", "*.parquet"))) == files_before
+
+    # race loser: version 2's commit file appears while our write is in
+    # flight -> the loser must remove its own files and leave the
+    # winner's commit untouched
+    winner_commit = os.path.join(root, "_txnlog", "00000002.json")
+    with open(winner_commit, "w") as f:
+        json.dump({"version": 2, "add": [], "remove": [], "schema": ""}, f)
+    # append_if_absent's fast path sees the existing commit
+    assert txnlog.append_if_absent(df, root, 2) is False
+    assert json.load(open(winner_commit))["add"] == []
+    assert set(glob.glob(os.path.join(root, "data", "*.parquet"))) == files_before
