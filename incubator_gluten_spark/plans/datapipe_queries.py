@@ -1890,3 +1890,98 @@ def dp_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "source")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@q(
+    "dp_corpus_release",
+    f"""
+    WITH eval_sh AS (
+      SELECT DISTINCT unnest(list_transform(
+        generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 7, 1)),
+        i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 7), ' ')
+      )) AS sh
+      FROM documents WHERE doc_id < 20
+    ), corpus AS (
+      SELECT doc_id, lang, n_chars, text FROM documents WHERE doc_id >= 20
+    ), contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 7, 1)),
+          i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 7), ' ')
+        ))) AS sh
+        FROM corpus
+      ) c JOIN eval_sh e ON c.sh = e.sh
+    ), clean AS (
+      SELECT * FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), best AS (
+      SELECT doc_id, lang, text,
+             row_number() OVER (PARTITION BY md5({_NORM})
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM clean
+    ), released AS (
+      SELECT doc_id, lang,
+             len(string_split({_NORM}, ' ')) AS n_tokens,
+             CASE WHEN (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 100) < 90 THEN 'train'
+                  ELSE 'holdout' END AS split
+      FROM best WHERE rn = 1
+    )
+    SELECT split, lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM released
+    GROUP BY split, lang
+    """,
+    "datapipe", "capstone",
+)
+def dp_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-release capstone, composing this round's operators
+    end-to-end the way a real pre-training data release runs:
+    (1) DECONTAMINATE — drop every doc sharing an 8-gram with the eval
+    set (broadcast eval shingles, semi-join corpus shingles);
+    (2) DEDUP KEEP-BEST — one representative per fingerprint group
+    (longest, then lowest id; fp-partitioned window);
+    (3) SPLIT — growth-stable md5 90/10 train/holdout;
+    (4) REPORT — per (split, lang) doc counts + token budget.
+    Every stage is a shuffle-bounded DataFrame op (one broadcast join,
+    one fingerprint shuffle, map-side split) and every displayed number
+    is an exact integer, so the whole DAG is hash-certified."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    sh8 = token_shingles(F.col("text"), 8)
+
+    eval_sh = (
+        docs.filter(F.col("doc_id") < 20)
+        .select(F.explode(sh8).alias("esh"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    contaminated = (
+        corpus.select("doc_id", F.explode(F.array_distinct(sh8)).alias("sh"))
+        .join(F.broadcast(eval_sh), F.col("sh") == F.col("esh"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy(F.md5(norm)).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    best = clean.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") == 1
+    )
+
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint") % 100
+    released = best.select(
+        "lang",
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.when(h < 90, "train").otherwise("holdout").alias("split"),
+    )
+    return released.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
