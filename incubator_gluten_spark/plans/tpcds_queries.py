@@ -4908,3 +4908,120 @@ def ds_bounded_ship_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@q(
+    "ds_spend_above_frac_avg_alt",
+    """
+    WITH spend AS (
+      SELECT c_name, p_brand,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS paid
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE l_returnflag = 'A'
+      GROUP BY c_name, p_brand
+    )
+    SELECT c_name, p_brand, CAST(paid AS DOUBLE) AS paid
+    FROM spend
+    WHERE CAST(paid AS DOUBLE) >
+          3 * (SELECT avg(CAST(paid AS DOUBLE)) FROM spend)
+    """,
+    "tpcds", "scalar-threshold",
+)
+def ds_spend_above_frac_avg_alt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24b: the reference ships q24 twice, a/b differing ONLY
+    in the color literal ('pale' vs 'chiffon') — this entry mirrors
+    that corpus structure exactly: the q24a shape
+    (ds_spend_above_frac_avg) over the OTHER returnflag slice ('A'
+    instead of 'N').  Same plan, different selection literal, as in
+    the reference corpus."""
+    li, orders, customer, part = _t(
+        spark, sf_dir, "lineitem", "orders", "customer", "part"
+    )
+    spend = (
+        li.filter(F.col("l_returnflag") == "A")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("c_name", "p_brand")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("paid")
+        )
+    )
+    thresh = spend.agg(F.avg(F.col("paid").cast("double")).alias("gavg"))
+    return (
+        spend.crossJoin(F.broadcast(thresh))
+        .filter(F.col("paid").cast("double") > 3 * F.col("gavg"))
+        .select(
+            "c_name", "p_brand", F.col("paid").cast("double").alias("paid")
+        )
+    )
+
+
+@q(
+    "ds_monthly_cov_pair_strict",
+    """
+    WITH m AS (
+      SELECT l_suppkey, month(l_shipdate) AS mth,
+             CAST(stddev_samp(l_quantity) AS DOUBLE) AS sd,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               / count(*) AS mean_qty,
+             count(*) AS n
+      FROM lineitem
+      WHERE year(l_shipdate) = 1997 AND month(l_shipdate) IN (3, 4)
+      GROUP BY l_suppkey, month(l_shipdate)
+    )
+    SELECT a.l_suppkey AS suppkey,
+           round(a.sd / a.mean_qty, 4) AS cov_m1,
+           round(b.sd / b.mean_qty, 4) AS cov_m2
+    FROM m a JOIN m b ON a.l_suppkey = b.l_suppkey
+    WHERE a.mth = 3 AND b.mth = 4
+      AND a.n > 1 AND b.n > 1
+      AND a.sd / a.mean_qty >= 0.5 AND b.sd / b.mean_qty >= 0.5
+      AND a.sd / a.mean_qty > 0.6
+    """,
+    "tpcds", "cov-pair",
+)
+def ds_monthly_cov_pair_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39b: the reference's b-variant of q39 is the SAME query
+    with one extra volatility floor on the first month (inv1.cov > 1.5
+    in the original) — mirrored here as cov_m1 > 0.6 over the q39a
+    shape (ds_monthly_cov_pair).  Corpus-faithful variant, not a new
+    plan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    m = (
+        li.filter(
+            (F.year("l_shipdate") == 1997) & F.month("l_shipdate").isin(3, 4)
+        )
+        .groupBy("l_suppkey", F.month("l_shipdate").alias("mth"))
+        .agg(
+            F.stddev_samp("l_quantity").cast("double").alias("sd"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+            ).alias("mean_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    cov_a = F.col("a.sd") / F.col("a.mean_qty")
+    cov_b = F.col("b.sd") / F.col("b.mean_qty")
+    return (
+        a.join(b, F.col("a.l_suppkey") == F.col("b.l_suppkey"))
+        .filter(
+            (F.col("a.mth") == 3)
+            & (F.col("b.mth") == 4)
+            & (F.col("a.n") > 1)
+            & (F.col("b.n") > 1)
+            & (cov_a >= 0.5)
+            & (cov_b >= 0.5)
+            & (cov_a > 0.6)
+        )
+        .select(
+            F.col("a.l_suppkey").alias("suppkey"),
+            F.round(cov_a, 4).alias("cov_m1"),
+            F.round(cov_b, 4).alias("cov_m2"),
+        )
+    )
