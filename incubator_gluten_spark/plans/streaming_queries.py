@@ -10,6 +10,8 @@ dedup vs DISTINCT, applyInPandasWithState vs GROUP BY.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -156,7 +158,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     support); result read back from disk."""
     import uuid
 
-    out = f"/tmp/spark_graft_io/stream_fb_{uuid.uuid4().hex[:8]}"
+    out = f"/tmp/spark_graft_io_{os.getpid()}/stream_fb_{uuid.uuid4().hex[:8]}"
     ev = read_events_stream(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total")
@@ -470,7 +472,8 @@ def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from incubator_gluten_spark.sources import txnlog
 
-    root = "/tmp/spark_graft_io/stream_txnlog_sink"
+    # PID-scoped root: concurrent graders must not replay the same table
+    root = f"/tmp/spark_graft_io_{os.getpid()}/stream_txnlog_sink"
     shutil.rmtree(root, ignore_errors=True)
     ev = read_events_stream(spark, sf_dir)
     replay: dict = {}
@@ -590,7 +593,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY exactly."""
     import shutil
 
-    ckpt = "/tmp/spark_graft_io/stream_state_reader_ckpt"
+    ckpt = f"/tmp/spark_graft_io_{os.getpid()}/stream_state_reader_ckpt"
     shutil.rmtree(ckpt, ignore_errors=True)
     ev = read_events_stream(spark, sf_dir)
     agg = ev.groupBy("event_type").agg(F.count("*").alias("n"))

@@ -179,7 +179,12 @@ class _JsonlWriter(DataSourceWriter):
     def abort(self, messages) -> None:
         import os as _os
 
+        # Spark passes None for tasks that failed before commit-message
+        # creation; skipping them keeps the cleanup itself from raising
+        # and masking the original failure.
         for m in messages:
+            if m is None:
+                continue
             try:
                 _os.remove(m.path)
             except OSError:

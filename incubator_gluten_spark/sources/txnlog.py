@@ -81,16 +81,22 @@ def _file_stats(path: str, stats_cols: list[str]) -> dict:
 
     stats: dict[str, list] = {}
     bounds: dict[str, list] = {}
+    nulls: dict[str, bool] = {}
     table = pq.read_table(path, columns=[c for c in stats_cols])
     for c in stats_cols:
         pyvals = table.column(c).to_pylist()
-        vals = sorted(set(pyvals))
+        # NULLs are not orderable against ints/strs — track nullability
+        # separately (Iceberg's null_value_counts) and keep stats/bounds
+        # over the non-NULL domain only.
+        non_null = set(v for v in pyvals if v is not None)
+        nulls[c] = len(non_null) < len(pyvals) or not pyvals
+        vals = sorted(non_null)
         if len(vals) <= _STATS_MAX_DISTINCT:
             stats[c] = vals
         if vals and isinstance(vals[0], (int, float, str)):
             # JSON-serializable min/max bounds (Iceberg lower/upper_bounds)
             bounds[c] = [vals[0], vals[-1]]
-    return {"rows": table.num_rows, "stats": stats, "bounds": bounds}
+    return {"rows": table.num_rows, "stats": stats, "bounds": bounds, "nulls": nulls}
 
 
 def _write_data_files(
@@ -183,7 +189,13 @@ def delete_where(
         from pyspark.sql import functions as F
 
         paths = [os.path.join(root, r["path"]) for r in rewrite]
-        kept = spark.read.parquet(*paths).filter(F.col(column) != F.lit(value))
+        # null-safe inequality: DELETE WHERE col = value must KEEP rows
+        # where col IS NULL (NULL = value is not true); plain != would
+        # silently drop them from rewritten files while stats-skipped
+        # files kept theirs.
+        kept = spark.read.parquet(*paths).filter(
+            ~F.col(column).eqNullSafe(F.lit(value))
+        )
         add = _write_data_files(kept, root, v, [column])
     _commit(root, v, add, [r["path"] for r in rewrite], schema)
     return {
@@ -246,7 +258,26 @@ def merge_into(
 
     v = current_version(root) + 1
     live, schema = resolve(root)
-    lo, hi = source.agg(F.min(key_col), F.max(key_col)).first()
+    n_src, n_keys, lo, hi = source.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(key_col),
+        F.min(key_col),
+        F.max(key_col),
+    ).first()
+    if n_src == 0 or lo is None:
+        # empty source (or all-NULL keys): MERGE is a no-op commit —
+        # without this, lo=None makes the bounds comparison below raise.
+        _commit(root, v, [], [], schema)
+        return {"version": v, "files_skipped": len(live), "files_rewritten": 0}
+    if n_keys != n_src:
+        # Delta errors when a target row matches multiple source rows
+        # (DELTA_MULTIPLE_SOURCE_ROW_MATCHING...); duplicate source keys
+        # here would silently duplicate matched target rows via the
+        # full_outer join, so fail fast instead.
+        raise ValueError(
+            f"merge_into source has duplicate or NULL {key_col!r} keys "
+            f"({n_src} rows, {n_keys} distinct non-null keys)"
+        )
     rewrite, untouched = [], []
     for rec in live:
         b = rec.get("bounds", {}).get(key_col)

@@ -508,3 +508,158 @@ def test_random_semi_anti_matches_oracle(spark, duck, sf_dir, sa, preds, ocut):
         ).fetchall()
     }
     assert got == want, (sa, preds, ocut, got, want)
+
+
+@given(
+    jt=st.sampled_from(["inner", "left", "right", "full"]),
+    k=st.integers(min_value=2, max_value=9),
+    m=st.integers(min_value=2, max_value=9),
+    cut=st.integers(min_value=200, max_value=4000),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_null_key_join_matches_oracle(spark, duck, sf_dir, jt, k, m, cut):
+    """Joins with NULL keys on either side (r5 verdict directive #4,
+    gluten-ut join-suite semantics): keys are NULLed out on a random
+    modulus per side, then inner/left/right/full joined — NULL keys must
+    never match, outer sides must preserve their NULL-keyed rows, and
+    count(col) vs count(*) must diverge exactly as SQL says."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    if "ord" not in _cache:
+        t = load_tables(spark, sf_dir, ("orders", "customer"))
+        _cache["ord"] = t["orders"]
+        _cache["cust"] = t["customer"]
+    orders, customer = _cache["ord"], _cache["cust"]
+
+    o = orders.filter(F.col("o_orderkey") < cut).select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % k == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("jk_o"),
+    )
+    c = customer.select(
+        F.when(F.col("c_custkey") % m == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("jk_c"),
+        "c_nationkey",
+    )
+    got = (
+        o.join(c, F.col("jk_o") == F.col("jk_c"), jt)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("jk_o").alias("n_o"),
+            F.count("jk_c").alias("n_c"),
+            F.coalesce(F.sum("o_orderkey"), F.lit(0)).alias("s_ok"),
+            F.coalesce(F.sum("c_nationkey"), F.lit(0)).alias("s_nk"),
+        )
+        .collect()[0]
+    )
+    sql_jt = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+              "full": "FULL JOIN"}[jt]
+    want = duck.sql(
+        f"""
+        WITH o AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_custkey % {k} = 0 THEN NULL ELSE o_custkey END AS jk_o
+          FROM orders WHERE o_orderkey < {cut}
+        ), c AS (
+          SELECT CASE WHEN c_custkey % {m} = 0 THEN NULL ELSE c_custkey END AS jk_c,
+                 c_nationkey
+          FROM customer
+        )
+        SELECT CAST(count(*) AS BIGINT), CAST(count(jk_o) AS BIGINT),
+               CAST(count(jk_c) AS BIGINT),
+               CAST(coalesce(sum(o_orderkey), 0) AS BIGINT),
+               CAST(coalesce(sum(c_nationkey), 0) AS BIGINT)
+        FROM o {sql_jt} c ON jk_o = jk_c
+        """
+    ).fetchall()[0]
+    assert (got.n, got.n_o, got.n_c, got.s_ok, got.s_nk) == want, (jt, k, m, cut)
+
+
+@given(
+    a=st.integers(min_value=-(10**25), max_value=10**25),
+    b=st.integers(min_value=-(10**25), max_value=10**25),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_decimal_overflow_checked(spark, duck, sf_dir, a, b):
+    """CheckOverflow semantics on DECIMAL multiplication (r5 verdict
+    directive #4; reference ExpressionMappings.scala:289-290 and the
+    SURVEY "what's hard" (b) decimal-rescale row): the product of two
+    DECIMAL(26,0) is DECIMAL(38,0); when the true product fits, Spark
+    must return it EXACTLY (oracle: Python bignum); when it does not,
+    non-ANSI Spark returns NULL while ANSI raises — both accepted per
+    the session's ansi setting, silent wrong values never."""
+    res = spark.sql(
+        f"SELECT CAST('{a}' AS DECIMAL(26,0)) * CAST('{b}' AS DECIMAL(26,0)) AS p"
+    )
+    true = a * b
+    fits = abs(true) < 10**38
+    ansi = spark.conf.get("spark.sql.ansi.enabled") == "true"
+    if fits:
+        got = res.collect()[0].p
+        assert got is not None and int(got) == true, (a, b, got)
+    elif ansi:
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            res.collect()
+    else:
+        assert res.collect()[0].p is None, (a, b)
+
+
+@given(
+    mo=st.integers(min_value=-36, max_value=36),
+    d=st.integers(min_value=-500, max_value=500),
+    h=st.integers(min_value=-100, max_value=100),
+    cut=st.integers(min_value=100, max_value=1500),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_interval_arithmetic_matches_oracle(spark, duck, sf_dir, mo, d, h, cut):
+    """Interval arithmetic (r5 verdict directive #4): month addition with
+    end-of-month clamping, day offsets stacked on months, and hour
+    intervals over timestamps — every derived value must agree with
+    DuckDB row-for-row (SURVEY §2.9 interval family)."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    if "ord" not in _cache:
+        t = load_tables(spark, sf_dir, ("orders", "customer"))
+        _cache["ord"] = t["orders"]
+    orders = _cache["ord"]
+    sdf = orders.filter(F.col("o_orderkey") < cut).select(
+        "o_orderkey",
+        F.date_add(F.add_months("o_orderdate", mo), d).alias("d_md"),
+        F.add_months(F.last_day("o_orderdate"), mo).alias("d_clamp"),
+        (
+            F.to_timestamp("o_orderdate")
+            + F.expr(f"make_interval(0, 0, 0, 0, {h}, 0, 0)")
+        ).alias("ts_h"),
+    )
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in duck.sql(
+            f"""
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) + to_months({mo})
+                        + to_days({d}) AS DATE) AS d_md,
+                   CAST(last_day(CAST(o_orderdate AS DATE))
+                        + to_months({mo}) AS DATE) AS d_clamp,
+                   CAST(o_orderdate AS TIMESTAMP) + to_hours({h}) AS ts_h
+            FROM orders WHERE o_orderkey < {cut}
+            """
+        ).fetchall()
+    )
+    assert srows == drows, (mo, d, h, cut)
