@@ -229,6 +229,58 @@ def dp_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(docs, threshold=0.3)
 
 
+_SH3 = f"""list_distinct(list_transform(
+      generate_series(1, greatest(len(string_split({_NORM}, ' ')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split({_NORM}, ' '), i, i + 2), ' ')))"""
+
+
+@q(
+    "dp_dedup_minhash_verifiable",
+    f"""
+    WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+    corpus AS (
+      SELECT doc_id AS id, text FROM base
+      UNION ALL
+      SELECT doc_id + 10000 AS id, text || ' zq zz zx' AS text FROM base
+    ),
+    d AS (SELECT id, {_SH3} AS sh FROM corpus)
+    SELECT a.id AS id1, b.id AS id2,
+           round(len(list_intersect(a.sh, b.sh)) * 1.0
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM d a JOIN d b ON a.id < b.id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / len(list_distinct(a.sh || b.sh)) >= 0.8
+    """,
+    "datapipe", "dedup", "lsh",
+)
+def dp_dedup_minhash_verifiable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH with a DuckDB oracle — the hard three-gate check for
+    the MinHash pipeline (dp_dedup_minhash stays rows-only because at
+    threshold 0.3 the S-curve intentionally drops most pairs).
+
+    Construction mirrors dp_embedding_near_dup: the corpus is documents
+    (doc_id < 250) UNION a copy with three tokens appended — planting
+    one near-dup per doc at trigram-Jaccard 0.81-0.99 (next pair below
+    sits at 0.786, so the 0.8 cut has margin on both sides).  Because
+    the pipeline exact-verifies every LSH candidate, its output equals
+    the exact thresholded pair set whenever recall is total — and with
+    64 hashes in 32 bands of 2 rows, a j=0.81 pair misses every band
+    with probability (1-j^2)^32 < 1e-15, deterministically fixed by
+    xxhash64.  Jaccard itself is integer/integer, so both engines agree
+    bit-for-bit."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 250).select("doc_id", "text")
+    corpus = base.select(F.col("doc_id").alias("id"), "text").unionAll(
+        base.select(
+            (F.col("doc_id") + 10000).alias("id"),
+            F.concat(F.col("text"), F.lit(" zq zz zx")).alias("text"),
+        )
+    )
+    return minhash_near_dup_pairs(
+        corpus, id_col="id", num_hashes=64, bands=32, threshold=0.8
+    )
+
+
 @q("dp_dedup_simhash", None, "datapipe", "dedup", "lsh")
 def dp_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(32-bit) banded near-dup pairs, reported as a pair-count

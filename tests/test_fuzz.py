@@ -663,3 +663,123 @@ def test_random_interval_arithmetic_matches_oracle(spark, duck, sf_dir, mo, d, h
         ).fetchall()
     )
     assert srows == drows, (mo, d, h, cut)
+
+
+_SPECIALS = [float("nan"), float("inf"), float("-inf"), -0.0, 0.0, None]
+
+
+@given(
+    xs=st.lists(
+        st.one_of(
+            st.sampled_from(_SPECIALS),
+            st.integers(min_value=-100, max_value=100).map(lambda n: n / 4.0),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    desc=st.booleans(),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_float_specials_match_oracle(spark, duck, sf_dir, xs, desc):
+    """IEEE special values through sort / group / min-max (gluten-ut
+    GlutenDataFrameAggregateSuite territory): NaN must sort greatest and
+    form one group, -0.0 and 0.0 must share a group, NULL ordering must
+    follow the explicit NULLS FIRST/LAST — identically in both engines.
+    (-0.0 renders differently across engines, so group keys are
+    normalized via x + 0.0.)"""
+    rows = [(i, v) for i, v in enumerate(xs)]
+    df = spark.createDataFrame(rows, "i int, x double")
+
+    def lit(v):
+        if v is None:
+            return "NULL::DOUBLE"
+        if v != v:
+            return "'nan'::DOUBLE"
+        if v == float("inf"):
+            return "'inf'::DOUBLE"
+        if v == float("-inf"):
+            return "'-inf'::DOUBLE"
+        return f"{v!r}::DOUBLE"
+
+    vals = ", ".join(f"({i}, {lit(v)})" for i, v in rows)
+
+    order_col = F.col("x").desc_nulls_last() if desc else F.col("x").asc_nulls_first()
+    got_order = [r.i for r in df.orderBy(order_col, "i").collect()]
+    sql_dir = "DESC NULLS LAST" if desc else "ASC NULLS FIRST"
+    want_order = [
+        r[0]
+        for r in duck.sql(
+            f"SELECT i FROM (VALUES {vals}) t(i, x) ORDER BY x {sql_dir}, i"
+        ).fetchall()
+    ]
+    assert got_order == want_order, (xs, desc, got_order, want_order)
+
+    got_groups = sorted(
+        (str(r.xn), r.n)
+        for r in df.selectExpr("x + 0.0 AS xn")
+        .groupBy("xn")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want_groups = sorted(
+        (str(a), b)
+        for a, b in duck.sql(
+            f"SELECT x + 0.0, CAST(count(*) AS BIGINT) "
+            f"FROM (VALUES {vals}) t(i, x) GROUP BY 1"
+        ).fetchall()
+    )
+    assert got_groups == want_groups, (xs, got_groups, want_groups)
+
+    got_mm = df.selectExpr("min(x) AS mn", "max(x) AS mx").collect()[0]
+    want_mm = duck.sql(
+        f"SELECT min(x), max(x) FROM (VALUES {vals}) t(i, x)"
+    ).fetchall()[0]
+    assert (str(got_mm.mn), str(got_mm.mx)) == tuple(str(v) for v in want_mm), (
+        xs, got_mm, want_mm
+    )
+
+
+@given(
+    k=st.integers(min_value=2, max_value=7),
+    cut=st.integers(min_value=200, max_value=4000),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_rollup_with_null_keys_matches_oracle(spark, duck, sf_dir, k, cut):
+    """ROLLUP over a key column that itself contains NULLs: the subtotal
+    row's NULL key is only distinguishable from a data-NULL group via
+    GROUPING() — both engines must agree on every (key, grouping, count)
+    triple (gluten-ut GlutenDataFrameAggregateSuite grouping-sets rows)."""
+    li = _tables(spark, sf_dir)
+    keyed = li.filter(F.col("l_orderkey") < cut).select(
+        F.when(F.col("l_suppkey") % k == 0, None)
+        .otherwise(F.col("l_suppkey") % k)
+        .alias("g")
+    )
+    got = sorted(
+        (str(r.g), r.gid, r.n)
+        for r in keyed.rollup("g")
+        .agg(F.grouping("g").cast("int").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    want = sorted(
+        (str(a), b, c)
+        for a, b, c in duck.sql(
+            f"""
+            SELECT g, CAST(GROUPING(g) AS INT), CAST(count(*) AS BIGINT)
+            FROM (
+              SELECT CASE WHEN l_suppkey % {k} = 0 THEN NULL
+                          ELSE l_suppkey % {k} END AS g
+              FROM lineitem WHERE l_orderkey < {cut}
+            ) GROUP BY ROLLUP(g)
+            """
+        ).fetchall()
+    )
+    assert got == want, (k, cut, got[:5], want[:5])
