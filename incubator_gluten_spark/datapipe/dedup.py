@@ -11,6 +11,8 @@ no Python UDFs in any hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -185,6 +187,43 @@ def simhash(col: Column, bits: int = 32) -> Column:
     )
 
 
+def simhash_kernel(bits: int = 32):
+    """Vectorized SimHash bit-packing: a pandas UDF over the per-token
+    xxhash64 ARRAY (the hashes themselves stay JVM-computed, so the
+    signature is bit-identical to the expression form `simhash` —
+    parity-pinned in tests/test_datapipe.py).  Per Arrow batch: flatten
+    the ragged token-hash arrays, extract all `bits` bit-planes in one
+    numpy shift, segment-sum the ±1 contributions per document, pack the
+    sign vector.  Replaces an O(tokens x bits) interpreted HOF per row —
+    the same fix as band_sigs_kernel (round 6): dense bit math belongs
+    in a vectorized kernel, not per-element lambda interpretation."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def pack(hs: pd.Series) -> pd.Series:
+        if len(hs) == 0:
+            return pd.Series([], dtype="int64")
+        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+        lens = np.array([len(a) for a in arrs])
+        flat = np.concatenate(arrs) if lens.sum() else np.array([], dtype=np.int64)
+        # bit-plane matrix: (tokens, bits) of ±1
+        pm = (((flat[:, None] >> np.arange(bits)) & 1) * 2 - 1).astype(np.int64)
+        sums = np.zeros((len(arrs), bits), dtype=np.int64)
+        np.add.at(sums, np.repeat(np.arange(len(arrs)), lens), pm)
+        sig = ((sums > 0).astype(np.int64) << np.arange(bits)).sum(axis=1)
+        return pd.Series(sig)
+
+    return pack
+
+
+def token_hashes(col: Column) -> Column:
+    """Distinct-token xxhash64 array — the JVM half of the SimHash split
+    (hashes in the engine, bit-packing in the vectorized kernel)."""
+    tokens = F.array_distinct(F.split(normalize_text(col), " "))
+    return F.transform(tokens, lambda t: F.xxhash64(t))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -205,7 +244,8 @@ def simhash_near_dup_pairs(
     hamming verify runs before anything wide, so only true near-dups
     survive the join output."""
     s = docs.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+        F.col(id_col).alias("id"),
+        simhash_kernel()(token_hashes(F.col(text_col))).alias("sh"),
     )
     banded = s.select(
         "id",

@@ -502,72 +502,92 @@ def ivf_build_centroids(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantizer: k-means centroids trained with a fixed number
-    of Lloyd iterations, entirely in DataFrame ops.
+    of Lloyd iterations.
 
     * init: the k lowest-id vectors (deterministic — no random state to
       reproduce across runs/clusters; real deployments use k-means|| the
-      same way, as a DataFrame job)
-    * assign: centroids are tiny -> broadcast cross join + argmin distance
-      (a per-row reduce over k candidates, no shuffle)
-    * update: posexplode to (cluster, dim, value), mean per (cluster, dim),
-      re-assemble with sort_array+collect_list — the shuffle is k x dim
-      rows, independent of corpus size.
+      same way)
+    * assign: vectorized argmin kernel (_argmin_centroid_kernel) — one
+      GEMM per Arrow batch, no per-row interpreted distance, no shuffle
+    * update: per-cluster mean via applyInPandas (rows id-sorted in the
+      kernel => deterministic float-sum order); the shuffle moves only
+      (cluster, vector) pairs, output is k rows
 
-    Returns (cluster_id, centroid array<double>).
+    Returns a LOCAL (cluster_id, centroid array<double>) DataFrame — k
+    rows of driver state per iteration, bounded by construction (the
+    same class as the LSH plane literals).
     """
+    import numpy as np
+
+    spark = corpus.sparkSession
     vecs = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     ).persist()
-    cents = (
-        vecs.orderBy("id")
-        .limit(k)
-        .select(F.col("id").alias("cid"), F.col("v").alias("c"))
-        .withColumn(
-            "cluster", F.row_number().over(Window.orderBy("cid")) - 1
-        )
-        .select("cluster", "c")
-    )
+    # Driver-orchestrated Lloyd (round-6 rewrite): centroids live as a
+    # k x dim numpy array between iterations — k rows of driver state,
+    # the same bounded class as the LSH plane literals.  Each iteration
+    # is ONE Spark job: a vectorized argmin-assignment kernel + a
+    # per-cluster mean via applyInPandas (rows sorted by id inside the
+    # kernel, so the float-sum order — and thus the centroid — is fully
+    # deterministic across runs).  The previous all-DataFrame form paid
+    # an interpreted 64-dim HOF distance per (row x centroid), a min_by
+    # shuffle carrying whole vectors, and a posexplode of corpus x dim
+    # rows per iteration — and compounded the lazy lineage across
+    # iterations.
+    C = np.array(
+        [r.v for r in vecs.orderBy("id").limit(k).collect()]
+    )  # (k, dim) deterministic init: k lowest-id vectors
     for _ in range(iters):
-        assigned = _assign_to_centroid(vecs, cents)
-        cents = (
-            assigned.select(
-                "cluster", F.posexplode("v").alias("dim", "x")
+        assigned = vecs.withColumn("cluster", _argmin_centroid_kernel(C)("v"))
+
+        def _mean(pdf):
+            import pandas as _pd
+
+            pdf = pdf.sort_values("id")
+            return _pd.DataFrame(
+                {
+                    "cluster": [int(pdf["cluster"].iloc[0])],
+                    "c": [np.vstack(pdf["v"].to_numpy()).mean(axis=0).tolist()],
+                }
             )
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("dim", "m"))
-                    ),
-                    lambda s: s["m"],
-                ).alias("c")
-            )
-        )
+
+        new = {
+            r.cluster: r.c
+            for r in assigned.groupBy("cluster")
+            .applyInPandas(_mean, "cluster int, c array<double>")
+            .collect()
+        }
+        # an emptied cluster keeps its previous centroid (standard Lloyd)
+        C = np.array([new.get(i, C[i].tolist()) for i in range(k)])
     vecs.unpersist()
-    return cents
+    return spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(k)],
+        "cluster int, c array<double>",
+    )
 
 
-def _assign_to_centroid(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast the centroid table, compute
-    squared L2 per candidate, keep the argmin via min_by on a struct —
-    one narrow pass, no shuffle of the corpus."""
-    scored = vecs.join(F.broadcast(cents)).withColumn(
-        "d2",
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    return (
-        scored.groupBy("id")
-        .agg(
-            F.min_by(F.struct("cluster", "v"), F.struct("d2", "cluster")).alias("best")
-        )
-        .select("id", F.col("best.cluster").alias("cluster"), F.col("best.v").alias("v"))
-    )
+def _argmin_centroid_kernel(C):
+    """Vectorized nearest-centroid assignment: pandas UDF computing
+    argmin_c ||x - c||^2 per Arrow batch as one GEMM
+    (d2 = |x|^2 - 2 x.C^T + |c|^2).  Ties break to the lowest cluster id
+    (numpy argmin first-minimum), matching the expression form's
+    min_by(struct(d2, cluster)).  C is a k x dim numpy array captured in
+    the closure — centroid state is bounded by construction."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(C, dtype=np.float64)
+    c_norms = (C**2).sum(axis=1)
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        x = np.vstack(v.to_numpy())
+        d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ C.T) + c_norms[None, :]
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return assign
 
 
 def ann_ivf_topk(
@@ -590,18 +610,14 @@ def ann_ivf_topk(
     cents = ivf_build_centroids(
         corpus, k=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
     )
-    # cents feeds TWO consumers (corpus inventory assignment + query
-    # probe scoring); without materializing, the k-means training job
-    # runs twice.  One collect of k rows (k x dim doubles, bounded by
-    # construction — the same class as the LSH plane literals) halves
-    # the build cost.
-    cents = corpus.sparkSession.createDataFrame(
-        cents.collect(), schema=cents.schema
-    )
+    # cents is a LOCAL DataFrame (driver-orchestrated Lloyd) — both
+    # consumers below reuse it without re-running the training job
+    crows = sorted(cents.collect(), key=lambda r: r.cluster)
+    C = [r.c for r in crows]
     vecs = corpus.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v")
     )
-    inv = _assign_to_centroid(vecs, cents).select(
+    inv = vecs.withColumn("cluster", _argmin_centroid_kernel(C)("v")).select(
         "cluster", "id", normalize_vec(F.col("v")).alias("nvec")
     )
     q = queries.select(

@@ -870,6 +870,105 @@ def src_txnlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "src_txnlog_cdf",
+    """
+    SELECT 'delete' AS _change_type, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+      AND o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "cdc",
+)
+def src_txnlog_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed between snapshots (Delta table_changes /
+    readChangeFeed, gluten-delta surface): versions 1 -> 2 of the demo
+    table differ by the copy-on-write delete of 1-URGENT rows, so the
+    feed must contain exactly those rows as deletes and nothing as
+    inserts.  table_changes reads ONLY the files the interval touched
+    (unchanged files cancel by identity and are never opened) and
+    derives row-level changes by multiset difference — the oracle
+    recomputes the expected delete set straight from the fixture, so
+    the whole file-action derivation is hash-certified."""
+    from incubator_gluten_spark.sources import txnlog
+
+    root = _txnlog_table(spark, sf_dir, "txnlog_orders")
+    changes = txnlog.table_changes(spark, root, 1, 2)
+    return changes.groupBy("_change_type", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_txnlog_checkpoint",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_status,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE (year(o_orderdate) IN (1996, 1997) AND o_orderpriority <> '1-URGENT')
+       OR year(o_orderdate) = 1998
+    """,
+    "sources", "lakehouse",
+)
+def src_txnlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log checkpointing + log VACUUM (Delta _last_checkpoint / Iceberg
+    snapshot manifest-list): after create(1996) -> append(1997) ->
+    delete(1-URGENT), a checkpoint materializes the resolved live set;
+    a further append(1998) lands after it, then the PRE-CHECKPOINT
+    commit files are deleted outright.  The latest snapshot must still
+    resolve correctly from checkpoint + suffix commits alone — reader
+    cost is O(commits since checkpoint), the property that keeps a
+    100 TB table's log replay bounded.  Independent root: this entry
+    mutates its table, so it never shares state with the other txnlog
+    entries."""
+    import os as _os
+
+    from incubator_gluten_spark.sources import txnlog
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("txnlog_ckpt")
+    txnlog.create_table(
+        orders.filter(F.year("o_orderdate") == 1996),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    txnlog.append(
+        orders.filter(F.year("o_orderdate") == 1997),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    txnlog.delete_where(spark, root, "o_orderpriority", "1-URGENT")
+    ck = txnlog.checkpoint(root)
+    if ck["version"] != 2:
+        raise RuntimeError(f"unexpected checkpoint version: {ck}")
+    txnlog.append(
+        orders.filter(F.year("o_orderdate") == 1998),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    # log VACUUM: drop every commit at or below the checkpoint — the
+    # snapshot below must survive on checkpoint + suffix commits alone
+    for v in range(ck["version"] + 1):
+        _os.remove(_os.path.join(root, "_txnlog", f"{v:08d}.json"))
+    snap = txnlog.read_snapshot(spark, root)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("o_orderstatus").alias("n_status"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
 @q("src_xml_roundtrip", _LI_AGG_ORACLE, "source", "xml", "write")
 def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML write + schema'd read-back (built-in XML source, Spark 4 —

@@ -43,9 +43,10 @@ def _log_path(root: str, version: int) -> str:
 
 
 def commits(root: str) -> list[dict]:
-    """All commit records in version order."""
+    """All commit records in version order (checkpoint files, which also
+    live in the log directory, are not commits)."""
     out = []
-    for p in sorted(glob.glob(os.path.join(root, _LOG, "*.json"))):
+    for p in sorted(glob.glob(os.path.join(root, _LOG, "[0-9]*.json"))):
         with open(p) as f:
             out.append(json.load(f))
     return out
@@ -56,12 +57,37 @@ def current_version(root: str) -> int:
     return cs[-1]["version"] if cs else -1
 
 
+def _latest_checkpoint(root: str, version: int | None) -> dict | None:
+    """Newest checkpoint whose version <= the requested snapshot (None =
+    any).  Checkpoints are written by checkpoint() below."""
+    best = None
+    for p in sorted(glob.glob(os.path.join(root, _LOG, "_checkpoint.*.json"))):
+        v = int(os.path.basename(p).split(".")[1])
+        if version is None or v <= version:
+            best = p
+    if best is None:
+        return None
+    with open(best) as f:
+        return json.load(f)
+
+
 def resolve(root: str, version: int | None = None) -> tuple[list[dict], str]:
     """Live (file-record, schema) pair for a snapshot version (None =
-    latest): replay add/remove sets across the commit prefix."""
+    latest): start from the newest applicable checkpoint (if any), then
+    replay only the commits after it — Delta's _last_checkpoint replay
+    shortcut, so reader cost is O(commits since checkpoint), not
+    O(table lifetime)."""
     live: dict[str, dict] = {}
     schema = ""
+    start = -1
+    ck = _latest_checkpoint(root, version)
+    if ck is not None:
+        live = {r["path"]: r for r in ck["live"]}
+        schema = ck["schema"]
+        start = ck["version"]
     for c in commits(root):
+        if c["version"] <= start:
+            continue
         if version is not None and c["version"] > version:
             break
         for rec in c["add"]:
@@ -70,6 +96,21 @@ def resolve(root: str, version: int | None = None) -> tuple[list[dict], str]:
             live.pop(path, None)
         schema = c["schema"] or schema
     return sorted(live.values(), key=lambda r: r["path"]), schema
+
+
+def checkpoint(root: str) -> dict:
+    """Materialize the current resolved live set as a checkpoint file
+    (Delta's _last_checkpoint / Iceberg's snapshot manifest-list): later
+    reads replay only commits AFTER it, and commit files at or below the
+    checkpoint version become prunable (log VACUUM) — historical
+    versions before the checkpoint are then no longer resolvable, which
+    is exactly Delta's log-retention trade."""
+    v = current_version(root)
+    live, schema = resolve(root)
+    path = os.path.join(root, _LOG, f"_checkpoint.{v:08d}.json")
+    with open(path, "w") as f:
+        json.dump({"version": v, "live": live, "schema": schema}, f)
+    return {"version": v, "n_files": len(live)}
 
 
 def _file_stats(path: str, stats_cols: list[str]) -> dict:
@@ -219,6 +260,57 @@ def read_snapshot(
     return spark.read.option("mergeSchema", "true").parquet(
         *[os.path.join(root, r["path"]) for r in live]
     )
+
+
+def table_changes(
+    spark: SparkSession, root: str, from_version: int, to_version: int
+) -> DataFrame:
+    """Change Data Feed between two snapshots (Delta's table_changes /
+    readChangeFeed, reduced to the file-action derivation): reads ONLY
+    the files added or removed across the interval — unchanged files are
+    identical parquet objects and cancel exactly, so they are never
+    opened.  Row-level changes come from multiset differences of the
+    changed-file row sets: a COW rewrite removes file A and adds A'
+    containing the kept rows, so exceptAll leaves precisely the deleted
+    (resp. inserted) rows.  Returns the table columns plus _change_type
+    ('insert' | 'delete')."""
+    from pyspark.sql import functions as F
+
+    live_from, _ = resolve(root, from_version)
+    live_to, _ = resolve(root, to_version)
+    paths_from = {r["path"] for r in live_from}
+    paths_to = {r["path"] for r in live_to}
+
+    def _read(paths: list[str]) -> DataFrame | None:
+        if not paths:
+            return None
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, p) for p in paths]
+        )
+
+    added = _read(sorted(paths_to - paths_from))
+    removed = _read(sorted(paths_from - paths_to))
+    if added is None and removed is None:
+        _, schema = resolve(root, to_version)
+        return spark.createDataFrame([], schema).withColumn(
+            "_change_type", F.lit("")
+        )
+    if added is None:
+        added = removed.limit(0)
+    if removed is None:
+        removed = added.limit(0)
+    # align columns across schema evolution: each side gains the other's
+    # missing columns as NULL (pre-evolution files never wrote them)
+    for c, t in added.dtypes:
+        if c not in dict(removed.dtypes):
+            removed = removed.withColumn(c, F.lit(None).cast(t))
+    for c, t in removed.dtypes:
+        if c not in dict(added.dtypes):
+            added = added.withColumn(c, F.lit(None).cast(t))
+    removed = removed.select(added.columns)
+    inserts = added.exceptAll(removed).withColumn("_change_type", F.lit("insert"))
+    deletes = removed.exceptAll(added).withColumn("_change_type", F.lit("delete"))
+    return inserts.unionByName(deletes)
 
 
 def history(root: str) -> list[dict]:

@@ -361,3 +361,26 @@ def test_vocab_pair_counts_matches_local_recount(spark, sf_dir):
     got = collect_all()["dp_vocab_pair_counts"].build(spark, small).collect()
     expect = sorted(local.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
     assert [(r["pair"], r["freq"]) for r in got] == expect
+
+
+def test_simhash_kernel_matches_expression_form(spark, sf_dir):
+    """The vectorized SimHash bit-packing kernel (production path in
+    simhash_near_dup_pairs) must produce the same 32-bit signature as
+    the JVM expression form `simhash` — the token hashes are shared
+    (JVM xxhash64), so any divergence is a packing bug."""
+    from incubator_gluten_spark.datapipe.dedup import (
+        simhash,
+        simhash_kernel,
+        token_hashes,
+    )
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 80
+    )
+    both = docs.select(
+        "doc_id",
+        simhash(F.col("text")).alias("expr_sh"),
+        simhash_kernel()(token_hashes(F.col("text"))).alias("kern_sh"),
+    ).collect()
+    bad = [(r.doc_id, r.expr_sh, r.kern_sh) for r in both if r.expr_sh != r.kern_sh]
+    assert not bad, bad[:5]

@@ -226,3 +226,57 @@ def test_merge_into_empty_source_is_noop(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate"):
         txnlog.merge_into(spark, root, dup, "k")
+
+
+def test_table_changes_derives_row_level_cdf(spark, tmp_path):
+    """CDF from file actions: an append yields pure inserts, a COW
+    delete yields pure deletes, and unchanged files are never part of
+    the diff (multiset difference cancels rewritten-kept rows)."""
+    root = str(tmp_path / "txnlog_cdf_unit")
+    t0 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "c")], "k bigint, tag string"
+    )
+    txnlog.create_table(t0, root, stats_cols=["tag"])
+    txnlog.append(
+        spark.createDataFrame([(5, "d")], "k bigint, tag string"), root
+    )
+    ins = txnlog.table_changes(spark, root, 0, 1).collect()
+    assert [(r.k, r.tag, r._change_type) for r in ins] == [(5, "d", "insert")]
+
+    txnlog.delete_where(spark, root, "tag", "a")
+    dels = sorted(
+        (r.k, r.tag, r._change_type)
+        for r in txnlog.table_changes(spark, root, 1, 2).collect()
+    )
+    assert dels == [(1, "a", "delete"), (3, "a", "delete")]
+    # whole interval: net change = +5, -1, -3
+    net = sorted(
+        (r.k, r._change_type)
+        for r in txnlog.table_changes(spark, root, 0, 2).collect()
+    )
+    assert net == [(1, "delete"), (3, "delete"), (5, "insert")]
+
+
+def test_checkpoint_survives_log_vacuum(spark, tmp_path):
+    """resolve() must start from the newest applicable checkpoint: after
+    checkpointing and deleting every pre-checkpoint commit, the latest
+    snapshot still resolves; versions before the checkpoint are gone —
+    Delta's log-retention trade, made explicit."""
+    root = str(tmp_path / "txnlog_ckpt_unit")
+    t0 = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, tag string")
+    txnlog.create_table(t0, root, stats_cols=["k"])
+    txnlog.append(spark.createDataFrame([(3, "c")], "k bigint, tag string"), root)
+    ck = txnlog.checkpoint(root)
+    assert ck["version"] == 1
+    txnlog.append(spark.createDataFrame([(4, "d")], "k bigint, tag string"), root)
+    # pre-vacuum sanity: checkpointed resolve equals full replay
+    assert txnlog.read_snapshot(spark, root).count() == 4
+    for v in (0, 1):
+        os.remove(os.path.join(root, "_txnlog", f"{v:08d}.json"))
+    assert txnlog.read_snapshot(spark, root).count() == 4
+    assert sorted(
+        r.k for r in txnlog.read_snapshot(spark, root).collect()
+    ) == [1, 2, 3, 4]
+    # time travel to a pre-checkpoint version is no longer served by
+    # replay (commit 0 is gone) but the checkpoint at v1 still answers v1
+    assert txnlog.read_snapshot(spark, root, 1).count() == 3
