@@ -783,3 +783,80 @@ def test_random_rollup_with_null_keys_matches_oracle(spark, duck, sf_dir, k, cut
         ).fetchall()
     )
     assert got == want, (k, cut, got[:5], want[:5])
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        min_size=2,
+        max_size=4,
+    ),
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_least_greatest_null_matches_oracle(spark, duck, sf_dir, vals):
+    """least/greatest skip NULLs (all-NULL => NULL) and ||-concatenation
+    propagates NULL — identically in both engines.  Documented engine
+    divergence found while building this property: DuckDB's concat()
+    SKIPS NULL arguments (concat('x', NULL) = 'x') while Spark's concat
+    propagates (= NULL) — so the property pins Spark concat against
+    DuckDB's || operator, which shares Spark's propagate semantics."""
+    lits = [("NULL" if v is None else str(v)) for v in vals]
+    got = spark.sql(
+        f"SELECT least({', '.join(lits)}) AS lo, "
+        f"greatest({', '.join(lits)}) AS hi, "
+        f"concat('v', {lits[0]}) AS cat"
+    ).collect()[0]
+    want = duck.sql(
+        f"SELECT least({', '.join(lits)}), greatest({', '.join(lits)}), "
+        f"'v' || {lits[0]}"
+    ).fetchall()[0]
+    assert (got.lo, got.hi, got.cat) == want, (vals, got, want)
+
+
+@given(
+    part=st.sampled_from(STR_COLS),
+    n_tiles=st.integers(min_value=2, max_value=7),
+    cut=st.integers(min_value=200, max_value=2500),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_distribution_windows_match_oracle(
+    spark, duck, sf_dir, part, n_tiles, cut
+):
+    """ntile / percent_rank / cume_dist over a UNIQUE total order
+    ((l_orderkey, l_linenumber) — the round-5 fuzz finding: non-unique
+    orders make window results engine-dependent): every tile id and
+    every exact-ratio double must agree row-for-row."""
+    from pyspark.sql import Window as W
+
+    li = _tables(spark, sf_dir).filter(F.col("l_orderkey") < cut)
+    w = W.partitionBy(part).orderBy("l_orderkey", "l_linenumber")
+    sdf = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.ntile(n_tiles).over(w).alias("tile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    srows = sorted(tuple(str(x) for x in r) for r in sdf.collect())
+    drows = sorted(
+        tuple(str(x) for x in r)
+        for r in duck.sql(
+            f"""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(ntile({n_tiles}) OVER w AS INT) AS tile,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM lineitem WHERE l_orderkey < {cut}
+            WINDOW w AS (PARTITION BY {part} ORDER BY l_orderkey, l_linenumber)
+            """
+        ).fetchall()
+    )
+    assert srows == drows, (part, n_tiles, cut)
