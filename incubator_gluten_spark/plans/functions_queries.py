@@ -1492,3 +1492,41 @@ def fn_string_batch3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("to_char(1234.5, '9999.99')").alias("tc"),
         F.expr("CAST(unhex('4142') AS STRING)").alias("uh"),
     )
+
+
+@q(
+    "fn_aes_golden",
+    """
+    SELECT 'Wx6puX+cj/3bVmaYV/jB4Q==' AS ct_ecb,
+           'spark-graft' AS rt,
+           CAST(count(*) AS BIGINT) AS n_ok
+    FROM documents WHERE doc_id < 100
+    """,
+    "function", "crypto", "golden",
+)
+def fn_aes_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aes_encrypt / aes_decrypt (reference ExpressionMappings maps the
+    CH backend's AES family): ECB mode is deterministic, so the
+    ciphertext of a fixed (plaintext, key) pair is golden-pinned as a
+    literal the oracle states back; GCM (the default) carries a random
+    IV and is exercised through the decrypt(encrypt(x)) == x roundtrip
+    counted over 100 fixture documents — n_ok certifies every document
+    survived the round trip bit-for-bit."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    key = "0123456789abcdef"
+    ok = docs.filter(F.col("doc_id") < 100).filter(
+        F.expr(
+            f"CAST(aes_decrypt(aes_encrypt(text, '{key}', 'GCM'), "
+            f"'{key}', 'GCM') AS STRING) = text"
+        )
+    )
+    return ok.agg(
+        F.expr(
+            f"any_value(base64(aes_encrypt('spark-graft', '{key}', 'ECB')))"
+        ).alias("ct_ecb"),
+        F.expr(
+            f"any_value(CAST(aes_decrypt(aes_encrypt('spark-graft', '{key}', "
+            f"'ECB'), '{key}', 'ECB') AS STRING))"
+        ).alias("rt"),
+        F.count(F.lit(1)).alias("n_ok"),
+    )

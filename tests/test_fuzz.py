@@ -860,3 +860,75 @@ def test_random_distribution_windows_match_oracle(
         ).fetchall()
     )
     assert srows == drows, (part, n_tiles, cut)
+
+
+@given(
+    a=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    b=st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    d=st.integers(min_value=-3, max_value=3),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_try_arithmetic_checked(spark, duck, sf_dir, a, b, d):
+    """try_add / try_subtract / try_multiply on BIGINT and try_divide by
+    a possibly-zero divisor: NULL exactly when the true result leaves
+    the 64-bit domain (or the divisor is 0), the exact value otherwise —
+    oracle is Python bignum arithmetic (the reference maps these through
+    the same checked-arithmetic paths as CheckOverflow)."""
+    lo, hi = -(2**63), 2**63 - 1
+    got = spark.sql(
+        f"SELECT try_add({a}L, {b}L) AS s, try_subtract({a}L, {b}L) AS m, "
+        f"try_multiply({a}L, {b}L) AS p, try_divide({a}L, {d}L) AS q"
+    ).collect()[0]
+
+    def want(v):
+        return v if lo <= v <= hi else None
+
+    assert got.s == want(a + b), ("add", a, b, got.s)
+    assert got.m == want(a - b), ("sub", a, b, got.m)
+    assert got.p == want(a * b), ("mul", a, b, got.p)
+    if d == 0:
+        assert got.q is None, ("div0", a, got.q)
+    else:
+        assert got.q == a / d, ("div", a, d, got.q)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-9, max_value=9), min_size=1, max_size=6),
+    idx=st.integers(min_value=-6, max_value=6).filter(lambda i: i != 0),
+    start=st.integers(min_value=-5, max_value=5).filter(lambda i: i != 0),
+    ln=st.integers(min_value=0, max_value=5),
+    needle=st.integers(min_value=-9, max_value=9),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_array_indexing_matches_oracle(
+    spark, duck, sf_dir, xs, idx, start, ln, needle
+):
+    """1-based and negative array indexing, out-of-range extraction,
+    negative-start slices, and 1-based position lookup must agree with
+    DuckDB's list semantics exactly (SURVEY §2.9 array family — the
+    index-origin class of bug the reference pins in its UT suites)."""
+    arr = f"array({', '.join(map(str, xs))})"
+    got = spark.sql(
+        f"SELECT try_element_at({arr}, {idx}) AS el, "
+        f"slice({arr}, {start}, {ln}) AS sl, "
+        f"array_position({arr}, {needle}) AS pos"
+    ).collect()[0]
+    larr = f"[{', '.join(map(str, xs))}]"
+    # duckdb slice: l[a:b] with negative-from-end start; emulate Spark's
+    # (start, length) form with list_slice over resolved bounds
+    s0 = start if start > 0 else len(xs) + start + 1
+    want_sl = xs[s0 - 1 : s0 - 1 + ln] if s0 >= 1 else []
+    want = duck.sql(
+        f"SELECT {larr}[{idx}], CAST(list_position({larr}, {needle}) AS BIGINT)"
+    ).fetchall()[0]
+    assert got.el == want[0], ("element_at", xs, idx, got.el, want[0])
+    assert list(got.sl) == want_sl, ("slice", xs, start, ln, got.sl, want_sl)
+    assert (got.pos or 0) == (want[1] or 0), ("pos", xs, needle, got.pos, want)

@@ -25,16 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # one proven representative per SURVEY §2 family, kept every round so a
 # regression in a core path is still caught by the hard gate
+# Round 6 policy (r5 verdict directive #1): 10 anchors — the entire
+# per-round overlap budget — so 40 slots go to never-graded names.
 ANCHORS = [
     "q1", "q6", "q9",
-    "op_bloom_filter_join",
-    "agg_collect",
     "win_topk_per_group",
-    "src_bucketed_join", "src_dpp_join",
+    "src_bucketed_join",
     "stream_tumbling",
     "udf_pandas_vectorized",
-    "dp_dedup_exact", "dp_training_mix",
-    "ds_yoy_growth", "cb_daily_series",
+    "dp_dedup_exact",
+    "dp_sequence_packing",
+    "dp_embedding_near_dup",
 ]
 
 
