@@ -304,6 +304,59 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_stream_semi",
+    """
+    SELECT p.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_purchases
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click' AND c.user_id = p.user_id
+          AND c.ts < p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      )
+    GROUP BY p.user_id
+    """,
+    "streaming", "stream-stream-join", "semi",
+)
+def stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join (Spark supports semi/anti between two
+    watermarked streams): purchases that had at least one same-user click
+    in the preceding hour, emitted WITHOUT duplicating per matching click
+    — the dedup-free attribution shape.  Same bounded-state eviction as
+    the inner join (both sides watermarked, time-band in the condition);
+    bounded input => exact equality with the batch EXISTS oracle."""
+    a = read_events_stream(spark, sf_dir)
+    b = read_events_stream(spark, sf_dir)
+    clicks = (
+        a.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    purchases = (
+        b.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    sink = run_to_memory(joined, mode="append")
+    return sink.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+
+
+@q(
     "stream_file_sink",
     """
     SELECT event_type, count(*) AS n,
