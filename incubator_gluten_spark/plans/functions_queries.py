@@ -1530,3 +1530,33 @@ def fn_aes_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rt"),
         F.count(F.lit(1)).alias("n_ok"),
     )
+
+
+@q(
+    "fn_validation_golden",
+    """
+    SELECT TRUE AS luhn_ok, FALSE AS luhn_bad,
+           TRUE AS utf8_ok, FALSE AS utf8_bad,
+           2 AS fixed_len, 'fine' AS validated
+    """,
+    "function", "validation", "golden",
+)
+def fn_validation_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 validation scalar family, golden-pinned: luhn_check
+    (credit-card checksum — valid and off-by-one invalid), is_valid_utf8
+    over a well-formed string and a bare continuation byte,
+    make_valid_utf8 replacing the invalid byte with U+FFFD (pinned via
+    char_length, 'a'+replacement = 2), and validate_utf8 passing valid
+    input through.  Engine-specific surface: the oracle states the
+    expected outcomes as literals (fn_url_golden precedent)."""
+    return spark.sql(
+        """
+        SELECT luhn_check('79927398713') AS luhn_ok,
+               luhn_check('79927398714') AS luhn_bad,
+               is_valid_utf8('ok') AS utf8_ok,
+               is_valid_utf8(CAST(x'80' AS STRING)) AS utf8_bad,
+               char_length(make_valid_utf8(CAST(x'6180' AS STRING)))
+                 AS fixed_len,
+               validate_utf8('fine') AS validated
+        """
+    )
