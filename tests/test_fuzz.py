@@ -932,3 +932,74 @@ def test_random_array_indexing_matches_oracle(
     assert got.el == want[0], ("element_at", xs, idx, got.el, want[0])
     assert list(got.sl) == want_sl, ("slice", xs, start, ln, got.sl, want_sl)
     assert (got.pos or 0) == (want[1] or 0), ("pos", xs, needle, got.pos, want)
+
+
+@given(
+    n=st.integers(min_value=-99999, max_value=99999),
+    s=st.integers(min_value=0, max_value=2),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_rounding_modes_checked(spark, duck, sf_dir, n, s):
+    """Rounding-mode semantics on exact decimals: round() is HALF_UP in
+    BOTH engines (probed: round(2.5)=3, round(-2.5)=-3, round(2.675,2)
+    =2.68 on DECIMAL in both), and Spark's bround() is HALF_EVEN —
+    pinned against Python Decimal ROUND_HALF_EVEN since DuckDB has no
+    banker's-rounding scalar."""
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    lit = f"{n / 1000:.3f}"
+    got = spark.sql(
+        f"SELECT round(CAST('{lit}' AS DECIMAL(10,3)), {s}) AS r, "
+        f"bround(CAST('{lit}' AS DECIMAL(10,3)), {s}) AS br"
+    ).collect()[0]
+    want_r = duck.sql(
+        f"SELECT round('{lit}'::DECIMAL(10,3), {s})"
+    ).fetchall()[0][0]
+    assert got.r == want_r, ("round", lit, s, got.r, want_r)
+    q = Decimal(1).scaleb(-s)
+    want_br = Decimal(lit).quantize(q, rounding=ROUND_HALF_EVEN)
+    assert got.br == want_br, ("bround", lit, s, got.br, want_br)
+
+
+@given(
+    c1=st.sampled_from(NUM_COLS),
+    c2=st.sampled_from(STR_COLS),
+    k=st.integers(min_value=2, max_value=8),
+    cut=st.integers(min_value=200, max_value=4000),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_multicol_distinct_matches_oracle(spark, duck, sf_dir, c1, c2, k, cut):
+    """Multi-column COUNT(DISTINCT a, b) with NULLs injected into one key
+    (rows where ANY distinct column is NULL are excluded from the pair
+    count — the SQL rule both engines must share), next to sum(DISTINCT)
+    and a plain count for cross-checking."""
+    li = _tables(spark, sf_dir).filter(F.col("l_orderkey") < cut)
+    keyed = li.select(
+        F.when(F.col(c1) % k == 0, None).otherwise(F.col(c1) % k).alias("a"),
+        F.col(c2).alias("b"),
+        F.col("l_linenumber").alias("v"),
+    )
+    got = keyed.agg(
+        F.count_distinct("a", "b").alias("nd"),
+        F.sum_distinct("v").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    want = duck.sql(
+        f"""
+        SELECT CAST(count(DISTINCT CASE WHEN {c1} % {k} = 0 THEN NULL
+                          ELSE {c1} % {k} || '|' || {c2} END) AS BIGINT),
+               CAST(sum(DISTINCT l_linenumber) AS BIGINT),
+               CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_orderkey < {cut}
+        """
+    ).fetchall()[0]
+    assert got.nd == want[0], (c1, c2, k, cut, got.nd, want)
+    assert got.sd == want[1] and got.n == want[2], (got, want)
