@@ -204,15 +204,26 @@ def simhash_kernel(bits: int = 32):
     def pack(hs: pd.Series) -> pd.Series:
         if len(hs) == 0:
             return pd.Series([], dtype="int64")
-        arrs = [np.asarray(a, dtype=np.int64) for a in hs]
-        lens = np.array([len(a) for a in arrs])
-        flat = np.concatenate(arrs) if lens.sum() else np.array([], dtype=np.int64)
-        # bit-plane matrix: (tokens, bits) of ±1
-        pm = (((flat[:, None] >> np.arange(bits)) & 1) * 2 - 1).astype(np.int64)
-        sums = np.zeros((len(arrs), bits), dtype=np.int64)
-        np.add.at(sums, np.repeat(np.arange(len(arrs)), lens), pm)
-        sig = ((sums > 0).astype(np.int64) << np.arange(bits)).sum(axis=1)
-        return pd.Series(sig)
+        # NULL text -> NULL token-hash array; the expression form this
+        # kernel replaced propagated NULL, so the kernel must too (a
+        # np.asarray(None) here used to crash the whole job).
+        vals = hs.to_numpy(dtype=object)
+        valid = [i for i, a in enumerate(vals) if a is not None]
+        out = np.empty(len(vals), dtype=object)
+        if valid:
+            arrs = [np.asarray(vals[i], dtype=np.int64) for i in valid]
+            lens = np.array([len(a) for a in arrs])
+            flat = (
+                np.concatenate(arrs) if lens.sum() else np.array([], dtype=np.int64)
+            )
+            # bit-plane matrix: (tokens, bits) of ±1
+            pm = (((flat[:, None] >> np.arange(bits)) & 1) * 2 - 1).astype(np.int64)
+            sums = np.zeros((len(arrs), bits), dtype=np.int64)
+            np.add.at(sums, np.repeat(np.arange(len(arrs)), lens), pm)
+            sig = ((sums > 0).astype(np.int64) << np.arange(bits)).sum(axis=1)
+            for j, i in enumerate(valid):
+                out[i] = int(sig[j])
+        return pd.Series(out, dtype=object)
 
     return pack
 

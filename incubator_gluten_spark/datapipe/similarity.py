@@ -276,7 +276,12 @@ def band_sigs_kernel(bands: int, band_bits: int, dim: int = 64):
     Deterministic: plane constants are fixed by hash, numpy float64
     matmul is deterministic on a given platform, and candidate
     generation only needs self-consistency — candidates are always
-    re-verified with the exact dot product."""
+    re-verified with the exact dot product.  Parity with the expression
+    form holds up to float summation order: the GEMM accumulates
+    products in a different order than the sequential HOF aggregate, so
+    a dot within rounding error of zero may flip a sign bit.  Harmless
+    in production (exact re-verification), and the parity test asserts
+    its fixture stays off the sign boundary (min |dot| > 1e-9)."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -287,10 +292,17 @@ def band_sigs_kernel(bands: int, band_bits: int, dim: int = 64):
     def band_sigs(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        x = np.vstack(v.to_numpy())  # (n, dim)
-        bits = (x @ planes.T) > 0  # (n, n_planes)
-        sigs = bits.reshape(len(x), bands, band_bits) @ weights  # (n, bands)
-        return pd.Series(list(sigs.astype(np.int32)))
+        # NULL embedding -> NULL signature (np.vstack over None crashed)
+        vals = v.to_numpy(dtype=object)
+        valid = [i for i, a in enumerate(vals) if a is not None]
+        out = np.empty(len(vals), dtype=object)
+        if valid:
+            x = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+            bits = (x @ planes.T) > 0  # (n_valid, n_planes)
+            sigs = (bits.reshape(len(x), bands, band_bits) @ weights).astype(np.int32)
+            for j, i in enumerate(valid):
+                out[i] = sigs[j]
+        return pd.Series(out, dtype=object)
 
     return band_sigs
 
@@ -583,9 +595,17 @@ def _argmin_centroid_kernel(C):
     def assign(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        x = np.vstack(v.to_numpy())
-        d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ C.T) + c_norms[None, :]
-        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+        # NULL embedding -> NULL assignment (np.vstack over None crashed)
+        vals = v.to_numpy(dtype=object)
+        valid = [i for i, a in enumerate(vals) if a is not None]
+        out = np.empty(len(vals), dtype=object)
+        if valid:
+            x = np.vstack([np.asarray(vals[i], dtype=np.float64) for i in valid])
+            d2 = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ C.T) + c_norms[None, :]
+            am = d2.argmin(axis=1).astype(np.int32)
+            for j, i in enumerate(valid):
+                out[i] = int(am[j])
+        return pd.Series(out, dtype=object)
 
     return assign
 

@@ -524,6 +524,109 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dp_ann_ivf_fullprobe",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id >= 3 AND vec_id < 6)
+    SELECT query_id, neighbor_id, cosine, rn FROM (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e, q WHERE e.vec_id != q.query_id
+    ) WHERE rn <= 5
+    """,
+    "datapipe", "ann", "ivf",
+)
+def dp_ann_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKABLE IVF (r6 verdict directive #8): with nprobe ==
+    n_centroids every cell is probed, so the result must equal the exact
+    brute-force top-5 REGARDLESS of what centroids Lloyd converged to —
+    which lets DuckDB's exact scan hash-certify the entire IVF machinery
+    (GEMM argmin assignment kernel, per-cell inverted-list equi-join,
+    per-query WindowGroupLimit rank) end to end.  The approximate
+    operating point (nprobe=3/8) stays in dp_ann_ivf as the rows-only
+    fast path; this is its certification twin, the dp_ann_lsh_verifiable
+    pattern applied to IVF."""
+    from incubator_gluten_spark.datapipe.similarity import ann_ivf_topk
+
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(
+        (F.col("vec_id") >= 3) & (F.col("vec_id") < 6)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ann_ivf_topk(emb, queries, k=5, n_centroids=6, nprobe=6, iters=2)
+
+
+@q(
+    "dp_stratified_sample_bounds",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_base,
+           CAST(floor(count(*) * f - 6 * sqrt(count(*) * f * (1 - f)))
+                AS BIGINT) AS lo,
+           CAST(ceil(count(*) * f + 6 * sqrt(count(*) * f * (1 - f)))
+                AS BIGINT) AS hi,
+           TRUE AS in_bounds
+    FROM documents
+    JOIN (VALUES ('en', 0.2), ('de', 0.8), ('es', 0.8), ('fr', 0.8),
+                 ('zh', 0.99)) AS fr(l, f) ON lang = l
+    GROUP BY lang, f
+    """,
+    "datapipe", "sampling",
+)
+def dp_stratified_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with a BINOMIAL-BOUNDS oracle (r6 verdict
+    directive #8 — give the seeded-sampling entries an invariant the
+    hash gate can check): per stratum, the seeded sampleBy count must
+    land within mean ± 6 sigma of Binomial(n_base, f).  n_base, lo, hi
+    are recomputed independently by DuckDB from the fixture, and
+    in_bounds is the Spark-computed verdict — a sample outside the
+    bounds flips the cell and fails the hash.  6 sigma keeps the
+    property version-stable (P[violation] ~ 1e-9 per stratum even if a
+    Spark upgrade reseeds the sampler); dp_stratified_sample keeps the
+    raw per-stratum counts as the rows-only view of the same operator."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 0.99}
+    frac_df = spark.createDataFrame(
+        [(k, v) for k, v in fractions.items()], "l string, f double"
+    )
+    base = (
+        docs.join(F.broadcast(frac_df), docs["lang"] == frac_df["l"])
+        .groupBy("lang", "f")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    sampled = (
+        docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .withColumnRenamed("lang", "slang")
+    )
+    mean = F.col("n_base") * F.col("f")
+    sigma = F.sqrt(F.col("n_base") * F.col("f") * (1 - F.col("f")))
+    return (
+        base.join(sampled, base["lang"] == sampled["slang"], "left")
+        .select(
+            "lang",
+            "n_base",
+            F.floor(mean - 6 * sigma).cast("bigint").alias("lo"),
+            F.ceil(mean + 6 * sigma).cast("bigint").alias("hi"),
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        )
+        .select(
+            "lang",
+            "n_base",
+            "lo",
+            "hi",
+            (
+                (F.col("n_sampled") >= F.col("lo"))
+                & (F.col("n_sampled") <= F.col("hi"))
+            ).alias("in_bounds"),
+        )
+    )
+
+
+@q(
     "dp_training_mix",
     f"""
     WITH scored AS (

@@ -777,6 +777,54 @@ def misc_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "misc_sample_bounds",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_base,
+           CAST(floor(count(*) * 0.1 - 6 * sqrt(count(*) * 0.1 * 0.9))
+                AS BIGINT) AS lo,
+           CAST(ceil(count(*) * 0.1 + 6 * sqrt(count(*) * 0.1 * 0.9))
+                AS BIGINT) AS hi,
+           TRUE AS in_bounds
+    FROM lineitem
+    """,
+    "sample",
+)
+def misc_sample_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.sample with a BINOMIAL-BOUNDS oracle (r6 verdict directive #8):
+    the seeded Bernoulli sample's row count must land within mean ±
+    6 sigma of Binomial(n, 0.1); DuckDB recomputes n and the bounds from
+    the fixture and in_bounds is the Spark-computed verdict, so the
+    driver's hash gate now touches the sampling operator
+    (misc_sample_seeded keeps the raw count+sum as the rows-only view).
+    Reference: SampleExecTransformer.scala:40-59."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    n_sampled = li.sample(fraction=0.1, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    base = li.agg(F.count(F.lit(1)).alias("n_base"))
+    mean = F.col("n_base") * 0.1
+    sigma = F.sqrt(F.col("n_base") * 0.1 * 0.9)
+    return (
+        base.crossJoin(n_sampled)
+        .select(
+            "n_base",
+            F.floor(mean - 6 * sigma).cast("bigint").alias("lo"),
+            F.ceil(mean + 6 * sigma).cast("bigint").alias("hi"),
+            "n_sampled",
+        )
+        .select(
+            "n_base",
+            "lo",
+            "hi",
+            (
+                (F.col("n_sampled") >= F.col("lo"))
+                & (F.col("n_sampled") <= F.col("hi"))
+            ).alias("in_bounds"),
+        )
+    )
+
+
+@q(
     "misc_limit_offset",
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice

@@ -931,11 +931,17 @@ def src_txnlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutates its table, so it never shares state with the other txnlog
     entries."""
     import os as _os
+    import shutil as _shutil
 
     from incubator_gluten_spark.sources import txnlog
 
     (orders,) = _t(spark, sf_dir, "orders")
     root = _path("txnlog_ckpt")
+    # idempotency within one session: a second build (same PID => same
+    # IO_DIR) must not write a fresh commit 0 into the already
+    # checkpointed+vacuumed table — the ck version==2 check below would
+    # fail on leftover state
+    _shutil.rmtree(root, ignore_errors=True)
     txnlog.create_table(
         orders.filter(F.year("o_orderdate") == 1996),
         root,
@@ -963,6 +969,163 @@ def src_txnlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count_distinct("o_orderstatus").alias("n_status"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_txnlog_conflict",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE (year(o_orderdate) IN (1996, 1997)
+           AND o_orderpriority NOT IN ('1-URGENT', '5-LOW'))
+       OR (year(o_orderdate) = 1998 AND o_orderpriority = '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "concurrency",
+)
+def src_txnlog_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency conflict detection (Delta's
+    OptimisticTransaction protocol; gluten-delta surface).  Two
+    deterministic interleavings via the txn's test seam — no sleeps:
+
+    * RETRY path: a delete txn reads version 1, then a DISJOINT append
+      (1998 rows, all '2-HIGH' — manifest stats prove the '1-URGENT'
+      predicate absent) commits first.  The txn must detect the append
+      is conflict-free from stats alone and retry at the next version.
+    * CONFLICT path: a second delete txn plans to rewrite the '5-LOW'
+      files, then a competing delete of the SAME value commits first.
+      The winner's commit removed files the loser's rewrite still
+      references -> ConcurrentWriteError (ConcurrentDeleteDelete), and
+      the loser's staged files are aborted so the table is untouched.
+
+    The final snapshot (both committed deletes applied, the loser's
+    not) is hash-certified against the fixture-derived oracle."""
+    from incubator_gluten_spark.sources import txnlog
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("txnlog_conflict")
+    import shutil as _shutil
+
+    _shutil.rmtree(root, ignore_errors=True)
+    txnlog.create_table(
+        orders.filter(F.year("o_orderdate") == 1996),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    txnlog.append(
+        orders.filter(F.year("o_orderdate") == 1997),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    out = txnlog.txn_delete_where(
+        spark,
+        root,
+        "o_orderpriority",
+        "1-URGENT",
+        _before_commit=lambda: txnlog.append(
+            orders.filter(
+                (F.year("o_orderdate") == 1998)
+                & (F.col("o_orderpriority") == "2-HIGH")
+            ),
+            root,
+            stats_cols=["o_orderpriority"],
+        ),
+    )
+    if out["commit_retries"] != 1:
+        raise RuntimeError(f"disjoint append should retry once: {out}")
+    conflicted = False
+    try:
+        txnlog.txn_delete_where(
+            spark,
+            root,
+            "o_orderpriority",
+            "5-LOW",
+            _before_commit=lambda: txnlog.delete_where(
+                spark, root, "o_orderpriority", "5-LOW"
+            ),
+        )
+    except txnlog.ConcurrentWriteError:
+        conflicted = True
+    if not conflicted:
+        raise RuntimeError("overlapping delete-delete must conflict")
+    snap = txnlog.read_snapshot(spark, root)
+    return snap.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_txnlog_vacuum",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE (year(o_orderdate) IN (1996, 1997) AND o_orderpriority <> '1-URGENT')
+       OR year(o_orderdate) = 1998
+    """,
+    "sources", "lakehouse", "vacuum",
+)
+def src_txnlog_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-file VACUUM with a resolvability retention bound (Delta
+    VACUUM; the log checkpoint draws the boundary).  After create ->
+    append -> COW delete -> checkpoint -> append, the delete's rewritten
+    originals are unreachable from every still-resolvable snapshot;
+    vacuum_data must remove exactly those orphans, keep every referenced
+    file, and time travel to a pre-checkpoint version must now REFUSE
+    (raise) rather than return a half-deleted snapshot.  The surviving
+    latest snapshot is hash-certified against the fixture oracle."""
+    import os as _os
+    import shutil as _shutil
+
+    from incubator_gluten_spark.sources import txnlog
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("txnlog_vacuum")
+    _shutil.rmtree(root, ignore_errors=True)
+    txnlog.create_table(
+        orders.filter(F.year("o_orderdate") == 1996),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    txnlog.append(
+        orders.filter(F.year("o_orderdate") == 1997),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    txnlog.delete_where(spark, root, "o_orderpriority", "1-URGENT")
+    ck = txnlog.checkpoint(root)
+    txnlog.append(
+        orders.filter(F.year("o_orderdate") == 1998),
+        root,
+        stats_cols=["o_orderpriority"],
+    )
+    # log VACUUM up to the checkpoint, then data-file VACUUM
+    for v in range(ck["version"] + 1):
+        _os.remove(_os.path.join(root, "_txnlog", f"{v:08d}.json"))
+    before = len(_os.listdir(_os.path.join(root, "data")))
+    out = txnlog.vacuum_data(root)
+    if out["n_deleted"] == 0:
+        raise RuntimeError(f"COW delete left no vacuum-able orphans: {out}")
+    if before - out["n_deleted"] != out["n_retained"]:
+        raise RuntimeError(f"vacuum accounting is off: {before} vs {out}")
+    try:
+        txnlog.read_snapshot(spark, root, version=1)
+        raise RuntimeError("time travel past retention must raise")
+    except ValueError:
+        pass
+    snap = txnlog.read_snapshot(spark, root)
+    return snap.agg(
+        F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
         .cast("double")
         .alias("total"),

@@ -52,9 +52,25 @@ def commits(root: str) -> list[dict]:
     return out
 
 
+def _newest_checkpoint_version(root: str) -> int:
+    """Version of the newest checkpoint file, -1 if none (filename scan
+    only — no JSON parse)."""
+    vs = [
+        int(os.path.basename(p).split(".")[1])
+        for p in glob.glob(os.path.join(root, _LOG, "_checkpoint.*.json"))
+    ]
+    return max(vs, default=-1)
+
+
 def current_version(root: str) -> int:
+    """Latest committed version — the max over commit files AND
+    checkpoints.  A checkpoint followed by log VACUUM can leave zero
+    commit files; scanning only commits would then restart versioning
+    at 0 and the new commit would sit below the checkpoint, where
+    resolve() never replays it (silent data loss)."""
     cs = commits(root)
-    return cs[-1]["version"] if cs else -1
+    latest_commit = cs[-1]["version"] if cs else -1
+    return max(latest_commit, _newest_checkpoint_version(root))
 
 
 def _latest_checkpoint(root: str, version: int | None) -> dict | None:
@@ -81,20 +97,44 @@ def resolve(root: str, version: int | None = None) -> tuple[list[dict], str]:
     schema = ""
     start = -1
     ck = _latest_checkpoint(root, version)
+    cs = commits(root)
     if ck is not None:
         live = {r["path"]: r for r in ck["live"]}
         schema = ck["schema"]
         start = ck["version"]
-    for c in commits(root):
+    elif cs and cs[0]["version"] != 0:
+        # no checkpoint at or below the requested version, and the log no
+        # longer starts at commit 0: the prefix was vacuumed away.  Delta
+        # raises on time travel past log retention — a silent empty or
+        # partial snapshot would be a wrong answer, not a refusal.
+        raise ValueError(
+            f"cannot reconstruct version {version!r}: commits "
+            f"0..{cs[0]['version'] - 1} were vacuumed (time travel past "
+            "log retention)"
+        )
+    expected = start
+    for c in cs:
         if c["version"] <= start:
             continue
         if version is not None and c["version"] > version:
             break
+        if c["version"] != expected + 1:
+            # a gap INSIDE the replay range means a mid-log commit was
+            # vacuumed — the snapshot would be partial, so refuse
+            raise ValueError(
+                f"cannot reconstruct version {version!r}: commits "
+                f"{expected + 1}..{c['version'] - 1} were vacuumed"
+            )
+        expected = c["version"]
         for rec in c["add"]:
             live[rec["path"]] = rec
         for path in c["remove"]:
             live.pop(path, None)
         schema = c["schema"] or schema
+    if version is not None and expected < version and (cs or ck is not None):
+        raise ValueError(
+            f"version {version} does not exist (latest resolvable: {expected})"
+        )
     return sorted(live.values(), key=lambda r: r["path"]), schema
 
 
@@ -178,6 +218,13 @@ def _commit(
     root: str, version: int, add: list[dict], remove: list[str], schema: str
 ) -> None:
     os.makedirs(os.path.join(root, _LOG), exist_ok=True)
+    ckv = _newest_checkpoint_version(root)
+    if version <= ckv:
+        # resolve() never replays commits at or below the newest
+        # checkpoint, so accepting one would silently drop its data
+        raise ValueError(
+            f"commit version {version} is at or below checkpoint {ckv}"
+        )
     path = _log_path(root, version)
     if os.path.exists(path):
         raise FileExistsError(f"commit {version} already exists (conflict)")
@@ -434,6 +481,142 @@ def append_if_absent(
                 pass
         return False
     return True
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency conflict: a commit that landed after this
+    transaction's read invalidated what it read — the miniature of
+    Delta's ConcurrentDeleteDeleteException / ConcurrentAppendException
+    (gluten-delta surface; Delta OptimisticTransaction conflict check)."""
+
+
+def txn_delete_where(
+    spark: SparkSession,
+    root: str,
+    column: str,
+    value,
+    max_retries: int = 3,
+    _before_commit=None,
+) -> dict:
+    """DELETE WHERE column == value under optimistic concurrency control
+    (Delta's OptimisticTransaction protocol in miniature):
+
+    1. read a snapshot version R and plan the copy-on-write rewrite;
+    2. write the rewritten data files (invisible until committed);
+    3. attempt to commit at the next free version.  Every commit that
+       landed AFTER R is conflict-checked first:
+       * a winner that REMOVED any file this txn plans to rewrite means
+         both transactions rewrote the same rows — raise
+         ConcurrentWriteError (Delta: ConcurrentDeleteDelete);
+       * a winner that ADDED a file whose manifest stats cannot prove the
+         delete predicate absent may hold rows this delete should have
+         covered — raise (Delta: ConcurrentAppend under serializable);
+       * disjoint winners (appends/rewrites this txn never touched, with
+         stats proving predicate disjointness) are safe — bump the target
+         version and retry the commit, up to max_retries.
+
+    ``_before_commit`` is a test seam: called between write and commit so
+    interleavings are deterministic (no sleeps, no real threads needed).
+    Returns the same accounting as delete_where plus ``commit_retries``.
+    """
+    read_version = current_version(root)
+    live, schema = resolve(root)
+    rewrite, skipped = [], []
+    for rec in live:
+        vals = rec.get("stats", {}).get(column)
+        if vals is not None and value not in vals:
+            skipped.append(rec["path"])
+        else:
+            rewrite.append(rec)
+    add: list[dict] = []
+    if rewrite:
+        from pyspark.sql import functions as F
+
+        paths = [os.path.join(root, r["path"]) for r in rewrite]
+        kept = spark.read.parquet(*paths).filter(
+            ~F.col(column).eqNullSafe(F.lit(value))
+        )
+        add = _write_data_files(kept, root, read_version + 1, [column])
+    if _before_commit is not None:
+        _before_commit()
+    our_removes = {r["path"] for r in rewrite}
+    target = read_version + 1
+    retries = 0
+    while True:
+        try:
+            _commit(root, target, add, [r["path"] for r in rewrite], schema)
+            return {
+                "version": target,
+                "files_skipped": len(skipped),
+                "files_rewritten": len(rewrite),
+                "commit_retries": retries,
+            }
+        except FileExistsError:
+            # lost the race: conflict-check every winner since our read
+            # (Delta's checkAndRetry), then re-attempt at the next slot
+            retries += 1
+            if retries > max_retries:
+                _abort_files(root, add)
+                raise ConcurrentWriteError(
+                    f"gave up after {max_retries} commit retries"
+                ) from None
+            for c in commits(root):
+                if c["version"] <= read_version:
+                    continue
+                clobbered = set(c["remove"]) & our_removes
+                if clobbered:
+                    _abort_files(root, add)
+                    raise ConcurrentWriteError(
+                        f"commit {c['version']} rewrote files this delete "
+                        f"also rewrites: {sorted(clobbered)[:3]}"
+                    )
+                for rec in c["add"]:
+                    st = rec.get("stats", {}).get(column)
+                    if st is None or value in st:
+                        _abort_files(root, add)
+                        raise ConcurrentWriteError(
+                            f"commit {c['version']} appended {rec['path']} "
+                            f"whose stats cannot prove {column}={value!r} "
+                            "absent"
+                        )
+            target = current_version(root) + 1
+
+
+def _abort_files(root: str, add: list[dict]) -> None:
+    """Remove a losing transaction's staged data files (never referenced
+    by any commit, so deletion is safe)."""
+    for rec in add:
+        try:
+            os.remove(os.path.join(root, rec["path"]))
+        except OSError:
+            pass
+
+
+def vacuum_data(root: str) -> dict:
+    """Data-file VACUUM with a resolvability retention bound: delete from
+    disk every data file unreachable from ANY still-resolvable snapshot —
+    the newest checkpoint's live set plus everything added by commits
+    after it (no checkpoint = every version resolvable = nothing eligible
+    beyond orphaned uncommitted files).  Delta's VACUUM uses a wall-clock
+    retention; version-resolvability is the same boundary the log
+    checkpoint already draws, and it is deterministic (testable without
+    sleeps).  Time travel to a vacuumed version already raises in
+    resolve(), so a reader can never observe a half-deleted snapshot."""
+    ck = _latest_checkpoint(root, None)
+    referenced: set[str] = set()
+    if ck is not None:
+        referenced |= {r["path"] for r in ck["live"]}
+    start = ck["version"] if ck is not None else -1
+    for c in commits(root):
+        if c["version"] > start or ck is None:
+            referenced |= {rec["path"] for rec in c["add"]}
+    deleted = 0
+    for p in sorted(glob.glob(os.path.join(root, _DATA, "*.parquet"))):
+        rel = f"{_DATA}/{os.path.basename(p)}"
+        if rel not in referenced:
+            os.remove(p)
+            deleted += 1
+    return {"n_deleted": deleted, "n_retained": len(referenced)}
 
 
 def optimize(

@@ -218,7 +218,28 @@ def test_band_sigs_kernel_matches_expression_form(spark, sf_dir):
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
         F.col("vec_id") < 50
     )
+    import numpy as np
+
+    from incubator_gluten_spark.datapipe.similarity import _plane_values
+
     bands, bits = 12, 6
+    # Precondition that makes bit-for-bit parity well-defined: the GEMM
+    # sums float products in a different order than the sequential HOF
+    # aggregate, so a dot within rounding error of zero could flip a
+    # sign bit.  Assert no test vector sits on a sign boundary — then
+    # any remaining divergence is a genuine packing bug, not float
+    # summation order.  (Production never relies on bit parity:
+    # candidates are always re-verified with the exact dot product.)
+    X = np.array(
+        [
+            r.e
+            for r in emb.select(
+                F.col("embedding").cast("array<double>").alias("e")
+            ).collect()
+        ]
+    )
+    planes = np.array(_plane_values(bands * bits, 64))
+    assert np.abs(X @ planes.T).min() > 1e-9, "fixture vector on sign boundary"
     kern = {
         (r.vec_id, r.band, r.sig)
         for r in emb.select(
@@ -384,3 +405,89 @@ def test_simhash_kernel_matches_expression_form(spark, sf_dir):
     ).collect()
     bad = [(r.doc_id, r.expr_sh, r.kern_sh) for r in both if r.expr_sh != r.kern_sh]
     assert not bad, bad[:5]
+
+
+def test_kernels_propagate_null_rows(spark):
+    """NULL input rows must yield NULL outputs from every numpy kernel —
+    the expression forms they replaced all propagated NULL, and a corpus
+    with a single NULL text/embedding must not fail the whole job
+    (regression: np.asarray(None)/np.vstack over None raised TypeError
+    inside the UDF, killing the stage)."""
+    from incubator_gluten_spark.datapipe.dedup import simhash_kernel, token_hashes
+    from incubator_gluten_spark.datapipe.similarity import (
+        _argmin_centroid_kernel,
+        band_sigs_kernel,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "hello world near dup"), (1, None), (2, "another doc"), (3, None)],
+        "id int, text string",
+    )
+    sh = {
+        r.id: r.sh
+        for r in docs.select(
+            "id", simhash_kernel()(token_hashes(F.col("text"))).alias("sh")
+        ).collect()
+    }
+    assert sh[1] is None and sh[3] is None
+    assert sh[0] is not None and sh[2] is not None
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, None), (2, [0.75] * 64)],
+        "id int, v array<double>",
+    )
+    sigs = {
+        r.id: r.s
+        for r in vecs.select(
+            "id", band_sigs_kernel(4, 4)(F.col("v")).alias("s")
+        ).collect()
+    }
+    assert sigs[1] is None and sigs[0] is not None and len(sigs[0]) == 4
+    # scaling a vector never changes its sign pattern
+    assert sigs[0] == sigs[2]
+
+    C = [[0.0] * 64, [1.0] * 64]
+    asg = {
+        r.id: r.c
+        for r in vecs.select(
+            "id", _argmin_centroid_kernel(C)("v").alias("c")
+        ).collect()
+    }
+    assert asg == {0: 1, 1: None, 2: 1}
+
+
+def test_lsh_adaptive_r_is_subquadratic(spark, sf_dir):
+    """Pin the MEASURED sizing law (tools/lsh_scaling.py; SCALE.md
+    table): growing band width with the corpus
+    (r ~ log2(n/target_bucket)) keeps verify-stage candidate volume
+    sub-quadratic, while a fixed r=3 stays essentially quadratic (64x
+    per 8x n).  Two corpus sizes, 8x apart, built from decorrelated
+    sign-flipped copies of the fixture vectors (deterministic)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.lsh_scaling import candidate_pairs, tiled_corpus
+
+    from incubator_gluten_spark.datapipe.similarity import lsh_params_for
+
+    counts = {}
+    for n in (2000, 16000):
+        corpus = tiled_corpus(spark, sf_dir, n).cache()
+        assert corpus.count() == n
+        b_a, r_a = lsh_params_for(0.85, 1e-9, n_rows=n, target_bucket=1)
+        b_f, r_f = lsh_params_for(0.85, 1e-9)  # fixture default: r=3
+        counts[n] = {
+            "adaptive": candidate_pairs(spark, corpus, b_a, r_a),
+            "fixed": candidate_pairs(spark, corpus, b_f, r_f),
+        }
+        corpus.unpersist()
+    adaptive_growth = counts[16000]["adaptive"] / max(counts[2000]["adaptive"], 1)
+    fixed_growth = counts[16000]["fixed"] / max(counts[2000]["fixed"], 1)
+    # quadratic would be 64x per 8x n; the adaptive path must sit well
+    # below it and the fixed path essentially AT it (the honest law)
+    assert adaptive_growth < 32, (adaptive_growth, counts)
+    assert fixed_growth > 48, (fixed_growth, counts)
+    # bucket sparseness: adaptive per-row candidate load stays bounded
+    # (hundreds), fixed r=3 is already thousands per row at n=16k
+    assert counts[16000]["adaptive"] / 16000 < 2000, counts
+    assert counts[16000]["fixed"] / 16000 > 10000, counts

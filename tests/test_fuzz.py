@@ -893,7 +893,17 @@ def test_random_try_arithmetic_checked(spark, duck, sf_dir, a, b, d):
     if d == 0:
         assert got.q is None, ("div0", a, got.q)
     else:
-        assert got.q == a / d, ("div", a, d, got.q)
+        # Documented divergence class (found BY this property, r6):
+        # Spark's try_divide(bigint, bigint) casts BOTH operands to
+        # double FIRST and then divides; Python's a / d divides the
+        # exact rationals and rounds once at the end.  For |a| > 2^53
+        # the two round differently by 1 ulp (e.g. a=17958117978721733,
+        # d=3 -> Spark 5986039326240577.0, Python ...78.0).  The oracle
+        # must mirror the cast-then-divide order; within the
+        # float-exact domain the comparison stays exact.
+        assert got.q == float(a) / float(d), ("div", a, d, got.q)
+        if abs(a) <= 2**53:
+            assert got.q == a / d, ("div-exact", a, d, got.q)
 
 
 @given(
@@ -1003,3 +1013,165 @@ def test_random_multicol_distinct_matches_oracle(spark, duck, sf_dir, c1, c2, k,
     ).fetchall()[0]
     assert got.nd == want[0], (c1, c2, k, cut, got.nd, want)
     assert got.sd == want[1] and got.n == want[2], (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Reference-documented divergence classes (docs/velox-backend-limitations.md
+# names "Regexp functions" — RE2 vs java.util.regex — and timezone handling
+# as the places the reference's native engine diverges from vanilla Spark).
+# This build runs Spark's own JVM semantics, so the differential oracles are
+# DuckDB's RE2 (the same engine class Velox uses) and Python zoneinfo (IANA
+# ground truth): agreement pins the portable subset, and the generators stay
+# inside it BY CONSTRUCTION (documented below) the way the frame-tie and
+# try_divide findings documented theirs.
+
+
+@st.composite
+def regex_pattern(draw):
+    """Patterns from the Java/RE2-portable subset: literals, ASCII char
+    classes, \\d, non-capturing alternation of fixed words — quantified
+    by '', '+', or '{1,2}' only.  Deliberately EXCLUDED (the documented
+    divergence surface): backreferences and lookaround (absent from RE2
+    entirely), possessive/reluctant quantifiers, \\p classes, and any
+    atom that can match EMPTY ('*', '?') — empty-match replacement
+    positions are where global-replace semantics drift between engines."""
+    atoms = []
+    for i in range(draw(st.integers(min_value=1, max_value=3))):
+        kind = draw(st.sampled_from(["lit", "cls", "dig", "alt"]))
+        if kind == "lit":
+            a = draw(st.sampled_from(list("aeiorstn")))
+        elif kind == "cls":
+            lo = draw(st.sampled_from("abcdef"))
+            a = f"[{lo}-{chr(ord(lo) + draw(st.integers(min_value=3, max_value=12)))}]"
+        elif kind == "dig":
+            a = r"\d"
+        else:
+            w1 = draw(st.sampled_from(["the", "and", "ing", "er"]))
+            w2 = draw(st.sampled_from(["on", "es", "ed"]))
+            a = f"(?:{w1}|{w2})"
+        q = draw(st.sampled_from(["", "", "+", "{1,2}"]))
+        atoms.append(a + q)
+    return draw(st.sampled_from(["", "", "^"])) + "".join(atoms)
+
+
+@given(pat=regex_pattern())
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_regex_matches_re2_oracle(spark, duck, sf_dir, pat):
+    """rlike / regexp_extract / regexp_replace vs DuckDB's RE2 on the
+    documents corpus: same match decision, same first-match group-1
+    extract, same global-replace result length, row for row."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 300
+    )
+    gpat = f"({pat})"
+    srows = sorted(
+        (r.doc_id, r.m, r.ex, r.rl)
+        for r in docs.select(
+            "doc_id",
+            F.col("text").rlike(pat).alias("m"),
+            F.regexp_extract("text", gpat, 1).alias("ex"),
+            F.length(F.regexp_replace("text", pat, "X")).alias("rl"),
+        ).collect()
+    )
+    drows = sorted(
+        (d, m, e, rl)
+        for d, m, e, rl in duck.execute(
+            """
+            SELECT doc_id, regexp_matches(text, ?) AS m,
+                   regexp_extract(text, ?, 1) AS ex,
+                   CAST(length(regexp_replace(text, ?, 'X', 'g')) AS INT)
+                     AS rl
+            FROM documents WHERE doc_id < 300
+            """,
+            [pat, gpat, pat],
+        ).fetchall()
+    )
+    assert srows == drows, (pat, srows[:3], drows[:3])
+
+
+_TZ_ZONES = [
+    "America/New_York",
+    "Europe/Berlin",
+    "Australia/Sydney",
+    "Asia/Kolkata",       # half-hour offset, no DST
+    "America/Sao_Paulo",  # abolished DST in 2019 — historical rules
+]
+# UTC instants of real DST transitions (spring-forward AND fall-back in
+# three hemispheres); the generator samples a +/-2h window around each,
+# so every example set straddles gap and overlap wall times.
+_TZ_EDGES = [
+    1710054000,  # 2024-03-10 07:00Z  US spring forward
+    1730613600,  # 2024-11-03 06:00Z  US fall back
+    1711846800,  # 2024-03-31 01:00Z  EU spring forward
+    1729990800,  # 2024-10-27 01:00Z  EU fall back
+    1712419200,  # 2024-04-06 16:00Z  Sydney fall back
+    1728144000,  # 2024-10-05 16:00Z  Sydney spring forward
+]
+
+
+@given(
+    zone=st.sampled_from(_TZ_ZONES),
+    edge=st.sampled_from(_TZ_EDGES),
+    deltas=st.lists(
+        st.integers(min_value=-7200, max_value=7200), min_size=4, max_size=8
+    ),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_timezone_dst_roundtrips(spark, duck, sf_dir, zone, edge, deltas):
+    """from_utc_timestamp wall times, date_trunc('hour'), and the
+    to_utc_timestamp round-trip across real DST transitions, oracled by
+    Python zoneinfo (IANA tzdata ground truth — sidesteps any DuckDB
+    timezone-extension differences):
+
+    * the wall time Spark computes must equal zoneinfo's, always;
+    * truncation happens on the WALL clock, not the instant;
+    * the round-trip must restore the original instant EXCEPT for wall
+      times inside a fall-back overlap, which have two legitimate UTC
+      preimages (fold 0/1) — Spark must pick one of them.  That carve-out
+      IS the documented divergence: engines legitimately differ on which
+      preimage (java.time picks the earlier offset), so the property pins
+      membership, not the choice."""
+    from datetime import datetime, timezone
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(zone)
+    epochs = sorted({edge + d for d in deltas})
+    sdf = spark.createDataFrame([(e,) for e in epochs], "epoch bigint").select(
+        "epoch",
+        F.from_utc_timestamp(F.timestamp_seconds(F.col("epoch")), zone).alias(
+            "wall"
+        ),
+        F.date_trunc(
+            "hour",
+            F.from_utc_timestamp(F.timestamp_seconds(F.col("epoch")), zone),
+        ).alias("wall_hr"),
+        F.to_utc_timestamp(
+            F.from_utc_timestamp(F.timestamp_seconds(F.col("epoch")), zone),
+            zone,
+        ).alias("rt"),
+    )
+    for r in sdf.collect():
+        want_wall = datetime.fromtimestamp(r.epoch, tz).replace(tzinfo=None)
+        assert r.wall == want_wall, (zone, r.epoch, r.wall, want_wall)
+        assert r.wall_hr == want_wall.replace(
+            minute=0, second=0, microsecond=0
+        ), (zone, r.epoch)
+        # legitimate UTC preimages of this wall time (fold 0 and 1)
+        preimages = {
+            want_wall.replace(tzinfo=tz, fold=f).timestamp() for f in (0, 1)
+        }
+        rt_epoch = r.rt.replace(tzinfo=timezone.utc).timestamp()
+        assert rt_epoch in preimages, (
+            zone,
+            r.epoch,
+            rt_epoch,
+            preimages,
+        )

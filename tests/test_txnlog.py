@@ -280,3 +280,192 @@ def test_checkpoint_survives_log_vacuum(spark, tmp_path):
     # time travel to a pre-checkpoint version is no longer served by
     # replay (commit 0 is gone) but the checkpoint at v1 still answers v1
     assert txnlog.read_snapshot(spark, root, 1).count() == 3
+
+
+def test_append_after_checkpoint_vacuum_keeps_data(spark, tmp_path):
+    """Silent-data-loss regression: after checkpoint + log VACUUM of
+    every commit (no suffix commit), the next append must version itself
+    ABOVE the checkpoint — a current_version() that only scans commit
+    files restarted at 0, committed below the checkpoint, and resolve()
+    silently skipped the new rows."""
+    root = str(tmp_path / "txnlog_ckpt_append")
+    txnlog.create_table(
+        spark.createDataFrame([(1, "a")], "k bigint, tag string"), root
+    )
+    txnlog.append(spark.createDataFrame([(2, "b")], "k bigint, tag string"), root)
+    ck = txnlog.checkpoint(root)
+    assert ck["version"] == 1
+    for v in (0, 1):
+        os.remove(os.path.join(root, "_txnlog", f"{v:08d}.json"))
+    assert txnlog.current_version(root) == 1
+    txnlog.append(spark.createDataFrame([(3, "c")], "k bigint, tag string"), root)
+    assert txnlog.current_version(root) == 2
+    assert sorted(
+        r.k for r in txnlog.read_snapshot(spark, root).collect()
+    ) == [1, 2, 3]
+
+
+def test_commit_below_checkpoint_refused(spark, tmp_path):
+    root = str(tmp_path / "txnlog_ckpt_refuse")
+    txnlog.create_table(
+        spark.createDataFrame([(1, "a")], "k bigint, tag string"), root
+    )
+    txnlog.checkpoint(root)
+    with pytest.raises(ValueError, match="checkpoint"):
+        txnlog._commit(root, 0, [], [], "dummy")
+
+
+def test_time_travel_past_retention_raises(spark, tmp_path):
+    """Delta raises on time travel past log retention; a silent empty or
+    partial snapshot is a wrong answer, not a refusal."""
+    root = str(tmp_path / "txnlog_retention")
+    txnlog.create_table(
+        spark.createDataFrame([(1, "a")], "k bigint, tag string"), root
+    )
+    txnlog.append(spark.createDataFrame([(2, "b")], "k bigint, tag string"), root)
+    txnlog.append(spark.createDataFrame([(3, "c")], "k bigint, tag string"), root)
+    ck = txnlog.checkpoint(root)
+    assert ck["version"] == 2
+    txnlog.append(spark.createDataFrame([(4, "d")], "k bigint, tag string"), root)
+    for v in (0, 1, 2):
+        os.remove(os.path.join(root, "_txnlog", f"{v:08d}.json"))
+    # versions strictly below the checkpoint are unreconstructable
+    for gone in (0, 1):
+        with pytest.raises(ValueError, match="vacuum|retention"):
+            txnlog.resolve(root, gone)
+    # the checkpointed version and everything after still resolve
+    assert txnlog.read_snapshot(spark, root, 2).count() == 3
+    assert txnlog.read_snapshot(spark, root).count() == 4
+    # a mid-log gap (vacuumed commit INSIDE the replay range) also raises
+    txnlog.append(spark.createDataFrame([(5, "e")], "k bigint, tag string"), root)
+    os.remove(os.path.join(root, "_txnlog", f"{3:08d}.json"))
+    with pytest.raises(ValueError, match="vacuum"):
+        txnlog.resolve(root)
+
+
+def test_nonexistent_version_raises(spark, tmp_path):
+    root = str(tmp_path / "txnlog_noversion")
+    txnlog.create_table(
+        spark.createDataFrame([(1, "a")], "k bigint, tag string"), root
+    )
+    with pytest.raises(ValueError, match="does not exist"):
+        txnlog.resolve(root, 7)
+
+
+def test_txn_delete_retries_past_disjoint_append(spark, tmp_path):
+    """Optimistic concurrency, safe interleaving: a concurrent append
+    whose manifest stats prove the delete predicate absent must NOT
+    conflict — the txn retries at the next version and both commits
+    survive."""
+    root = str(tmp_path / "txnlog_txn_retry")
+    txnlog.create_table(
+        spark.createDataFrame(
+            [(1, "hot"), (2, "cold"), (3, "hot")], "k bigint, temp string"
+        ),
+        root,
+        stats_cols=["temp"],
+    )
+    out = txnlog.txn_delete_where(
+        spark,
+        root,
+        "temp",
+        "hot",
+        _before_commit=lambda: txnlog.append(
+            spark.createDataFrame([(9, "mild")], "k bigint, temp string"),
+            root,
+            stats_cols=["temp"],
+        ),
+    )
+    assert out["commit_retries"] == 1
+    rows = sorted(
+        (r.k, r.temp) for r in txnlog.read_snapshot(spark, root).collect()
+    )
+    assert rows == [(2, "cold"), (9, "mild")]
+
+
+def test_txn_delete_conflicts_with_overlapping_delete(spark, tmp_path):
+    """Optimistic concurrency, conflicting interleaving: the winner
+    rewrote files the loser's rewrite still references -> the loser must
+    raise (Delta ConcurrentDeleteDelete) and abort its staged files, and
+    the table must reflect only the winner."""
+    import glob as _glob
+
+    root = str(tmp_path / "txnlog_txn_conflict")
+    txnlog.create_table(
+        spark.createDataFrame(
+            [(1, "hot"), (2, "cold"), (3, "hot")], "k bigint, temp string"
+        ),
+        root,
+        stats_cols=["temp"],
+    )
+    with pytest.raises(txnlog.ConcurrentWriteError, match="rewrote"):
+        txnlog.txn_delete_where(
+            spark,
+            root,
+            "temp",
+            "hot",
+            _before_commit=lambda: txnlog.delete_where(spark, root, "temp", "hot"),
+        )
+    rows = sorted(
+        (r.k, r.temp) for r in txnlog.read_snapshot(spark, root).collect()
+    )
+    assert rows == [(2, "cold")]
+    # the loser's staged files were aborted: every on-disk data file is
+    # referenced by some commit
+    referenced = set()
+    for c in txnlog.commits(root):
+        referenced |= {rec["path"] for rec in c["add"]}
+    on_disk = {
+        f"data/{os.path.basename(p)}"
+        for p in _glob.glob(os.path.join(root, "data", "*.parquet"))
+    }
+    assert on_disk <= referenced
+
+
+def test_txn_delete_conflicts_with_stats_blind_append(spark, tmp_path):
+    """A concurrent append carrying NO stats for the predicate column
+    cannot be proven disjoint -> conflict (Delta ConcurrentAppend under
+    serializable isolation)."""
+    root = str(tmp_path / "txnlog_txn_blind")
+    txnlog.create_table(
+        spark.createDataFrame([(1, "hot"), (2, "cold")], "k bigint, temp string"),
+        root,
+        stats_cols=["temp"],
+    )
+    with pytest.raises(txnlog.ConcurrentWriteError, match="stats"):
+        txnlog.txn_delete_where(
+            spark,
+            root,
+            "temp",
+            "hot",
+            _before_commit=lambda: txnlog.append(
+                spark.createDataFrame([(9, "hot")], "k bigint, temp string"),
+                root,  # no stats_cols: stats-blind append
+            ),
+        )
+
+
+def test_vacuum_data_deletes_only_unreachable(spark, tmp_path):
+    """vacuum_data removes exactly the data files unreachable from every
+    still-resolvable snapshot; resolvable time travel keeps working and
+    the vacuumed version now refuses."""
+    root = str(tmp_path / "txnlog_vacuum_unit")
+    txnlog.create_table(
+        spark.createDataFrame(
+            [(1, "hot"), (2, "cold"), (3, "hot")], "k bigint, temp string"
+        ),
+        root,
+        stats_cols=["temp"],
+    )
+    txnlog.delete_where(spark, root, "temp", "hot")
+    # no checkpoint yet: every version resolvable -> vacuum is a no-op
+    assert txnlog.vacuum_data(root)["n_deleted"] == 0
+    assert txnlog.read_snapshot(spark, root, 0).count() == 3
+    ck = txnlog.checkpoint(root)
+    for v in range(ck["version"] + 1):
+        os.remove(os.path.join(root, "_txnlog", f"{v:08d}.json"))
+    out = txnlog.vacuum_data(root)
+    assert out["n_deleted"] > 0
+    # latest snapshot intact after physical deletion
+    rows = sorted(r.k for r in txnlog.read_snapshot(spark, root).collect())
+    assert rows == [2]
