@@ -1152,6 +1152,35 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(back)
 
 
+@q("src_avro_roundtrip", _LI_AGG_ORACLE, "source", "avro", "write")
+def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro container write + schema-inferred read-back through the
+    pure-Python codec (sources/avro.py — the spark-avro module jar is
+    absent, probed every round; the reference keeps Avro on its V1
+    source list, backends-velox MiscOperatorSuite.scala:64).  The write
+    runs the two-phase-commit Python DataSource sink (deflate codec,
+    per-task container files), the read lists the directory into one
+    partition per file and infers the Spark schema from the embedded
+    writer schema, and the agg hash-matching the parquet oracle proves
+    the binary encoding round-trips every value.  Format fidelity is
+    separately interop-pinned against the Apache Avro JVM library in
+    tests/test_avro.py.  Like the other pyds entries this is API/format
+    surface — per-row Python decode, demo-grade, excluded from perf
+    claims."""
+    import shutil
+
+    from incubator_gluten_spark.sources.avro import register_avro_datasource
+
+    register_avro_datasource(spark)
+    p = _path("avro_roundtrip")
+    shutil.rmtree(p, ignore_errors=True)
+    _li_subset(spark, sf_dir).write.format("graft_avro").mode("append").option(
+        "path", p
+    ).save()
+    back = spark.read.format("graft_avro").option("path", p).load()
+    return _agg(back)
+
+
 @q("src_python_datasink", _LI_AGG_ORACLE, "source", "pyds", "write")
 def src_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python DataSource WRITER (Spark 4, SPARK-45600 family): the
