@@ -1152,6 +1152,62 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(back)
 
 
+@q(
+    "src_delta_wire",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+      AND o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake WIRE FORMAT (sources/delta_protocol.py — the public
+    PROTOCOL.md log on disk, not the txnlog analog): create a table
+    PARTITIONED by o_orderpriority (partition values live in the log's
+    add.partitionValues, data files do NOT contain the column — verified
+    here), append a second year, COW-delete one partition (the
+    partition-equality predicate prunes every other partition's files
+    from the rewrite via the log alone), then read the latest snapshot
+    back with the reader re-injecting typed partition values.  The agg
+    hash-matching the fixture oracle certifies the whole log replay +
+    partition-reinjection path.  gluten-delta/ ships this as a jar
+    module; the jar is absent, the format is public."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_wire")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    out = dp.delete_where(spark, root, "o_orderpriority = '1-URGENT'")
+    if out["files_skipped"] == 0:
+        raise RuntimeError(f"partition pruning never fired: {out}")
+    snap = dp.resolve(spark, root)
+    sample = spark.read.parquet(os.path.join(root, snap.adds[0]["path"]))
+    if "o_orderpriority" in sample.columns:
+        raise RuntimeError("partition column leaked into a data file")
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
 @q("src_avro_roundtrip", _LI_AGG_ORACLE, "source", "avro", "write")
 def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro container write + schema-inferred read-back through the
