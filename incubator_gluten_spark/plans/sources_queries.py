@@ -1208,6 +1208,71 @@ def src_delta_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "src_iceberg_wire",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg TABLE FORMAT (sources/iceberg_format.py — the
+    public spec v1 on disk: version-hint -> metadata JSON -> manifest
+    list Avro -> manifest Avro -> parquet, with both Avro layers through
+    this repo's own container codec).  Create a table identity-
+    partitioned by o_orderpriority, append a second snapshot, then scan
+    TWO partitions via metadata-only planning — plan_files must prune
+    strictly from the manifests' partition tuples (asserted) before any
+    parquet is opened, the property that makes Iceberg reads
+    O(manifests) at 100 TB.  The agg hash-matching the fixture oracle
+    certifies snapshot resolution + manifest decode + pruned scan end
+    to end.  gluten-iceberg/IcebergScanTransformer.scala:44 is the jar
+    module this replaces; interop of the Avro layers is pinned against
+    the Apache Avro JVM library in tests/test_iceberg_format.py."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_wire")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ice.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    ice.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    n_all = len(ice.plan_files(root))
+    pruned = ice.plan_files(
+        root, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    if not (0 < len(pruned) < n_all):
+        raise RuntimeError(
+            f"manifest pruning never fired: {len(pruned)}/{n_all}"
+        )
+    urgent = ice.read_table(
+        spark, root, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    high = ice.read_table(
+        spark, root, partition_filter={"o_orderpriority": "2-HIGH"}
+    )
+    return urgent.unionByName(high).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
 @q("src_avro_roundtrip", _LI_AGG_ORACLE, "source", "avro", "write")
 def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro container write + schema-inferred read-back through the

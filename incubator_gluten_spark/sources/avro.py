@@ -90,7 +90,9 @@ def _read_bytes(buf: io.BytesIO) -> bytes:
 
 
 def _field_codec(avro_type):
-    """(encode(out, v), decode(buf) -> v) pair for one Avro type node."""
+    """(encode(out, v), decode(buf) -> v) pair for one Avro type node.
+    Nested records encode/decode as dicts; arrays as lists; maps as
+    dicts; the full complex-type set the Iceberg manifest schemas use."""
     if isinstance(avro_type, list):  # union — only ["null", T] supported
         if len(avro_type) != 2 or "null" not in avro_type:
             raise ValueError(f"unsupported union: {avro_type}")
@@ -112,7 +114,80 @@ def _field_codec(avro_type):
 
         return enc, dec
     if isinstance(avro_type, dict):
-        avro_type = avro_type["type"]
+        kind = avro_type["type"]
+        if kind == "record":
+            names = [f["name"] for f in avro_type["fields"]]
+            codecs = [_field_codec(f["type"]) for f in avro_type["fields"]]
+
+            def enc_rec(out, v):
+                for name, (e, _) in zip(names, codecs):
+                    e(out, v[name])
+
+            def dec_rec(buf):
+                return {name: d(buf) for name, (_, d) in zip(names, codecs)}
+
+            return enc_rec, dec_rec
+        if kind == "array":
+            enc_i, dec_i = _field_codec(avro_type["items"])
+
+            def enc_arr(out, v):
+                if v:
+                    out += _zigzag_encode(len(v))
+                    for item in v:
+                        enc_i(out, item)
+                out += _zigzag_encode(0)
+
+            def dec_arr(buf):
+                items = []
+                while True:
+                    n = _zigzag_decode(buf)
+                    if n == 0:
+                        return items
+                    if n < 0:
+                        _zigzag_decode(buf)  # spec: byte size follows
+                        n = -n
+                    for _ in range(n):
+                        items.append(dec_i(buf))
+
+            return enc_arr, dec_arr
+        if kind == "map":
+            enc_v, dec_v = _field_codec(avro_type["values"])
+
+            def enc_map(out, v):
+                if v:
+                    out += _zigzag_encode(len(v))
+                    for k, item in v.items():
+                        _write_bytes(out, str(k).encode("utf-8"))
+                        enc_v(out, item)
+                out += _zigzag_encode(0)
+
+            def dec_map(buf):
+                m = {}
+                while True:
+                    n = _zigzag_decode(buf)
+                    if n == 0:
+                        return m
+                    if n < 0:
+                        _zigzag_decode(buf)
+                        n = -n
+                    for _ in range(n):
+                        k = _read_bytes(buf).decode("utf-8")
+                        m[k] = dec_v(buf)
+
+            return enc_map, dec_map
+        if kind == "fixed":
+            size = avro_type["size"]
+            return (
+                lambda out, v: out.__iadd__(bytes(v))
+            ), lambda buf: buf.read(size)
+        if kind == "enum":
+            symbols = avro_type["symbols"]
+            return (
+                lambda out, v: out.__iadd__(
+                    _zigzag_encode(symbols.index(v))
+                )
+            ), lambda buf: symbols[_zigzag_decode(buf)]
+        avro_type = kind
     if avro_type in ("long", "int"):
         return (lambda out, v: out.__iadd__(_zigzag_encode(int(v)))), _zigzag_decode
     if avro_type == "double":

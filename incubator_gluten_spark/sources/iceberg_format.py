@@ -1,0 +1,503 @@
+"""Apache Iceberg TABLE FORMAT reader/writer (no jar needed).
+
+The reference ships Iceberg scans as a separate jar module
+(gluten-iceberg/src/main/scala/org/apache/gluten/execution/
+IcebergScanTransformer.scala:44) that this container lacks.  Like
+``delta_protocol.py``, this module implements the PUBLIC Iceberg Table
+Spec v1 (iceberg.apache.org/spec) directly:
+
+* ``metadata/version-hint.text`` -> ``metadata/vN.metadata.json`` (table
+  uuid, Iceberg schema JSON with field-ids, identity partition specs,
+  snapshot list with operation summaries),
+* snapshot -> manifest-list AVRO -> manifest AVRO -> parquet data files,
+  both Avro layers written/read by this repo's own pure-Python container
+  codec (``sources/avro.py``) with the spec's record/array/map schemas,
+* manifest entries carry status (ADDED/EXISTING/DELETED), per-file
+  record counts and the identity-transform partition tuple — which is
+  what makes SCAN PLANNING a metadata-only operation: a partition
+  predicate prunes data files from the manifests alone, no file listing,
+  no footer reads.
+
+Scale note: this is the property that matters at 100 TB — an Iceberg
+read plans from O(manifests) metadata, and this reader does exactly
+that (``plan_files`` touches only Avro metadata; the data scan is a
+plain pruned parquet read).  Snapshots are immutable; time travel =
+resolving an older snapshot-id from the same metadata JSON.
+
+The two Avro layers are interop-pinned in tests: manifests written here
+are parsed by the official Apache Avro JVM library, and a manifest
+written BY that library is read back by this reader — so the bytes are
+spec-Avro, not a private dialect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.sources.avro import read_container, write_container
+
+ADDED, EXISTING, DELETED = 1, 0, 2
+
+_SPARK_TO_ICE = {
+    "bigint": "long",
+    "long": "long",
+    "int": "int",
+    "integer": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+}
+_ICE_TO_SPARK = {v: k for k, v in _SPARK_TO_ICE.items() if k != "long"}
+_ICE_TO_AVRO = {
+    "long": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+    "date": "int",
+}
+
+
+def _meta_dir(root: str) -> str:
+    return os.path.join(root, "metadata")
+
+
+def _iceberg_schema(df_schema) -> dict:
+    fields = []
+    for i, f in enumerate(df_schema.fields, start=1):
+        t = _SPARK_TO_ICE.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(f"unsupported type: {f.dataType.simpleString()}")
+        fields.append(
+            {"id": i, "name": f.name, "required": not f.nullable, "type": t}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}
+
+
+def spark_ddl_for(ice_schema: dict) -> str:
+    cols = []
+    for f in ice_schema["fields"]:
+        cols.append(f"{f['name']} {_ICE_TO_SPARK.get(f['type'], f['type'])}")
+    return ", ".join(cols)
+
+
+def _partition_spec(ice_schema: dict, partition_cols: list[str]) -> dict:
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+    fields = []
+    for i, col in enumerate(partition_cols):
+        fields.append(
+            {
+                "name": col,
+                "transform": "identity",
+                "source-id": by_name[col]["id"],
+                "field-id": 1000 + i,
+            }
+        )
+    return {"spec-id": 0, "fields": fields}
+
+
+def _partition_avro_schema(ice_schema: dict, spec: dict) -> dict:
+    by_id = {f["id"]: f for f in ice_schema["fields"]}
+    fields = []
+    for pf in spec["fields"]:
+        ice_t = by_id[pf["source-id"]]["type"]
+        fields.append(
+            {
+                "name": pf["name"],
+                "type": ["null", _ICE_TO_AVRO[ice_t]],
+                "field-id": pf["field-id"],
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _manifest_entry_schema(partition_schema: dict) -> dict:
+    """manifest_entry record, Iceberg spec v1 required fields."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+            {
+                "name": "data_file",
+                "field-id": 2,
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string", "field-id": 100},
+                        {
+                            "name": "file_format",
+                            "type": "string",
+                            "field-id": 101,
+                        },
+                        {
+                            "name": "partition",
+                            "type": partition_schema,
+                            "field-id": 102,
+                        },
+                        {
+                            "name": "record_count",
+                            "type": "long",
+                            "field-id": 103,
+                        },
+                        {
+                            "name": "file_size_in_bytes",
+                            "type": "long",
+                            "field-id": 104,
+                        },
+                        {
+                            "name": "block_size_in_bytes",
+                            "type": "long",
+                            "field-id": 105,
+                        },
+                    ],
+                },
+            },
+        ],
+    }
+
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {
+            "name": "added_snapshot_id",
+            "type": ["null", "long"],
+            "field-id": 503,
+        },
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# metadata resolution
+
+
+def _current_metadata(root: str) -> dict:
+    hint = os.path.join(_meta_dir(root), "version-hint.text")
+    with open(hint) as f:
+        v = int(f.read().strip())
+    with open(os.path.join(_meta_dir(root), f"v{v}.metadata.json")) as f:
+        return json.load(f)
+
+
+def _resolve_path(root: str, p: str) -> str:
+    return p if os.path.isabs(p) else os.path.join(root, p)
+
+
+def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
+    snaps = meta.get("snapshots", [])
+    if not snaps:
+        raise ValueError("table has no snapshots")
+    if snapshot_id is None:
+        snapshot_id = meta["current-snapshot-id"]
+    for s in snaps:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise ValueError(
+        f"snapshot {snapshot_id} not found "
+        f"(have: {[s['snapshot-id'] for s in snaps]})"
+    )
+
+
+def plan_files(
+    root: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, Any] | None = None,
+) -> list[dict]:
+    """Metadata-only scan planning: snapshot -> manifest list -> manifest
+    entries, identity-partition predicate applied from the manifest's
+    partition tuples — no data-file listing or footer reads.  Returns the
+    live data_file dicts (status != DELETED)."""
+    meta = _current_metadata(root)
+    snap = _snapshot(meta, snapshot_id)
+    files: list[dict] = []
+    for mf in read_container(_resolve_path(root, snap["manifest-list"])):
+        manifest_path = _resolve_path(root, mf[0])
+        for status, _snap_id, data_file in read_container(manifest_path):
+            if status == DELETED:
+                continue
+            part = data_file.get("partition") or {}
+            if partition_filter and any(
+                part.get(k) != v for k, v in partition_filter.items()
+            ):
+                continue
+            files.append(data_file)
+    return sorted(files, key=lambda d: d["file_path"])
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict[str, Any] | None = None,
+) -> DataFrame:
+    meta = _current_metadata(root)
+    schemas = meta.get("schemas") or [meta["schema"]]
+    by_id = {s.get("schema-id", 0): s for s in schemas}
+    snap = _snapshot(meta, snapshot_id)
+    schema = by_id.get(snap.get("schema-id", 0), schemas[-1])
+    ddl = spark_ddl_for(schema)
+    files = plan_files(root, snapshot_id, partition_filter)
+    if not files:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(
+        *[_resolve_path(root, f["file_path"]) for f in files]
+    )
+
+
+def history(root: str) -> list[dict]:
+    meta = _current_metadata(root)
+    out = []
+    for s in meta.get("snapshots", []):
+        n_rows = sum(f["record_count"] for f in plan_files(root, s["snapshot-id"]))
+        out.append(
+            {
+                "snapshot_id": s["snapshot-id"],
+                "operation": s.get("summary", {}).get("operation"),
+                "n_rows": n_rows,
+            }
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# writer
+
+
+def _write_data_files(
+    spark: SparkSession, df: DataFrame, root: str, partition_cols: list[str]
+) -> list[dict]:
+    """Parquet data files (Iceberg data files CONTAIN all columns,
+    including identity-partition ones — unlike Delta) + their manifest
+    data_file dicts with identity partition tuples."""
+    token = uuid.uuid4().hex[:8]
+    staging = os.path.join(root, f"_staging_{token}")
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    import pyarrow.parquet as pq
+
+    data_files = []
+    data_dir = os.path.join(root, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    for dirpath, _, names in os.walk(staging):
+        pvals: dict[str, str] = {}
+        rel_dir = os.path.relpath(dirpath, staging)
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvals[k] = v
+        for name in sorted(n for n in names if n.endswith(".parquet")):
+            src = os.path.join(dirpath, name)
+            n_rows = pq.read_metadata(src).num_rows
+            if n_rows == 0:
+                continue
+            rel = f"data/{token}-{len(data_files):04d}.parquet"
+            if partition_cols:
+                # partition columns are stripped by partitionBy: rewrite
+                # the file WITH them (spec: identity values also live in
+                # the data file)
+                import pyarrow as pa
+
+                table = pq.read_table(src)
+                for col, val in pvals.items():
+                    field = df.schema[col].dataType.simpleString()
+                    arr = pa.array(
+                        [val] * n_rows,
+                        type={
+                            "bigint": pa.int64(),
+                            "int": pa.int32(),
+                            "string": pa.string(),
+                            "double": pa.float64(),
+                        }[field],
+                    )
+                    table = table.append_column(col, arr)
+                table = table.select([f.name for f in df.schema.fields])
+                pq.write_table(table, os.path.join(root, rel))
+            else:
+                shutil.move(src, os.path.join(root, rel))
+            part_tuple = {
+                c: _coerce(pvals[c], df.schema[c].dataType.simpleString())
+                for c in partition_cols
+            }
+            data_files.append(
+                {
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": part_tuple,
+                    "record_count": n_rows,
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(root, rel)
+                    ),
+                    "block_size_in_bytes": 67108864,
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return data_files
+
+
+def _coerce(v: str, spark_type: str):
+    if spark_type in ("bigint", "long", "int", "integer"):
+        return int(v)
+    if spark_type in ("double", "float"):
+        return float(v)
+    return v
+
+
+def _write_manifest(
+    root: str, entries: list[tuple], partition_schema: dict, seq: str
+) -> dict:
+    path = os.path.join(_meta_dir(root), f"manifest-{seq}.avro")
+    write_container(
+        path,
+        iter(entries),
+        _manifest_entry_schema(partition_schema),
+        codec="deflate",
+    )
+    return {
+        "manifest_path": os.path.relpath(path, root),
+        "manifest_length": os.path.getsize(path),
+        "partition_spec_id": 0,
+        "added_snapshot_id": None,
+    }
+
+
+def _commit_snapshot(
+    root: str,
+    meta: dict | None,
+    manifests: list[dict],
+    operation: str,
+    ice_schema: dict,
+    spec: dict,
+) -> dict:
+    os.makedirs(_meta_dir(root), exist_ok=True)
+    snapshot_id = (
+        len(meta["snapshots"]) + 1 if meta else 1
+    )  # deterministic ids (spec allows any unique long)
+    for m in manifests:
+        if m["added_snapshot_id"] is None:
+            m["added_snapshot_id"] = snapshot_id
+    ml_path = os.path.join(
+        _meta_dir(root), f"snap-{snapshot_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_container(
+        ml_path,
+        iter(
+            (
+                m["manifest_path"],
+                m["manifest_length"],
+                m["partition_spec_id"],
+                m["added_snapshot_id"],
+            )
+            for m in manifests
+        ),
+        _MANIFEST_LIST_SCHEMA,
+        codec="deflate",
+    )
+    snapshot = {
+        "snapshot-id": snapshot_id,
+        "timestamp-ms": 0,
+        "summary": {"operation": operation},
+        "manifest-list": os.path.relpath(ml_path, root),
+        "schema-id": 0,
+    }
+    new_meta = {
+        "format-version": 1,
+        "table-uuid": meta["table-uuid"] if meta else str(uuid.uuid4()),
+        "location": root,
+        "last-updated-ms": 0,
+        "last-column-id": max(f["id"] for f in ice_schema["fields"]),
+        "schema": ice_schema,
+        "schemas": [ice_schema],
+        "current-schema-id": 0,
+        "partition-spec": spec["fields"],
+        "partition-specs": [spec],
+        "default-spec-id": 0,
+        "properties": {},
+        "current-snapshot-id": snapshot_id,
+        "snapshots": (meta["snapshots"] if meta else []) + [snapshot],
+    }
+    version = snapshot_id
+    with open(
+        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f)
+    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return snapshot
+
+
+def create_table(
+    df: DataFrame, root: str, partition_cols: list[str] | None = None
+) -> dict:
+    shutil.rmtree(root, ignore_errors=True)
+    spark = SparkSession.getActiveSession()
+    partition_cols = partition_cols or []
+    ice_schema = _iceberg_schema(df.schema)
+    spec = _partition_spec(ice_schema, partition_cols)
+    pschema = _partition_avro_schema(ice_schema, spec)
+    data_files = _write_data_files(spark, df, root, partition_cols)
+    os.makedirs(_meta_dir(root), exist_ok=True)
+    manifest = _write_manifest(
+        root,
+        [(ADDED, 1, d) for d in data_files],
+        pschema,
+        uuid.uuid4().hex[:8],
+    )
+    return _commit_snapshot(root, None, [manifest], "append", ice_schema, spec)
+
+
+def append(df: DataFrame, root: str) -> dict:
+    spark = SparkSession.getActiveSession()
+    meta = _current_metadata(root)
+    ice_schema = meta["schema"]
+    spec = meta["partition-specs"][0]
+    partition_cols = [f["name"] for f in spec["fields"]]
+    pschema = _partition_avro_schema(ice_schema, spec)
+    data_files = _write_data_files(spark, df, root, partition_cols)
+    snap_id = len(meta["snapshots"]) + 1
+    new_manifest = _write_manifest(
+        root,
+        [(ADDED, snap_id, d) for d in data_files],
+        pschema,
+        uuid.uuid4().hex[:8],
+    )
+    # previous snapshot's manifests carry over (EXISTING data)
+    prev = _snapshot(meta, None)
+    prev_manifests = [
+        {
+            "manifest_path": mf[0],
+            "manifest_length": mf[1],
+            "partition_spec_id": mf[2],
+            "added_snapshot_id": mf[3],
+        }
+        for mf in read_container(_resolve_path(root, prev["manifest-list"]))
+    ]
+    return _commit_snapshot(
+        root,
+        meta,
+        prev_manifests + [new_manifest],
+        "append",
+        ice_schema,
+        spec,
+    )

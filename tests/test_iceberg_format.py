@@ -1,0 +1,181 @@
+"""Iceberg table-format tests: metadata/manifest resolution, snapshot
+time travel, metadata-only scan planning with partition pruning, and
+Avro-layer interop with the official Apache Avro JVM library."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.sources import iceberg_format as ice
+from incubator_gluten_spark.sources.avro import read_container
+
+
+def _orders_cols(orders, year):
+    return orders.filter(F.year("o_orderdate") == year).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+def test_create_read_roundtrip_unpartitioned(spark, sf_dir, tmp_path):
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    root = str(tmp_path / "ice_plain")
+    base = _orders_cols(orders, 1996)
+    snap = ice.create_table(base, root)
+    assert snap["snapshot-id"] == 1
+    got = ice.read_table(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, base.collect())
+    )
+    assert dict(got.dtypes) == dict(base.dtypes)
+
+
+def test_partitioned_append_time_travel_and_pruning(spark, sf_dir, tmp_path):
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    root = str(tmp_path / "ice_part")
+    base = _orders_cols(orders, 1996)
+    ice.create_table(base, root, partition_cols=["o_orderpriority"])
+    extra = _orders_cols(orders, 1997)
+    snap2 = ice.append(extra, root)
+    assert snap2["snapshot-id"] == 2
+
+    # latest and time-travel row counts
+    assert ice.read_table(spark, root).count() == base.count() + extra.count()
+    assert ice.read_table(spark, root, snapshot_id=1).count() == base.count()
+
+    # metadata-only partition pruning: the URGENT filter must plan a
+    # strict subset of files without touching any parquet
+    all_files = ice.plan_files(root)
+    urgent = ice.plan_files(
+        root, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    assert 0 < len(urgent) < len(all_files)
+    assert all(
+        f["partition"]["o_orderpriority"] == "1-URGENT" for f in urgent
+    )
+    got = ice.read_table(
+        spark, root, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    want = (
+        base.unionByName(extra)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert got.count() == want
+    # identity partition values are ALSO in the data files (spec), so a
+    # non-partition read still sees the column populated
+    assert (
+        ice.read_table(spark, root)
+        .filter(F.col("o_orderpriority").isNull())
+        .count()
+        == 0
+    )
+
+    hist = ice.history(root)
+    assert [h["snapshot_id"] for h in hist] == [1, 2]
+    assert hist[0]["n_rows"] == base.count()
+    assert hist[1]["n_rows"] == base.count() + extra.count()
+
+
+def test_missing_snapshot_raises(spark, sf_dir, tmp_path):
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    root = str(tmp_path / "ice_miss")
+    ice.create_table(_orders_cols(orders, 1996).limit(10), root)
+    with pytest.raises(ValueError, match="snapshot 99"):
+        ice.read_table(spark, root, snapshot_id=99)
+
+
+def test_manifest_avro_interop_with_jvm(spark, sf_dir, tmp_path):
+    """Both Avro layers must be spec-Avro, not a private dialect: the
+    official Apache Avro JVM library parses our manifest + manifest-list
+    files, and a manifest written BY the JVM library drops into the
+    table and resolves identically."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    root = str(tmp_path / "ice_interop")
+    base = _orders_cols(orders, 1996)
+    ice.create_table(base, root, partition_cols=["o_orderpriority"])
+    meta = ice._current_metadata(root)
+    snap = meta["snapshots"][0]
+
+    jvm = spark._jvm
+
+    def jvm_read(path):
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        out = []
+        while reader.hasNext():
+            out.append(str(reader.next()))
+        reader.close()
+        return out
+
+    ml_path = os.path.join(root, snap["manifest-list"])
+    jvm_list = jvm_read(ml_path)
+    assert len(jvm_list) == 1 and "manifest_path" in jvm_list[0]
+    manifest_rel = next(read_container(ml_path))[0]
+    jvm_entries = jvm_read(os.path.join(root, manifest_rel))
+    ours = list(read_container(os.path.join(root, manifest_rel)))
+    assert len(jvm_entries) == len(ours) > 0
+    for js, (status, _, df_) in zip(jvm_entries, ours):
+        assert df_["file_path"] in js  # same files, same order
+
+    # reverse direction: rewrite the manifest with the JVM library
+    # (same schema, same rows) and confirm our planner reads it back
+    schema_json, _, _, _ = __import__(
+        "incubator_gluten_spark.sources.avro", fromlist=["read_header"]
+    ).read_header(os.path.join(root, manifest_rel))
+    sch = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(schema_json))
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    jvm_manifest = os.path.join(root, manifest_rel)  # overwrite in place
+    dfw.create(sch, jvm.java.io.File(jvm_manifest))
+    df_schema = sch.getField("data_file").schema()
+    part_schema = df_schema.getField("partition").schema()
+    # py4j auto-unboxes java.lang.Long back to Python int, so build each
+    # record JVM-side from its Avro-JSON encoding (typed by the schema)
+    datum_reader = jvm.org.apache.avro.generic.GenericDatumReader(sch)
+    for status, snap_id, d in ours:
+        avro_json = json.dumps(
+            {
+                "status": status,
+                "snapshot_id": None if snap_id is None else {"long": snap_id},
+                "data_file": {
+                    "file_path": d["file_path"],
+                    "file_format": d["file_format"],
+                    "partition": {
+                        k: (
+                            None
+                            if v is None
+                            else {
+                                "string" if isinstance(v, str) else "long": v
+                            }
+                        )
+                        for k, v in d["partition"].items()
+                    },
+                    "record_count": d["record_count"],
+                    "file_size_in_bytes": d["file_size_in_bytes"],
+                    "block_size_in_bytes": d["block_size_in_bytes"],
+                },
+            }
+        )
+        decoder = jvm.org.apache.avro.io.DecoderFactory.get().jsonDecoder(
+            sch, avro_json
+        )
+        dfw.append(datum_reader.read(None, decoder))
+    dfw.close()
+    # our reader consumes the JVM-written manifest transparently
+    assert ice.read_table(spark, root).count() == base.count()
