@@ -1273,6 +1273,63 @@ def src_iceberg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "src_hudi_wire",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CASE WHEN year(o_orderdate) = 1996
+                                    AND o_orderkey < 2000
+                               THEN CAST(0.0 AS DECIMAL(18,4))
+                               ELSE CAST(o_totalprice AS DECIMAL(18,4)) END),
+                      2) AS DOUBLE) AS total
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "hudi",
+)
+def src_hudi_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Hudi COPY_ON_WRITE table format (sources/hudi_format.py —
+    the public timeline + file-group layout, gluten-hudi/ jar surface):
+    create a table partitioned by o_orderpriority with the five
+    _hoodie_* meta columns in every base file, then a record-key UPSERT
+    that zeroes o_totalprice for keys < 2000 (rewriting ONLY the file
+    groups holding matched keys — bounded COW write amplification,
+    asserted) and inserts the 1997 orders as new file groups in one
+    timeline instant.  The snapshot read resolves each file group's
+    newest committed base file; the agg hash-matching the fixture
+    oracle certifies timeline resolution + supersession + upsert
+    semantics end to end."""
+    import shutil
+
+    from incubator_gluten_spark.sources import hudi_format as hf
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("hudi_wire")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority", "o_orderdate"]
+    base = orders.filter(F.year("o_orderdate") == 1996).select(*cols)
+    hf.create_table(
+        base, root, key_col="o_orderkey", partition_col="o_orderpriority"
+    )
+    upd = base.filter(F.col("o_orderkey") < 2000).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    ins = orders.filter(F.year("o_orderdate") == 1997).select(*cols)
+    out = hf.upsert(spark, upd.unionByName(ins), root, key_col="o_orderkey")
+    n_groups = len({fid for _, fid, _, _ in hf._base_files(root)})
+    if not (0 < out["file_groups_rewritten"] < n_groups):
+        raise RuntimeError(f"COW rewrite not bounded: {out} / {n_groups}")
+    first = hf.completed_instants(root)[0]
+    if hf.read_table(spark, root, as_of=first).count() != base.count():
+        raise RuntimeError("time travel to the create instant drifted")
+    return hf.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
 @q("src_avro_roundtrip", _LI_AGG_ORACLE, "source", "avro", "write")
 def src_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro container write + schema-inferred read-back through the
