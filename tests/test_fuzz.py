@@ -1175,3 +1175,121 @@ def test_random_timezone_dst_roundtrips(spark, duck, sf_dir, zone, edge, deltas)
             rt_epoch,
             preimages,
         )
+
+
+@given(
+    base_day=st.integers(min_value=0, max_value=1460),  # 4y window, leap incl
+    months=st.integers(min_value=-30, max_value=30),
+    days=st.integers(min_value=-400, max_value=400),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_date_arithmetic_matches_oracle(
+    spark, duck, sf_dir, base_day, months, days
+):
+    """add_months (month-END CLAMPING: Jan 31 + 1 month = Feb 29/28),
+    last_day, date_add, datediff — cross-checked against DuckDB's
+    interval arithmetic over a 4-year window that includes a leap year.
+    Clamping at month ends is the classic cross-engine divergence spot;
+    both engines clamp, and this pins that they clamp IDENTICALLY."""
+    row = spark.sql(
+        f"""
+        SELECT d,
+               add_months(d, {months}) AS am,
+               last_day(d) AS ld,
+               date_add(d, {days}) AS da,
+               datediff(date_add(d, {days}), d) AS dd
+        FROM (SELECT date_add(DATE'2023-01-01', {base_day}) AS d)
+        """
+    ).collect()[0]
+    want = duck.sql(
+        f"""
+        SELECT d,
+               CAST(d + ({months}) * INTERVAL 1 MONTH AS DATE) AS am,
+               last_day(d) AS ld,
+               CAST(d + ({days}) * INTERVAL 1 DAY AS DATE) AS da,
+               date_diff('day', d,
+                         CAST(d + ({days}) * INTERVAL 1 DAY AS DATE)) AS dd
+        FROM (SELECT CAST(DATE'2023-01-01' + ({base_day}) * INTERVAL 1 DAY
+                          AS DATE) AS d)
+        """
+    ).fetchall()[0]
+    assert (row.d, row.am, row.ld, row.da, row.dd) == tuple(want), (
+        base_day,
+        months,
+        days,
+    )
+
+
+@st.composite
+def string_op(draw):
+    fn = draw(st.sampled_from(["substr", "lpad", "rpad", "repeat", "reverse",
+                               "translate", "concat_ws"]))
+    if fn == "substr":
+        return fn, (draw(st.integers(min_value=1, max_value=30)),
+                    draw(st.integers(min_value=0, max_value=20)))
+    if fn in ("lpad", "rpad"):
+        return fn, (draw(st.integers(min_value=0, max_value=40)),
+                    draw(st.sampled_from(["x", "ab", "_."])))
+    if fn == "repeat":
+        return fn, (draw(st.integers(min_value=0, max_value=4)),)
+    if fn == "translate":
+        return fn, (draw(st.sampled_from(["aeiou", "abc"])),
+                    draw(st.sampled_from(["AEIOU", "xy"])))
+    if fn == "concat_ws":
+        return fn, (draw(st.sampled_from(["-", "::", ""])),)
+    return fn, ()
+
+
+@given(op=string_op())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_string_functions_match_oracle(spark, duck, sf_dir, op):
+    """The portable string-function subset over the documents corpus:
+    substr (positive start), lpad/rpad (incl. truncation when the target
+    length is shorter), repeat, reverse, translate (incl. shortening
+    maps, which DROP unmapped-to characters in both engines), and
+    concat_ws.  Row-for-row equality; negative substr starts are
+    deliberately out of scope (Spark counts from the end, DuckDB's
+    negative indexing differs — a documented non-portable zone)."""
+    fn, args = op
+    if fn == "substr":
+        start, ln = args
+        sexpr, dexpr = (
+            f"substring(text, {start}, {ln})",
+            f"substr(text, {start}, {ln})",
+        )
+    elif fn in ("lpad", "rpad"):
+        n, pad = args
+        sexpr = dexpr = f"{fn}(text, {n}, '{pad}')"
+    elif fn == "repeat":
+        (n,) = args
+        sexpr = dexpr = f"repeat(substring(text, 1, 8), {n})"
+    elif fn == "translate":
+        frm, to = args
+        sexpr = dexpr = f"translate(text, '{frm}', '{to}')"
+    elif fn == "reverse":
+        sexpr = dexpr = "reverse(text)"
+    else:
+        (sep,) = args
+        sexpr = dexpr = f"concat_ws('{sep}', lang, text)"
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 250
+    )
+    srows = sorted(
+        (r.doc_id, r.v)
+        for r in docs.selectExpr("doc_id", f"{sexpr} AS v").collect()
+    )
+    drows = sorted(
+        tuple(r)
+        for r in duck.sql(
+            f"SELECT doc_id, {dexpr} AS v FROM documents WHERE doc_id < 250"
+        ).fetchall()
+    )
+    assert srows == drows, (fn, args, srows[:2], drows[:2])
