@@ -697,3 +697,66 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return sink.groupBy("event_type").agg(
         F.countDistinct("event_id").alias("n")
     )
+
+
+@q(
+    "stream_python_sink",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM events WHERE value > 25 GROUP BY event_type
+    """,
+    "streaming", "pyds", "sink",
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python DataSource STREAMING writer (Spark 4
+    DataSourceStreamWriter — completes the pyds family: batch Arrow
+    reader, streaming reader, batch writer, now the streaming sink):
+    the events stream lands in a pure-Python JSONL sink through
+    per-micro-batch two-phase commits, one ``_BATCH_<id>`` manifest per
+    committed batch.  The read-back unions the MANIFESTS (never a
+    directory glob, which would see aborted attempts), so the agg
+    hash-matching the raw-table oracle certifies the exactly-once
+    batch-commit protocol carried no loss and no duplication.  Like the
+    other pyds entries: API surface, per-row Python, demo-grade,
+    excluded from perf claims."""
+    import glob
+    import json
+    import shutil
+    import tempfile
+
+    from incubator_gluten_spark.sources.pyds import register_python_datasink
+
+    register_python_datasink(spark)
+    ev = read_events_stream(spark, sf_dir)
+    filtered = ev.filter(F.col("value") > 25).select(
+        "event_type", F.col("value").cast("double").alias("value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_py_sink_")
+    sink_dir = f"{out_dir}/data"
+    q_ = (
+        filtered.writeStream.format("graft_jsonl")
+        .option("path", sink_dir)
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    manifests = sorted(glob.glob(f"{sink_dir}/_BATCH_*"))
+    if not manifests:
+        raise RuntimeError("streaming python sink committed no batches")
+    files = []
+    for m in manifests:
+        with open(m) as f:
+            files.extend(json.load(f)["files"])
+    back = spark.read.schema("event_type string, value double").json(files)
+    result = back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+    result = result.localCheckpoint()  # materialize before tmp cleanup
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return result

@@ -16,6 +16,7 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -191,9 +192,63 @@ class _JsonlWriter(DataSourceWriter):
                 pass
 
 
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """STREAMING sink half of the Python DataSource (Spark 4
+    DataSourceStreamWriter): per-micro-batch two-phase commit — task
+    files carry (batchId, partition, attempt) names, and the driver's
+    commit writes a per-batch manifest ``_BATCH_<id>`` listing exactly
+    the committed files.  A replayed batch (restart/retry) overwrites
+    its manifest with identical content instead of double-counting —
+    the exactly-once read contract is 'union the manifests', mirroring
+    the file-sink's _spark_metadata protocol in miniature."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        import json as _json
+        import os as _os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
+        _os.makedirs(self.path, exist_ok=True)
+        out = f"{self.path}/stream-{pid:05d}-{attempt}.jsonl"
+        n = 0
+        with open(out, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(out, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(f"{self.path}/_BATCH_{batchId:010d}", "w") as f:
+            _json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(m.path)
+            except OSError:
+                pass
+
+
 class JsonlSinkDataSource(DataSource):
     """Python DataSource WRITER (Spark 4): df.write.format("graft_jsonl")
-    — completes the Python DataSource API surface next to the batch
+    for batch, df.writeStream.format("graft_jsonl") for streaming —
+    completes the Python DataSource API surface next to the batch
     Arrow reader and the streaming reader."""
 
     @classmethod
@@ -202,6 +257,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> _JsonlWriter:
         return _JsonlWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> _JsonlStreamWriter:
+        return _JsonlStreamWriter(self.options)
 
 
 def register_python_datasink(spark) -> None:
