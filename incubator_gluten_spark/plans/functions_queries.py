@@ -1665,7 +1665,10 @@ def fn_validation_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_orderkey > 100 THEN NULL
                 ELSE -9223372036854775708 - o_orderkey END AS t_sub,
            CASE WHEN o_orderkey >= 3 THEN NULL
-                ELSE 4611686018427387903 * o_orderkey END AS t_mul
+                ELSE 4611686018427387903 * o_orderkey END AS t_mul,
+           lower(o_orderpriority) AS lc,
+           upper(o_orderstatus) AS uc,
+           regexp_matches(o_orderpriority, '^[12]-') AS re_l
     FROM orders WHERE o_orderkey < 200
     """,
     "function", "parity", "computed-oracle",
@@ -1678,7 +1681,8 @@ def fn_parity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamp_millis, timestampadd, timestampdiff, to_date, trunc,
     unix_date, try_add/try_subtract/try_multiply (overflow -> NULL at
     the exact 64-bit boundary, which the oracle recomputes with an
-    explicit boundary predicate).  Everything row-varying, everything
+    explicit boundary predicate), plus the lcase/ucase/regexp_like
+    aliases the same audit flagged.  Everything row-varying, everything
     computed independently by DuckDB."""
     (orders,) = _t(spark, sf_dir, "orders")
     return orders.filter(F.col("o_orderkey") < 200).select(
@@ -1716,4 +1720,7 @@ def fn_parity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_multiply(F.lit(4611686018427387903), F.col("o_orderkey")).alias(
             "t_mul"
         ),
+        F.expr("lcase(o_orderpriority)").alias("lc"),
+        F.expr("ucase(o_orderstatus)").alias("uc"),
+        F.expr("regexp_like(o_orderpriority, '^[12]-')").alias("re_l"),
     )

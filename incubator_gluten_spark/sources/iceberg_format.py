@@ -467,6 +467,33 @@ def create_table(
     return _commit_snapshot(root, None, [manifest], "append", ice_schema, spec)
 
 
+def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
+    """Partition-level DELETE as a new snapshot (operation=delete): one
+    new manifest re-states every live entry — kept files as EXISTING,
+    matched files as DELETED — exactly the spec's manifest rewrite.  No
+    data file is touched or rewritten; time travel to prior snapshots
+    still sees the deleted rows.  Identity transforms only (matching
+    this writer's partition specs)."""
+    meta = _current_metadata(root)
+    ice_schema = meta["schema"]
+    spec = meta["partition-specs"][0]
+    pschema = _partition_avro_schema(ice_schema, spec)
+    snap_id = len(meta["snapshots"]) + 1
+    entries = []
+    n_deleted = 0
+    for f in plan_files(root):
+        part = f.get("partition") or {}
+        matched = all(part.get(k) == v for k, v in partition_filter.items())
+        if matched:
+            n_deleted += 1
+        entries.append((DELETED if matched else EXISTING, snap_id, f))
+    if n_deleted == 0:
+        raise ValueError(f"no files match {partition_filter}")
+    manifest = _write_manifest(root, entries, pschema, uuid.uuid4().hex[:8])
+    _commit_snapshot(root, meta, [manifest], "delete", ice_schema, spec)
+    return {"snapshot_id": snap_id, "files_deleted": n_deleted}
+
+
 def append(df: DataFrame, root: str) -> dict:
     spark = SparkSession.getActiveSession()
     meta = _current_metadata(root)

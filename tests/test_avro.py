@@ -143,3 +143,83 @@ def test_avro_schema_mapping_roundtrip(spark):
     )
     avro = avro_schema_for(df.schema)
     assert spark_ddl_for(avro) == "k bigint, s string, d double, b boolean, raw binary"
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def avro_schema_and_rows(draw):
+    """Random record schema over the supported type set + matching rows
+    (unions made nullable at random; nested record/array/map included)."""
+    prim = st.sampled_from(["long", "int", "double", "string", "boolean", "bytes"])
+
+    def value_for(t, rng):
+        if isinstance(t, list):
+            inner = [x for x in t if x != "null"][0]
+            return None if rng.random() < 0.3 else value_for(inner, rng)
+        if isinstance(t, dict):
+            if t["type"] == "array":
+                return [value_for(t["items"], rng) for _ in range(rng.randrange(3))]
+            if t["type"] == "map":
+                return {
+                    f"k{i}": value_for(t["values"], rng)
+                    for i in range(rng.randrange(3))
+                }
+            if t["type"] == "record":
+                return {f["name"]: value_for(f["type"], rng) for f in t["fields"]}
+        if t == "long":
+            return rng.randrange(-(2**62), 2**62)
+        if t == "int":
+            return rng.randrange(-(2**31), 2**31)
+        if t == "double":
+            return rng.uniform(-1e9, 1e9)
+        if t == "string":
+            return "".join(rng.choice("abßü漢 x") for _ in range(rng.randrange(8)))
+        if t == "boolean":
+            return rng.random() < 0.5
+        if t == "bytes":
+            return bytes(rng.randrange(256) for _ in range(rng.randrange(6)))
+        raise AssertionError(t)
+
+    n_fields = draw(st.integers(min_value=1, max_value=5))
+    fields = []
+    for i in range(n_fields):
+        base = draw(prim)
+        kind = draw(st.sampled_from(["plain", "nullable", "array", "map", "record"]))
+        t = {
+            "plain": base,
+            "nullable": ["null", base],
+            "array": {"type": "array", "items": base},
+            "map": {"type": "map", "values": base},
+            "record": {
+                "type": "record",
+                "name": f"nested{i}",
+                "fields": [{"name": "inner", "type": ["null", base]}],
+            },
+        }[kind]
+        fields.append({"name": f"f{i}", "type": t})
+    schema = {"type": "record", "name": "row", "fields": fields}
+    seed = draw(st.integers(min_value=0, max_value=2**31))
+    import random as _random
+
+    rng = _random.Random(seed)
+    n_rows = draw(st.integers(min_value=0, max_value=40))
+    rows = [
+        tuple(value_for(f["type"], rng) for f in fields) for _ in range(n_rows)
+    ]
+    codec = draw(st.sampled_from(["null", "deflate"]))
+    return schema, rows, codec
+
+
+@given(sr=avro_schema_and_rows())
+@settings(max_examples=40, deadline=None)
+def test_avro_codec_roundtrip_fuzz(tmp_path_factory, sr):
+    """Property: ANY record schema from the supported type set
+    round-trips bit-exactly through the container codec (both codecs,
+    empty files included)."""
+    schema, rows, codec = sr
+    p = str(tmp_path_factory.mktemp("avro_fuzz") / "f.avro")
+    assert write_container(p, iter(rows), schema, codec=codec) == len(rows)
+    assert list(read_container(p)) == rows

@@ -179,3 +179,27 @@ def test_manifest_avro_interop_with_jvm(spark, sf_dir, tmp_path):
     dfw.close()
     # our reader consumes the JVM-written manifest transparently
     assert ice.read_table(spark, root).count() == base.count()
+
+
+def test_delete_partition_snapshot(spark, sf_dir, tmp_path):
+    """DELETE as a new snapshot: matched files become DELETED manifest
+    entries (no data file touched), kept files re-stated as EXISTING;
+    prior snapshots still see the deleted rows (time travel)."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    root = str(tmp_path / "ice_del")
+    base = _orders_cols(orders, 1996)
+    ice.create_table(base, root, partition_cols=["o_orderpriority"])
+    out = ice.delete_partition(root, {"o_orderpriority": "1-URGENT"})
+    assert out["files_deleted"] > 0
+    after = ice.read_table(spark, root)
+    assert after.filter(F.col("o_orderpriority") == "1-URGENT").count() == 0
+    want = base.filter(F.col("o_orderpriority") != "1-URGENT").count()
+    assert after.count() == want
+    # time travel: snapshot 1 still holds the full table
+    assert ice.read_table(spark, root, snapshot_id=1).count() == base.count()
+    hist = ice.history(root)
+    assert hist[-1]["operation"] == "delete"
+    with pytest.raises(ValueError, match="no files match"):
+        ice.delete_partition(root, {"o_orderpriority": "nope"})
