@@ -1274,6 +1274,211 @@ def src_iceberg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_dv",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE ((year(o_orderdate) = 1996 AND o_totalprice >= 50000)
+           OR year(o_orderdate) = 1997)
+      AND o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority
+    """,
+    # arrow-kernel: the MapInPandas node in this plan is the deliberate
+    # Arrow-batched Roaring-bitmap decode (positions expand distributed)
+    "sources", "lakehouse", "delta", "arrow-kernel",
+)
+def src_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake DELETION VECTORS (PROTOCOL.md merge-on-read delete):
+    two DV deletes against a partitioned table with an append between
+    them.  The first writes per-file Roaring bitmaps (sources/roaring.py
+    speaks both public serialization specs) framed into a
+    deletion_vector_<uuid>.bin; the append's newer files are untouched
+    by it; the second delete must MERGE bitmaps on files that already
+    carry a DV.  Asserted: no data file is ever rewritten (the add paths
+    are invariant across both deletes — the exact opposite of
+    src_delta_wire's copy-on-write).  The reader decodes positions
+    inside Arrow batches and strips them with one broadcast anti-join on
+    (file, _metadata.row_index).  Hash-matching the oracle (which
+    recomputes the final state relationally) certifies bitmap
+    serialization + framing + merge + MOR application end to end."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_dv")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    # partitioned on purpose: partition dirs with spaces percent-encode
+    # in _metadata.file_path, so this certifies the basename (not URI)
+    # row->file mapping the DV joins rely on
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    files_v0 = [a["path"] for a in dp.resolve(spark, root).adds]
+    dp.delete_where_dv(spark, root, "o_totalprice < 50000")
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    dp.delete_where_dv(spark, root, "o_orderpriority = '5-LOW'")
+    snap = dp.resolve(spark, root)
+    paths_now = [a["path"] for a in snap.adds]
+    if not set(files_v0) <= set(paths_now):
+        raise RuntimeError("DV delete rewrote a data file")
+    if not any(a.get("deletionVector") for a in snap.adds):
+        raise RuntimeError("no deletionVector descriptors in snapshot")
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_iceberg_mor",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE ((year(o_orderdate) = 1996 AND o_totalprice >= 50000)
+           OR year(o_orderdate) = 1997)
+      AND o_orderpriority <> '3-MEDIUM'
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg FORMAT VERSION 2 row-level deletes, MERGE-ON-READ
+    (sources/iceberg_v2.py): create (sequence 1), POSITION-delete the
+    cheap 1996 rows (a content=1 parquet file of spec-reserved
+    (file_path 2147483546, pos 2147483545) pairs — sequence 2), append
+    1997 (sequence 3 — the spec's ``delete.seq >= data.seq`` rule must
+    keep the position delete OFF these newer rows, which the fixture
+    exercises: 1997 has rows under the same price cut), then
+    EQUALITY-delete '3-MEDIUM' orderkeys (content=2, equality_ids,
+    strict ``>`` rule — sequence 4).  The reader applies both delete
+    kinds as broadcast left-anti hash joins over the parquet
+    ``_metadata.file_path``/``row_index`` virtual columns — no data
+    file rewritten, no collect, no cartesian.  Hash-matching the oracle
+    (which recomputes the final state relationally) certifies sequence
+    inheritance + both applicability rules + the MOR joins end to end.
+    Reference analog: gluten-iceberg's delete-file read path
+    (IcebergScanTransformer.scala:44 plans delete files with data)."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_v2 as v2
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_mor")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    v2.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    v2.position_delete(spark, root, "o_totalprice < 50000")
+    v2.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    v2.equality_delete(
+        spark, root, "o_orderpriority = '3-MEDIUM'", ["o_orderkey"]
+    )
+    scan = v2.plan_scan(root)
+    if not (scan["pos_deletes"] and scan["eq_deletes"]):
+        raise RuntimeError(f"delete manifests missing: {scan}")
+    return v2.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_hudi_mor",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(
+             CASE WHEN year(o_orderdate) = 1996 AND o_orderkey % 10 = 0
+                    THEN 2.5
+                  WHEN year(o_orderdate) = 1996 AND o_orderkey % 5 = 0
+                    THEN 1.5
+                  ELSE o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "hudi",
+)
+def src_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE_ON_READ (sources/hudi_mor.py — the tech-specs log-file
+    format: #HUDI#-framed AVRO data blocks appended per file slice).
+    Two upserts land as LOG BLOCKS written from the executors (base
+    files asserted byte-invariant); the second overlaps the first, so
+    log-over-log latest-wins must hold; 1997 rows arrive as inserts (new
+    base groups).  Then COMPACTION rewrites each slice's merged view as
+    new bases, and the FINAL read — which the oracle hash-certifies —
+    happens post-compaction, proving log merge and compaction agree.
+    The reader decodes blocks distributed (paths parallelized; the dot-
+    hidden names are invisible to Spark's own file sources by design)
+    and resolves latest-wins with one window.  gluten-hudi/ is the jar
+    module this replaces."""
+    import shutil
+
+    from incubator_gluten_spark.sources import hudi_mor as mor
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("hudi_mor")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    base = orders.filter(F.year("o_orderdate") == 1996).select(*cols)
+    mor.create_table(root=root, df=base, key_col="o_orderkey")
+    bases0 = [s["base_file"] for s in mor.file_slices(root)]
+    out1 = mor.upsert(
+        spark,
+        base.filter("o_orderkey % 5 = 0").withColumn(
+            "o_totalprice", F.lit(1.5)
+        ),
+        root,
+        key_col="o_orderkey",
+    )
+    out2 = mor.upsert(
+        spark,
+        base.filter("o_orderkey % 10 = 0")
+        .withColumn("o_totalprice", F.lit(2.5))
+        .unionAll(orders.filter(F.year("o_orderdate") == 1997).select(*cols)),
+        root,
+        key_col="o_orderkey",
+    )
+    if not (out1["log_blocks_appended"] and out2["log_blocks_appended"]):
+        raise RuntimeError(f"upserts wrote no log blocks: {out1} {out2}")
+    still = [
+        s["base_file"]
+        for s in mor.file_slices(root)
+        if s["base_file"] in set(bases0)
+    ]
+    if still != bases0:
+        raise RuntimeError("MOR upsert rewrote a base file")
+    mor.compact(spark, root)
+    if any(s["log_files"] for s in mor.file_slices(root)):
+        raise RuntimeError("compaction left logs attached to new slices")
+    return mor.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_hudi_wire",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

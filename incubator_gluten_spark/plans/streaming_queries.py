@@ -565,6 +565,66 @@ def stream_txnlog_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_delta_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "sink", "lakehouse", "delta",
+)
+def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into the REAL Delta wire format
+    (sources/delta_protocol.py) via the protocol's ``txn`` action —
+    appId/version idempotence, exactly what delta's own streaming sink
+    writes to the log.  foreachBatch commits each micro-batch with
+    append_stream_batch(app_id, batch_id); a replayed batch finds its
+    txn version already committed and NO-OPs (asserted by re-delivering
+    the final batch).  Oracle: the final snapshot equals the plain batch
+    aggregate over events.  Compare stream_txnlog_sink: same pattern on
+    the miniature log; this one speaks PROTOCOL.md on disk."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    root = f"/tmp/spark_graft_io_{os.getpid()}/stream_delta_sink"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    dp.create_table(ev.sparkSession.createDataFrame([], ev.schema), root)
+    replay: dict = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = dp.append_stream_batch(
+            batch_df, root, "stream_delta_sink", batch_id
+        )
+        replay["last"] = (batch_df, batch_id)
+        if not committed:
+            raise RuntimeError(f"batch {batch_id} double-committed")
+
+    sq = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    n_before = dp.read_table(spark, root).count()
+    batch_df, batch_id = replay["last"]
+    if dp.append_stream_batch(batch_df, root, "stream_delta_sink", batch_id):
+        raise RuntimeError("replayed batch committed twice")
+    if dp.read_table(spark, root).count() != n_before:
+        raise RuntimeError("replay changed the table")
+    return dp.read_table(spark, root).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "stream_stream_full_outer",
     """
     WITH m AS (SELECT max(ts) AS mx FROM events),

@@ -18,8 +18,16 @@ implementations:
   replay cost after checkpointing is O(commits since checkpoint),
 * per-file ``stats`` JSON with ``numRecords`` on every add.
 
-Reader protocol gate: tables demanding ``minReaderVersion > 1`` (column
-mapping, deletion vectors) are REFUSED loudly rather than misread.
+* DELETION VECTORS (minReaderVersion 3 + readerFeatures): per-file
+  Roaring bitmaps of deleted row indexes (``sources/roaring.py`` speaks
+  the two public serialization specs), stored framed in
+  ``deletion_vector_<uuid>.bin`` files ([size][data][crc32] at each
+  descriptor's offset) or inline base85; ``delete_where_dv`` writes
+  them, the reader applies them merge-on-read.
+
+Reader protocol gate: tables demanding reader features beyond
+``deletionVectors`` (e.g. column mapping) are REFUSED loudly rather
+than misread.
 
 Scale note: snapshot resolution lists ONE log directory and reads one
 checkpoint parquet + the JSON suffix — never the data tree; data reads
@@ -92,10 +100,19 @@ def current_version(root: str) -> int:
 class Snapshot:
     """Resolved table state: live add-actions + metadata."""
 
-    def __init__(self, version: int, metadata: dict, adds: list[dict]):
+    def __init__(
+        self,
+        version: int,
+        metadata: dict,
+        adds: list[dict],
+        protocol: dict | None = None,
+        txns: dict[str, int] | None = None,
+    ):
         self.version = version
         self.metadata = metadata
         self.adds = adds
+        self.protocol = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+        self.txns = txns or {}  # appId -> highest committed txn version
 
     @property
     def schema(self) -> StructType:
@@ -109,11 +126,16 @@ class Snapshot:
 def _apply_action(live: dict, state: dict, action: dict) -> None:
     if "protocol" in action:
         p = action["protocol"]
-        if p.get("minReaderVersion", 1) > 1:
+        reader_features = set(p.get("readerFeatures") or [])
+        supported = {"deletionVectors"}
+        if p.get("minReaderVersion", 1) > 1 and not (
+            p.get("minReaderVersion") == 3 and reader_features <= supported
+        ):
             raise DeltaProtocolError(
                 f"table requires minReaderVersion="
-                f"{p['minReaderVersion']} (column mapping / deletion "
-                "vectors not implemented) — refusing rather than misreading"
+                f"{p['minReaderVersion']} with readerFeatures="
+                f"{sorted(reader_features - supported)} — refusing rather "
+                "than misreading"
             )
         state["protocol"] = p
     if "metaData" in action and action["metaData"]:
@@ -124,6 +146,10 @@ def _apply_action(live: dict, state: dict, action: dict) -> None:
     rm = action.get("remove")
     if rm:
         live.pop(rm["path"], None)
+    txn = action.get("txn")
+    if txn:
+        txns = state.setdefault("txn", {})
+        txns[txn["appId"]] = max(txns.get(txn["appId"], -1), txn["version"])
 
 
 def resolve(spark: SparkSession, root: str, version: int | None = None) -> Snapshot:
@@ -177,6 +203,8 @@ def resolve(spark: SparkSession, root: str, version: int | None = None) -> Snaps
         max(expected, start),
         state["metaData"],
         sorted(live.values(), key=lambda a: a["path"]),
+        state.get("protocol"),
+        state.get("txn"),
     )
 
 
@@ -185,30 +213,282 @@ def read_table(
 ) -> DataFrame:
     """DataFrame over a Delta snapshot.  Partition-column values live in
     the log, not the files (the protocol's layout), so files are grouped
-    by partition tuple and the values re-injected as typed literals."""
+    by partition tuple and the values re-injected as typed literals.
+    Files carrying a ``deletionVector`` get their deleted rows removed
+    MERGE-ON-READ: positions decode from the Roaring blobs inside Arrow
+    batches (``mapInPandas``) and are removed by one broadcast left-anti
+    hash join on (file, ``_metadata.row_index``) — no data rewrite, no
+    driver-side row loop."""
     snap = resolve(spark, root, version)
     schema = snap.schema
-    pcols = snap.partition_columns
     if not snap.adds:
         return spark.createDataFrame([], schema)
+    has_dv = any(a.get("deletionVector") for a in snap.adds)
+    df = _grouped_scan(spark, root, snap, with_positions=has_dv)
+    if not has_dv:
+        return df
+    dels = _dv_positions_df(spark, root, snap)
+    df = df.join(
+        F.broadcast(dels),
+        (df["__rel"] == dels["file_path"]) & (df["__pos"] == dels["pos"]),
+        "left_anti",
+    )
+    return df.select(*[f.name for f in schema.fields])
+
+
+def _grouped_scan(
+    spark: SparkSession, root: str, snap: Snapshot, with_positions: bool
+) -> DataFrame:
+    """The snapshot scan: per-partition-tuple parquet reads with the
+    log's partition values re-injected; optionally each row's (relative
+    path, row index) via the parquet ``_metadata`` virtual column plus
+    one broadcast join against the O(n_files) uri->path mapping."""
+    schema = snap.schema
     ptypes = {f.name: f.dataType.simpleString() for f in schema.fields}
     groups: dict[tuple, list[str]] = {}
     for add in snap.adds:
         key = tuple(sorted((add.get("partitionValues") or {}).items()))
-        groups.setdefault(key, []).append(os.path.join(root, add["path"]))
+        groups.setdefault(key, []).append(add["path"])
     parts = []
-    for key, paths in sorted(groups.items()):
-        df = spark.read.parquet(*paths)
+    cols = [f.name for f in schema.fields]
+    for key, rels in sorted(groups.items()):
+        df = spark.read.parquet(*[os.path.join(root, r) for r in rels])
+        if with_positions:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__uri"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
         for col, val in key:
             df = df.withColumn(
                 col,
                 (F.lit(None) if val is None else F.lit(val)).cast(ptypes[col]),
             )
-        parts.append(df.select(*[f.name for f in schema.fields]))
+        parts.append(
+            df.select(*cols, "__uri", "__pos") if with_positions else df.select(*cols)
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    if with_positions:
+        # map rows to their add-action path via the file BASENAME (unique
+        # per staging token) — _metadata.file_path is a URI whose
+        # partition-directory segments may be percent-encoded, so a
+        # reconstructed-URI equality would silently drop rows
+        names = [os.path.basename(a["path"]) for a in snap.adds]
+        if len(set(names)) != len(names):
+            raise DeltaProtocolError("duplicate data-file basenames")
+        name_map = spark.createDataFrame(
+            [(os.path.basename(a["path"]), a["path"]) for a in snap.adds],
+            "__base string, __rel string",
+        )
+        out = out.withColumn(
+            "__base", F.element_at(F.split(F.col("__uri"), "/"), -1)
+        ).join(F.broadcast(name_map), "__base")
     return out
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (PROTOCOL.md "Deletion Vectors"; reader+writer)
+
+
+def _dv_file_rel(descriptor: dict) -> str:
+    """Derived path for a storageType="u" descriptor: optional random
+    prefix + base85 (RFC 1924) encoded UUID -> the on-disk name the
+    protocol specifies."""
+    import base64
+
+    enc = descriptor["pathOrInlineDv"]
+    prefix, b85 = enc[:-20], enc[-20:]
+    u = uuid.UUID(bytes=base64.b85decode(b85))
+    name = f"deletion_vector_{u}.bin"
+    return os.path.join(prefix, name) if prefix else name
+
+
+def load_dv(root: str, descriptor: dict):
+    """Positions (sorted uint64 numpy) from a DV descriptor: inline
+    ("i", base85 payload) or on-disk ("u"/"p": 1-byte format version,
+    then at ``offset`` [size i32 BE][data][crc32 BE], checksum
+    verified)."""
+    import base64
+    import struct as _struct
+    import zlib
+
+    from incubator_gluten_spark.sources.roaring import deserialize_rba
+
+    st = descriptor["storageType"]
+    if st == "i":
+        data = base64.b85decode(descriptor["pathOrInlineDv"])
+    else:
+        path = (
+            descriptor["pathOrInlineDv"]
+            if st == "p"
+            else os.path.join(root, _dv_file_rel(descriptor))
+        )
+        with open(path, "rb") as f:
+            blob = f.read()
+        if blob[0] != 1:
+            raise DeltaProtocolError(f"unknown DV file format: {blob[0]}")
+        off = descriptor["offset"]
+        (size,) = _struct.unpack_from(">i", blob, off)
+        data = blob[off + 4 : off + 4 + size]
+        (crc,) = _struct.unpack_from(">I", blob, off + 4 + size)
+        if zlib.crc32(data) != crc:
+            raise DeltaProtocolError("DV checksum mismatch")
+    if len(data) != descriptor["sizeInBytes"]:
+        raise DeltaProtocolError("DV sizeInBytes mismatch")
+    positions = deserialize_rba(data)
+    if len(positions) != descriptor["cardinality"]:
+        raise DeltaProtocolError("DV cardinality mismatch")
+    return positions
+
+
+def _dv_positions_df(spark: SparkSession, root: str, snap: Snapshot) -> DataFrame:
+    """(file_path, pos) rows for every DV-carrying add: blobs load once
+    on the driver (checksummed, O(bytes)), positions EXPAND distributed
+    inside Arrow batches."""
+    import pandas as pd
+
+    rows = []
+    for a in snap.adds:
+        d = a.get("deletionVector")
+        if not d:
+            continue
+        from incubator_gluten_spark.sources.roaring import serialize_rba
+
+        # normalize to one raw blob per file (re-serialize keeps the
+        # expand step storage-agnostic)
+        rows.append((a["path"], bytearray(serialize_rba(load_dv(root, d)))))
+
+    def expand(batches):
+        from incubator_gluten_spark.sources.roaring import deserialize_rba
+
+        for pdf in batches:
+            for fp, blob in zip(pdf["file_path"], pdf["dv"]):
+                pos = deserialize_rba(bytes(blob))
+                yield pd.DataFrame(
+                    {"file_path": fp, "pos": pos.astype("int64")}
+                )
+
+    blob_df = spark.createDataFrame(rows, "file_path string, dv binary")
+    return blob_df.mapInPandas(expand, "file_path string, pos bigint")
+
+
+def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
+    """DELETE WHERE via DELETION VECTORS — the protocol's merge-on-read
+    path (contrast ``delete_where``'s copy-on-write): matching rows'
+    positions are found DISTRIBUTED (``_metadata.row_index``), built
+    into per-file Roaring bitmaps inside Arrow batches
+    (``applyInPandas``), merged with any existing DV, and framed into
+    ONE ``deletion_vector_<uuid>.bin`` file; the commit re-adds each
+    touched file with its descriptor and upgrades the table to
+    minReaderVersion 3 / readerFeatures=["deletionVectors"].  Only the
+    bitmap bytes hit the driver — never data rows."""
+    import base64
+    import struct as _struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from incubator_gluten_spark.sources.roaring import (
+        deserialize_rba,
+        serialize_rba,
+    )
+
+    snap = resolve(spark, root)
+    v = current_version(root) + 1
+    df = _grouped_scan(spark, root, snap, with_positions=True)
+    existing = {
+        a["path"]: a.get("deletionVector")
+        for a in snap.adds
+        if a.get("deletionVector")
+    }
+    if existing:
+        dels = _dv_positions_df(spark, root, snap)
+        df = df.join(
+            F.broadcast(dels),
+            (df["__rel"] == dels["file_path"]) & (df["__pos"] == dels["pos"]),
+            "left_anti",
+        )
+    matches = df.filter(predicate).select(
+        F.col("__rel").alias("file_path"), F.col("__pos").alias("pos")
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "dv": [bytearray(serialize_rba(pdf["pos"].to_numpy()))],
+                "card": [len(pdf)],
+            }
+        )
+
+    blobs = (
+        matches.groupBy("file_path")
+        .applyInPandas(build, "file_path string, dv binary, card bigint")
+        .collect()
+    )
+    if not blobs:
+        raise ValueError(f"no rows match: {predicate}")
+    by_path = {a["path"]: a for a in snap.adds}
+    entries = []  # (add, merged_blob, cardinality)
+    for r in sorted(blobs, key=lambda r: r["file_path"]):
+        add = by_path[r["file_path"]]
+        pos = deserialize_rba(bytes(r["dv"]))
+        old = add.get("deletionVector")
+        if old:
+            pos = np.union1d(pos, load_dv(root, old))
+        blob = serialize_rba(pos)
+        entries.append((add, blob, len(pos)))
+    # one DV file for the whole commit: [version 0x01] then per DV
+    # [size i32 BE][data][crc32 BE], descriptor.offset -> the size field
+    u = uuid.uuid4()
+    buf = bytearray(b"\x01")
+    offsets = []
+    for _, blob, _ in entries:
+        offsets.append(len(buf))
+        buf += _struct.pack(">i", len(blob)) + blob
+        buf += _struct.pack(">I", zlib.crc32(blob))
+    with open(os.path.join(root, f"deletion_vector_{u}.bin"), "wb") as f:
+        f.write(bytes(buf))
+    b85 = base64.b85encode(u.bytes).decode()
+    actions: list[dict] = [
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+    ]
+    for (add, blob, card), off in zip(entries, offsets):
+        actions.append(
+            {
+                "remove": {
+                    "path": add["path"],
+                    "deletionTimestamp": 0,
+                    "dataChange": True,
+                }
+            }
+        )
+        new_add = dict(add)
+        new_add["deletionVector"] = {
+            "storageType": "u",
+            "pathOrInlineDv": b85,
+            "offset": off,
+            "sizeInBytes": len(blob),
+            "cardinality": card,
+        }
+        actions.append({"add": new_add})
+    _write_actions(root, v, actions)
+    return {
+        "version": v,
+        "files_with_dv": len(entries),
+        "rows_deleted": sum(c for _, _, c in entries)
+        - sum(e["cardinality"] if (e := existing.get(a["path"])) else 0 for a, _, _ in entries),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -250,11 +530,11 @@ def _stage_data_files(
             if not name.endswith(".parquet"):
                 continue
             src = os.path.join(dirpath, name)
-            rel = (
-                os.path.join(rel_dir, f"part-{token}-{name}")
-                if rel_dir != "."
-                else f"part-{token}-{name}"
-            )
+            # len(adds) makes the basename unique across partition dirs
+            # (a task writes the same part-NNNNN name into each dir) —
+            # DV/position mapping joins on basenames
+            base = f"part-{token}-{len(adds):05d}.parquet"
+            rel = os.path.join(rel_dir, base) if rel_dir != "." else base
             dst = os.path.join(root, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             import pyarrow.parquet as pq
@@ -322,6 +602,31 @@ def append(df: DataFrame, root: str) -> int:
     return v
 
 
+def append_stream_batch(
+    df: DataFrame, root: str, app_id: str, batch_id: int
+) -> bool:
+    """EXACTLY-ONCE streaming append via the protocol's ``txn`` action
+    (appId/version — what delta's own streaming sink writes): if a txn
+    with this appId at >= batch_id is already committed, the call is a
+    NO-OP returning False, so foreachBatch replays after a failure
+    cannot double-write.  Returns True when the batch commits."""
+    spark = SparkSession.getActiveSession()
+    snap = resolve(spark, root)
+    if snap.txns.get(app_id, -1) >= batch_id:
+        return False
+    v = current_version(root) + 1
+    adds = _stage_data_files(df, root, snap.partition_columns)
+    _write_actions(
+        root,
+        v,
+        [
+            {"txn": {"appId": app_id, "version": batch_id, "lastUpdated": 0}},
+            *adds,
+        ],
+    )
+    return True
+
+
 def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
     """Copy-on-write DELETE: rewrite every file that may contain matching
     rows (partition-pruned via the log's partitionValues when the
@@ -387,13 +692,16 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
 _CHECKPOINT_DDL = (
     "txn struct<appId:string,version:bigint>, "
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
-    "modificationTime:bigint,dataChange:boolean,stats:string>, "
+    "modificationTime:bigint,dataChange:boolean,stats:string,"
+    "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
+    "offset:int,sizeInBytes:int,cardinality:bigint>>, "
     "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>, "
     "metaData struct<id:string,format:struct<provider:string,"
     "options:map<string,string>>,schemaString:string,"
     "partitionColumns:array<string>,configuration:map<string,string>,"
     "createdTime:bigint>, "
-    "protocol struct<minReaderVersion:int,minWriterVersion:int>"
+    "protocol struct<minReaderVersion:int,minWriterVersion:int,"
+    "readerFeatures:array<string>,writerFeatures:array<string>>"
 )
 
 
@@ -403,8 +711,20 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
     column per action type."""
     snap = resolve(spark, root)
     v = current_version(root)
+    proto = snap.protocol
     rows = [
-        (None, None, None, None, (1, 2)),
+        (
+            None,
+            None,
+            None,
+            None,
+            (
+                proto.get("minReaderVersion", 1),
+                proto.get("minWriterVersion", 2),
+                proto.get("readerFeatures"),
+                proto.get("writerFeatures"),
+            ),
+        ),
         (
             None,
             None,
@@ -420,7 +740,10 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
             None,
         ),
     ]
+    for app_id, ver in sorted(snap.txns.items()):
+        rows.append(((app_id, ver), None, None, None, None))
     for add in snap.adds:
+        dv = add.get("deletionVector")
         rows.append(
             (
                 None,
@@ -431,6 +754,15 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
                     add.get("modificationTime", 0),
                     True,
                     add.get("stats"),
+                    (
+                        dv["storageType"],
+                        dv["pathOrInlineDv"],
+                        dv.get("offset"),
+                        dv["sizeInBytes"],
+                        dv["cardinality"],
+                    )
+                    if dv
+                    else None,
                 ),
                 None,
                 None,

@@ -20,9 +20,8 @@ and ``iceberg_format.py`` this speaks the PUBLIC Hudi table layout
 
 Snapshot queries, time travel (as-of instant) and record-key UPSERT
 (COW: rewrite only the file groups holding matched keys) are supported;
-MERGE_ON_READ tables are REFUSED loudly (log files + compaction not
-implemented) rather than misread — the delta_protocol minReaderVersion
-pattern.
+MERGE_ON_READ tables are REFUSED here and handled by ``hudi_mor.py``
+(log files, delta commits, compaction).
 
 Scale note: reads list the TIMELINE (one small directory) plus the
 partitions the query touches; the per-group newest-instant pick is pure
@@ -141,7 +140,7 @@ def snapshot_files(root: str, as_of: str | None = None) -> list[str]:
     ttype = props.get("hoodie.table.type", "COPY_ON_WRITE")
     if ttype != "COPY_ON_WRITE":
         raise HudiFormatError(
-            f"table type {ttype} not implemented (MOR log merge) — "
+            f"table type {ttype}: use sources/hudi_mor.py (log merge) — "
             "refusing rather than returning base-file-only wrong answers"
         )
     committed = set(completed_instants(root))

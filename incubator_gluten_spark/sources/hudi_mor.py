@@ -1,0 +1,545 @@
+"""Apache Hudi MERGE_ON_READ: log files, delta commits, compaction.
+
+Closes the ``hudi_format.py`` refusal ("MOR log merge not implemented"):
+this module speaks the PUBLIC Hudi log-file layout documented at
+hudi.apache.org/tech-specs (the reference offloads MOR scans through
+the gluten-hudi jar this container lacks):
+
+* log files ``.<fileId>_<baseInstant>.log.<version>_<writeToken>``
+  (dot-hidden) under the partition path, attached to the FILE SLICE
+  whose base file committed at ``baseInstant``;
+* each log file: ``#HUDI#`` magic per block, then
+  [block length u64][format version u32][block type u32]
+  [header map][content length u64][content][footer map]
+  [total block length u64] — all big-endian, the header/footer maps
+  serialized as count + (type ordinal u32, length u32, utf8 bytes);
+* AVRO data blocks (type ordinal 3): content = [format version u32 = 3]
+  [record count u32] then per record [length u32][avro binary], the
+  record schema carried in the block's SCHEMA header (ordinal 2), the
+  commit carried in INSTANT_TIME (ordinal 0);
+* timeline instants ``<instant>.deltacommit`` (three-phase, like the
+  COW module's ``.commit``), compaction as a ``.commit``.
+
+No interop partner exists in this container (the jar is absent), so the
+READER is certified the same way the COW module's timeline reader is:
+``tests/test_hudi_mor.py`` lays out a log file BY HAND with
+``struct.pack`` straight from the tech-specs text and this reader must
+consume it.  DELETE blocks are refused honestly: real Hudi serializes
+them with Kryo (implementation-defined, not a written spec).
+
+Spark-first MOR mechanics (the 100 TB shape):
+
+* UPSERT appends one log block per touched file slice — log bytes are
+  Avro-encoded and WRITTEN FROM THE EXECUTORS (``applyInPandas`` over
+  updates grouped by file slice), exactly where real Hudi writers run;
+  only per-slice accounting reaches the driver.  Inserts become new
+  base file groups.
+* SNAPSHOT READ = base parquet scan UNION log records decoded
+  DISTRIBUTED (``binaryFile`` source + ``mapInPandas``), then
+  latest-wins per record key with one window (log beats base at equal
+  instant).  No driver-side row loops.
+* COMPACTION rewrites each slice's merged view as a new base file; the
+  next read sees pure parquet until new deltas arrive.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import struct
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from incubator_gluten_spark.sources.hudi_format import (
+    META_COLS,
+    HudiFormatError,
+    _base_files,
+    _properties,
+    _timeline_dir,
+    _write_file_group,
+)
+
+LOG_MAGIC = b"#HUDI#"
+LOG_FORMAT_VERSION = 1
+AVRO_DATA_BLOCK = 3  # HoodieLogBlockType ordinal (command=0, delete=1, corrupt=2)
+HEADER_INSTANT_TIME = 0  # HeaderMetadataType ordinals
+HEADER_SCHEMA = 2
+_AVRO_CONTENT_VERSION = 3
+
+
+# ---------------------------------------------------------------------------
+# log block framing (tech-specs "Log File Format")
+
+
+def _pack_header_map(headers: dict[int, str]) -> bytes:
+    out = bytearray(struct.pack(">I", len(headers)))
+    for ordinal, value in sorted(headers.items()):
+        raw = value.encode("utf-8")
+        out += struct.pack(">II", ordinal, len(raw)) + raw
+    return bytes(out)
+
+
+def _unpack_header_map(buf: bytes, off: int) -> tuple[dict[int, str], int]:
+    (n,) = struct.unpack_from(">I", buf, off)
+    off += 4
+    headers = {}
+    for _ in range(n):
+        ordinal, ln = struct.unpack_from(">II", buf, off)
+        off += 8
+        headers[ordinal] = buf[off : off + ln].decode("utf-8")
+        off += ln
+    return headers, off
+
+
+def pack_log_block(
+    block_type: int, headers: dict[int, str], content: bytes
+) -> bytes:
+    """One framed block: magic, block length (bytes after the length
+    field), version, type, headers, content length + content, footers
+    (empty), total block length (for tail-wise scans)."""
+    body = bytearray()
+    body += struct.pack(">I", LOG_FORMAT_VERSION)
+    body += struct.pack(">I", block_type)
+    body += _pack_header_map(headers)
+    body += struct.pack(">Q", len(content)) + content
+    body += _pack_header_map({})  # footer
+    total = len(LOG_MAGIC) + 8 + len(body) + 8
+    body += struct.pack(">Q", total)
+    return LOG_MAGIC + struct.pack(">Q", len(body)) + bytes(body)
+
+
+def unpack_log_blocks(blob: bytes) -> list[tuple[int, dict[int, str], bytes]]:
+    """All (type, headers, content) blocks of one log file."""
+    out = []
+    off = 0
+    while off < len(blob):
+        if blob[off : off + 6] != LOG_MAGIC:
+            raise HudiFormatError(f"bad log magic at offset {off}")
+        off += 6
+        (block_len,) = struct.unpack_from(">Q", blob, off)
+        off += 8
+        end = off + block_len
+        (version,) = struct.unpack_from(">I", blob, off)
+        if version != LOG_FORMAT_VERSION:
+            raise HudiFormatError(f"log format version {version}")
+        (btype,) = struct.unpack_from(">I", blob, off + 4)
+        headers, coff = _unpack_header_map(blob, off + 8)
+        (clen,) = struct.unpack_from(">Q", blob, coff)
+        content = blob[coff + 8 : coff + 8 + clen]
+        if btype == 1:
+            raise HudiFormatError(
+                "DELETE blocks are Kryo-serialized (implementation-"
+                "defined, no written spec) — refusing rather than misreading"
+            )
+        out.append((btype, headers, content))
+        off = end
+    return out
+
+
+def encode_avro_data_block_content(rows, avro_schema: dict) -> bytes:
+    """[version][count] then per record [length][avro binary] — records
+    encoded by the repo's pure-Python codec, no container framing."""
+    from incubator_gluten_spark.sources.avro import _record_codecs
+
+    _names, codecs = _record_codecs(avro_schema)
+    recs = []
+    for row in rows:
+        buf = bytearray()
+        for v, (enc, _) in zip(row, codecs):
+            enc(buf, v)
+        recs.append(bytes(buf))
+    out = bytearray(struct.pack(">II", _AVRO_CONTENT_VERSION, len(recs)))
+    for r in recs:
+        out += struct.pack(">I", len(r)) + r
+    return bytes(out)
+
+
+def decode_avro_data_block_content(content: bytes, avro_schema: dict):
+    import io
+
+    from incubator_gluten_spark.sources.avro import _record_codecs
+
+    _names, codecs = _record_codecs(avro_schema)
+    version, n = struct.unpack_from(">II", content, 0)
+    if version != _AVRO_CONTENT_VERSION:
+        raise HudiFormatError(f"avro block content version {version}")
+    off = 8
+    rows = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from(">I", content, off)
+        buf = io.BytesIO(content[off + 4 : off + 4 + ln])
+        rows.append(tuple(dec(buf) for _, dec in codecs))
+        off += 4 + ln
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# timeline / file-slice resolution
+
+
+def completed_instants(root: str, actions=(".commit", ".deltacommit")) -> list[str]:
+    out = []
+    for name in os.listdir(_timeline_dir(root)):
+        for a in actions:
+            if name.endswith(a):
+                out.append(name[: -len(a)])
+    return sorted(out)
+
+
+def _next_instant(root: str) -> str:
+    existing = completed_instants(root)
+    if not existing:
+        return "20240101000000000"
+    return str(int(existing[-1]) + 1).zfill(17)
+
+
+def _commit_instant(root: str, instant: str, action: str, stats: dict) -> None:
+    tdir = _timeline_dir(root)
+    for suffix in (".requested", ".inflight"):
+        with open(os.path.join(tdir, f"{instant}{action}{suffix}"), "w") as f:
+            f.write("{}")
+    with open(os.path.join(tdir, f"{instant}{action}"), "w") as f:
+        json.dump({"partitionToWriteStats": stats, "operation": action[1:]}, f)
+    for suffix in (".requested", ".inflight"):
+        os.remove(os.path.join(tdir, f"{instant}{action}{suffix}"))
+
+
+def _log_files(root: str) -> list[tuple[str, str, str, int, str]]:
+    """(partition_path, file_id, base_instant, version, full_path) for
+    every log file — membership from the NAME layout:
+    .<fileId>_<baseInstant>.log.<version>_<writeToken>"""
+    out = []
+    for dirpath, dirnames, files in os.walk(root):
+        if os.path.basename(_timeline_dir(root)) in dirpath:
+            continue
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        for name in files:
+            if not (name.startswith(".") and ".log." in name):
+                continue
+            stem, _, tail = name[1:].partition(".log.")
+            file_id, _, base_instant = stem.rpartition("_")
+            version = int(tail.split("_")[0])
+            rel_dir = os.path.relpath(dirpath, root)
+            out.append(
+                (
+                    "" if rel_dir == "." else rel_dir,
+                    file_id,
+                    base_instant,
+                    version,
+                    os.path.join(dirpath, name),
+                )
+            )
+    return out
+
+
+def file_slices(root: str, as_of: str | None = None) -> list[dict]:
+    """Per file group: the newest committed base file at or before
+    ``as_of`` plus the log files ATTACHED TO IT (matching baseInstant).
+    Log blocks are instant-filtered at read time (a block whose
+    deltacommit is uncommitted or after ``as_of`` is invisible)."""
+    committed = set(completed_instants(root))
+    if as_of is not None:
+        committed = {i for i in committed if i <= as_of}
+    best: dict[tuple[str, str], tuple[str, str]] = {}
+    for part, file_id, instant, path in _base_files(root):
+        if instant not in committed:
+            continue
+        key = (part, file_id)
+        if key not in best or instant > best[key][0]:
+            best[key] = (instant, path)
+    slices = []
+    logs_by_slice: dict[tuple[str, str, str], list[tuple[int, str]]] = {}
+    for part, file_id, base_instant, version, path in _log_files(root):
+        logs_by_slice.setdefault((part, file_id, base_instant), []).append(
+            (version, path)
+        )
+    for (part, file_id), (instant, path) in sorted(best.items()):
+        logs = sorted(logs_by_slice.get((part, file_id, instant), []))
+        slices.append(
+            {
+                "partition": part,
+                "file_id": file_id,
+                "base_instant": instant,
+                "base_file": path,
+                "log_files": [p for _, p in logs],
+            }
+        )
+    return slices
+
+
+# ---------------------------------------------------------------------------
+# reader
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    as_of: str | None = None,
+    drop_meta_cols: bool = True,
+) -> DataFrame:
+    """MOR snapshot: base parquet scan UNION distributed log decode,
+    then latest-wins per record key (one window; log beats base on
+    instant ties)."""
+    props = _properties(root)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiFormatError("not a MERGE_ON_READ table — use hudi_format")
+    key_col = props["hoodie.table.recordkey.fields"]
+    slices = file_slices(root, as_of)
+    if not slices:
+        raise ValueError(f"no committed snapshot at or before {as_of!r}")
+    base = spark.read.parquet(*[s["base_file"] for s in slices])
+    data_cols = [c for c in base.columns if c not in META_COLS]
+    committed = set(completed_instants(root))
+    if as_of is not None:
+        committed = {i for i in committed if i <= as_of}
+    log_paths = [p for s in slices for p in s["log_files"]]
+    merged_src = base.select(
+        *data_cols, F.col("_hoodie_commit_time").alias("__instant")
+    ).withColumn("__is_log", F.lit(0))
+    if log_paths:
+        log_df = _decode_logs_df(spark, log_paths, committed, base, data_cols)
+        merged_src = merged_src.unionByName(log_df.withColumn("__is_log", F.lit(1)))
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc("__instant"), F.desc("__is_log")
+    )
+    out = (
+        merged_src.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*data_cols)
+    )
+    return out
+
+
+def _decode_logs_df(
+    spark: SparkSession,
+    log_paths: list[str],
+    committed: set[str],
+    base: DataFrame,
+    data_cols: list[str],
+) -> DataFrame:
+    """Distributed log decode: the PATH list parallelizes (log files are
+    dot-hidden, which Spark's file sources skip by design), each
+    executor opens and parses its files' blocks — exactly where real
+    Hudi's log scanner runs — drops blocks whose instant is not in the
+    committed set, and emits rows with the block instant."""
+    import pandas as pd
+
+    schema_ddl = ", ".join(
+        f"{c} {dict(base.dtypes)[c]}" for c in data_cols
+    )
+    committed_list = sorted(committed)
+    paths_df = spark.createDataFrame(
+        [(p,) for p in log_paths], "path string"
+    ).repartition(min(len(log_paths), 32))
+
+    def decode(batches):
+        ok = set(committed_list)
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    blob = fh.read()
+                frames = []
+                for btype, headers, content in unpack_log_blocks(bytes(blob)):
+                    if btype != AVRO_DATA_BLOCK:
+                        continue
+                    instant = headers[HEADER_INSTANT_TIME]
+                    if instant not in ok:
+                        continue
+                    avro_schema = json.loads(headers[HEADER_SCHEMA])
+                    rows = decode_avro_data_block_content(content, avro_schema)
+                    names = [f["name"] for f in avro_schema["fields"]]
+                    f = pd.DataFrame(rows, columns=names)
+                    f["__instant"] = instant
+                    frames.append(f[[*data_cols, "__instant"]])
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
+    return paths_df.mapInPandas(decode, f"{schema_ddl}, __instant string")
+
+
+# ---------------------------------------------------------------------------
+# writers
+
+
+def create_table(
+    df: DataFrame,
+    root: str,
+    key_col: str,
+    partition_col: str | None = None,
+    name: str = "graft_mor_table",
+) -> str:
+    """Bootstrap a MERGE_ON_READ table: base file groups exactly like
+    the COW module, table type MOR."""
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(_timeline_dir(root), exist_ok=True)
+    with open(os.path.join(_timeline_dir(root), "hoodie.properties"), "w") as f:
+        f.write(
+            f"hoodie.table.name={name}\n"
+            "hoodie.table.type=MERGE_ON_READ\n"
+            "hoodie.table.version=6\n"
+            f"hoodie.table.recordkey.fields={key_col}\n"
+            + (
+                f"hoodie.table.partition.fields={partition_col}\n"
+                if partition_col
+                else ""
+            )
+        )
+    spark = SparkSession.getActiveSession()
+    instant = _next_instant(root)
+    stats: dict[str, list] = {}
+    groups = (
+        [
+            (str(v), df.filter(F.col(partition_col) == v))
+            for v in sorted(
+                r[0] for r in df.select(partition_col).distinct().collect()
+            )
+        ]
+        if partition_col
+        else [("", df)]
+    )
+    for part, part_df in groups:
+        ws = _write_file_group(
+            spark, part_df, root, part, uuid.uuid4().hex[:12], instant, key_col
+        )
+        stats.setdefault(part, []).append(ws)
+    _commit_instant(root, instant, ".deltacommit", stats)
+    return instant
+
+
+def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
+    """MOR upsert: updates append ONE AVRO LOG BLOCK per touched file
+    slice — encoded and written on the EXECUTORS (applyInPandas over
+    updates grouped by slice; real Hudi writers also write logs from
+    tasks); inserts become new base file groups.  No base file is
+    rewritten."""
+    from incubator_gluten_spark.sources.avro import avro_schema_for
+
+    props = _properties(root)
+    if props.get("hoodie.table.type") != "MERGE_ON_READ":
+        raise HudiFormatError("not a MERGE_ON_READ table — use hudi_format")
+    partition_col = props.get("hoodie.table.partition.fields") or None
+    instant = _next_instant(root)
+    slices = file_slices(root)
+    base = spark.read.parquet(*[s["base_file"] for s in slices])
+    data_cols = [c for c in base.columns if c not in META_COLS]
+    avro_schema = avro_schema_for(df.select(*data_cols).schema)
+    schema_json = json.dumps(avro_schema)
+    # route each incoming key to its slice (meta-cols join, distributed)
+    existing = base.select(
+        F.col("_hoodie_record_key").alias("__k"),
+        F.col("_hoodie_partition_path").alias("__part"),
+        F.col("_hoodie_file_name").alias("__fname"),
+    )
+    src = df.select(*data_cols).withColumn(
+        "__k", F.col(key_col).cast("string")
+    )
+    routed = src.join(existing, "__k", "left")
+    updates = routed.filter(F.col("__fname").isNotNull())
+    n_log_versions = {
+        (s["partition"], s["file_id"]): len(s["log_files"]) for s in slices
+    }
+    base_instants = {
+        (s["partition"], s["file_id"]): s["base_instant"] for s in slices
+    }
+    import pandas as pd
+
+    root_abs = os.path.abspath(root)
+
+    def write_log(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = pdf["__part"].iloc[0]
+        file_id = pdf["__fname"].iloc[0].split("_")[0]
+        base_instant = base_instants[(part, file_id)]
+        version = n_log_versions.get((part, file_id), 0) + 1
+        rows = list(
+            pdf[data_cols].itertuples(index=False, name=None)
+        )
+        content = encode_avro_data_block_content(rows, avro_schema)
+        block = pack_log_block(
+            AVRO_DATA_BLOCK,
+            {HEADER_INSTANT_TIME: instant, HEADER_SCHEMA: schema_json},
+            content,
+        )
+        name = f".{file_id}_{base_instant}.log.{version}_0-1-0"
+        out_dir = os.path.join(root_abs, part) if part else root_abs
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(block)
+        return pd.DataFrame(
+            {"part": [part], "file_id": [file_id], "n": [len(rows)]}
+        )
+
+    accounting = (
+        updates.groupBy("__part", "__fname")
+        .applyInPandas(write_log, "part string, file_id string, n bigint")
+        .collect()
+    )
+    stats: dict[str, list] = {}
+    for r in accounting:
+        stats.setdefault(r["part"], []).append(
+            {"fileId": r["file_id"], "numUpdateWrites": r["n"], "log": True}
+        )
+    inserts = routed.filter(F.col("__fname").isNull()).select(*data_cols)
+    n_new = inserts.count()
+    if n_new:
+        groups = (
+            [
+                (str(v), inserts.filter(F.col(partition_col) == v))
+                for v in sorted(
+                    r[0]
+                    for r in inserts.select(partition_col).distinct().collect()
+                )
+            ]
+            if partition_col
+            else [("", inserts)]
+        )
+        for part, part_df in groups:
+            ws = _write_file_group(
+                spark, part_df, root, part, uuid.uuid4().hex[:12], instant, key_col
+            )
+            stats.setdefault(part, []).append(ws)
+    _commit_instant(root, instant, ".deltacommit", stats)
+    return {
+        "instant": instant,
+        "log_blocks_appended": len(accounting),
+        "new_rows": n_new,
+    }
+
+
+def compact(spark: SparkSession, root: str) -> dict:
+    """Rewrite every file slice's MERGED view as a new base file at a
+    new ``.commit`` instant.  Old bases + logs stay for time travel;
+    the next snapshot read picks the new bases and finds no logs
+    attached to them (their baseInstant moved)."""
+    props = _properties(root)
+    key_col = props["hoodie.table.recordkey.fields"]
+    merged = read_table(spark, root, drop_meta_cols=True)
+    slices = file_slices(root)
+    instant = _next_instant(root)
+    # route merged rows back to their file group via the record key
+    base = spark.read.parquet(*[s["base_file"] for s in slices])
+    route = base.select(
+        F.col("_hoodie_record_key").alias("__k"),
+        F.col("_hoodie_partition_path").alias("__part"),
+        F.col("_hoodie_file_name").alias("__fname"),
+    )
+    routed = merged.withColumn("__k", F.col(key_col).cast("string")).join(
+        route, "__k", "left"
+    )
+    stats: dict[str, list] = {}
+    n = 0
+    for s in slices:
+        rows = routed.filter(
+            F.col("__fname").startswith(s["file_id"] + "_")
+        ).select(*merged.columns)
+        ws = _write_file_group(
+            spark, rows, root, s["partition"], s["file_id"], instant, key_col
+        )
+        stats.setdefault(s["partition"], []).append(ws)
+        n += 1
+    # rows whose keys were pure log inserts don't exist — MOR upsert
+    # routes unmatched keys to NEW BASE GROUPS, so every key has a group
+    _commit_instant(root, instant, ".commit", stats)
+    return {"instant": instant, "file_groups_compacted": n}

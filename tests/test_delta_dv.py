@@ -1,0 +1,203 @@
+"""Delta Lake deletion vectors: Roaring serialization (both public
+specs), DV file framing, merge-on-read application, DV merge on
+re-delete, checkpoint survival, protocol feature gating."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.sources import delta_protocol as dp
+from incubator_gluten_spark.sources.roaring import (
+    MAGIC_RBA,
+    deserialize_bitmap32,
+    deserialize_rba,
+    serialize_bitmap32,
+    serialize_rba,
+)
+
+
+# ---------------------------------------------------------------------------
+# roaring unit tests (no Spark)
+
+
+def test_bitmap32_layout_matches_spec():
+    """Independent reconstruction of the RoaringFormatSpec byte layout
+    for a two-container bitmap (one array, one bitmap container)."""
+    vals = np.array([1, 2, 65536 + 5], dtype=np.uint32)
+    blob = serialize_bitmap32(vals)
+    cookie, n = struct.unpack_from("<II", blob, 0)
+    assert (cookie, n) == (12346, 2)
+    # descriptive headers: (key, cardinality-1)
+    assert struct.unpack_from("<HH", blob, 8) == (0, 1)
+    assert struct.unpack_from("<HH", blob, 12) == (1, 0)
+    # offset header then sorted u16 array containers
+    o0, o1 = struct.unpack_from("<II", blob, 16)
+    assert struct.unpack_from("<HH", blob, o0) == (1, 2)
+    assert struct.unpack_from("<H", blob, o1) == (5,)
+    back, used = deserialize_bitmap32(blob)
+    assert used == len(blob) and list(back) == [1, 2, 65536 + 5]
+
+
+def test_bitmap32_dense_container_roundtrip():
+    vals = np.arange(0, 60000, 3, dtype=np.uint32)  # cardinality > 4096
+    back, _ = deserialize_bitmap32(serialize_bitmap32(vals))
+    assert np.array_equal(back, vals)
+
+
+def test_bitmap32_reads_run_containers():
+    """Hand-built cookie-12347 blob with one run container — writers may
+    run-compress; our reader must accept it."""
+    blob = bytearray()
+    blob += struct.pack("<I", (0 << 16) | 12347)  # 1 container
+    blob += b"\x01"  # run flag bitset: container 0 is runs
+    blob += struct.pack("<HH", 0, 9)  # key 0, cardinality-1
+    blob += struct.pack("<H", 2)  # 2 runs
+    blob += struct.pack("<HH", 10, 4)  # 10..14
+    blob += struct.pack("<HH", 100, 4)  # 100..104
+    back, used = deserialize_bitmap32(bytes(blob))
+    assert used == len(blob)
+    assert list(back) == list(range(10, 15)) + list(range(100, 105))
+
+
+def test_rba_wrapper_layout_and_high_bits():
+    pos = [3, 2**32 + 7, 2**33]
+    blob = serialize_rba(pos)
+    magic, n_maps = struct.unpack_from("<IQ", blob, 0)
+    assert magic == MAGIC_RBA and n_maps == 3
+    assert list(deserialize_rba(blob)) == sorted(pos)
+
+
+@pytest.mark.parametrize("n", [0, 1, 4096, 5000])
+def test_rba_roundtrip_sizes(n):
+    import random
+
+    rng = random.Random(n)
+    pos = sorted(set(rng.randrange(0, 2**34) for _ in range(n)))
+    assert list(deserialize_rba(serialize_rba(pos))) == pos
+
+
+# ---------------------------------------------------------------------------
+# Delta integration
+
+
+def _orders(spark, sf_dir, year):
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return orders.filter(F.year("o_orderdate") == year).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_dv_delete_merge_on_read_no_rewrite(spark, sf_dir, tmp_path):
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "dv")
+    dp.create_table(base, root, partition_cols=["o_orderpriority"])
+    files_before = [a["path"] for a in dp.resolve(spark, root).adds]
+    out = dp.delete_where_dv(spark, root, "o_totalprice < 50000")
+    assert out["rows_deleted"] == base.filter("o_totalprice < 50000").count()
+    snap = dp.resolve(spark, root)
+    # same data files, now carrying descriptors — nothing rewritten
+    assert [a["path"] for a in snap.adds] == files_before
+    assert all(a["deletionVector"]["storageType"] == "u" for a in snap.adds)
+    got = dp.read_table(spark, root)
+    assert _rows(got) == _rows(base.filter("o_totalprice >= 50000"))
+    # time travel to the pre-DV version still sees every row
+    assert _rows(dp.read_table(spark, root, 0)) == _rows(base)
+
+
+def test_dv_file_framing_checksum_and_b85_path(spark, sf_dir, tmp_path):
+    """The .bin file honors [version][size BE][data][crc32 BE] at each
+    descriptor offset, and pathOrInlineDv base85-decodes to the file's
+    UUID; corrupting a byte trips the checksum."""
+    import os
+
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "dv_frame")
+    dp.create_table(base, root)
+    dp.delete_where_dv(spark, root, "o_orderkey % 3 = 0")
+    add = dp.resolve(spark, root).adds[0]
+    d = add["deletionVector"]
+    rel = dp._dv_file_rel(d)
+    path = os.path.join(root, rel)
+    assert os.path.exists(path) and rel.startswith("deletion_vector_")
+    blob = open(path, "rb").read()
+    assert blob[0] == 1
+    (size,) = struct.unpack_from(">i", blob, d["offset"])
+    assert size == d["sizeInBytes"]
+    data = blob[d["offset"] + 4 : d["offset"] + 4 + size]
+    (crc,) = struct.unpack_from(">I", blob, d["offset"] + 4 + size)
+    assert zlib.crc32(data) == crc
+    assert len(deserialize_rba(data)) == d["cardinality"]
+    corrupted = bytearray(blob)
+    corrupted[d["offset"] + 4] ^= 0xFF
+    with open(path, "wb") as f:
+        f.write(bytes(corrupted))
+    with pytest.raises(dp.DeltaProtocolError, match="checksum"):
+        dp.load_dv(root, d)
+
+
+def test_dv_second_delete_merges_bitmaps(spark, sf_dir, tmp_path):
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "dv_merge")
+    dp.create_table(base, root)
+    dp.delete_where_dv(spark, root, "o_totalprice < 30000")
+    out = dp.delete_where_dv(spark, root, "o_orderpriority = '5-LOW'")
+    # second pass counts only NEWLY deleted rows
+    want_new = base.filter(
+        "o_orderpriority = '5-LOW' AND o_totalprice >= 30000"
+    ).count()
+    assert out["rows_deleted"] == want_new
+    got = dp.read_table(spark, root)
+    want = base.filter(
+        "o_totalprice >= 30000 AND o_orderpriority <> '5-LOW'"
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_dv_survives_checkpoint(spark, sf_dir, tmp_path):
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "dv_ck")
+    dp.create_table(base, root)
+    dp.delete_where_dv(spark, root, "o_totalprice < 40000")
+    dp.checkpoint(spark, root)
+    # append forces replay through the checkpoint
+    dp.append(_orders(spark, sf_dir, 1997), root)
+    snap = dp.resolve(spark, root)
+    assert any(a.get("deletionVector") for a in snap.adds)
+    want = base.filter("o_totalprice >= 40000").unionAll(
+        _orders(spark, sf_dir, 1997)
+    )
+    assert _rows(dp.read_table(spark, root)) == _rows(want)
+
+
+def test_protocol_gate_still_refuses_unknown_features(spark, tmp_path):
+    import json
+    import os
+
+    root = str(tmp_path / "gate")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": 7,
+                        "readerFeatures": ["deletionVectors", "columnMapping"],
+                    }
+                }
+            )
+            + "\n"
+        )
+    with pytest.raises(dp.DeltaProtocolError, match="columnMapping"):
+        dp.resolve(spark, root)

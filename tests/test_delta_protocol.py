@@ -255,3 +255,29 @@ def test_history_from_stats_only(spark, sf_dir, tmp_path):
     assert hist[1]["n_rows"] == orders.filter(
         F.year("o_orderdate").isin(1996, 1997)
     ).count()
+
+
+def test_txn_action_exactly_once_and_checkpoint(spark, sf_dir, tmp_path):
+    """The protocol's txn (appId/version) action: replayed batches
+    no-op; the highest version per appId survives a checkpoint."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    df = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_totalprice"
+    )
+    root = str(tmp_path / "txn")
+    dp.create_table(df.limit(0), root)
+    assert dp.append_stream_batch(df, root, "app", 0) is True
+    n0 = dp.read_table(spark, root).count()
+    # replay of batch 0 must be a no-op
+    assert dp.append_stream_batch(df, root, "app", 0) is False
+    assert dp.read_table(spark, root).count() == n0
+    # a DIFFERENT appId at version 0 commits independently
+    assert dp.append_stream_batch(df, root, "other", 0) is True
+    assert dp.resolve(spark, root).txns == {"app": 0, "other": 0}
+    dp.checkpoint(spark, root)
+    # post-checkpoint resolve still sees the txn versions
+    assert dp.resolve(spark, root).txns == {"app": 0, "other": 0}
+    assert dp.append_stream_batch(df, root, "app", 0) is False
+    assert dp.append_stream_batch(df, root, "app", 1) is True

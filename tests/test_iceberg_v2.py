@@ -1,0 +1,147 @@
+"""Iceberg format-version 2 row-level deletes: position-delete and
+equality-delete files, sequence-number applicability, merge-on-read."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.sources import iceberg_v2 as v2
+from incubator_gluten_spark.sources.avro import read_container
+
+
+def _orders(spark, sf_dir, year):
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return orders.filter(F.year("o_orderdate") == year).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_position_delete_merge_on_read(spark, sf_dir, tmp_path):
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "v2_pos")
+    v2.create_table(base, root, partition_cols=["o_orderpriority"])
+    out = v2.position_delete(spark, root, "o_totalprice < 50000")
+    assert out["positions_deleted"] > 0
+    got = v2.read_table(spark, root)
+    want = base.filter("o_totalprice >= 50000")
+    assert _rows(got) == _rows(want)
+    # time travel: snapshot 1 predates the delete file
+    assert _rows(v2.read_table(spark, root, snapshot_id=1)) == _rows(base)
+    # no data file was touched: the delete is its own (sorted) file
+    scan = v2.plan_scan(root)
+    assert len(scan["pos_deletes"]) == 1
+    f, seq = scan["pos_deletes"][0]
+    assert seq == 2
+    dels = spark.read.parquet(root + "/" + f["file_path"]).collect()
+    assert [tuple(r) for r in dels] == sorted(
+        (r.file_path, r.pos) for r in dels
+    )
+
+
+def test_position_delete_spec_field_ids(spark, sf_dir, tmp_path):
+    """The delete file's parquet schema carries the spec's reserved
+    field-ids 2147483546 (file_path) / 2147483545 (pos)."""
+    import pyarrow.parquet as pq
+
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "v2_ids")
+    v2.create_table(base, root)
+    v2.position_delete(spark, root, "o_orderkey % 7 = 0")
+    (f, _), = v2.plan_scan(root)["pos_deletes"]
+    schema = pq.read_schema(root + "/" + f["file_path"])
+    ids = {
+        fld.name: (fld.metadata or {}).get(b"PARQUET:field_id")
+        for fld in schema
+    }
+    assert ids["file_path"] == b"2147483546"
+    assert ids["pos"] == b"2147483545"
+
+
+def test_position_deletes_stack_and_apply_to_earlier_data_only(
+    spark, sf_dir, tmp_path
+):
+    """Second delete on the merged view; data appended AFTER a delete
+    (higher sequence number) is untouched by it."""
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "v2_stack")
+    v2.create_table(base, root)
+    v2.position_delete(spark, root, "o_totalprice < 50000")  # seq 2
+    later = _orders(spark, sf_dir, 1997)
+    v2.append(later, root)  # seq 3: cheap rows here must survive seq-2 delete
+    v2.position_delete(spark, root, "o_orderpriority = '1-URGENT'")  # seq 4
+    got = v2.read_table(spark, root)
+    want_96 = base.filter(
+        "o_totalprice >= 50000 AND o_orderpriority <> '1-URGENT'"
+    )
+    want_97 = later.filter("o_orderpriority <> '1-URGENT'")
+    assert _rows(got) == _rows(want_96.unionAll(want_97))
+
+
+def test_equality_delete_strict_sequence_rule(spark, sf_dir, tmp_path):
+    """Equality delete removes earlier rows by key; the SAME keys
+    appended in a LATER commit reappear (del.seq > data.seq is strict)."""
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "v2_eq")
+    v2.create_table(base, root)
+    out = v2.equality_delete(
+        spark, root, "o_orderpriority = '5-LOW'", ["o_orderkey"]
+    )
+    assert out["keys_deleted"] == base.filter("o_orderpriority = '5-LOW'").count()
+    assert _rows(v2.read_table(spark, root)) == _rows(
+        base.filter("o_orderpriority <> '5-LOW'")
+    )
+    # re-append two of the deleted keys: higher seq => they survive
+    revived = base.filter("o_orderpriority = '5-LOW'").limit(2)
+    v2.append(revived, root)
+    got = v2.read_table(spark, root)
+    assert _rows(got) == _rows(
+        base.filter("o_orderpriority <> '5-LOW'").unionAll(revived)
+    )
+    # manifest carries the equality_ids (schema field-id of o_orderkey)
+    (f, _, eq_ids), = v2.plan_scan(root)["eq_deletes"]
+    assert eq_ids == [1]
+
+
+def test_mixed_deletes_and_history(spark, sf_dir, tmp_path):
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "v2_mixed")
+    v2.create_table(base, root)
+    v2.position_delete(spark, root, "o_totalprice < 20000")
+    v2.equality_delete(
+        spark, root, "o_orderpriority = '4-NOT SPECIFIED'", ["o_orderkey"]
+    )
+    got = v2.read_table(spark, root)
+    want = base.filter(
+        "o_totalprice >= 20000 AND o_orderpriority <> '4-NOT SPECIFIED'"
+    )
+    assert _rows(got) == _rows(want)
+    hist = v2.history(root)
+    assert [h["operation"] for h in hist] == ["append", "delete", "delete"]
+    assert [h["sequence_number"] for h in hist] == [1, 2, 3]
+    with pytest.raises(ValueError, match="no rows match"):
+        v2.position_delete(spark, root, "o_totalprice < 0")
+
+
+def test_manifest_list_v2_layout(spark, sf_dir, tmp_path):
+    """The manifest list is spec-v2 Avro: content + sequence_number
+    columns present; carried-over manifests keep their ORIGINAL
+    sequence number (inheritance)."""
+    import os
+
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "v2_ml")
+    v2.create_table(base, root)
+    v2.append(_orders(spark, sf_dir, 1997), root)
+    v2.position_delete(spark, root, "o_totalprice < 30000")
+    meta = v2._current_metadata(root)
+    snap = meta["snapshots"][-1]
+    rows = list(read_container(os.path.join(root, snap["manifest-list"])))
+    # (path, length, spec_id, content, seq, snapshot_id)
+    assert [(r[3], r[4]) for r in rows] == [(0, 1), (0, 2), (1, 3)]

@@ -88,7 +88,9 @@ def main() -> int:
                       "MapInArrow", "BatchEvalPython")
             if t in plan
         ]
-        if py_nodes and not tags & {"udf", "datapipe", "multimodal", "python-datasource"}:
+        if py_nodes and not tags & {
+            "udf", "datapipe", "multimodal", "python-datasource", "arrow-kernel"
+        }:
             probs.append(f"python-in-plan:{','.join(py_nodes)}")
         if "BatchEvalPython" in plan and "udf_python_row" not in name:
             probs.append("row-python-udf")
