@@ -1187,7 +1187,7 @@ def test_random_timezone_dst_roundtrips(spark, duck, sf_dir, zone, edge, deltas)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_random_date_arithmetic_matches_oracle(
+def test_random_month_end_clamping_matches_oracle(
     spark, duck, sf_dir, base_day, months, days
 ):
     """add_months (month-END CLAMPING: Jan 31 + 1 month = Feb 29/28),
@@ -1293,3 +1293,55 @@ def test_random_string_functions_match_oracle(spark, duck, sf_dir, op):
         ).fetchall()
     )
     assert srows == drows, (fn, args, srows[:2], drows[:2])
+
+
+@given(
+    s1=st.integers(min_value=0, max_value=6),
+    s2=st.integers(min_value=0, max_value=6),
+    a=st.integers(min_value=-(10**9), max_value=10**9),
+    b=st.integers(min_value=-(10**9), max_value=10**9),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_decimal_scale_promotion_checked(spark, duck, sf_dir, s1, s2, a, b):
+    """Decimal +, *, / result-scale promotion — the divergence class the
+    reference documents for decimal rescale (SURVEY "what's hard" (b)).
+    Operands are DECIMAL(10,s): by Spark's documented rules the sum and
+    product types are exact (no rounding), so they must equal Python
+    bignum arithmetic EXACTLY; division promotes to scale s1+11
+    (max(6, s1+p2+1) with p2=10), total precision 21+s2 < 38, so no
+    precision-loss adjustment applies and the value must equal the exact
+    rational quotient rounded HALF_UP at scale s1+11 — pinned against
+    Python's decimal module, digit for digit.  DuckDB cross-checks the
+    exact cases (its division scale differs by design, so the quotient
+    is pinned to Spark's documented semantics, not DuckDB's)."""
+    from decimal import ROUND_HALF_UP, Decimal, localcontext
+
+    da = Decimal(a).scaleb(-s1)
+    db = Decimal(b).scaleb(-s2)
+    lit_a = f"CAST('{da}' AS DECIMAL(10,{s1}))"
+    lit_b = f"CAST('{db}' AS DECIMAL(10,{s2}))"
+    row = spark.sql(
+        f"""SELECT {lit_a} + {lit_b} AS s, {lit_a} * {lit_b} AS p,
+                   {f'{lit_a} / {lit_b}' if b else 'NULL'} AS q"""
+    ).collect()[0]
+    assert Decimal(str(row.s)) == da + db, (a, b, s1, s2, row.s)
+    assert Decimal(str(row.p)) == da * db, (a, b, s1, s2, row.p)
+    if b:
+        with localcontext() as ctx:
+            ctx.prec = 60
+            want_q = (da / db).quantize(
+                Decimal(1).scaleb(-(s1 + 11)), rounding=ROUND_HALF_UP
+            )
+        assert Decimal(str(row.q)) == want_q, (a, b, s1, s2, row.q, want_q)
+    # DuckDB agrees on the exact (sum/product) cases
+    ds, dp_ = duck.sql(
+        f"""SELECT CAST('{da}' AS DECIMAL(12,{s1})) +
+                   CAST('{db}' AS DECIMAL(12,{s2})),
+                   CAST('{da}' AS DECIMAL(12,{s1})) *
+                   CAST('{db}' AS DECIMAL(12,{s2}))"""
+    ).fetchall()[0]
+    assert Decimal(str(ds)) == da + db and Decimal(str(dp_)) == da * db
