@@ -1362,12 +1362,15 @@ def src_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the position delete OFF these newer rows, which the fixture
     exercises: 1997 has rows under the same price cut), then
     EQUALITY-delete '3-MEDIUM' orderkeys (content=2, equality_ids,
-    strict ``>`` rule — sequence 4).  The reader applies both delete
-    kinds as broadcast left-anti hash joins over the parquet
-    ``_metadata.file_path``/``row_index`` virtual columns — no data
-    file rewritten, no collect, no cartesian.  Hash-matching the oracle
-    (which recomputes the final state relationally) certifies sequence
-    inheritance + both applicability rules + the MOR joins end to end.
+    strict ``>`` rule — sequence 4), then COMPACT (rewrite_data_files:
+    the spec's replace operation — new snapshot carries zero delete
+    files).  The reader applies both delete kinds as broadcast
+    left-anti hash joins over the parquet ``_metadata.file_path``/
+    ``row_index`` virtual columns — no data file rewritten, no collect,
+    no cartesian.  Hash-matching the oracle (which recomputes the final
+    state relationally) against the POST-COMPACTION read certifies
+    sequence inheritance + both applicability rules + the MOR joins +
+    compaction end to end.
     Reference analog: gluten-iceberg's delete-file read path
     (IcebergScanTransformer.scala:44 plans delete files with data)."""
     import shutil
@@ -1393,6 +1396,12 @@ def src_iceberg_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan = v2.plan_scan(root)
     if not (scan["pos_deletes"] and scan["eq_deletes"]):
         raise RuntimeError(f"delete manifests missing: {scan}")
+    # compaction (spec rewrite): the FINAL read the oracle certifies is
+    # post-compaction, so rewrite_data_files must agree with the MOR view
+    v2.rewrite_data_files(spark, root)
+    after = v2.plan_scan(root)
+    if after["pos_deletes"] or after["eq_deletes"]:
+        raise RuntimeError("compaction left delete files in the snapshot")
     return v2.read_table(spark, root).groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)

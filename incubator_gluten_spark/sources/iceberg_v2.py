@@ -132,6 +132,29 @@ def _write_manifest_v2(
     return {"manifest_path": os.path.relpath(path, root), "manifest_length": os.path.getsize(path)}
 
 
+def _next_snapshot_id(meta: dict | None) -> int:
+    # max+1, not count+1: ids must stay unique after expire_snapshots
+    if not meta:
+        return 1
+    return max(s["snapshot-id"] for s in meta["snapshots"]) + 1
+
+
+def _next_meta_version(root: str, meta: dict | None) -> int:
+    if not meta:
+        return 1
+    with open(os.path.join(_meta_dir(root), "version-hint.text")) as f:
+        return int(f.read().strip()) + 1
+
+
+def _write_metadata(root: str, version: int, new_meta: dict) -> None:
+    with open(
+        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f)
+    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
+        f.write(str(version))
+
+
 def _commit_snapshot_v2(
     root: str,
     meta: dict | None,
@@ -144,7 +167,7 @@ def _commit_snapshot_v2(
     [(manifest_dict, content)]; previous manifests carry over with their
     ORIGINAL sequence numbers (spec inheritance)."""
     os.makedirs(_meta_dir(root), exist_ok=True)
-    snapshot_id = len(meta["snapshots"]) + 1 if meta else 1
+    snapshot_id = _next_snapshot_id(meta)
     seq = (meta.get("last-sequence-number", 0) if meta else 0) + 1
     rows: list[tuple] = []
     if meta:
@@ -183,12 +206,7 @@ def _commit_snapshot_v2(
         "current-snapshot-id": snapshot_id,
         "snapshots": (meta["snapshots"] if meta else []) + [snapshot],
     }
-    with open(
-        os.path.join(_meta_dir(root), f"v{snapshot_id}.metadata.json"), "w"
-    ) as f:
-        json.dump(new_meta, f)
-    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
-        f.write(str(snapshot_id))
+    _write_metadata(root, _next_meta_version(root, meta), new_meta)
     return snapshot
 
 
@@ -501,3 +519,95 @@ def equality_delete(
         root, meta, [(manifest, EQ_DELETES)], "delete", meta["schema"], spec
     )
     return {"snapshot_id": snap["snapshot-id"], "keys_deleted": n}
+
+
+def rewrite_data_files(spark: SparkSession, root: str) -> dict:
+    """COMPACTION (the spec's rewrite action): materialize the current
+    MERGE-ON-READ view into fresh data files and commit a snapshot whose
+    manifests re-state ONLY those files — no position/equality delete
+    files carry over, so subsequent reads are pure pruned parquet scans
+    until new deletes arrive.  Prior snapshots (and their delete files)
+    stay resolvable for time travel.  This is the maintenance operation
+    that bounds delete-file debt at 100 TB: reads before compaction pay
+    one broadcast anti-join per delete layer; after, none."""
+    meta = _current_metadata(root)
+    ice_schema = meta["schema"]
+    spec = meta["partition-specs"][0]
+    partition_cols = [f["name"] for f in spec["fields"]]
+    merged = read_table(spark, root)
+    data_files = _write_data_files(spark, merged, root, partition_cols)
+    snap_id = _next_snapshot_id(meta)
+    manifest = _write_manifest_v2(
+        root,
+        [(ADDED, snap_id, _with_v2_fields(d, DATA_CONTENT)) for d in data_files],
+        _partition_avro_schema(ice_schema, spec),
+    )
+    # fresh manifest list: ONLY the rewritten data (no carry-over)
+    seq = meta.get("last-sequence-number", 0) + 1
+    ml_path = os.path.join(
+        _meta_dir(root), f"snap-{snap_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_container(
+        ml_path,
+        iter([(manifest["manifest_path"], manifest["manifest_length"], 0,
+               DATA_CONTENT, seq, snap_id)]),
+        _MANIFEST_LIST_SCHEMA_V2,
+        codec="deflate",
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": 0,
+        "summary": {"operation": "replace"},
+        "manifest-list": os.path.relpath(ml_path, root),
+        "schema-id": 0,
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    _write_metadata(root, _next_meta_version(root, meta), new_meta)
+    return {"snapshot_id": snap_id, "files_written": len(data_files)}
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> dict:
+    """Snapshot expiration (the spec's maintenance op): drop all but the
+    newest ``keep_last`` snapshots from the metadata, delete their
+    manifest lists/manifests, and delete DATA AND DELETE FILES no longer
+    reachable from any retained snapshot.  Time travel to an expired
+    snapshot then FAILS LOUDLY (snapshot id absent), like the txnlog
+    module's vacuumed-commit refusal."""
+    meta = _current_metadata(root)
+    snaps = meta["snapshots"]
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+    if not drop:
+        return {"snapshots_expired": 0, "files_deleted": 0}
+    reachable: set[str] = set()
+    keep_manifests: set[str] = set()
+    for s in keep:
+        for mf in read_container(_resolve_path(root, s["manifest-list"])):
+            keep_manifests.add(mf[0])
+            for _st, _sid, data_file in read_container(_resolve_path(root, mf[0])):
+                reachable.add(data_file["file_path"])
+    n_files = 0
+    for s in drop:
+        ml = _resolve_path(root, s["manifest-list"])
+        for mf in read_container(ml):
+            if not os.path.exists(_resolve_path(root, mf[0])):
+                continue  # shared manifest already removed via another snapshot
+            for _st, _sid, data_file in read_container(_resolve_path(root, mf[0])):
+                p = data_file["file_path"]
+                if p not in reachable and os.path.exists(_resolve_path(root, p)):
+                    os.remove(_resolve_path(root, p))
+                    n_files += 1
+            if mf[0] not in keep_manifests and os.path.exists(
+                _resolve_path(root, mf[0])
+            ):
+                os.remove(_resolve_path(root, mf[0]))
+        os.remove(ml)
+    new_meta = dict(meta)
+    new_meta["snapshots"] = keep
+    _write_metadata(root, _next_meta_version(root, meta), new_meta)
+    return {"snapshots_expired": len(drop), "files_deleted": n_files}

@@ -145,3 +145,50 @@ def test_manifest_list_v2_layout(spark, sf_dir, tmp_path):
     rows = list(read_container(os.path.join(root, snap["manifest-list"])))
     # (path, length, spec_id, content, seq, snapshot_id)
     assert [(r[3], r[4]) for r in rows] == [(0, 1), (0, 2), (1, 3)]
+
+
+def test_rewrite_data_files_drops_delete_debt(spark, sf_dir, tmp_path):
+    """Compaction materializes the MOR view; the new snapshot carries NO
+    delete files, reads equal the pre-compaction view, and time travel
+    to the pre-compaction snapshot still applies the deletes."""
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "v2_rw")
+    v2.create_table(base, root, partition_cols=["o_orderpriority"])
+    v2.position_delete(spark, root, "o_totalprice < 40000")
+    v2.equality_delete(
+        spark, root, "o_orderpriority = '5-LOW'", ["o_orderkey"]
+    )
+    before = _rows(v2.read_table(spark, root))
+    out = v2.rewrite_data_files(spark, root)
+    assert out["files_written"] > 0
+    scan = v2.plan_scan(root)
+    assert not scan["pos_deletes"] and not scan["eq_deletes"]
+    assert _rows(v2.read_table(spark, root)) == before
+    pre = v2.history(root)[-2]["snapshot_id"]
+    assert _rows(v2.read_table(spark, root, snapshot_id=pre)) == before
+    # a fresh delete works on the compacted table (ids stay monotonic)
+    v2.position_delete(spark, root, "o_totalprice < 80000")
+    want = [r for r in before if r[1] >= 80000]
+    assert _rows(v2.read_table(spark, root)) == want
+
+
+def test_expire_snapshots_unreachable_files_removed(spark, sf_dir, tmp_path):
+    import os
+
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "v2_exp")
+    v2.create_table(base, root)
+    v2.position_delete(spark, root, "o_totalprice < 40000")
+    v2.rewrite_data_files(spark, root)
+    current = _rows(v2.read_table(spark, root))
+    out = v2.expire_snapshots(root, keep_last=1)
+    assert out["snapshots_expired"] == 2 and out["files_deleted"] > 0
+    # the retained snapshot still reads
+    assert _rows(v2.read_table(spark, root)) == current
+    # time travel to an expired snapshot fails loudly
+    with pytest.raises(ValueError, match="not found"):
+        v2.read_table(spark, root, snapshot_id=1)
+    # idempotent when nothing to expire; commits still work after
+    assert v2.expire_snapshots(root, keep_last=1)["snapshots_expired"] == 0
+    v2.append(base.limit(0), root)  # empty append commits cleanly
+    assert _rows(v2.read_table(spark, root)) == current
