@@ -115,6 +115,47 @@ def _field_codec(avro_type):
         return enc, dec
     if isinstance(avro_type, dict):
         kind = avro_type["type"]
+        logical = avro_type.get("logicalType")
+        if logical == "date" and kind == "int":
+            # days since unix epoch <-> datetime.date
+            import datetime as _dt
+
+            epoch = _dt.date(1970, 1, 1)
+            return (
+                lambda out, v: out.__iadd__(
+                    _zigzag_encode((v - epoch).days)
+                )
+            ), lambda buf: epoch + _dt.timedelta(days=_zigzag_decode(buf))
+        if logical == "timestamp-micros" and kind == "long":
+            import datetime as _dt
+
+            epoch = _dt.datetime(1970, 1, 1)
+
+            def enc_ts(out, v):
+                naive = v.replace(tzinfo=None) if v.tzinfo else v
+                micros = (naive - epoch) // _dt.timedelta(microseconds=1)
+                out += _zigzag_encode(micros)
+
+            return enc_ts, lambda buf: epoch + _dt.timedelta(
+                microseconds=_zigzag_decode(buf)
+            )
+        if logical == "decimal" and kind == "bytes":
+            from decimal import Decimal
+
+            scale = avro_type.get("scale", 0)
+
+            def enc_dec(out, v):
+                unscaled = int(Decimal(v).scaleb(scale))
+                n = max(1, (unscaled.bit_length() + 8) // 8)
+                _write_bytes(out, unscaled.to_bytes(n, "big", signed=True))
+
+            def dec_dec(buf):
+                raw = _read_bytes(buf)
+                return Decimal(
+                    int.from_bytes(raw, "big", signed=True)
+                ).scaleb(-scale)
+
+            return enc_dec, dec_dec
         if kind == "record":
             names = [f["name"] for f in avro_type["fields"]]
             codecs = [_field_codec(f["type"]) for f in avro_type["fields"]]
@@ -244,29 +285,58 @@ _AVRO_TO_SPARK = {
 
 
 def avro_schema_for(spark_schema) -> dict:
-    """Avro record schema for a Spark StructType (nullable -> union)."""
+    """Avro record schema for a Spark StructType (nullable -> union).
+    date / timestamp / timestamp_ntz / decimal map to the spec's
+    LOGICAL TYPES (date, timestamp-micros, bytes-decimal)."""
+    import re as _re
+
     fields = []
     for f in spark_schema.fields:
-        t = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        simple = f.dataType.simpleString()
+        t: object = _SPARK_TO_AVRO.get(simple)
         if t is None:
-            raise ValueError(f"unsupported field type: {f.dataType.simpleString()}")
+            if simple == "date":
+                t = {"type": "int", "logicalType": "date"}
+            elif simple in ("timestamp", "timestamp_ntz"):
+                t = {"type": "long", "logicalType": "timestamp-micros"}
+            else:
+                m = _re.fullmatch(r"decimal\((\d+),(\d+)\)", simple)
+                if m:
+                    t = {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": int(m.group(1)),
+                        "scale": int(m.group(2)),
+                    }
+        if t is None:
+            raise ValueError(f"unsupported field type: {simple}")
         fields.append(
             {"name": f.name, "type": ["null", t] if f.nullable else t}
         )
     return {"type": "record", "name": "row", "fields": fields}
 
 
+def _spark_type_of(t) -> str:
+    if isinstance(t, list):
+        t = [x for x in t if x != "null"][0]
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "date":
+            return "date"
+        if logical == "timestamp-micros":
+            return "timestamp_ntz"
+        if logical == "decimal":
+            return f"decimal({t['precision']},{t['scale']})"
+        t = t["type"]
+    return _AVRO_TO_SPARK[t]
+
+
 def spark_ddl_for(avro_schema: dict) -> str:
     """Spark DDL string for a supported Avro record schema."""
-    cols = []
-    for f in avro_schema["fields"]:
-        t = f["type"]
-        if isinstance(t, list):
-            t = [x for x in t if x != "null"][0]
-        if isinstance(t, dict):
-            t = t["type"]
-        cols.append(f"{f['name']} {_AVRO_TO_SPARK[t]}")
-    return ", ".join(cols)
+    return ", ".join(
+        f"{f['name']} {_spark_type_of(f['type'])}"
+        for f in avro_schema["fields"]
+    )
 
 
 # ---------------------------------------------------------------------------

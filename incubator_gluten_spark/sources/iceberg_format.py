@@ -56,6 +56,9 @@ _SPARK_TO_ICE = {
     "boolean": "boolean",
     "binary": "binary",
     "date": "date",
+    # spec: timestamp = micros without zone, timestamptz = micros UTC
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
 }
 _ICE_TO_SPARK = {v: k for k, v in _SPARK_TO_ICE.items() if k != "long"}
 _ICE_TO_AVRO = {
@@ -75,11 +78,16 @@ def _meta_dir(root: str) -> str:
 
 
 def _iceberg_schema(df_schema) -> dict:
+    import re as _re
+
     fields = []
     for i, f in enumerate(df_schema.fields, start=1):
-        t = _SPARK_TO_ICE.get(f.dataType.simpleString())
+        simple = f.dataType.simpleString()
+        t = _SPARK_TO_ICE.get(simple)
+        if t is None and _re.fullmatch(r"decimal\(\d+,\d+\)", simple):
+            t = simple.replace("decimal", "decimal", 1)  # spec spells it the same
         if t is None:
-            raise ValueError(f"unsupported type: {f.dataType.simpleString()}")
+            raise ValueError(f"unsupported type: {simple}")
         fields.append(
             {"id": i, "name": f.name, "required": not f.nullable, "type": t}
         )
@@ -113,6 +121,11 @@ def _partition_avro_schema(ice_schema: dict, spec: dict) -> dict:
     fields = []
     for pf in spec["fields"]:
         ice_t = by_id[pf["source-id"]]["type"]
+        if ice_t not in _ICE_TO_AVRO:
+            raise ValueError(
+                f"identity partitioning on {ice_t} not supported by this "
+                "writer (partition on a date/int/string column instead)"
+            )
         fields.append(
             {
                 "name": pf["name"],

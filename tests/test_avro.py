@@ -223,3 +223,80 @@ def test_avro_codec_roundtrip_fuzz(tmp_path_factory, sr):
     p = str(tmp_path_factory.mktemp("avro_fuzz") / "f.avro")
     assert write_container(p, iter(rows), schema, codec=codec) == len(rows)
     assert list(read_container(p)) == rows
+
+
+def test_logical_types_roundtrip_and_jvm_interop(spark, tmp_path):
+    """date / timestamp-micros / bytes-decimal logical types: python
+    roundtrip, and the JVM Avro library reads OUR encoding back as the
+    raw logical values the spec defines (days / micros / unscaled
+    two's-complement bytes)."""
+    import datetime
+    import json as _json
+    from decimal import Decimal
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+            {
+                "name": "m",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 12,
+                    "scale": 2,
+                },
+            },
+        ],
+    }
+    rows = [
+        (
+            datetime.date(1996, 3, 14),
+            datetime.datetime(2001, 2, 3, 4, 5, 6, 789000),
+            Decimal("-12345.67"),
+        ),
+        (datetime.date(1969, 12, 31), datetime.datetime(1970, 1, 1), Decimal("0.01")),
+    ]
+    p = str(tmp_path / "logical.avro")
+    write_container(p, iter(rows), schema, codec="null")
+    assert list(read_container(p)) == rows
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    rec = reader.next()
+    assert rec.get("d") == (rows[0][0] - datetime.date(1970, 1, 1)).days
+    assert rec.get("ts") == int(
+        (rows[0][1] - datetime.datetime(1970, 1, 1)).total_seconds() * 1e6
+    )
+    raw = bytes(rec.get("m").array())
+    assert int.from_bytes(raw, "big", signed=True) == -1234567
+    reader.close()
+
+
+def test_avro_datasource_logical_types(spark, sf_dir, tmp_path):
+    """The graft_avro DataSource mounts date/timestamp/decimal columns:
+    write a DF with all three, read back with inferred schema, values
+    and Spark types identical."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    register_avro_datasource(spark)
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    df = orders.filter("o_orderkey < 500").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("m"),
+    )
+    path = str(tmp_path / "ds_logical")
+    df.write.format("graft_avro").mode("append").option("path", path).save()
+    back = spark.read.format("graft_avro").option("path", path).load()
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )

@@ -203,3 +203,27 @@ def test_delete_partition_snapshot(spark, sf_dir, tmp_path):
     assert hist[-1]["operation"] == "delete"
     with pytest.raises(ValueError, match="no files match"):
         ice.delete_partition(root, {"o_orderpriority": "nope"})
+
+
+def test_full_tpch_typed_roundtrip(spark, sf_dir, tmp_path):
+    """Timestamp/decimal columns mount: the WHOLE orders schema (incl.
+    timestamp_ntz o_orderdate and a decimal cast) round-trips through
+    the table format with types preserved."""
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    df = orders.filter("o_orderkey < 800").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("m"),
+    )
+    root = str(tmp_path / "ice_typed")
+    ice.create_table(df, root)
+    back = ice.read_table(spark, root)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    with pytest.raises(ValueError, match="identity partitioning"):
+        ice.create_table(df, str(tmp_path / "bad"), partition_cols=["o_orderdate"])
