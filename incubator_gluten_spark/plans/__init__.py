@@ -46,80 +46,67 @@ _PLAN_MODULES = (
 # order. The window ROTATES each round so cumulative driver-certified
 # coverage grows past any single 50-entry snapshot (the reference's
 # gluten-ut reruns the whole upstream corpus, not a fixed subset —
-# gluten-ut/common/.../GlutenTestsTrait.scala). Round 7 (verdict r6
-# directive #1): the same 10 anchors — the entire overlap budget — and
-# 40 never-graded names chosen round-robin across families by
-# tools/rotate_window.py, with the judge-named r6 additions
-# (dp_dedup_minhash_verifiable, src_txnlog_cdf/checkpoint,
-# fn_aes/validation goldens, stream_stream_semi) and the two NEW r7
-# entries (optimistic-concurrency conflict + data-file vacuum) swapped
-# in.  Cumulative driver-certified target: 126 + 40 = 166.
+# gluten-ut/common/.../GlutenTestsTrait.scala). Round 8 (verdict r7
+# directives #1 and #7): the same 10 anchors — the entire overlap
+# budget — plus the seven r7 wire-format entries (Avro / Delta wire +
+# DV / Iceberg v1+v2 / Hudi COW+MOR, pass(j)-only until now) and 33
+# never-graded names weighted toward the ds_* family (the largest
+# never-graded pool).  All 50 are oracle-backed (hard three-gate
+# check).  Cumulative driver-certified target: 166 + 40 = 206.
 _FRONT = (
-    # --- anchors (10 = the entire overlap with the round-6 window) ---
-    "q1",                       # two-phase hash agg + pushdown
-    "q6",                       # scan+filter, fully pushed
-    "q9",                       # deep multi-join
-    "win_topk_per_group",       # WindowGroupLimit, plan-asserted
-    "src_bucketed_join",        # zero-shuffle bucketed join
-    "stream_tumbling",          # Structured Streaming windowed agg
-    "udf_pandas_vectorized",    # Arrow-batched pandas UDF
-    "dp_dedup_exact",           # hash-groupBy dedup
-    "dp_sequence_packing",      # distributed two-phase packing (r5 fix)
-    "dp_embedding_near_dup",    # banded-LSH at 0.85 (r6 redesign)
-    # --- aggregate family (only sampled before) ---
-    "agg_approx_percentile",
-    "agg_bitmap_distinct",
-    "agg_bitwise",
-    # --- ClickBench remainder ---
-    "cb_above_p90",
-    "cb_collect_limit_sorted",
-    "cb_event_gap_stats",
-    # --- CH-delta rewrites ---
-    "chx_json_collapse",
-    # --- data-pipeline ---
-    "dp_ann_lsh_verifiable",
-    "dp_chunk_windows",
-    "dp_cluster_balanced_sample",
-    "dp_dedup_minhash_verifiable",   # r6 addition (judge-named)
-    # --- TPC-DS shapes ---
-    "ds_above_part_avg_qty",
-    "ds_ampm_ratio",
-    # --- Expand / generators ---
-    "expand_cube",
-    "gen_explode_map",
-    "gen_explode_outer",
-    # --- scalar-function goldens (judge-named r6 additions) ---
-    "fn_aes_golden",
-    "fn_array_more",
-    "fn_array_setops",
-    "fn_validation_golden",
-    # --- joins ---
-    "join_cross",
-    "join_existence",
-    # --- misc operators ---
-    "misc_coalesce",
-    "misc_inline_rows",
-    "op_cbo_stats",
-    "op_collation",
-    # --- set ops ---
-    "setop_intersect",
-    "setop_union_all",
-    # --- sources: io family + lakehouse (r6 CDF/checkpoint + r7 new) ---
-    "src_cached_scan",
-    "src_collect_limit_tail",
-    "src_txnlog_cdf",
-    "src_txnlog_checkpoint",
-    "src_txnlog_conflict",           # NEW r7: optimistic concurrency
-    "src_txnlog_vacuum",             # NEW r7: data-file VACUUM
-    # --- streaming (incl. the family-completing semi join, r6) ---
-    "stream_dedup_within_watermark",
-    "stream_file_sink",
-    "stream_stream_semi",
-    # --- UDF surface ---
-    "udf_agg_in_pandas",
-    "udf_arrow_optimized",
-    # --- window frames ---
-    "win_frames_range",
+    # --- anchors (10 = the entire overlap with prior windows) ---
+    "q1",
+    "q6",
+    "q9",
+    "win_topk_per_group",
+    "src_bucketed_join",
+    "stream_tumbling",
+    "udf_pandas_vectorized",
+    "dp_dedup_exact",
+    "dp_sequence_packing",
+    "dp_embedding_near_dup",
+    # --- r7 wire formats, driver-stamped this round (r7 verdict #7) ---
+    "src_avro_roundtrip",
+    "src_delta_wire",
+    "src_delta_dv",
+    "src_iceberg_wire",
+    "src_iceberg_mor",
+    "src_hudi_wire",
+    "src_hudi_mor",
+    # --- rotation: never-graded, ds_* weighted (r7 verdict #1) ---
+    "ds_attr_avg_report",
+    "ds_attr_combo_exists",
+    "ds_attr_combo_filter",
+    "ds_before_after_cut",
+    "ds_below_avg_items",
+    "ds_below_half_avg",
+    "ds_best_worst_items",
+    "ds_big_ticket_households",
+    "ds_bounded_ship_check",
+    "ds_brand_month_top",
+    "ds_channel_band",
+    "ds_channel_null_union",
+    "ds_channel_profit_union",
+    "ds_channel_union",
+    "ds_class_share",
+    "fn_array_vector",
+    "fn_array_zip_sort",
+    "fn_conditional",
+    "fn_datetime_epoch",
+    "dp_ann_ivf_fullprobe",
+    "dp_contamination_score",
+    "dp_corpus_release",
+    "cb_first_event_type",
+    "cb_funnel_ordered",
+    "cb_gap_sessions",
+    "src_csv_malformed",
+    "src_dsv2_write",
+    "agg_bool",
+    "agg_corr_covar",
+    "misc_limit_offset",
+    "op_column_defaults",
+    "stream_delta_sink",
+    "udf_map_in_arrow",
 )
 
 
