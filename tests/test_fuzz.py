@@ -1337,11 +1337,15 @@ def test_random_decimal_scale_promotion_checked(spark, duck, sf_dir, s1, s2, a, 
                 Decimal(1).scaleb(-(s1 + 11)), rounding=ROUND_HALF_UP
             )
         assert Decimal(str(row.q)) == want_q, (a, b, s1, s2, row.q, want_q)
-    # DuckDB agrees on the exact (sum/product) cases
+    # DuckDB agrees on the exact (sum/product) cases.  Operand width 19:
+    # DuckDB's product type is DECIMAL(p1+p2) and at the strategy's bound
+    # (|unscaled| = 1e9 → 1e18 product, 19 digits) a 12-wide operand
+    # overflowed DECIMAL(18) (the r7 red test); 19+19 = 38 = DuckDB's max
+    # width, and 19 digits + s1+s2 ≤ 12 scale digits = 31 ≤ 38 is exact.
     ds, dp_ = duck.sql(
-        f"""SELECT CAST('{da}' AS DECIMAL(12,{s1})) +
-                   CAST('{db}' AS DECIMAL(12,{s2})),
-                   CAST('{da}' AS DECIMAL(12,{s1})) *
-                   CAST('{db}' AS DECIMAL(12,{s2}))"""
+        f"""SELECT CAST('{da}' AS DECIMAL(19,{s1})) +
+                   CAST('{db}' AS DECIMAL(19,{s2})),
+                   CAST('{da}' AS DECIMAL(19,{s1})) *
+                   CAST('{db}' AS DECIMAL(19,{s2}))"""
     ).fetchall()[0]
     assert Decimal(str(ds)) == da + db and Decimal(str(dp_)) == da * db
