@@ -220,6 +220,15 @@ def read_table(
     hash join on (file, ``_metadata.row_index``) — no data rewrite, no
     driver-side row loop."""
     snap = resolve(spark, root, version)
+    return _live_rows(spark, root, snap)
+
+
+def _live_rows(spark: SparkSession, root: str, snap: Snapshot) -> DataFrame:
+    """DataFrame of the LIVE rows of a snapshot's add-files: grouped
+    partition-value-injected scan, minus any deletion-vector positions
+    (broadcast left-anti on (file, row_index)).  Shared by ``read_table``
+    and ``delete_where`` so copy-on-write rewrites can never resurrect
+    DV-deleted rows."""
     schema = snap.schema
     if not snap.adds:
         return spark.createDataFrame([], schema)
@@ -251,7 +260,11 @@ def _grouped_scan(
         groups.setdefault(key, []).append(add["path"])
     parts = []
     cols = [f.name for f in schema.fields]
-    for key, rels in sorted(groups.items()):
+    # None-safe ordering: null partition values sort first within a column
+    for key, rels in sorted(
+        groups.items(),
+        key=lambda kv: tuple((k, v is not None, v or "") for k, v in kv[0]),
+    ):
         df = spark.read.parquet(*[os.path.join(root, r) for r in rels])
         if with_positions:
             df = df.select(
@@ -344,34 +357,21 @@ def load_dv(root: str, descriptor: dict):
 
 
 def _dv_positions_df(spark: SparkSession, root: str, snap: Snapshot) -> DataFrame:
-    """(file_path, pos) rows for every DV-carrying add: blobs load once
-    on the driver (checksummed, O(bytes)), positions EXPAND distributed
-    inside Arrow batches."""
-    import pandas as pd
-
-    rows = []
-    for a in snap.adds:
-        d = a.get("deletionVector")
-        if not d:
-            continue
-        from incubator_gluten_spark.sources.roaring import serialize_rba
-
-        # normalize to one raw blob per file (re-serialize keeps the
-        # expand step storage-agnostic)
-        rows.append((a["path"], bytearray(serialize_rba(load_dv(root, d)))))
-
-    def expand(batches):
-        from incubator_gluten_spark.sources.roaring import deserialize_rba
-
-        for pdf in batches:
-            for fp, blob in zip(pdf["file_path"], pdf["dv"]):
-                pos = deserialize_rba(bytes(blob))
-                yield pd.DataFrame(
-                    {"file_path": fp, "pos": pos.astype("int64")}
-                )
-
-    blob_df = spark.createDataFrame(rows, "file_path string, dv binary")
-    return blob_df.mapInPandas(expand, "file_path string, pos bigint")
+    """(file_path, pos) rows for every DV-carrying add.  Blobs decode
+    once on the driver (checksummed; ``load_dv`` already materializes the
+    position array to verify cardinality, so this adds no new driver
+    state) and expansion happens JVM-side via ``explode`` — whole-stage
+    codegen, no Python in the read plan (r7 plan-audit note resolved).
+    Bounded by total deletion-vector cardinality, not table size."""
+    rows = [
+        (a["path"], [int(p) for p in load_dv(root, a["deletionVector"])])
+        for a in snap.adds
+        if a.get("deletionVector")
+    ]
+    blob_df = spark.createDataFrame(rows, "file_path string, positions array<bigint>")
+    return blob_df.select(
+        "file_path", F.explode("positions").alias("pos")
+    )
 
 
 def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
@@ -505,6 +505,34 @@ def _write_actions(root: str, version: int, actions: Iterable[dict]) -> None:
             f.write(json.dumps(a) + "\n")
 
 
+def unescape_path_name(seg: str) -> str | None:
+    """Inverse of Spark's ``ExternalCatalogUtils.escapePathName``: the
+    writer percent-escapes special chars (``=``, ``:``, ``%``, ...) in
+    Hive-style partition directory names and writes nulls as
+    ``__HIVE_DEFAULT_PARTITION__``; reading the raw segment back into
+    the log would store the escaped text as the typed value (r7 ADVICE).
+    Malformed ``%`` sequences pass through literally, matching Spark."""
+    if seg == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if "%" not in seg:
+        return seg
+    out = []
+    i = 0
+    while i < len(seg):
+        c = seg[i]
+        if c == "%" and i + 2 <= len(seg) - 1:
+            hx = seg[i + 1 : i + 3]
+            try:
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _stage_data_files(
     df: DataFrame, root: str, partition_cols: list[str]
 ) -> list[dict]:
@@ -525,7 +553,7 @@ def _stage_data_files(
         if rel_dir != ".":
             for seg in rel_dir.split(os.sep):
                 k, _, v = seg.partition("=")
-                pvals[k] = v
+                pvals[unescape_path_name(k)] = unescape_path_name(v)
         for name in sorted(files):
             if not name.endswith(".parquet"):
                 continue
@@ -652,25 +680,16 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
             rewrite.append(add)
     actions: list[dict] = []
     if rewrite:
-        groups: dict[tuple, list[dict]] = {}
-        for add in rewrite:
-            key = tuple(sorted((add.get("partitionValues") or {}).items()))
-            groups.setdefault(key, []).append(add)
-        ptypes = {
-            f.name: f.dataType.simpleString() for f in snap.schema.fields
-        }
-        for key, adds_in in sorted(groups.items()):
-            df = spark.read.parquet(
-                *[os.path.join(root, a["path"]) for a in adds_in]
-            )
-            # re-inject the log-carried partition values, filter with the
-            # full schema visible, and restage partitioned — the staging
-            # writer strips partition columns back out of the data files
-            for col, val in key:
-                df = df.withColumn(col, F.lit(val).cast(ptypes[col]))
-            kept = df.filter(f"NOT ({predicate})")
-            if not kept.isEmpty():
-                actions.extend(_stage_data_files(kept, root, pcols))
+        # LIVE rows only: a sub-snapshot over the rewrite set runs the
+        # same DV-merging scan as read_table, so rows already deleted by
+        # delete_where_dv stay deleted through the rewrite (a raw
+        # spark.read.parquet here silently resurrected them — r7 ADVICE).
+        # One distributed partitionBy restage replaces the former
+        # per-partition-tuple write loop.
+        sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
+        kept = _live_rows(spark, root, sub).filter(f"NOT ({predicate})")
+        if not kept.isEmpty():
+            actions.extend(_stage_data_files(kept, root, pcols))
     for add in rewrite:
         actions.append(
             {

@@ -201,3 +201,33 @@ def test_protocol_gate_still_refuses_unknown_features(spark, tmp_path):
         )
     with pytest.raises(dp.DeltaProtocolError, match="columnMapping"):
         dp.resolve(spark, root)
+
+
+def test_cow_delete_after_dv_delete_keeps_dv_rows_deleted(spark, sf_dir, tmp_path):
+    """r7 ADVICE (high): copy-on-write delete_where must apply existing
+    deletion vectors before restaging survivors — a raw
+    spark.read.parquet rewrite silently resurrected DV-deleted rows."""
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "mix")
+    dp.create_table(base, root, partition_cols=["o_orderpriority"])
+    dp.delete_where_dv(spark, root, "o_totalprice < 50000")
+    dp.delete_where(spark, root, "o_totalprice > 200000")
+    got = dp.read_table(spark, root)
+    want = base.filter("o_totalprice >= 50000 AND o_totalprice <= 200000")
+    assert _rows(got) == _rows(want)
+    # the rewrite dropped the DV descriptors (survivors were restaged)
+    snap = dp.resolve(spark, root)
+    assert not any(a.get("deletionVector") for a in snap.adds)
+
+
+def test_dv_positions_expand_jvm_side(spark, sf_dir, tmp_path):
+    """The DV-merging scan plan contains no Python evaluation node —
+    position expansion is a JVM-side explode (r7 plan-audit note)."""
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "plan")
+    dp.create_table(base, root)
+    dp.delete_where_dv(spark, root, "o_totalprice < 50000")
+    plan = dp.read_table(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan or "Generate" in plan
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker

@@ -281,3 +281,28 @@ def test_txn_action_exactly_once_and_checkpoint(spark, sf_dir, tmp_path):
     assert dp.resolve(spark, root).txns == {"app": 0, "other": 0}
     assert dp.append_stream_batch(df, root, "app", 0) is False
     assert dp.append_stream_batch(df, root, "app", 1) is True
+
+
+def test_partition_values_unescaped_and_null_sentinel(spark, tmp_path):
+    """r7 ADVICE (medium): Spark percent-escapes special chars in Hive
+    partition dir names and writes nulls as __HIVE_DEFAULT_PARTITION__;
+    the log must carry the TRUE values, and the scan must re-inject
+    them (including null)."""
+    from incubator_gluten_spark.sources.delta_protocol import unescape_path_name
+
+    assert unescape_path_name("a%3Db") == "a=b"
+    assert unescape_path_name("x%3Ay") == "x:y"
+    assert unescape_path_name("p%25q") == "p%q"
+    assert unescape_path_name("__HIVE_DEFAULT_PARTITION__") is None
+    assert unescape_path_name("50%") == "50%"  # malformed escape passes through
+    df = spark.createDataFrame(
+        [(1, "a=b"), (2, "x:y"), (3, None), (4, "p%q"), (5, "plain")],
+        "id int, k string",
+    )
+    root = str(tmp_path / "esc")
+    dp.create_table(df, root, partition_cols=["k"])
+    snap = dp.resolve(spark, root)
+    vals = {a["partitionValues"]["k"] for a in snap.adds}
+    assert vals == {"a=b", "x:y", None, "p%q", "plain"}
+    got = dp.read_table(spark, root)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
