@@ -317,9 +317,15 @@ def _write_data_files(
         pvals: dict[str, str] = {}
         rel_dir = os.path.relpath(dirpath, staging)
         if rel_dir != ".":
+            # dir segments are writer-escaped and nulls are the Hive
+            # sentinel — store TRUE values (r7 ADVICE; shared helper)
+            from incubator_gluten_spark.sources.delta_protocol import (
+                unescape_path_name,
+            )
+
             for seg in rel_dir.split(os.sep):
                 k, _, v = seg.partition("=")
-                pvals[k] = v
+                pvals[unescape_path_name(k)] = unescape_path_name(v)
         for name in sorted(n for n in names if n.endswith(".parquet")):
             src = os.path.join(dirpath, name)
             n_rows = pq.read_metadata(src).num_rows
@@ -335,15 +341,15 @@ def _write_data_files(
                 table = pq.read_table(src)
                 for col, val in pvals.items():
                     field = df.schema[col].dataType.simpleString()
-                    arr = pa.array(
-                        [val] * n_rows,
-                        type={
-                            "bigint": pa.int64(),
-                            "int": pa.int32(),
-                            "string": pa.string(),
-                            "double": pa.float64(),
-                        }[field],
-                    )
+                    typ = {
+                        "bigint": pa.int64(),
+                        "int": pa.int32(),
+                        "string": pa.string(),
+                        "double": pa.float64(),
+                        "date": pa.date32(),
+                    }[field]
+                    pyval = _coerce_py(val, field)
+                    arr = pa.array([pyval] * n_rows, type=typ)
                     table = table.append_column(col, arr)
                 table = table.select([f.name for f in df.schema.fields])
                 pq.write_table(table, os.path.join(root, rel))
@@ -369,12 +375,34 @@ def _write_data_files(
     return data_files
 
 
-def _coerce(v: str, spark_type: str):
+def _coerce(v: str | None, spark_type: str):
+    """Directory-name string -> the MANIFEST representation of an
+    identity partition value.  Dates encode as days-since-epoch ints
+    (the Avro 'int' the partition schema declares — r7 ADVICE closed
+    the advertised-but-KeyError date path); null partitions stay null."""
+    if v is None:
+        return None
     if spark_type in ("bigint", "long", "int", "integer"):
         return int(v)
     if spark_type in ("double", "float"):
         return float(v)
+    if spark_type == "date":
+        import datetime as _dt
+
+        return (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days
     return v
+
+
+def _coerce_py(v: str | None, spark_type: str):
+    """Directory-name string -> the PYTHON value for the rewritten data
+    file's partition column (pyarrow array element)."""
+    if v is None:
+        return None
+    if spark_type == "date":
+        import datetime as _dt
+
+        return _dt.date.fromisoformat(v)
+    return _coerce(v, spark_type)
 
 
 def _write_manifest(

@@ -59,6 +59,10 @@ from incubator_gluten_spark.sources.iceberg_format import (
 )
 
 DATA_CONTENT, POS_DELETES, EQ_DELETES = 0, 1, 2
+# spec: MANIFEST-LIST content is only 0 (data) / 1 (deletes); pos-vs-eq
+# is distinguished by the data_file entry's own content field (r7 ADVICE
+# — a content=2 manifest-list entry would be rejected by real readers)
+DELETES_MANIFEST = 1
 
 # spec: reserved field-ids for position-delete file columns
 _POS_PATH_FIELD_ID = 2147483546
@@ -483,7 +487,7 @@ def position_delete(spark: SparkSession, root: str, predicate: str) -> dict:
         _partition_avro_schema(meta["schema"], spec),
     )
     snap = _commit_snapshot_v2(
-        root, meta, [(manifest, POS_DELETES)], "delete", meta["schema"], spec
+        root, meta, [(manifest, DELETES_MANIFEST)], "delete", meta["schema"], spec
     )
     return {"snapshot_id": snap["snapshot-id"], "positions_deleted": n}
 
@@ -516,7 +520,7 @@ def equality_delete(
         _partition_avro_schema(meta["schema"], spec),
     )
     snap = _commit_snapshot_v2(
-        root, meta, [(manifest, EQ_DELETES)], "delete", meta["schema"], spec
+        root, meta, [(manifest, DELETES_MANIFEST)], "delete", meta["schema"], spec
     )
     return {"snapshot_id": snap["snapshot-id"], "keys_deleted": n}
 

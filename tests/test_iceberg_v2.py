@@ -192,3 +192,32 @@ def test_expire_snapshots_unreachable_files_removed(spark, sf_dir, tmp_path):
     assert v2.expire_snapshots(root, keep_last=1)["snapshots_expired"] == 0
     v2.append(base.limit(0), root)  # empty append commits cleanly
     assert _rows(v2.read_table(spark, root)) == current
+
+
+def test_delete_manifest_list_content_is_1(spark, sf_dir, tmp_path):
+    """Spec: manifest-list content is 0 (data) / 1 (deletes) ONLY —
+    pos-vs-eq deletes are distinguished by the data_file entry's own
+    content field, never a content=2 manifest-list entry (r7 ADVICE)."""
+    from incubator_gluten_spark.sources.avro import read_container
+    from incubator_gluten_spark.sources.iceberg_format import (
+        _current_metadata,
+        _resolve_path,
+        _snapshot,
+    )
+
+    base = _orders(spark, sf_dir, 1996).limit(200)
+    root = str(tmp_path / "v2content")
+    v2.create_table(base, root)
+    v2.position_delete(spark, root, "o_totalprice < 50000")
+    v2.equality_delete(spark, root, "o_totalprice > 200000", ["o_orderkey"])
+    meta = _current_metadata(root)
+    snap = _snapshot(meta, None)
+    contents = set()
+    eq_file_contents = set()
+    for mf in read_container(_resolve_path(root, snap["manifest-list"])):
+        contents.add(mf[3])
+        for _status, _sid, data_file in read_container(_resolve_path(root, mf[0])):
+            if data_file.get("equality_ids"):
+                eq_file_contents.add(data_file.get("content"))
+    assert contents <= {0, 1}, contents
+    assert eq_file_contents == {2}
