@@ -132,7 +132,14 @@ def _field_codec(avro_type):
             epoch = _dt.datetime(1970, 1, 1)
 
             def enc_ts(out, v):
-                naive = v.replace(tzinfo=None) if v.tzinfo else v
+                # spec: the long stores UTC micros — CONVERT aware
+                # datetimes to UTC (a bare tzinfo strip wrote the wrong
+                # instant for non-UTC zones, r7 ADVICE)
+                naive = (
+                    v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    if v.tzinfo
+                    else v
+                )
                 micros = (naive - epoch) // _dt.timedelta(microseconds=1)
                 out += _zigzag_encode(micros)
 

@@ -300,3 +300,27 @@ def test_avro_datasource_logical_types(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_timestamp_micros_aware_datetime_converts_to_utc(tmp_path):
+    """r7 ADVICE: a tz-aware datetime must be CONVERTED to UTC before
+    epoch-micros encoding (the spec defines the long as UTC micros) —
+    stripping tzinfo wrote an instant off by the zone offset."""
+    import datetime
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            }
+        ],
+    }
+    plus5 = datetime.timezone(datetime.timedelta(hours=5))
+    aware = datetime.datetime(2001, 2, 3, 9, 5, 6, tzinfo=plus5)  # 04:05:06 UTC
+    p = str(tmp_path / "tz.avro")
+    write_container(p, iter([(aware,)]), schema, codec="null")
+    (got,) = list(read_container(p))
+    assert got[0] == datetime.datetime(2001, 2, 3, 4, 5, 6)
