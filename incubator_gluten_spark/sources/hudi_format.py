@@ -221,6 +221,90 @@ def _write_file_group(
     }
 
 
+def _write_partitioned_groups(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_col: str,
+    instant: str,
+    key_col: str,
+) -> dict[str, list]:
+    """ALL partition values in ONE distributed write — repartition on the
+    partition column (every value's rows land in a single task), one
+    ``partitionBy`` job, then a driver-side metadata walk assigns file
+    groups.  Replaces the former collect-distinct-values-then-filter
+    loop that ran one sequential Spark job per partition value (r7
+    verdict #4; the shape mirrors delta_protocol._stage_data_files).
+    ``file_id`` is deterministic in (instant, partition value) so
+    ``_hoodie_file_name`` is computable as a COLUMN before the write."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from incubator_gluten_spark.sources.delta_protocol import unescape_path_name
+
+    token = "0-1-0"
+    pp = F.coalesce(
+        F.col(partition_col).cast("string"),
+        F.lit("__HIVE_DEFAULT_PARTITION__"),
+    )
+    file_id = F.substring(F.md5(F.concat_ws("|", F.lit(instant), pp)), 1, 12)
+    fname = F.concat(file_id, F.lit(f"_{token}_{instant}.parquet"))
+    with_meta = (
+        df.withColumn("_hoodie_commit_time", F.lit(instant))
+        .withColumn(
+            "_hoodie_commit_seqno",
+            F.concat_ws(
+                "_", F.lit(instant), F.monotonically_increasing_id().cast("string")
+            ),
+        )
+        .withColumn("_hoodie_record_key", F.col(key_col).cast("string"))
+        .withColumn("_hoodie_partition_path", pp)
+        .withColumn("_hoodie_file_name", fname)
+        .select(*META_COLS, *df.columns)
+        .withColumn("__pp", pp)
+    )
+    staging = os.path.join(root, f"_staging_{uuid.uuid4().hex[:8]}")
+    (
+        with_meta.repartition("__pp")
+        .write.mode("overwrite")
+        .partitionBy("__pp")
+        .parquet(staging)
+    )
+    stats: dict[str, list] = {}
+    for seg in sorted(os.listdir(staging)):
+        if not seg.startswith("__pp="):
+            continue
+        val = unescape_path_name(seg[len("__pp=") :])
+        part_path = "__HIVE_DEFAULT_PARTITION__" if val is None else val
+        files = sorted(
+            n
+            for n in os.listdir(os.path.join(staging, seg))
+            if n.endswith(".parquet")
+        )
+        if len(files) != 1:  # repartition guarantees one task per value
+            raise HudiFormatError(
+                f"expected one base file for partition {part_path!r}, "
+                f"got {len(files)}"
+            )
+        fid = hashlib.md5(f"{instant}|{part_path}".encode()).hexdigest()[:12]
+        name = f"{fid}_{token}_{instant}.parquet"
+        out_dir = os.path.join(root, part_path)
+        os.makedirs(out_dir, exist_ok=True)
+        target = os.path.join(out_dir, name)
+        shutil.move(os.path.join(staging, seg, files[0]), target)
+        stats.setdefault(part_path, []).append(
+            {
+                "fileId": fid,
+                "path": os.path.relpath(target, root),
+                "numWrites": pq.read_metadata(target).num_rows,
+                "fileSizeInBytes": os.path.getsize(target),
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    return stats
+
+
 def create_table(
     df: DataFrame,
     root: str,
@@ -248,21 +332,9 @@ def create_table(
     instant = _next_instant(root)
     stats: dict[str, list] = {}
     if partition_col:
-        values = [
-            r[0] for r in df.select(partition_col).distinct().collect()
-        ]
-        for v in sorted(values):
-            part_df = df.filter(F.col(partition_col) == v)
-            ws = _write_file_group(
-                spark,
-                part_df,
-                root,
-                str(v),
-                uuid.uuid4().hex[:12],
-                instant,
-                key_col,
-            )
-            stats[str(v)] = [ws]
+        stats = _write_partitioned_groups(
+            spark, df, root, partition_col, instant, key_col
+        )
     else:
         stats[""] = [
             _write_file_group(
@@ -329,27 +401,17 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
     )
     n_new = new_rows.count()
     if n_new:
-        part = ""
         if partition_col:
-            # one group per incoming partition value
-            for v in sorted(
-                r[0] for r in new_rows.select(partition_col).distinct().collect()
-            ):
-                ws = _write_file_group(
-                    spark,
-                    new_rows.filter(F.col(partition_col) == v),
-                    root,
-                    str(v),
-                    uuid.uuid4().hex[:12],
-                    instant,
-                    key_col,
-                )
-                stats.setdefault(str(v), []).append(ws)
+            # one distributed write covers every incoming partition value
+            for part, wss in _write_partitioned_groups(
+                spark, new_rows, root, partition_col, instant, key_col
+            ).items():
+                stats.setdefault(part, []).extend(wss)
         else:
             ws = _write_file_group(
-                spark, new_rows, root, part, uuid.uuid4().hex[:12], instant, key_col
+                spark, new_rows, root, "", uuid.uuid4().hex[:12], instant, key_col
             )
-            stats.setdefault(part, []).append(ws)
+            stats.setdefault("", []).append(ws)
     _commit_instant(root, instant, stats)
     return {
         "instant": instant,

@@ -61,6 +61,7 @@ from incubator_gluten_spark.sources.hudi_format import (
     _properties,
     _timeline_dir,
     _write_file_group,
+    _write_partitioned_groups,
 )
 
 LOG_MAGIC = b"#HUDI#"
@@ -390,22 +391,18 @@ def create_table(
         )
     spark = SparkSession.getActiveSession()
     instant = _next_instant(root)
-    stats: dict[str, list] = {}
-    groups = (
-        [
-            (str(v), df.filter(F.col(partition_col) == v))
-            for v in sorted(
-                r[0] for r in df.select(partition_col).distinct().collect()
-            )
-        ]
+    # one distributed partitionBy write for every value (r7 verdict #4)
+    stats: dict[str, list] = (
+        _write_partitioned_groups(spark, df, root, partition_col, instant, key_col)
         if partition_col
-        else [("", df)]
+        else {
+            "": [
+                _write_file_group(
+                    spark, df, root, "", uuid.uuid4().hex[:12], instant, key_col
+                )
+            ]
+        }
     )
-    for part, part_df in groups:
-        ws = _write_file_group(
-            spark, part_df, root, part, uuid.uuid4().hex[:12], instant, key_col
-        )
-        stats.setdefault(part, []).append(ws)
     _commit_instant(root, instant, ".deltacommit", stats)
     return instant
 
@@ -484,22 +481,17 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
     inserts = routed.filter(F.col("__fname").isNull()).select(*data_cols)
     n_new = inserts.count()
     if n_new:
-        groups = (
-            [
-                (str(v), inserts.filter(F.col(partition_col) == v))
-                for v in sorted(
-                    r[0]
-                    for r in inserts.select(partition_col).distinct().collect()
-                )
-            ]
-            if partition_col
-            else [("", inserts)]
-        )
-        for part, part_df in groups:
+        if partition_col:
+            # one distributed write covers every incoming partition value
+            for part, wss in _write_partitioned_groups(
+                spark, inserts, root, partition_col, instant, key_col
+            ).items():
+                stats.setdefault(part, []).extend(wss)
+        else:
             ws = _write_file_group(
-                spark, part_df, root, part, uuid.uuid4().hex[:12], instant, key_col
+                spark, inserts, root, "", uuid.uuid4().hex[:12], instant, key_col
             )
-            stats.setdefault(part, []).append(ws)
+            stats.setdefault("", []).append(ws)
     _commit_instant(root, instant, ".deltacommit", stats)
     return {
         "instant": instant,

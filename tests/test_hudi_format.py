@@ -124,3 +124,53 @@ def test_create_upsert_roundtrip(spark, sf_dir, tmp_path):
     # pre-upsert snapshot still intact (time travel across upserts)
     first = hf.completed_instants(root)[0]
     assert hf.read_table(spark, root, as_of=first).count() == base.count()
+
+
+def test_writers_have_no_per_partition_driver_loop():
+    """r7 verdict #4 pin: no Hudi writer runs a distinct().collect()
+    -then-filter loop (one sequential Spark job per partition value) —
+    partitioned writes go through _write_partitioned_groups' single
+    distributed partitionBy job."""
+    import inspect
+
+    from incubator_gluten_spark.sources import hudi_format, hudi_mor
+
+    for mod in (hudi_format, hudi_mor):
+        body = inspect.getsource(mod)
+        # allowed only inside comments/docstrings describing the fix
+        for line in body.splitlines():
+            code = line.split("#")[0]
+            assert "distinct().collect()" not in code, (mod.__name__, line)
+
+
+def test_partitioned_create_single_group_per_value(spark, sf_dir, tmp_path):
+    """Partitioned create: exactly one base file per partition value,
+    file_id deterministic in (instant, value), _hoodie_file_name matches
+    the on-disk name, and null partition values land in the Hive
+    sentinel directory."""
+    import hashlib
+    import os
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 11.0, "A"), (3, 12.0, "B"), (4, 13.0, None)],
+        "k int, v double, p string",
+    )
+    root = str(tmp_path / "hudi_part")
+    instant = hf.create_table(df, root, key_col="k", partition_col="p")
+    files = hf.snapshot_files(root)
+    assert len(files) == 3
+    for part in ("A", "B", "__HIVE_DEFAULT_PARTITION__"):
+        fid = hashlib.md5(f"{instant}|{part}".encode()).hexdigest()[:12]
+        name = f"{fid}_0-1-0_{instant}.parquet"
+        assert os.path.exists(os.path.join(root, part, name)), (part, name)
+    got = hf.read_table(spark, root, drop_meta_cols=False)
+    meta = {
+        (r["_hoodie_partition_path"], r["_hoodie_file_name"])
+        for r in got.collect()
+    }
+    for ppath, fname in meta:
+        assert os.path.exists(os.path.join(root, ppath, fname))
+    back = got.drop(*hf.META_COLS)
+    assert sorted(map(tuple, back.collect()), key=str) == sorted(
+        map(tuple, df.collect()), key=str
+    )
