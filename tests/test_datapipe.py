@@ -491,3 +491,13 @@ def test_lsh_adaptive_r_is_subquadratic(spark, sf_dir):
     # (hundreds), fixed r=3 is already thousands per row at n=16k
     assert counts[16000]["adaptive"] / 16000 < 2000, counts
     assert counts[16000]["fixed"] / 16000 > 10000, counts
+
+
+def test_lsh_sizing_at_512k_point():
+    """Pin the (b, r) the sizing law chooses at the r8-measured 512k
+    point (SCALE.md table: 822x19 -> 19.3x growth per 8x n, the third
+    support point of the n^1.42 fit).  Pure function, no Spark."""
+    from incubator_gluten_spark.datapipe.similarity import lsh_params_for
+
+    assert lsh_params_for(0.85, 1e-9, n_rows=512000, target_bucket=1) == (822, 19)
+    assert lsh_params_for(0.85, 1e-9, n_rows=64000, target_bucket=1) == (454, 16)

@@ -56,7 +56,10 @@ def tiled_corpus(spark, sf_dir: str, n: int):
         ).alias("v"),
         "copy",
     )
-    return tiled.filter(F.col("id") < n).select("id", "v")
+    # spread the tiled corpus across the cores: the base fixture is one
+    # parquet partition and crossJoin preserves it, so without this the
+    # n=512k hash/count stages run in a SINGLE task
+    return tiled.filter(F.col("id") < n).select("id", "v").repartition(64)
 
 
 def candidate_pairs(spark, corpus, bands: int, band_bits: int) -> int:
@@ -82,13 +85,18 @@ def main() -> int:
     sf_dir = "/root/testdata/sf0.01"
     if "--sf" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    sizes = (1000, 8000, 64000)
+    if "--sizes" in sys.argv:  # e.g. --sizes 512000 (r8: third growth step)
+        sizes = tuple(
+            int(s) for s in sys.argv[sys.argv.index("--sizes") + 1].split(",")
+        )
 
     from incubator_gluten_spark.datapipe.similarity import lsh_params_for
     from incubator_gluten_spark.session import get_session
 
     spark = get_session(app_name="lsh-scaling")
     out = []
-    for n in (1000, 8000, 64000):
+    for n in sizes:
         corpus = tiled_corpus(spark, sf_dir, n).cache()
         corpus.count()
         for mode in ("adaptive", "fixed_r3"):
