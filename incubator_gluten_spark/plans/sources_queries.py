@@ -1285,9 +1285,9 @@ def src_iceberg_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o_orderpriority <> '5-LOW'
     GROUP BY o_orderpriority
     """,
-    # arrow-kernel: the MapInPandas node in this plan is the deliberate
-    # Arrow-batched Roaring-bitmap decode (positions expand distributed)
-    "sources", "lakehouse", "delta", "arrow-kernel",
+    # r8: DV position expansion is JVM-side explode now (plan audit
+    # clean without a python-node whitelist tag)
+    "sources", "lakehouse", "delta",
 )
 def src_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta Lake DELETION VECTORS (PROTOCOL.md merge-on-read delete):
@@ -1298,8 +1298,8 @@ def src_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     by it; the second delete must MERGE bitmaps on files that already
     carry a DV.  Asserted: no data file is ever rewritten (the add paths
     are invariant across both deletes — the exact opposite of
-    src_delta_wire's copy-on-write).  The reader decodes positions
-    inside Arrow batches and strips them with one broadcast anti-join on
+    src_delta_wire's copy-on-write).  The reader expands positions
+    JVM-side (explode) and strips them with one broadcast anti-join on
     (file, _metadata.row_index).  Hash-matching the oracle (which
     recomputes the final state relationally) certifies bitmap
     serialization + framing + merge + MOR application end to end."""

@@ -505,6 +505,38 @@ def _write_actions(root: str, version: int, actions: Iterable[dict]) -> None:
             f.write(json.dumps(a) + "\n")
 
 
+def _footer_min_max(meta) -> dict:
+    """PROTOCOL.md per-file statistics (minValues/maxValues) straight
+    from the parquet FOOTER's row-group column statistics — no data
+    read.  JSON-representable leaf types only (int/float/str/bool);
+    other types (dates, decimals, binary) are simply omitted, which
+    readers must treat as "no bounds recorded"."""
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(meta.num_row_groups):
+        row_group = meta.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested leaf: not a top-level column stat
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or not isinstance(
+                lo, (int, float, str, bool)
+            ):
+                continue
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+    if not mins:
+        return {}
+    return {"minValues": mins, "maxValues": maxs}
+
+
 def unescape_path_name(seg: str) -> str | None:
     """Inverse of Spark's ``ExternalCatalogUtils.escapePathName``: the
     writer percent-escapes special chars (``=``, ``:``, ``%``, ...) in
@@ -567,7 +599,10 @@ def _stage_data_files(
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             import pyarrow.parquet as pq
 
-            n_rows = pq.read_metadata(src).num_rows
+            meta = pq.read_metadata(src)
+            n_rows = meta.num_rows
+            stats = {"numRecords": n_rows}
+            stats.update(_footer_min_max(meta))
             shutil.move(src, dst)
             adds.append(
                 {
@@ -577,7 +612,7 @@ def _stage_data_files(
                         "size": os.path.getsize(dst),
                         "modificationTime": int(os.path.getmtime(dst) * 1000),
                         "dataChange": True,
-                        "stats": json.dumps({"numRecords": n_rows}),
+                        "stats": json.dumps(stats),
                     }
                 }
             )
@@ -655,20 +690,17 @@ def append_stream_batch(
     return True
 
 
-def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
-    """Copy-on-write DELETE: rewrite every file that may contain matching
-    rows (partition-pruned via the log's partitionValues when the
-    predicate is a partition equality), remove originals.  Returns the
-    file accounting."""
-    v = current_version(root) + 1
-    snap = resolve(spark, root)
-    pcols = snap.partition_columns
-    # partition-equality fast path: "col = 'value'" on a partition column
+def _split_by_partition_predicate(
+    snap: Snapshot, predicate: str
+) -> tuple[list[dict], list[dict]]:
+    """(rewrite, skipped) add-sets for a COW rewrite: files whose
+    log-carried partitionValues cannot match a partition-equality
+    predicate are pruned from the rewrite via the LOG ALONE (no file
+    listing, no footer reads)."""
     import re
 
-    m = re.fullmatch(
-        r"\s*(\w+)\s*=\s*'([^']*)'\s*", predicate
-    )
+    pcols = snap.partition_columns
+    m = re.fullmatch(r"\s*(\w+)\s*=\s*'([^']*)'\s*", predicate)
     rewrite, skipped = [], []
     for add in snap.adds:
         if m and m.group(1) in pcols:
@@ -678,6 +710,31 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
                 skipped.append(add)
         else:
             rewrite.append(add)
+    return rewrite, skipped
+
+
+def _remove_actions(adds: list[dict]) -> list[dict]:
+    return [
+        {
+            "remove": {
+                "path": a["path"],
+                "deletionTimestamp": 0,
+                "dataChange": True,
+            }
+        }
+        for a in adds
+    ]
+
+
+def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
+    """Copy-on-write DELETE: rewrite every file that may contain matching
+    rows (partition-pruned via the log's partitionValues when the
+    predicate is a partition equality), remove originals.  Returns the
+    file accounting."""
+    v = current_version(root) + 1
+    snap = resolve(spark, root)
+    pcols = snap.partition_columns
+    rewrite, skipped = _split_by_partition_predicate(snap, predicate)
     actions: list[dict] = []
     if rewrite:
         # LIVE rows only: a sub-snapshot over the rewrite set runs the
@@ -690,22 +747,135 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
         kept = _live_rows(spark, root, sub).filter(f"NOT ({predicate})")
         if not kept.isEmpty():
             actions.extend(_stage_data_files(kept, root, pcols))
-    for add in rewrite:
-        actions.append(
-            {
-                "remove": {
-                    "path": add["path"],
-                    "deletionTimestamp": 0,
-                    "dataChange": True,
-                }
-            }
-        )
+    actions.extend(_remove_actions(rewrite))
     _write_actions(root, v, actions)
     return {
         "version": v,
         "files_skipped": len(skipped),
         "files_rewritten": len(rewrite),
     }
+
+
+def update_where(
+    spark: SparkSession, root: str, predicate: str, assignments: dict[str, str]
+) -> dict:
+    """Copy-on-write UPDATE ... SET: rewrite every file that may contain
+    matching rows (partition-pruned like ``delete_where``), applying the
+    SQL assignment expressions to the matching rows only.  All
+    assignments see the PRE-update values (standard UPDATE semantics),
+    and assigning a partition column is allowed — the restage's
+    ``partitionBy`` moves the rows to their new partition directories.
+    The rewrite scans through ``_live_rows`` so deletion-vector deletes
+    survive it, same as delete_where."""
+    v = current_version(root) + 1
+    snap = resolve(spark, root)
+    pcols = snap.partition_columns
+    unknown = set(assignments) - {f.name for f in snap.schema.fields}
+    if unknown:
+        raise DeltaProtocolError(f"UPDATE of unknown columns: {sorted(unknown)}")
+    rewrite, skipped = _split_by_partition_predicate(snap, predicate)
+    actions: list[dict] = []
+    if rewrite:
+        sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
+        live = _live_rows(spark, root, sub)
+        cond = F.expr(predicate)
+        types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
+        updated = live.select(
+            *[
+                (
+                    F.when(cond, F.expr(assignments[c]).cast(types[c]))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in assignments
+                    else F.col(c)
+                )
+                for c in live.columns
+            ]
+        )
+        actions.extend(_stage_data_files(updated, root, pcols))
+    actions.extend(_remove_actions(rewrite))
+    _write_actions(root, v, actions)
+    return {
+        "version": v,
+        "files_skipped": len(skipped),
+        "files_rewritten": len(rewrite),
+    }
+
+
+def merge(
+    spark: SparkSession, root: str, source: DataFrame, key_col: str
+) -> dict:
+    """MERGE INTO (whenMatchedUpdateAll + whenNotMatchedInsertAll) on
+    the wire format.  File skipping comes from the log's per-file
+    ``stats`` minValues/maxValues (PROTOCOL.md "Per-file Statistics"):
+    only files whose key range intersects the source's [min, max] are
+    rewritten; the rest survive untouched — the property that keeps a
+    point-ish MERGE O(matched files), not O(table), at 100 TB.  The
+    rewrite set scans through ``_live_rows`` (DV-aware); matched rows
+    take the source version whole-row, unmatched source rows append."""
+    v = current_version(root) + 1
+    snap = resolve(spark, root)
+    pcols = snap.partition_columns
+    n_src, n_keys, lo, hi = source.agg(
+        F.count(F.lit(1)),
+        F.count_distinct(key_col),
+        F.min(key_col),
+        F.max(key_col),
+    ).first()
+    if n_src == 0 or lo is None:
+        _write_actions(root, v, [])
+        return {"version": v, "files_skipped": len(snap.adds), "files_rewritten": 0}
+    if n_keys != n_src:
+        # Delta raises DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW —
+        # duplicate source keys would silently fan out matched rows here
+        raise DeltaProtocolError(
+            f"merge source has duplicate or NULL {key_col!r} keys "
+            f"({n_src} rows, {n_keys} distinct non-null)"
+        )
+    rewrite, untouched = [], []
+    for add in snap.adds:
+        b = _stats_bounds(add, key_col)
+        try:
+            disjoint = b is not None and (b[1] < lo or b[0] > hi)
+        except TypeError:  # JSON-stringified bounds vs typed key: no prune
+            disjoint = False
+        if disjoint:
+            untouched.append(add)
+        else:
+            rewrite.append(add)
+    src = source.alias("s")
+    cols = [f.name for f in snap.schema.fields]
+    if rewrite:
+        sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
+        tgt = _live_rows(spark, root, sub).alias("t")
+        joined = tgt.join(src, tgt[key_col] == src[key_col], "full_outer")
+        matched = src[key_col].isNotNull()
+        merged = joined.select(
+            *[F.when(matched, src[c]).otherwise(tgt[c]).alias(c) for c in cols]
+        )
+    else:
+        merged = src.select(*cols)
+    actions = _stage_data_files(merged, root, pcols)
+    actions.extend(_remove_actions(rewrite))
+    _write_actions(root, v, actions)
+    return {
+        "version": v,
+        "files_skipped": len(untouched),
+        "files_rewritten": len(rewrite),
+    }
+
+
+def _stats_bounds(add: dict, col: str):
+    """[min, max] of a column from the add-action's stats JSON, or None
+    when the writer recorded no bounds (treat as always-intersecting)."""
+    try:
+        stats = json.loads(add.get("stats") or "{}")
+    except (TypeError, ValueError):
+        return None
+    mins, maxs = stats.get("minValues") or {}, stats.get("maxValues") or {}
+    if col not in mins or col not in maxs or mins[col] is None:
+        return None
+    return (mins[col], maxs[col])
 
 
 _CHECKPOINT_DDL = (
