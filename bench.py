@@ -125,12 +125,45 @@ def main() -> None:
         k: v for k, v in ok.items() if k.startswith("q") and k[1:].isdigit()
     }
     tpch_total = round(sum(tpch.values()), 3)
+    # vs_min: this run / committed per-query minimum, per TPC-H query —
+    # makes host-load noise mechanically distinguishable from a plan
+    # regression (r8 verdict directive #4: the driver's TPC-H total
+    # drifted +21% with byte-identical TPC-H code; a per-query ratio
+    # table shows "everything uniformly 1.2x" = host load vs "q4 alone
+    # 3x" = regression).
+    vs_min: dict[str, float] = {}
+    tpch_vs_min = None
+    try:
+        with open(base_path) as fh:
+            base = json.load(fh)
+        if base.get("sf_dir") == sf_dir:
+            bq = base.get("queries", {})
+            vs_min = {
+                k: round(v / bq[k], 2)
+                for k, v in tpch.items()
+                if bq.get(k, 0) > 0
+            }
+            base_total = sum(bq[k] for k in tpch if bq.get(k, 0) > 0)
+            if base_total > 0:
+                tpch_vs_min = round(tpch_total / base_total, 3)
+    except Exception as exc:  # noqa: BLE001
+        print(f"bench: vs_min compute failed: {exc}", file=sys.stderr)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Full per-query map (270+ entries, ~7 KB) goes to STDERR — it overflowed
     # the driver's stdout tail capture in rounds 1-2 (BENCH parsed: null).
     # The final stdout line stays compact: totals + the 22 TPC-H timings.
+    try:
+        bq_all = base.get("queries", {}) if base.get("sf_dir") == sf_dir else {}
+    except Exception:  # noqa: BLE001
+        bq_all = {}
+    full_vs_min = {
+        k: round(v / bq_all[k], 2)
+        for k, v in ok.items()
+        if bq_all.get(k, 0) > 0
+    }
     print(
-        "bench full timings: " + json.dumps({"queries": timings}),
+        "bench full timings: "
+        + json.dumps({"queries": timings, "vs_min": full_vs_min}),
         file=sys.stderr,
     )
     print(
@@ -140,10 +173,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "tpch22_total": tpch_total,
+                "tpch22_vs_min": tpch_vs_min,
                 "n_queries": len(ok),
                 "n_failed": len(timings) - len(ok),
                 "n_regressed": n_regressed,
                 "queries": tpch,
+                "vs_min": vs_min,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

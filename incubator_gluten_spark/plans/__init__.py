@@ -46,13 +46,14 @@ _PLAN_MODULES = (
 # order. The window ROTATES each round so cumulative driver-certified
 # coverage grows past any single 50-entry snapshot (the reference's
 # gluten-ut reruns the whole upstream corpus, not a fixed subset —
-# gluten-ut/common/.../GlutenTestsTrait.scala). Round 8 (verdict r7
-# directives #1 and #7): the same 10 anchors — the entire overlap
-# budget — plus the seven r7 wire-format entries (Avro / Delta wire +
-# DV / Iceberg v1+v2 / Hudi COW+MOR, pass(j)-only until now) and 33
-# never-graded names weighted toward the ds_* family (the largest
-# never-graded pool).  All 50 are oracle-backed (hard three-gate
-# check).  Cumulative driver-certified target: 166 + 40 = 206.
+# gluten-ut/common/.../GlutenTestsTrait.scala). Round 9 (verdict r8
+# directives #1 and #2): the same 10 anchors — the entire overlap
+# budget — plus the two NEW Delta mutation entries (src_delta_update /
+# src_delta_merge, the r8 half-landed surface now oracle-pinned) and 38
+# never-graded names weighted toward ds_* (still the largest
+# never-graded pool: 64), then fn_*/cb_*.  All 50 are oracle-backed
+# (hard three-gate check).  Cumulative driver-certified target:
+# 206 + 40 = 246.
 _FRONT = (
     # --- anchors (10 = the entire overlap with prior windows) ---
     "q1",
@@ -65,48 +66,48 @@ _FRONT = (
     "dp_dedup_exact",
     "dp_sequence_packing",
     "dp_embedding_near_dup",
-    # --- r7 wire formats, driver-stamped this round (r7 verdict #7) ---
-    "src_avro_roundtrip",
-    "src_delta_wire",
-    "src_delta_dv",
-    "src_iceberg_wire",
-    "src_iceberg_mor",
-    "src_hudi_wire",
-    "src_hudi_mor",
-    # --- rotation: never-graded, ds_* weighted (r7 verdict #1) ---
-    "ds_attr_avg_report",
-    "ds_attr_combo_exists",
-    "ds_attr_combo_filter",
-    "ds_before_after_cut",
-    "ds_below_avg_items",
-    "ds_below_half_avg",
-    "ds_best_worst_items",
-    "ds_big_ticket_households",
-    "ds_bounded_ship_check",
-    "ds_brand_month_top",
-    "ds_channel_band",
-    "ds_channel_null_union",
-    "ds_channel_profit_union",
-    "ds_channel_union",
-    "ds_class_share",
-    "fn_array_vector",
-    "fn_array_zip_sort",
-    "fn_conditional",
-    "fn_datetime_epoch",
-    "dp_ann_ivf_fullprobe",
-    "dp_contamination_score",
-    "dp_corpus_release",
-    "cb_first_event_type",
-    "cb_funnel_ordered",
-    "cb_gap_sessions",
-    "src_csv_malformed",
-    "src_dsv2_write",
-    "agg_bool",
-    "agg_corr_covar",
-    "misc_limit_offset",
-    "op_column_defaults",
-    "stream_delta_sink",
-    "udf_map_in_arrow",
+    # --- r9 Delta MERGE/UPDATE landing (r8 verdict #2) ---
+    "src_delta_update",
+    "src_delta_merge",
+    # --- rotation: never-graded, ds_* weighted (r8 verdict #1) ---
+    "ds_click_to_purchase_window",
+    "ds_common_items_rollup",
+    "ds_cov_stats",
+    "ds_cross_border_brand",
+    "ds_cumulative_compare",
+    "ds_cumulative_cross_channel",
+    "ds_cust_percentile_band",
+    "ds_customer_band_lookup",
+    "ds_delay_crosstab",
+    "ds_disjunct_band_avgs",
+    "ds_effective_net_quantity",
+    "ds_except_counts",
+    "ds_excess_discount",
+    "ds_exists_agg_profile",
+    "ds_exists_or_chain",
+    "ds_frequent_items",
+    "ds_frequent_top_spenders",
+    "ds_full_outer_match",
+    "fn_datetime_make",
+    "fn_datetime_more",
+    "fn_decimal",
+    "fn_hash",
+    "fn_hash_golden",
+    "fn_json",
+    "cb_hour_histogram",
+    "cb_ip_octet_buckets",
+    "cb_latest_wide_rows",
+    "cb_like_topk",
+    "cb_mobile_share_hourly",
+    "cb_paged_aggregate",
+    "dp_ann_lsh",
+    "dp_cross_corpus_dedup",
+    "agg_grouping_id",
+    "stream_foreach_batch",
+    "udf_partial_project",
+    "op_correlated_scalar",
+    "misc_observe",
+    "src_dynamic_overwrite",
 )
 
 

@@ -577,12 +577,40 @@ def dp_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dp_ann_ivf", None, "datapipe", "ann", "ivf")
+@q(
+    "dp_ann_ivf",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 3)
+    SELECT query_id, neighbor_id, cosine, rn,
+           CAST(5 AS BIGINT) AS approx_k, TRUE AS approx_bounded
+    FROM (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qvec), 6) DESC,
+                        e.vec_id) AS rn
+      FROM embeddings e, q WHERE e.vec_id != q.query_id
+    ) WHERE rn <= 5
+    """,
+    "datapipe", "ann", "ivf",
+)
 def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-5 (deterministic k-means coarse
-    quantizer, nprobe=3 of 8 cells -> ~38% of the corpus scanned per
-    query). Rows-only here; subset-correctness vs brute force asserted in
-    tests/test_datapipe.py."""
+    """IVF with a FULL oracle (r8 verdict directive #5 — was the
+    rows-only tail's hardest member): the hash-certified rows are the
+    nprobe == n_centroids run, which must equal DuckDB's exact
+    brute-force top-5 regardless of what centroids Lloyd converged to
+    (the dp_ann_ivf_fullprobe invariant, now attached to the original
+    entry).  The APPROXIMATE operating point (nprobe=3/8, ~38% of the
+    corpus scanned per query) still runs inside the same plan and feeds
+    two engine-independent verdict columns the oracle asserts TRUE:
+    ``approx_k`` — every query got exactly k approximate neighbors —
+    and ``approx_bounded`` — every approximate cosine is <= the exact
+    top-1 cosine (monotone under the shared 6dp rounding), so a broken
+    centroid assignment or cosine kernel in the approximate path flips
+    a cell and fails the hash.  Subset-correctness vs brute force stays
+    asserted in tests/test_datapipe.py."""
     from incubator_gluten_spark.datapipe.similarity import ann_ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -590,7 +618,25 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=2)
+    exact = ann_ivf_topk(emb, queries, k=5, n_centroids=6, nprobe=6, iters=2)
+    approx = ann_ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=2)
+    a = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("approx_k"),
+        F.max("cosine").alias("approx_best"),
+    ).withColumnRenamed("query_id", "aqid")
+    best = exact.filter(F.col("rn") == 1).select(
+        F.col("query_id").alias("bqid"), F.col("cosine").alias("exact_best")
+    )
+    verdict = a.join(best, a["aqid"] == best["bqid"]).select(
+        "aqid",
+        "approx_k",
+        (F.col("approx_best") <= F.col("exact_best")).alias("approx_bounded"),
+    )
+    return exact.join(
+        F.broadcast(verdict), exact["query_id"] == verdict["aqid"]
+    ).select(
+        "query_id", "neighbor_id", "cosine", "rn", "approx_k", "approx_bounded"
+    )
 
 
 @q(
@@ -825,16 +871,73 @@ def dp_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("dp_stratified_sample", None, "datapipe", "sampling")
+@q(
+    "dp_stratified_sample",
+    """
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_base,
+           TRUE AS n_in_bounds, TRUE AS sum_in_bounds
+    FROM documents
+    WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')
+    GROUP BY lang
+    """,
+    "datapipe", "sampling",
+)
 def dp_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified sampling by language (sampleBy with per-stratum
     fractions, fixed seed) — the data-mixing knob: upweight scarce
-    languages, downsample the dominant one. Seeded => deterministic per
-    engine (rows-only; fraction tolerance asserted in tests)."""
+    languages, downsample the dominant one — now with a FULL oracle
+    (r8 verdict directive #5): per stratum, the seeded sample's COUNT
+    must land within Binomial(n, f) 6-sigma bounds AND its VALUE SUM
+    over ``n_chars`` within |s - f*S| <= 6*sqrt(f(1-f)*Q) with
+    S = sum(n_chars), Q = sum(n_chars^2) per stratum (exact integer
+    sums — no float drift).  The zh stratum runs at f = 1.0, where both
+    certificates degenerate to EXACT equality (Bernoulli at p=1 keeps
+    every row), pinning the keep-all edge.  Verdicts computed in Spark,
+    asserted TRUE by the oracle."""
     (docs,) = _t(spark, sf_dir, "documents")
     fractions = {"en": 0.2, "de": 0.8, "es": 0.8, "fr": 0.8, "zh": 1.0}
-    sampled = docs.sampleBy("lang", fractions, seed=42)
-    return sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    frac_df = spark.createDataFrame(
+        [(k, v) for k, v in fractions.items()], "l string, f double"
+    )
+    base = (
+        docs.join(F.broadcast(frac_df), docs["lang"] == frac_df["l"])
+        .groupBy("lang", "f")
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum("n_chars").alias("s_base"),
+            F.sum(F.col("n_chars") * F.col("n_chars")).alias("q_base"),
+        )
+    )
+    sampled = (
+        docs.sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("s_sampled"),
+        )
+        .withColumnRenamed("lang", "slang")
+    )
+    f = F.col("f")
+    n_lo = F.floor(F.col("n_base") * f - 6 * F.sqrt(F.col("n_base") * f * (1 - f)))
+    n_hi = F.ceil(F.col("n_base") * f + 6 * F.sqrt(F.col("n_base") * f * (1 - f)))
+    sum_tol = 6 * F.sqrt(f * (1 - f) * F.col("q_base"))
+    return (
+        base.join(sampled, base["lang"] == sampled["slang"], "left")
+        .select(
+            "lang",
+            "n_base",
+            (
+                (F.coalesce(F.col("n_sampled"), F.lit(0)) >= n_lo)
+                & (F.coalesce(F.col("n_sampled"), F.lit(0)) <= n_hi)
+            ).alias("n_in_bounds"),
+            (
+                F.abs(
+                    F.coalesce(F.col("s_sampled"), F.lit(0)) - f * F.col("s_base")
+                )
+                <= sum_tol
+            ).alias("sum_in_bounds"),
+        )
+    )
 
 
 @q(

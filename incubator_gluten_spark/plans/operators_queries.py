@@ -765,14 +765,49 @@ def misc_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("misc_sample_seeded", None, "sample")
+@q(
+    "misc_sample_seeded",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_base,
+           TRUE AS n_in_bounds, TRUE AS sum_in_bounds
+    FROM lineitem
+    """,
+    "sample",
+)
 def misc_sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """df.sample(fraction, seed) — deterministic per partitioning but not
-    reproducible in another engine -> rows-only check.
+    """df.sample(fraction, seed) with a FULL oracle (r8 verdict
+    directive #5): Spark's seeded Bernoulli sample is not reproducible
+    in another engine, but two 6-sigma certificates about it are —
+    the sampled COUNT within Binomial(n, p) bounds (the
+    misc_sample_bounds shape) and, new here, the sampled VALUE SUM
+    within |s - p*S| <= 6*sqrt(p(1-p)*Q) where S = sum(x) and
+    Q = sum(x^2) over the base table (the variance of a
+    Bernoulli-thinned sum).  Both verdicts are computed in Spark and
+    asserted TRUE by the oracle, so the hash gate now touches the
+    sampler's row stream, not just its cardinality.  P[false alarm]
+    ~ 1e-9 even if a Spark upgrade reseeds the sampler.
     Reference: SampleExecTransformer.scala:40-59."""
     (li,) = _t(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).agg(
-        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("total")
+    p = 0.1
+    sampled = li.sample(fraction=p, seed=42).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("l_quantity").alias("s_sampled"),
+    )
+    base = li.agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum("l_quantity").alias("s_base"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("q_base"),
+    )
+    n_lo = F.floor(F.col("n_base") * p - 6 * F.sqrt(F.col("n_base") * p * (1 - p)))
+    n_hi = F.ceil(F.col("n_base") * p + 6 * F.sqrt(F.col("n_base") * p * (1 - p)))
+    sum_dev = F.abs(F.col("s_sampled") - p * F.col("s_base"))
+    sum_tol = 6 * F.sqrt(p * (1 - p) * F.col("q_base"))
+    return base.crossJoin(sampled).select(
+        "n_base",
+        ((F.col("n_sampled") >= n_lo) & (F.col("n_sampled") <= n_hi)).alias(
+            "n_in_bounds"
+        ),
+        (sum_dev <= sum_tol).alias("sum_in_bounds"),
     )
 
 

@@ -1340,6 +1340,166 @@ def src_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_update",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT CASE WHEN o_orderpriority = '5-LOW'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderpriority = '5-LOW'
+                  THEN '1-URGENT' ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND NOT (o_orderkey % 5 = 0)
+    )
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake copy-on-write UPDATE ... SET on the wire format
+    (sources/delta_protocol.py update_where): a DV (merge-on-read)
+    delete first marks every o_orderkey%5==0 row deleted, then an
+    UPDATE whose predicate is a partition equality rewrites ONLY the
+    '5-LOW' files (partition pruning via the log alone — asserted), with
+    BOTH assignments reading PRE-update values and one of them
+    REASSIGNING the partition column, so the rewrite's ``partitionBy``
+    must physically move the rows into the '1-URGENT' partition
+    directory (asserted: no '5-LOW' partitionValues survive in the
+    log).  The rewrite scans through ``_live_rows``, so the DV-deleted
+    rows must stay deleted through it; untouched partitions keep their
+    DV descriptors (asserted).  Hash-matching the oracle — which
+    replays delete + update relationally — certifies pruning, the
+    partition move, and DV preservation end to end.  Reference analog:
+    gluten-delta DeltaSuite's update-then-scan coverage."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_update")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    dp.delete_where_dv(spark, root, "o_orderkey % 5 = 0")
+    out = dp.update_where(
+        spark,
+        root,
+        "o_orderpriority = '5-LOW'",
+        {"o_orderpriority": "'1-URGENT'", "o_totalprice": "o_totalprice * 2"},
+    )
+    if out["files_skipped"] == 0:
+        raise RuntimeError(f"partition pruning never fired: {out}")
+    snap = dp.resolve(spark, root)
+    pvals = {a["partitionValues"].get("o_orderpriority") for a in snap.adds}
+    if "5-LOW" in pvals:
+        raise RuntimeError("UPDATE left rows in the old partition")
+    if not any(a.get("deletionVector") for a in snap.adds):
+        raise RuntimeError("untouched partitions lost their DVs")
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_delta_merge",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    s AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+             'X-MERGED' AS o_orderpriority
+      FROM t WHERE o_orderkey < 300
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1997 AND o_orderkey < 300
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), CAST(99999.99 AS DOUBLE), 'Z-NULL-KEY'
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT * FROM t
+      WHERE o_orderkey NOT IN
+            (SELECT o_orderkey FROM s WHERE o_orderkey IS NOT NULL)
+      UNION ALL
+      SELECT * FROM s
+    )
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake MERGE INTO (whenMatchedUpdateAll +
+    whenNotMatchedInsertAll) on the wire format
+    (sources/delta_protocol.py merge): the table is range-laid-out into
+    4 files on o_orderkey, so the log's per-file footer stats
+    (minValues/maxValues, PROTOCOL.md "Per-file Statistics") must SKIP
+    every file whose key range is disjoint from the source's
+    [0, 300) — asserted — the property that keeps a point-ish MERGE
+    O(matched files), not O(table), at 100 TB.  The source mixes all
+    three row kinds: matched updates (doubled price, remapped
+    priority), unmatched inserts (1997 keys, absent from the table),
+    and one NULL-key row — which per Delta semantics never matches and
+    must INSERT via whenNotMatchedInsertAll (asserted present; the
+    pre-r9 shape silently dropped it).  Hash-matching the oracle —
+    which recomputes MERGE as target-anti-join ∪ source — certifies
+    file skipping, whole-row update, insert, and NULL-key semantics
+    end to end.  Reference analog: gluten-delta DeltaSuite MERGE
+    scans."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    o96 = orders.filter(F.year("o_orderdate") == 1996).select(*cols)
+    dp.create_table(o96.repartitionByRange(4, "o_orderkey"), root)
+    upd = o96.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("X-MERGED").alias("o_orderpriority"),
+    )
+    ins = (
+        orders.filter(
+            (F.year("o_orderdate") == 1997) & (F.col("o_orderkey") < 300)
+        ).select(*cols)
+    )
+    nul = spark.range(1).select(
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(99999.99).alias("o_totalprice"),
+        F.lit("Z-NULL-KEY").alias("o_orderpriority"),
+    )
+    out = dp.merge(
+        spark, root, upd.unionByName(ins).unionByName(nul), "o_orderkey"
+    )
+    if out["files_skipped"] == 0:
+        raise RuntimeError(f"stats-based file skipping never fired: {out}")
+    result = dp.read_table(spark, root)
+    if result.filter(F.col("o_orderkey").isNull()).count() != 1:
+        raise RuntimeError("NULL-key source row was not inserted")
+    return result.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_iceberg_mor",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -183,12 +183,18 @@ def _write_file_group(
     file_id: str,
     instant: str,
     key_col: str,
+    disk_dir: str | None = None,
 ) -> dict:
     """One base file for one file group, with the five _hoodie_* meta
-    columns populated the way real Hudi populates them."""
+    columns populated the way real Hudi populates them.  ``disk_dir``
+    (the writer-ESCAPED directory segment, when it differs from the raw
+    partition value) controls the on-disk location so a raw value with
+    '/' or '..' can never traverse outside the table root; the meta
+    column always carries the raw ``partition_path``."""
     token = "0-1-0"
     name = f"{file_id}_{token}_{instant}.parquet"
-    out_dir = os.path.join(root, partition_path) if partition_path else root
+    seg = disk_dir if disk_dir is not None else partition_path
+    out_dir = os.path.join(root, seg) if seg else root
     os.makedirs(out_dir, exist_ok=True)
     target = os.path.join(out_dir, name)
     with_meta = (
@@ -275,7 +281,8 @@ def _write_partitioned_groups(
     for seg in sorted(os.listdir(staging)):
         if not seg.startswith("__pp="):
             continue
-        val = unescape_path_name(seg[len("__pp=") :])
+        esc = seg[len("__pp=") :]
+        val = unescape_path_name(esc)
         part_path = "__HIVE_DEFAULT_PARTITION__" if val is None else val
         files = sorted(
             n
@@ -289,7 +296,18 @@ def _write_partitioned_groups(
             )
         fid = hashlib.md5(f"{instant}|{part_path}".encode()).hexdigest()[:12]
         name = f"{fid}_{token}_{instant}.parquet"
-        out_dir = os.path.join(root, part_path)
+        # On disk keep Spark's writer-ESCAPED segment: joining the raw
+        # unescaped value would let a value containing '/' write outside
+        # the partition dir and '..' escape the table root (r8 ADVICE).
+        # The RAW value still goes into _hoodie_partition_path (column,
+        # built above) and the commit stats (part_path key below).
+        out_dir = os.path.join(root, esc)
+        if os.path.commonpath(
+            [os.path.abspath(root), os.path.abspath(out_dir)]
+        ) != os.path.abspath(root):
+            raise HudiFormatError(
+                f"partition segment {esc!r} normalizes outside table root"
+            )
         os.makedirs(out_dir, exist_ok=True)
         target = os.path.join(out_dir, name)
         shutil.move(os.path.join(staging, seg, files[0]), target)
@@ -369,10 +387,15 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
         .distinct()
         .collect()
     }
+    from incubator_gluten_spark.sources.delta_protocol import unescape_path_name
+
     stats: dict[str, list] = {}
     rewritten = 0
     for part, file_id, inst, path in _base_files(root):
-        if (part, file_id) not in hit_groups:
+        # on-disk dirs keep the writer-escaped segment; hit_groups /
+        # commit stats / meta columns use the RAW partition value
+        raw = part if part == "" else (unescape_path_name(part) or part)
+        if (raw, file_id) not in hit_groups:
             continue
         if path not in files:
             continue  # superseded historical file
@@ -389,9 +412,9 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
             ]
         )
         ws = _write_file_group(
-            spark, merged, root, part, file_id, instant, key_col
+            spark, merged, root, raw, file_id, instant, key_col, disk_dir=part
         )
-        stats.setdefault(part, []).append(ws)
+        stats.setdefault(raw, []).append(ws)
         rewritten += 1
     # pure inserts: keys not present anywhere -> one new file group
     new_rows = src.join(

@@ -220,6 +220,52 @@ def test_cow_delete_after_dv_delete_keeps_dv_rows_deleted(spark, sf_dir, tmp_pat
     assert not any(a.get("deletionVector") for a in snap.adds)
 
 
+def test_dv_expansion_driver_materialization_bounded(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r8 verdict directive #3: DV expansion must not hold every
+    position as a Python int simultaneously — at most
+    _DV_POSITIONS_PER_SLICE positions per createDataFrame slice, slices
+    unioned, result and plan unchanged.  At 100 TB a table's total DV
+    cardinality can be billions; the peak driver allocation must be the
+    slice cap, not the table's deletion count."""
+    base = _orders(spark, sf_dir, 1996)
+    root = str(tmp_path / "dv_chunk")
+    dp.create_table(base, root)
+    dp.delete_where_dv(spark, root, "o_orderkey % 2 = 0")
+    snap = dp.resolve(spark, root)
+    cap = 16
+    monkeypatch.setattr(dp, "_DV_POSITIONS_PER_SLICE", cap)
+    calls: list[int] = []
+
+    class _Spy:
+        def __init__(self, s):
+            self._s = s
+
+        def createDataFrame(self, rows, schema):
+            calls.append(sum(len(r[1]) for r in rows))
+            return self._s.createDataFrame(rows, schema)
+
+        def __getattr__(self, name):
+            return getattr(self._s, name)
+
+    got = dp._dv_positions_df(_Spy(spark), root, snap)
+    n_expected = sum(
+        a["deletionVector"]["cardinality"]
+        for a in snap.adds
+        if a.get("deletionVector")
+    )
+    assert got.count() == n_expected
+    assert len(calls) > 1, "slicing never engaged"
+    assert max(calls) <= cap, f"a slice materialized {max(calls)} > {cap}"
+    # reader correctness and the Python-free plan survive slicing
+    sliced = dp.read_table(spark, root)
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
+    assert _rows(sliced) == _rows(base.filter("o_orderkey % 2 != 0"))
+
+
 def test_dv_positions_expand_jvm_side(spark, sf_dir, tmp_path):
     """The DV-merging scan plan contains no Python evaluation node —
     position expansion is a JVM-side explode (r7 plan-audit note)."""

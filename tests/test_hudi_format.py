@@ -174,3 +174,38 @@ def test_partitioned_create_single_group_per_value(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect()), key=str) == sorted(
         map(tuple, df.collect()), key=str
     )
+
+
+def test_partition_value_with_slash_stays_inside_root(spark, tmp_path):
+    """r8 ADVICE: a partition VALUE containing '/' must not write base
+    files outside the intended partition directory — on disk the
+    writer-ESCAPED segment is kept (one directory entry, '%2F' inside),
+    while _hoodie_partition_path carries the raw value."""
+    import os
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a/b"), (2, 11.0, "c")], "k int, v double, p string"
+    )
+    root = str(tmp_path / "hudi_slash")
+    hf.create_table(df, root, key_col="k", partition_col="p")
+    # no parquet file anywhere outside the table root
+    for dirpath, _, files in os.walk(str(tmp_path)):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.abspath(os.path.join(dirpath, f))
+                assert full.startswith(os.path.abspath(root) + os.sep), full
+    # and no nested 'a/b' directory was created — the segment is escaped
+    assert not os.path.isdir(os.path.join(root, "a"))
+    got = hf.read_table(spark, root, drop_meta_cols=False)
+    rows = {(r["p"], r["_hoodie_partition_path"]) for r in got.collect()}
+    assert ("a/b", "a/b") in rows and ("c", "c") in rows
+
+
+def test_partition_value_dotdot_rejected(spark, tmp_path):
+    """A value that normalizes outside the table root ('..' is not in
+    Spark's escape charset, so it survives as a directory segment) is
+    refused rather than written to the parent directory."""
+    df = spark.createDataFrame([(1, 10.0, "..")], "k int, v double, p string")
+    root = str(tmp_path / "tbl" / "hudi_dotdot")
+    with pytest.raises(hf.HudiFormatError, match="outside table root"):
+        hf.create_table(df, root, key_col="k", partition_col="p")
