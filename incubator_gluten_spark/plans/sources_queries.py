@@ -1500,6 +1500,101 @@ def src_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_cdf",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    ),
+    changes AS (
+      SELECT o_orderpriority, 'insert' AS _change_type,
+             CAST(CASE WHEN year(o_orderdate) = 1996 THEN 0 ELSE 1 END
+                  AS BIGINT) AS _commit_version,
+             o_totalprice AS price
+      FROM base
+      UNION ALL
+      SELECT o_orderpriority, 'update_preimage', CAST(2 AS BIGINT),
+             o_totalprice
+      FROM base WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderpriority, 'update_postimage', CAST(2 AS BIGINT),
+             o_totalprice * 2
+      FROM base WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderpriority, 'delete', CAST(3 AS BIGINT), o_totalprice
+      FROM base WHERE o_orderpriority = '2-HIGH'
+    )
+    SELECT _change_type, o_orderpriority, _commit_version,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM changes
+    GROUP BY _change_type, o_orderpriority, _commit_version
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake CHANGE DATA FEED on the wire format
+    (sources/delta_protocol.py table_changes — PROTOCOL.md "Add CDC
+    File" / "Change Data Files"): a CDF-enabled partitioned table takes
+    four commits — create (1996), append (1997), a partition-pruned
+    UPDATE doubling '1-URGENT' prices, and a partition DELETE of
+    '2-HIGH' — and ``table_changes(0, 3)`` reads the full feed back:
+    inserts DERIVED from dataChange adds (commits 0-1 carry no cdc
+    action — asserted), update pre/postimages and delete rows from
+    explicit ``cdc`` actions under ``_change_data/`` (asserted
+    present), each tagged with its ``_commit_version``.  The COW
+    update/delete commits also re-add kept rows as dataChange adds, so
+    hash-matching the oracle — which reconstructs the exact expected
+    multiset of change rows per commit — certifies the protocol's
+    cdc-actions-are-EXCLUSIVE rule (deriving from those adds would
+    produce phantom inserts) end to end.  Reference analog: gluten-delta
+    DeltaSuite (delta surface through the scan)."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_cdf")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    out = dp.update_where(
+        spark,
+        root,
+        "o_orderpriority = '1-URGENT'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    if out["files_skipped"] == 0:
+        raise RuntimeError(f"partition pruning never fired: {out}")
+    dp.delete_where(spark, root, "o_orderpriority = '2-HIGH'")
+    for v, want_cdc in ((0, False), (1, False), (2, True), (3, True)):
+        has = any(
+            "cdc" in a for a in dp._read_commit_actions(root, v)
+        )
+        if has != want_cdc:
+            raise RuntimeError(f"commit {v}: cdc action presence = {has}")
+    return (
+        dp.table_changes(spark, root, 0, 3)
+        .groupBy("_change_type", "o_orderpriority", "_commit_version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
     "src_iceberg_mor",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

@@ -49,6 +49,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG = "_delta_log"
+_CDF_KEY = "delta.enableChangeDataFeed"
+_CHANGE_DIR = "_change_data"
 
 
 class DeltaProtocolError(RuntimeError):
@@ -510,6 +512,21 @@ def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
             "cardinality": card,
         }
         actions.append({"add": new_add})
+    if _cdf_enabled(snap.metadata):
+        # a DV commit's remove/re-add pair is NOT derivable as CDF (the
+        # whole re-added file would read as inserts): write the newly
+        # deleted rows as explicit cdc delete files, as Delta does.  df
+        # is already the existing-DV-filtered live scan, so this filter
+        # is exactly the newly deleted row set.
+        cols = [f.name for f in snap.schema.fields]
+        cdc_rows = (
+            df.filter(predicate)
+            .select(*cols)
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        actions.extend(
+            _stage_data_files(cdc_rows, root, snap.partition_columns, cdc=True)
+        )
     _write_actions(root, v, actions)
     return {
         "version": v,
@@ -614,18 +631,26 @@ def unescape_path_name(seg: str) -> str | None:
 
 
 def _stage_data_files(
-    df: DataFrame, root: str, partition_cols: list[str]
+    df: DataFrame, root: str, partition_cols: list[str], *, cdc: bool = False
 ) -> list[dict]:
     """Write df as parquet under the table root (Hive-style partition
     dirs when partitioned) and return the matching add-actions with
     partitionValues extracted from the directory names — data files do
-    NOT contain the partition columns, per the protocol."""
+    NOT contain the partition columns, per the protocol.
+
+    With ``cdc=True`` the files land under ``_change_data/`` and the
+    returned actions are ``cdc`` actions (path, partitionValues, size,
+    ``dataChange: false`` — PROTOCOL.md "Add CDC File"); the
+    ``_change_type`` column is an ordinary data column, stored
+    physically in the change files."""
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(root, f"_staging_{token}")
     writer = df.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
+    prefix = f"{_CHANGE_DIR}/" if cdc else ""
+    stem = "cdc" if cdc else "part"
     adds = []
     for dirpath, _, files in os.walk(staging):
         pvals: dict[str, str] = {}
@@ -641,9 +666,11 @@ def _stage_data_files(
             # len(adds) makes the basename unique across partition dirs
             # (a task writes the same part-NNNNN name into each dir) —
             # DV/position mapping joins on basenames
-            base = f"part-{token}-{len(adds):05d}.parquet"
-            rel = os.path.join(rel_dir, base) if rel_dir != "." else base
-            dst = os.path.join(root, rel)
+            base = f"{stem}-{token}-{len(adds):05d}.parquet"
+            rel = prefix + (
+                f"{rel_dir}/{base}" if rel_dir != "." else base
+            ).replace(os.sep, "/")
+            dst = os.path.join(root, rel.replace("/", os.sep))
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             import pyarrow.parquet as pq
 
@@ -652,23 +679,41 @@ def _stage_data_files(
             stats = {"numRecords": n_rows}
             stats.update(_footer_min_max(meta))
             shutil.move(src, dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel.replace(os.sep, "/"),
-                        "partitionValues": pvals,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(os.path.getmtime(dst) * 1000),
-                        "dataChange": True,
-                        "stats": json.dumps(stats),
+            if cdc:
+                adds.append(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(dst),
+                            "dataChange": False,
+                        }
                     }
-                }
-            )
+                )
+            else:
+                adds.append(
+                    {
+                        "add": {
+                            "path": rel,
+                            "partitionValues": pvals,
+                            "size": os.path.getsize(dst),
+                            "modificationTime": int(
+                                os.path.getmtime(dst) * 1000
+                            ),
+                            "dataChange": True,
+                            "stats": json.dumps(stats),
+                        }
+                    }
+                )
     shutil.rmtree(staging, ignore_errors=True)
     return adds
 
 
-def _metadata_action(df: DataFrame, partition_cols: list[str]) -> dict:
+def _metadata_action(
+    df: DataFrame,
+    partition_cols: list[str],
+    configuration: dict[str, str] | None = None,
+) -> dict:
     data_schema = StructType(
         [f for f in df.schema.fields]  # full schema incl. partition cols
     )
@@ -678,25 +723,38 @@ def _metadata_action(df: DataFrame, partition_cols: list[str]) -> dict:
             "format": {"provider": "parquet", "options": {}},
             "schemaString": data_schema.json(),
             "partitionColumns": partition_cols,
-            "configuration": {},
+            "configuration": dict(configuration or {}),
             "createdTime": 0,
         }
     }
 
 
 def create_table(
-    df: DataFrame, root: str, partition_cols: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str] | None = None,
+    configuration: dict[str, str] | None = None,
 ) -> None:
-    """Version 0: protocol + metaData + adds (drops prior state)."""
+    """Version 0: protocol + metaData + adds (drops prior state).  Table
+    properties (e.g. ``delta.enableChangeDataFeed``) go into the
+    metaData action's ``configuration``; enabling CDF raises the
+    protocol to minWriterVersion 4, the protocol's legacy writer
+    version for the Change Data Feed feature."""
     shutil.rmtree(root, ignore_errors=True)
     partition_cols = partition_cols or []
     adds = _stage_data_files(df, root, partition_cols)
+    cdf = (configuration or {}).get(_CDF_KEY) == "true"
     _write_actions(
         root,
         0,
         [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-            _metadata_action(df, partition_cols),
+            {
+                "protocol": {
+                    "minReaderVersion": 1,
+                    "minWriterVersion": 4 if cdf else 2,
+                }
+            },
+            _metadata_action(df, partition_cols, configuration),
             *adds,
         ],
     )
@@ -792,9 +850,15 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
         # One distributed partitionBy restage replaces the former
         # per-partition-tuple write loop.
         sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
-        kept = _live_rows(spark, root, sub).filter(f"NOT ({predicate})")
+        live = _live_rows(spark, root, sub)
+        kept = live.filter(f"NOT ({predicate})")
         if not kept.isEmpty():
             actions.extend(_stage_data_files(kept, root, pcols))
+        if _cdf_enabled(snap.metadata):
+            deleted = live.filter(predicate).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            actions.extend(_stage_data_files(deleted, root, pcols, cdc=True))
     actions.extend(_remove_actions(rewrite))
     _write_actions(root, v, actions)
     return {
@@ -841,6 +905,24 @@ def update_where(
             ]
         )
         actions.extend(_stage_data_files(updated, root, pcols))
+        if _cdf_enabled(snap.metadata):
+            matching = live.filter(cond)
+            pre = matching.withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = matching.select(
+                *[
+                    (
+                        F.expr(assignments[c]).cast(types[c]).alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in live.columns
+                ]
+            ).withColumn("_change_type", F.lit("update_postimage"))
+            actions.extend(
+                _stage_data_files(pre.unionByName(post), root, pcols, cdc=True)
+            )
     actions.extend(_remove_actions(rewrite))
     _write_actions(root, v, actions)
     return {
@@ -930,6 +1012,29 @@ def merge(
         merged = src_nn.select(*cols)
     merged = merged.unionByName(null_inserts)
     actions = _stage_data_files(merged, root, pcols)
+    if _cdf_enabled(snap.metadata):
+        if tgt is not None:
+            keys = src_nn.select(key_col)
+            pre = tgt.join(F.broadcast(keys), key_col, "left_semi").select(
+                *cols
+            ).withColumn("_change_type", F.lit("update_preimage"))
+            post = src_nn.join(
+                F.broadcast(tgt.select(key_col)), key_col, "left_semi"
+            ).select(*cols).withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            ins = src_nn.join(
+                F.broadcast(tgt.select(key_col)), key_col, "left_anti"
+            ).select(*cols)
+        else:
+            pre = post = None
+            ins = src_nn.select(*cols)
+        changes = ins.unionByName(null_inserts).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        if pre is not None:
+            changes = changes.unionByName(pre).unionByName(post)
+        actions.extend(_stage_data_files(changes, root, pcols, cdc=True))
     actions.extend(_remove_actions(rewrite))
     _write_actions(root, v, actions)
     return {
@@ -1046,6 +1151,160 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
     with open(os.path.join(_log_dir(root), "_last_checkpoint"), "w") as f:
         json.dump({"version": v, "size": len(rows)}, f)
     return {"version": v, "n_actions": len(rows)}
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (PROTOCOL.md "Add CDC File" / "Change Data Files")
+
+
+def _cdf_enabled(metadata: dict | None) -> bool:
+    return (
+        metadata is not None
+        and (metadata.get("configuration") or {}).get(_CDF_KEY) == "true"
+    )
+
+
+def enable_cdf(spark: SparkSession, root: str) -> int:
+    """Metadata-only commit turning Change Data Feed ON for an existing
+    table (``ALTER TABLE ... SET TBLPROPERTIES``): re-states the current
+    metaData with ``delta.enableChangeDataFeed=true`` and upgrades the
+    protocol to minWriterVersion 4.  Changes are captured from this
+    version FORWARD only — earlier commits stay unreadable through
+    ``table_changes``, exactly like Delta."""
+    snap = resolve(spark, root)
+    v = current_version(root) + 1
+    meta = dict(snap.metadata)
+    conf = dict(meta.get("configuration") or {})
+    conf[_CDF_KEY] = "true"
+    meta["configuration"] = conf
+    proto = dict(snap.protocol)
+    proto["minWriterVersion"] = max(proto.get("minWriterVersion", 2), 4)
+    _write_actions(root, v, [{"protocol": proto}, {"metaData": meta}])
+    return v
+
+
+def _scan_file_entries(
+    spark: SparkSession,
+    root: str,
+    schema: StructType,
+    entries: list[dict],
+) -> DataFrame:
+    """Grouped partition-value-injected scan over arbitrary file actions
+    (add or cdc dicts with ``path`` + ``partitionValues``): the same
+    log-carried-partition-values layout ``_grouped_scan`` reads, reused
+    via a synthetic snapshot so change files and data files share one
+    read path."""
+    fake = Snapshot(
+        0,
+        {"schemaString": schema.json(), "partitionColumns": []},
+        sorted(entries, key=lambda a: a["path"]),
+    )
+    return _grouped_scan(spark, root, fake, with_positions=False)
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    starting_version: int,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """The Change Data Feed between two commit versions (inclusive), as
+    Delta's ``table_changes`` exposes it: the table columns plus
+    ``_change_type`` (insert / delete / update_preimage /
+    update_postimage) and ``_commit_version``.
+
+    Per PROTOCOL.md, a commit that contains ``cdc`` actions defines its
+    change data EXCLUSIVELY through them (add/remove in the same commit
+    are ignored for CDF); a commit without ``cdc`` actions derives:
+    every row of a ``dataChange=true`` add is an insert.  A commit that
+    removes data files with ``dataChange=true`` but wrote no cdc action
+    is a CDF writer-contract violation (this module's writers always
+    emit cdc when the feature is on) and is refused rather than
+    misderived.  CDF must be enabled in the metadata in effect at every
+    commit of the range."""
+    versions = _list_commit_versions(root)
+    end = ending_version if ending_version is not None else (
+        versions[-1] if versions else -1
+    )
+    missing = [
+        v for v in range(starting_version, end + 1) if v not in set(versions)
+    ]
+    if missing:
+        raise ValueError(
+            f"commits {missing} absent from the log (vacuumed or never "
+            "written) — cannot compute changes"
+        )
+    meta: dict | None = None
+    schema: StructType | None = None
+    parts: list[DataFrame] = []
+    for v in versions:
+        if v > end:
+            break
+        actions = _read_commit_actions(root, v)
+        for a in actions:
+            if a.get("metaData"):
+                meta = a["metaData"]
+                schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        if v < starting_version:
+            continue
+        if not _cdf_enabled(meta):
+            raise DeltaProtocolError(
+                f"Change Data Feed is not enabled at version {v} "
+                f"({_CDF_KEY} unset) — no change data was recorded"
+            )
+        cdc = [a["cdc"] for a in actions if a.get("cdc")]
+        if cdc:
+            from pyspark.sql.types import StringType, StructField
+
+            # copy the field list: StructType.add mutates in place, and
+            # schema is reused across the commits of the range
+            cdf_schema = StructType(
+                list(schema.fields)
+                + [StructField("_change_type", StringType())]
+            )
+            df = _scan_file_entries(spark, root, cdf_schema, cdc)
+        else:
+            adds = [
+                a["add"]
+                for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a
+                for a in actions
+                if a.get("remove") and a["remove"].get("dataChange", True)
+            ]
+            if removes:
+                raise DeltaProtocolError(
+                    f"version {v} removes data files with dataChange=true "
+                    "but carries no cdc action — CDF writer contract "
+                    "violated; refusing to misderive deletes"
+                )
+            if not adds:
+                continue
+            df = _scan_file_entries(spark, root, schema, adds).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        parts.append(df.withColumn("_commit_version", F.lit(v).cast("bigint")))
+    if not parts:
+        from pyspark.sql.types import LongType, StringType
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                (
+                    StructType.fromJson(json.loads(meta["schemaString"]))
+                    if meta
+                    else StructType()
+                ).fields
+            )
+            .add("_change_type", StringType())
+            .add("_commit_version", LongType()),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def history(spark: SparkSession, root: str) -> list[dict]:
