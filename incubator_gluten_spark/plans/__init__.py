@@ -86,8 +86,8 @@ _FRONT = (
     "ds_exists_agg_profile",
     "ds_exists_or_chain",
     "ds_frequent_items",
-    "ds_frequent_top_spenders",
-    "ds_full_outer_match",
+    "src_iceberg_schema_evo",
+    "src_delta_restore",
     "fn_datetime_make",
     "fn_datetime_more",
     "fn_decimal",
@@ -106,8 +106,9 @@ _FRONT = (
     "stream_foreach_batch",
     "udf_partial_project",
     "op_correlated_scalar",
-    "misc_observe",
-    "src_dynamic_overwrite",
+    # --- r9 new wire-format surface, certified the round it lands ---
+    "src_delta_cdf",
+    "src_delta_column_mapping",
 )
 
 

@@ -1857,3 +1857,236 @@ def src_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # up files from aborted speculative attempts
     back = spark.read.schema(_LI_SCHEMA).json(manifest["files"])
     return _agg(back)
+
+
+@q(
+    "src_delta_column_mapping",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total,
+           CAST(sum(CASE WHEN bonus IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_bonus
+    FROM (
+      SELECT o_totalprice AS price, o_orderpriority,
+             CAST(NULL AS DOUBLE) AS bonus
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    )
+    WHERE o_orderpriority <> '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake COLUMN MAPPING, name mode (sources/delta_protocol.py —
+    PROTOCOL.md "Column Mapping"): create a mapped partitioned table
+    (1996), where data files and the log's partitionValues/stats keys
+    carry PHYSICAL col-<uuid> names (asserted on a raw file read);
+    RENAME o_totalprice -> price and DROP o_orderstatus as metadata-ONLY
+    commits (asserted: zero add/remove actions); append 1997 rows under
+    the renamed schema; ADD COLUMN bonus (old files read typed NULLs);
+    then a partition-pruned COW DELETE of '1-URGENT' — pruning keyed by
+    the PHYSICAL partitionValues name (asserted) — and read the final
+    snapshot back.  The agg hash-matching the fixture oracle certifies
+    logical<->physical resolution through every generation of data
+    file.  gluten-delta/ offloads scans of such tables via the jar;
+    the mapping semantics are the public protocol's."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_column_mapping")
+    shutil.rmtree(root, ignore_errors=True)
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+        ),
+        root,
+        partition_cols=["o_orderpriority"],
+        column_mapping="name",
+    )
+    snap0 = dp.resolve(spark, root)
+    sample = spark.read.parquet(os.path.join(root, snap0.adds[0]["path"]))
+    if not all(c.startswith("col-") for c in sample.columns):
+        raise RuntimeError(f"logical name leaked into data file: {sample.columns}")
+    if not all(
+        k.startswith("col-") for k in snap0.adds[0]["partitionValues"]
+    ):
+        raise RuntimeError("partitionValues not keyed by physical name")
+    v_ren = dp.rename_column(spark, root, "o_totalprice", "price")
+    v_drop = dp.drop_column(spark, root, "o_orderstatus")
+    for v in (v_ren, v_drop):
+        kinds = {k for a in dp._read_commit_actions(root, v) for k in a}
+        if kinds != {"metaData"}:
+            raise RuntimeError(f"schema change v{v} not metadata-only: {kinds}")
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(
+            F.col("o_orderkey"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority"),
+        ),
+        root,
+    )
+    dp.add_column(spark, root, "bonus", "double")
+    out = dp.delete_where(spark, root, "o_orderpriority = '1-URGENT'")
+    if out["files_skipped"] == 0:
+        raise RuntimeError(f"physical-key partition pruning never fired: {out}")
+    return (
+        dp.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("price").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+            F.sum(
+                F.when(F.col("bonus").isNull(), 0).otherwise(1)
+            ).cast("bigint").alias("n_bonus"),
+        )
+    )
+
+
+@q(
+    "src_delta_restore",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Lake RESTORE on the wire format
+    (sources/delta_protocol.py restore — RestoreTableCommand semantics):
+    create (1996) -> append (1997) -> a NON-partition COW DELETE (which
+    restages the kept rows into new files) -> RESTORE to the pre-delete
+    version.  The restore commit's file diff must both REMOVE the
+    restaged files and RE-ADD the originals (asserted), history stays
+    intact (time travel to the deleted state still shows the delete,
+    asserted by row count), and the final read hash-matching the
+    undeleted oracle certifies the rewind is exact.  gluten-delta/
+    exposes Delta tables through the scan; RESTORE is the public
+    RestoreTableCommand contract over PROTOCOL.md actions."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_restore")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    n_full = dp.read_table(spark, root).count()
+    dp.delete_where(spark, root, "o_orderkey % 3 = 0")
+    n_deleted = dp.read_table(spark, root).count()
+    if not n_deleted < n_full:
+        raise RuntimeError("delete removed nothing — fixture too small")
+    out = dp.restore(spark, root, 1)
+    if not (out["files_removed"] > 0 and out["files_readded"] > 0):
+        raise RuntimeError(f"restore diff empty: {out}")
+    # history intact: the in-between deleted state is still addressable
+    if dp.read_table(spark, root, version=2).count() != n_deleted:
+        raise RuntimeError("time travel to the pre-restore state broke")
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_iceberg_schema_evo",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total,
+           CAST(sum(CASE WHEN note IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_note
+    FROM (
+      SELECT o_totalprice AS price, o_orderpriority,
+             CAST(NULL AS VARCHAR) AS note
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    )
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg SCHEMA EVOLUTION (sources/iceberg_format.py —
+    spec v1 "Schema Evolution", resolved by FIELD ID): create an
+    identity-partitioned table (1996) whose parquet data files carry
+    true field_ids; RENAME o_totalprice -> price and DROP o_orderstatus
+    as metadata-ONLY commits (asserted: zero new snapshots, identical
+    data-file set); append 1997 under the renamed schema (old files
+    physically say o_orderstatus/o_totalprice, new ones price — same
+    ids); ADD COLUMN note (fresh id — old files read typed NULLs); then
+    scan two partitions via manifest pruning THROUGH the partition
+    column's rename (filter key resolves by the spec's source-id).  The
+    agg hash-matching the oracle certifies id-based resolution across
+    every file generation.  gluten-iceberg/IcebergScanTransformer.scala
+    offloads such scans via the jar; the semantics are the public
+    spec's."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_schema_evo")
+    shutil.rmtree(root, ignore_errors=True)
+    ice.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+        ),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    snaps0 = len(ice._current_metadata(root)["snapshots"])
+    files0 = {f["file_path"] for f in ice.plan_files(root)}
+    ice.rename_column(root, "o_totalprice", "price")
+    ice.drop_column(root, "o_orderstatus")
+    meta = ice._current_metadata(root)
+    if len(meta["snapshots"]) != snaps0:
+        raise RuntimeError("schema evolution created a snapshot")
+    if {f["file_path"] for f in ice.plan_files(root)} != files0:
+        raise RuntimeError("schema evolution touched data files")
+    ice.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(
+            F.col("o_orderkey"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority"),
+        ),
+        root,
+    )
+    ice.add_column(root, "note", "string")
+    ice.rename_column(root, "o_orderpriority", "prio")
+    urgent = ice.read_table(
+        spark, root, partition_filter={"prio": "1-URGENT"}
+    )
+    high = ice.read_table(spark, root, partition_filter={"prio": "2-HIGH"})
+    return (
+        urgent.unionByName(high)
+        .withColumnRenamed("prio", "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("price").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+            F.sum(F.when(F.col("note").isNull(), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_note"),
+        )
+    )

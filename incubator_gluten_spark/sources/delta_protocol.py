@@ -25,9 +25,18 @@ implementations:
   descriptor's offset) or inline base85; ``delete_where_dv`` writes
   them, the reader applies them merge-on-read.
 
+* COLUMN MAPPING, ``name`` mode (minReaderVersion 2 / minWriterVersion
+  5, PROTOCOL.md "Column Mapping"): every schema field carries
+  ``delta.columnMapping.id`` + ``delta.columnMapping.physicalName`` in
+  its metadata; data files, ``add.partitionValues`` keys, and per-file
+  ``stats`` keys all use PHYSICAL names, the log's schemaString maps
+  them back to logical ones.  That indirection is what makes
+  ``rename_column`` / ``drop_column`` / ``add_column`` metadata-ONLY
+  commits (zero data rewritten at any table size).
+
 Reader protocol gate: tables demanding reader features beyond
-``deletionVectors`` (e.g. column mapping) are REFUSED loudly rather
-than misread.
+``deletionVectors`` + ``columnMapping`` (or a mapping mode other than
+none/name, e.g. ``id``) are REFUSED loudly rather than misread.
 
 Scale note: snapshot resolution lists ONE log directory and reads one
 checkpoint parquet + the JSON suffix — never the data tree; data reads
@@ -51,6 +60,10 @@ from pyspark.sql.types import StructType
 _LOG = "_delta_log"
 _CDF_KEY = "delta.enableChangeDataFeed"
 _CHANGE_DIR = "_change_data"
+_CM_MODE_KEY = "delta.columnMapping.mode"
+_CM_MAXID_KEY = "delta.columnMapping.maxColumnId"
+_CM_ID = "delta.columnMapping.id"
+_CM_PHYS = "delta.columnMapping.physicalName"
 
 
 class DeltaProtocolError(RuntimeError):
@@ -125,12 +138,48 @@ class Snapshot:
         return list(self.metadata.get("partitionColumns", []))
 
 
+def _mapping_mode(metadata: dict | None) -> str:
+    """The table's ``delta.columnMapping.mode`` (none / name / id)."""
+    return ((metadata or {}).get("configuration") or {}).get(
+        _CM_MODE_KEY, "none"
+    )
+
+
+def _physical_names(metadata: dict) -> dict[str, str]:
+    """logical -> physical column-name map from the schemaString's
+    per-field ``delta.columnMapping.physicalName`` metadata.  Fields
+    without one (mode=none tables, cdf's ``_change_type``) map to
+    themselves.  Duplicate ids or physical names are metadata
+    corruption -> refuse."""
+    fields = json.loads(metadata["schemaString"])["fields"]
+    out, ids = {}, []
+    for f in fields:
+        md = f.get("metadata") or {}
+        out[f["name"]] = md.get(_CM_PHYS, f["name"])
+        if _CM_ID in md:
+            ids.append(md[_CM_ID])
+    if len(set(out.values())) != len(out) or len(set(ids)) != len(ids):
+        raise DeltaProtocolError(
+            "column mapping metadata corrupt: duplicate physical name "
+            f"or field id in {sorted(out.values())}"
+        )
+    return out
+
+
+def _write_mapping(metadata: dict) -> dict[str, str] | None:
+    """logical->physical map for writers, or None when mapping is off
+    (so the no-mapping path stays byte-identical to before)."""
+    return _physical_names(metadata) if _mapping_mode(metadata) == "name" else None
+
+
 def _apply_action(live: dict, state: dict, action: dict) -> None:
     if "protocol" in action:
         p = action["protocol"]
         reader_features = set(p.get("readerFeatures") or [])
-        supported = {"deletionVectors"}
-        if p.get("minReaderVersion", 1) > 1 and not (
+        supported = {"deletionVectors", "columnMapping"}
+        # minReaderVersion 2 is the legacy column-mapping reader version
+        # (no feature list); 3 carries an explicit feature list
+        if p.get("minReaderVersion", 1) > 2 and not (
             p.get("minReaderVersion") == 3 and reader_features <= supported
         ):
             raise DeltaProtocolError(
@@ -201,6 +250,12 @@ def resolve(spark: SparkSession, root: str, version: int | None = None) -> Snaps
         )
     if "metaData" not in state:
         raise ValueError(f"no metaData action found in {root}")
+    mode = _mapping_mode(state["metaData"])
+    if mode not in ("none", "name"):
+        raise DeltaProtocolError(
+            f"column mapping mode {mode!r} not supported (none/name only) "
+            "— refusing rather than misreading physical columns"
+        )
     return Snapshot(
         max(expected, start),
         state["metaData"],
@@ -257,6 +312,10 @@ def _grouped_scan(
     one broadcast join against the O(n_files) uri->path mapping."""
     schema = snap.schema
     ptypes = {f.name: f.dataType.simpleString() for f in schema.fields}
+    # logical->physical map when column mapping is on: data files and
+    # partitionValues keys carry PHYSICAL names, the output is logical
+    mapping = _write_mapping(snap.metadata)
+    phys_to_logical = {p: l for l, p in mapping.items()} if mapping else {}
     groups: dict[tuple, list[str]] = {}
     for add in snap.adds:
         key = tuple(sorted((add.get("partitionValues") or {}).items()))
@@ -268,20 +327,41 @@ def _grouped_scan(
         groups.items(),
         key=lambda kv: tuple((k, v is not None, v or "") for k, v in kv[0]),
     ):
-        df = spark.read.parquet(*[os.path.join(root, r) for r in rels])
+        reader = spark.read
+        if mapping:
+            # mapped tables evolve: files written before an add_column
+            # lack its physical column -> merge footers, inject nulls
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[os.path.join(root, r) for r in rels])
         if with_positions:
             df = df.select(
                 "*",
                 F.col("_metadata.file_path").alias("__uri"),
                 F.col("_metadata.row_index").alias("__pos"),
             )
+        injected = {}
         for col, val in key:
-            df = df.withColumn(
-                col,
-                (F.lit(None) if val is None else F.lit(val)).cast(ptypes[col]),
-            )
+            lcol = phys_to_logical.get(col, col)
+            injected[lcol] = (
+                F.lit(None) if val is None else F.lit(val)
+            ).cast(ptypes[lcol])
+        sel = []
+        for f in schema.fields:
+            if f.name in injected:
+                sel.append(injected[f.name].alias(f.name))
+            elif mapping:
+                p = mapping.get(f.name, f.name)
+                sel.append(
+                    (
+                        F.col(p)
+                        if p in df.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                )
+            else:
+                sel.append(F.col(f.name))
         parts.append(
-            df.select(*cols, "__uri", "__pos") if with_positions else df.select(*cols)
+            df.select(*sel, "__uri", "__pos") if with_positions else df.select(*sel)
         )
     out = parts[0]
     for p in parts[1:]:
@@ -483,13 +563,18 @@ def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
     with open(os.path.join(root, f"deletion_vector_{u}.bin"), "wb") as f:
         f.write(bytes(buf))
     b85 = base64.b85encode(u.bytes).decode()
+    # DV protocol upgrade must not drop an existing columnMapping
+    # requirement: feature-list protocols replace, never merge
+    feats = ["deletionVectors"]
+    if _mapping_mode(snap.metadata) != "none":
+        feats = ["columnMapping", "deletionVectors"]
     actions: list[dict] = [
         {
             "protocol": {
                 "minReaderVersion": 3,
                 "minWriterVersion": 7,
-                "readerFeatures": ["deletionVectors"],
-                "writerFeatures": ["deletionVectors"],
+                "readerFeatures": feats,
+                "writerFeatures": feats,
             }
         }
     ]
@@ -525,7 +610,13 @@ def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
             .withColumn("_change_type", F.lit("delete"))
         )
         actions.extend(
-            _stage_data_files(cdc_rows, root, snap.partition_columns, cdc=True)
+            _stage_data_files(
+                cdc_rows,
+                root,
+                snap.partition_columns,
+                cdc=True,
+                mapping=_write_mapping(snap.metadata),
+            )
         )
     _write_actions(root, v, actions)
     return {
@@ -631,7 +722,12 @@ def unescape_path_name(seg: str) -> str | None:
 
 
 def _stage_data_files(
-    df: DataFrame, root: str, partition_cols: list[str], *, cdc: bool = False
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str],
+    *,
+    cdc: bool = False,
+    mapping: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write df as parquet under the table root (Hive-style partition
     dirs when partitioned) and return the matching add-actions with
@@ -642,7 +738,18 @@ def _stage_data_files(
     returned actions are ``cdc`` actions (path, partitionValues, size,
     ``dataChange: false`` — PROTOCOL.md "Add CDC File"); the
     ``_change_type`` column is an ordinary data column, stored
-    physically in the change files."""
+    physically in the change files.
+
+    With ``mapping`` (logical->physical, column mapping ``name`` mode)
+    the df arrives with LOGICAL names and is renamed to physical before
+    the write, so data files, partition directory names, extracted
+    ``partitionValues`` keys, and footer-derived ``stats`` keys are all
+    physical — exactly what PROTOCOL.md requires in the log."""
+    if mapping:
+        df = df.select(
+            *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+        )
+        partition_cols = [mapping.get(c, c) for c in partition_cols]
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(root, f"_staging_{token}")
     writer = df.write.mode("overwrite")
@@ -710,18 +817,15 @@ def _stage_data_files(
 
 
 def _metadata_action(
-    df: DataFrame,
+    schema_json: str,
     partition_cols: list[str],
     configuration: dict[str, str] | None = None,
 ) -> dict:
-    data_schema = StructType(
-        [f for f in df.schema.fields]  # full schema incl. partition cols
-    )
     return {
         "metaData": {
             "id": str(uuid.uuid4()),
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": data_schema.json(),
+            "schemaString": schema_json,
             "partitionColumns": partition_cols,
             "configuration": dict(configuration or {}),
             "createdTime": 0,
@@ -729,32 +833,65 @@ def _metadata_action(
     }
 
 
+def _mapped_schema_json(schema: StructType) -> str:
+    """schemaString for a column-mapping ``name`` table: every field
+    gets a unique ``delta.columnMapping.id`` (1-based, schema order)
+    and a ``delta.columnMapping.physicalName`` of ``col-<uuid>`` —
+    the shape Delta's own writer produces on upgrade."""
+    d = json.loads(schema.json())
+    for i, f in enumerate(d["fields"]):
+        md = dict(f.get("metadata") or {})
+        md[_CM_ID] = i + 1
+        md[_CM_PHYS] = f"col-{uuid.uuid4()}"
+        f["metadata"] = md
+    return json.dumps(d)
+
+
 def create_table(
     df: DataFrame,
     root: str,
     partition_cols: list[str] | None = None,
     configuration: dict[str, str] | None = None,
+    column_mapping: str | None = None,
 ) -> None:
     """Version 0: protocol + metaData + adds (drops prior state).  Table
     properties (e.g. ``delta.enableChangeDataFeed``) go into the
     metaData action's ``configuration``; enabling CDF raises the
-    protocol to minWriterVersion 4, the protocol's legacy writer
-    version for the Change Data Feed feature."""
+    protocol to minWriterVersion 4 (the feature's legacy writer
+    version); ``column_mapping="name"`` raises it to minReaderVersion 2
+    / minWriterVersion 5 and assigns every field an id + physical name
+    (``_mapped_schema_json``)."""
     shutil.rmtree(root, ignore_errors=True)
     partition_cols = partition_cols or []
-    adds = _stage_data_files(df, root, partition_cols)
-    cdf = (configuration or {}).get(_CDF_KEY) == "true"
+    configuration = dict(configuration or {})
+    if column_mapping is not None:
+        if column_mapping != "name":
+            raise DeltaProtocolError(
+                f"column mapping mode {column_mapping!r} not supported "
+                "(name only)"
+            )
+        configuration[_CM_MODE_KEY] = "name"
+        configuration[_CM_MAXID_KEY] = str(len(df.schema.fields))
+        schema_json = _mapped_schema_json(df.schema)
+    else:
+        schema_json = df.schema.json()
+    meta = _metadata_action(schema_json, partition_cols, configuration)
+    mapping = _write_mapping(meta["metaData"])
+    adds = _stage_data_files(df, root, partition_cols, mapping=mapping)
+    cdf = configuration.get(_CDF_KEY) == "true"
+    reader_v = 2 if column_mapping else 1
+    writer_v = 5 if column_mapping else (4 if cdf else 2)
     _write_actions(
         root,
         0,
         [
             {
                 "protocol": {
-                    "minReaderVersion": 1,
-                    "minWriterVersion": 4 if cdf else 2,
+                    "minReaderVersion": reader_v,
+                    "minWriterVersion": writer_v,
                 }
             },
-            _metadata_action(df, partition_cols, configuration),
+            meta,
             *adds,
         ],
     )
@@ -766,7 +903,9 @@ def append(df: DataFrame, root: str) -> int:
     v = current_version(root) + 1
     spark = SparkSession.getActiveSession()
     snap = resolve(spark, root)
-    adds = _stage_data_files(df, root, snap.partition_columns)
+    adds = _stage_data_files(
+        df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
+    )
     _write_actions(root, v, adds)
     return v
 
@@ -784,7 +923,9 @@ def append_stream_batch(
     if snap.txns.get(app_id, -1) >= batch_id:
         return False
     v = current_version(root) + 1
-    adds = _stage_data_files(df, root, snap.partition_columns)
+    adds = _stage_data_files(
+        df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
+    )
     _write_actions(
         root,
         v,
@@ -806,11 +947,14 @@ def _split_by_partition_predicate(
     import re
 
     pcols = snap.partition_columns
+    mapping = _write_mapping(snap.metadata) or {}
     m = re.fullmatch(r"\s*(\w+)\s*=\s*'([^']*)'\s*", predicate)
     rewrite, skipped = [], []
     for add in snap.adds:
         if m and m.group(1) in pcols:
-            if (add.get("partitionValues") or {}).get(m.group(1)) == m.group(2):
+            # partitionValues keys are physical names under column mapping
+            pkey = mapping.get(m.group(1), m.group(1))
+            if (add.get("partitionValues") or {}).get(pkey) == m.group(2):
                 rewrite.append(add)
             else:
                 skipped.append(add)
@@ -841,6 +985,7 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
     snap = resolve(spark, root)
     pcols = snap.partition_columns
     rewrite, skipped = _split_by_partition_predicate(snap, predicate)
+    mapping = _write_mapping(snap.metadata)
     actions: list[dict] = []
     if rewrite:
         # LIVE rows only: a sub-snapshot over the rewrite set runs the
@@ -853,12 +998,14 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
         live = _live_rows(spark, root, sub)
         kept = live.filter(f"NOT ({predicate})")
         if not kept.isEmpty():
-            actions.extend(_stage_data_files(kept, root, pcols))
+            actions.extend(_stage_data_files(kept, root, pcols, mapping=mapping))
         if _cdf_enabled(snap.metadata):
             deleted = live.filter(predicate).withColumn(
                 "_change_type", F.lit("delete")
             )
-            actions.extend(_stage_data_files(deleted, root, pcols, cdc=True))
+            actions.extend(
+                _stage_data_files(deleted, root, pcols, cdc=True, mapping=mapping)
+            )
     actions.extend(_remove_actions(rewrite))
     _write_actions(root, v, actions)
     return {
@@ -904,7 +1051,11 @@ def update_where(
                 for c in live.columns
             ]
         )
-        actions.extend(_stage_data_files(updated, root, pcols))
+        actions.extend(
+            _stage_data_files(
+                updated, root, pcols, mapping=_write_mapping(snap.metadata)
+            )
+        )
         if _cdf_enabled(snap.metadata):
             matching = live.filter(cond)
             pre = matching.withColumn(
@@ -921,7 +1072,13 @@ def update_where(
                 ]
             ).withColumn("_change_type", F.lit("update_postimage"))
             actions.extend(
-                _stage_data_files(pre.unionByName(post), root, pcols, cdc=True)
+                _stage_data_files(
+                    pre.unionByName(post),
+                    root,
+                    pcols,
+                    cdc=True,
+                    mapping=_write_mapping(snap.metadata),
+                )
             )
     actions.extend(_remove_actions(rewrite))
     _write_actions(root, v, actions)
@@ -967,11 +1124,14 @@ def merge(
         _write_actions(root, v, [])
         return {"version": v, "files_skipped": len(snap.adds), "files_rewritten": 0}
     rewrite, untouched = [], []
+    # stats keys are physical names under column mapping; hoisted out of
+    # the loop (one schemaString parse, not one per add-action)
+    phys_key = (_write_mapping(snap.metadata) or {}).get(key_col, key_col)
     for add in snap.adds:
         if lo is None:  # all source keys NULL: nothing can match any file
             untouched.append(add)
             continue
-        b = _stats_bounds(add, key_col)
+        b = _stats_bounds(add, phys_key)
         try:
             disjoint = b is not None and (b[1] < lo or b[0] > hi)
         except TypeError:  # JSON-stringified bounds vs typed key: no prune
@@ -1011,7 +1171,9 @@ def merge(
     else:
         merged = src_nn.select(*cols)
     merged = merged.unionByName(null_inserts)
-    actions = _stage_data_files(merged, root, pcols)
+    actions = _stage_data_files(
+        merged, root, pcols, mapping=_write_mapping(snap.metadata)
+    )
     if _cdf_enabled(snap.metadata):
         if tgt is not None:
             keys = src_nn.select(key_col)
@@ -1034,7 +1196,11 @@ def merge(
         )
         if pre is not None:
             changes = changes.unionByName(pre).unionByName(post)
-        actions.extend(_stage_data_files(changes, root, pcols, cdc=True))
+        actions.extend(
+            _stage_data_files(
+                changes, root, pcols, cdc=True, mapping=_write_mapping(snap.metadata)
+            )
+        )
     actions.extend(_remove_actions(rewrite))
     _write_actions(root, v, actions)
     return {
@@ -1102,7 +1268,9 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
                 ("parquet", {}),
                 snap.metadata["schemaString"],
                 snap.partition_columns,
-                {},
+                # the LIVE configuration: dropping it here would silently
+                # shed columnMapping/CDF table properties at checkpoint
+                snap.metadata.get("configuration") or {},
                 0,
             ),
             None,
@@ -1183,20 +1351,137 @@ def enable_cdf(spark: SparkSession, root: str) -> int:
     return v
 
 
+def _require_mapping(snap: Snapshot, op: str) -> None:
+    if _mapping_mode(snap.metadata) != "name":
+        raise DeltaProtocolError(
+            f"{op} requires column mapping (delta.columnMapping.mode=name) "
+            "— without it data files carry logical names and the change "
+            "would need a full rewrite, which Delta refuses too"
+        )
+
+
+def _commit_schema_change(
+    root: str, snap: Snapshot, fields: list[dict], partition_cols: list[str]
+) -> int:
+    """Metadata-ONLY commit re-stating the metaData with a new field
+    list (rename/drop/add under column mapping): zero add/remove
+    actions, so the commit is O(1) regardless of table size."""
+    v = current_version(root) + 1
+    meta = dict(snap.metadata)
+    d = json.loads(meta["schemaString"])
+    d["fields"] = fields
+    meta["schemaString"] = json.dumps(d)
+    meta["partitionColumns"] = partition_cols
+    _write_actions(root, v, [{"metaData": meta}])
+    return v
+
+
+def rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN as the protocol defines it under
+    column mapping: the field's LOGICAL name changes in the schemaString
+    while its ``delta.columnMapping.id`` and ``physicalName`` stay —
+    every existing data file remains readable, nothing is rewritten."""
+    snap = resolve(spark, root)
+    _require_mapping(snap, "RENAME COLUMN")
+    names = [f.name for f in snap.schema.fields]
+    if old not in names:
+        raise DeltaProtocolError(f"no such column: {old!r}")
+    if new in names:
+        raise DeltaProtocolError(f"column {new!r} already exists")
+    fields = json.loads(snap.metadata["schemaString"])["fields"]
+    for f in fields:
+        if f["name"] == old:
+            f["name"] = new
+    pcols = [new if c == old else c for c in snap.partition_columns]
+    return _commit_schema_change(root, snap, fields, pcols)
+
+
+def drop_column(spark: SparkSession, root: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN: the field leaves the schemaString;
+    its physical column stays in the data files and mapped readers
+    simply never select it.  Dropping a partition column is refused
+    (Delta refuses it too — partitionValues keys would dangle)."""
+    snap = resolve(spark, root)
+    _require_mapping(snap, "DROP COLUMN")
+    if name in snap.partition_columns:
+        raise DeltaProtocolError(
+            f"cannot drop partition column {name!r}"
+        )
+    fields = json.loads(snap.metadata["schemaString"])["fields"]
+    if name not in [f["name"] for f in fields]:
+        raise DeltaProtocolError(f"no such column: {name!r}")
+    if len(fields) == 1:
+        raise DeltaProtocolError("cannot drop the only column")
+    return _commit_schema_change(
+        root,
+        snap,
+        [f for f in fields if f["name"] != name],
+        snap.partition_columns,
+    )
+
+
+def add_column(
+    spark: SparkSession, root: str, name: str, sql_type: str
+) -> int:
+    """ALTER TABLE ... ADD COLUMN under column mapping: a fresh field id
+    (``maxColumnId`` + 1, which the commit also advances) and physical
+    name join the schemaString; files written before this commit lack
+    the physical column and the reader injects typed NULLs.  Re-adding
+    a previously dropped logical name allocates a NEW id + physical
+    name, so the dropped column's stale bytes can never resurface."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    snap = resolve(spark, root)
+    _require_mapping(snap, "ADD COLUMN")
+    fields = json.loads(snap.metadata["schemaString"])["fields"]
+    if name in [f["name"] for f in fields]:
+        raise DeltaProtocolError(f"column {name!r} already exists")
+    dt = _parse_datatype_string(sql_type)
+    conf = dict(snap.metadata.get("configuration") or {})
+    next_id = int(conf.get(_CM_MAXID_KEY, len(fields))) + 1
+    fields.append(
+        {
+            "name": name,
+            "type": dt.jsonValue(),
+            "nullable": True,
+            "metadata": {
+                _CM_ID: next_id,
+                _CM_PHYS: f"col-{uuid.uuid4()}",
+            },
+        }
+    )
+    v = current_version(root) + 1
+    meta = dict(snap.metadata)
+    d = json.loads(meta["schemaString"])
+    d["fields"] = fields
+    meta["schemaString"] = json.dumps(d)
+    conf[_CM_MAXID_KEY] = str(next_id)
+    meta["configuration"] = conf
+    _write_actions(root, v, [{"metaData": meta}])
+    return v
+
+
 def _scan_file_entries(
     spark: SparkSession,
     root: str,
     schema: StructType,
     entries: list[dict],
+    configuration: dict[str, str] | None = None,
 ) -> DataFrame:
     """Grouped partition-value-injected scan over arbitrary file actions
     (add or cdc dicts with ``path`` + ``partitionValues``): the same
     log-carried-partition-values layout ``_grouped_scan`` reads, reused
     via a synthetic snapshot so change files and data files share one
-    read path."""
+    read path.  ``configuration`` carries the table's column-mapping
+    mode so mapped change/data files rename physical -> logical exactly
+    like the live scan."""
     fake = Snapshot(
         0,
-        {"schemaString": schema.json(), "partitionColumns": []},
+        {
+            "schemaString": schema.json(),
+            "partitionColumns": [],
+            "configuration": dict(configuration or {}),
+        },
         sorted(entries, key=lambda a: a["path"]),
     )
     return _grouped_scan(spark, root, fake, with_positions=False)
@@ -1221,7 +1506,14 @@ def table_changes(
     is a CDF writer-contract violation (this module's writers always
     emit cdc when the feature is on) and is refused rather than
     misderived.  CDF must be enabled in the metadata in effect at every
-    commit of the range."""
+    commit of the range.
+
+    Under column mapping the whole range reads with the schema in
+    effect at the END version (Delta's own CDF behavior): physical
+    names are rename-stable, so a pre-rename change file resolves to
+    the post-rename logical column, and columns added/dropped inside
+    the range read as NULL/absent for commits where their physical
+    column is missing."""
     versions = _list_commit_versions(root)
     end = ending_version if ending_version is not None else (
         versions[-1] if versions else -1
@@ -1234,6 +1526,17 @@ def table_changes(
             f"commits {missing} absent from the log (vacuumed or never "
             "written) — cannot compute changes"
         )
+    # metadata in effect at the END of the range: mapped tables resolve
+    # every commit's files against it (physical names are stable across
+    # renames), unmapped tables keep the per-commit schema
+    meta_end: dict | None = None
+    for v in versions:
+        if v > end:
+            break
+        for a in _read_commit_actions(root, v):
+            if a.get("metaData"):
+                meta_end = a["metaData"]
+    mapped = _mapping_mode(meta_end) == "name"
     meta: dict | None = None
     schema: StructType | None = None
     parts: list[DataFrame] = []
@@ -1247,6 +1550,9 @@ def table_changes(
                 schema = StructType.fromJson(json.loads(meta["schemaString"]))
         if v < starting_version:
             continue
+        if mapped:
+            meta = meta_end
+            schema = StructType.fromJson(json.loads(meta["schemaString"]))
         if not _cdf_enabled(meta):
             raise DeltaProtocolError(
                 f"Change Data Feed is not enabled at version {v} "
@@ -1262,7 +1568,9 @@ def table_changes(
                 list(schema.fields)
                 + [StructField("_change_type", StringType())]
             )
-            df = _scan_file_entries(spark, root, cdf_schema, cdc)
+            df = _scan_file_entries(
+                spark, root, cdf_schema, cdc, meta.get("configuration")
+            )
         else:
             adds = [
                 a["add"]
@@ -1282,9 +1590,9 @@ def table_changes(
                 )
             if not adds:
                 continue
-            df = _scan_file_entries(spark, root, schema, adds).withColumn(
-                "_change_type", F.lit("insert")
-            )
+            df = _scan_file_entries(
+                spark, root, schema, adds, meta.get("configuration")
+            ).withColumn("_change_type", F.lit("insert"))
         parts.append(df.withColumn("_commit_version", F.lit(v).cast("bigint")))
     if not parts:
         from pyspark.sql.types import LongType, StringType
@@ -1305,6 +1613,106 @@ def table_changes(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def restore(spark: SparkSession, root: str, version: int) -> dict:
+    """RESTORE TABLE ... TO VERSION AS OF — as Delta implements it: a
+    NEW commit whose file diff rewinds the live set (re-add what the
+    target snapshot had, remove what it didn't), leaving history intact
+    (the restore is itself just a version; time travel to the
+    in-between states keeps working).  Metadata-level state (schema,
+    partition columns, table properties) is restored too when it
+    differs.  Files whose deletionVector differs between the two
+    snapshots are remove+re-added with the TARGET descriptor, so a
+    restore across a DV delete resurrects exactly the right rows.
+
+    Data files the target needs must still exist on disk — a restore
+    reaching behind a vacuum raises instead of committing a snapshot
+    that cannot be read.  With CDF enabled the commit writes explicit
+    cdc files (deletes for the rows leaving the live set, inserts for
+    the rows returning): a restore's remove actions are not derivable
+    by CDF readers, same contract as delete_where."""
+    cur = resolve(spark, root)
+    if version > cur.version:
+        raise ValueError(
+            f"cannot restore to version {version}: latest is {cur.version}"
+        )
+    tgt = resolve(spark, root, version)
+    v = current_version(root) + 1
+    cur_by = {a["path"]: a for a in cur.adds}
+    tgt_by = {a["path"]: a for a in tgt.adds}
+    to_remove = [
+        a
+        for p, a in cur_by.items()
+        if p not in tgt_by
+        or a.get("deletionVector") != tgt_by[p].get("deletionVector")
+    ]
+    to_add = []
+    for p, t in tgt_by.items():
+        c = cur_by.get(p)
+        if c is not None and c.get("deletionVector") == t.get(
+            "deletionVector"
+        ):
+            continue
+        if not os.path.exists(os.path.join(root, p.replace("/", os.sep))):
+            raise DeltaProtocolError(
+                f"cannot restore to version {version}: data file {p} was "
+                "vacuumed"
+            )
+        dv = t.get("deletionVector")
+        if dv and dv.get("storageType") in ("u", "p"):
+            if not os.path.exists(os.path.join(root, _dv_file_rel(dv))):
+                raise DeltaProtocolError(
+                    f"cannot restore to version {version}: deletion vector "
+                    f"file for {p} was vacuumed"
+                )
+        to_add.append(t)
+    actions: list[dict] = []
+    meta_restored = tgt.metadata != cur.metadata
+    if meta_restored:
+        actions.append({"metaData": tgt.metadata})
+    if _cdf_enabled(cur.metadata):
+        if to_remove:
+            sub = Snapshot(cur.version, cur.metadata, to_remove, cur.protocol)
+            dels = _live_rows(spark, root, sub).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            actions.extend(
+                _stage_data_files(
+                    dels,
+                    root,
+                    cur.partition_columns,
+                    cdc=True,
+                    mapping=_write_mapping(cur.metadata),
+                )
+            )
+        if to_add:
+            sub = Snapshot(tgt.version, tgt.metadata, to_add, cur.protocol)
+            ins = _live_rows(spark, root, sub).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            actions.extend(
+                _stage_data_files(
+                    ins,
+                    root,
+                    tgt.partition_columns,
+                    cdc=True,
+                    mapping=_write_mapping(tgt.metadata),
+                )
+            )
+    actions.extend(_remove_actions(to_remove))
+    actions.extend(
+        {"add": {**a, "dataChange": True}} for a in sorted(
+            to_add, key=lambda a: a["path"]
+        )
+    )
+    _write_actions(root, v, actions)
+    return {
+        "version": v,
+        "files_removed": len(to_remove),
+        "files_readded": len(to_add),
+        "metadata_restored": meta_restored,
+    }
 
 
 def history(spark: SparkSession, root: str) -> list[dict]:

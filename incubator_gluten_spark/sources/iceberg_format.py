@@ -101,6 +101,41 @@ def spark_ddl_for(ice_schema: dict) -> str:
     return ", ".join(cols)
 
 
+def _spark_struct_for(ice_schema: dict):
+    """Spark StructType for an Iceberg schema with every field carrying
+    ``parquet.field.id`` metadata — the hook Spark's vectorized parquet
+    reader uses to resolve columns by FIELD ID instead of name
+    (spark.sql.parquet.fieldId.read.enabled).  Field-id resolution is
+    what makes Iceberg schema evolution metadata-only: renamed columns
+    keep their id, so every data file generation stays readable."""
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    return StructType(
+        [
+            StructField(
+                f["name"],
+                _parse_datatype_string(_ICE_TO_SPARK.get(f["type"], f["type"])),
+                not f["required"],
+                {"parquet.field.id": f["id"]},
+            )
+            for f in ice_schema["fields"]
+        ]
+    )
+
+
+def _stamp_field_ids(df: DataFrame, ice_schema: dict) -> DataFrame:
+    """Alias every column with its Iceberg field id so the parquet
+    writer records field_id in the file schema (the spec REQUIRES ids
+    in data files)."""
+    by_name = {f["name"]: f["id"] for f in ice_schema["fields"]}
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": by_name[c]})
+            for c in df.columns
+        ]
+    )
+
+
 def _partition_spec(ice_schema: dict, partition_cols: list[str]) -> dict:
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     fields = []
@@ -212,6 +247,124 @@ def _current_metadata(root: str) -> dict:
         return json.load(f)
 
 
+def _current_schema(meta: dict) -> dict:
+    schemas = meta.get("schemas") or [meta["schema"]]
+    by_id = {s.get("schema-id", 0): s for s in schemas}
+    return by_id.get(meta.get("current-schema-id", 0), schemas[-1])
+
+
+def _commit_schema_evolution(
+    root: str, meta: dict, new_schema: dict, spec_fields: list | None = None
+) -> int:
+    """Metadata-ONLY commit: a new metadata.json version with the
+    evolved schema appended to ``schemas`` and ``current-schema-id``
+    advanced — no snapshot, no manifests, no data files touched.  This
+    is the spec's whole evolution story: field ids make every prior
+    data-file generation readable under the new schema."""
+    new_meta = dict(meta)
+    new_meta["schemas"] = list(
+        meta.get("schemas") or [meta["schema"]]
+    ) + [new_schema]
+    new_meta["current-schema-id"] = new_schema["schema-id"]
+    new_meta["schema"] = new_schema
+    new_meta["last-column-id"] = max(
+        meta.get("last-column-id", 0),
+        max(f["id"] for f in new_schema["fields"]),
+    )
+    if spec_fields is not None:
+        new_meta["partition-spec"] = spec_fields
+        new_meta["partition-specs"] = [
+            {**meta["partition-specs"][0], "fields": spec_fields}
+        ]
+    version = _next_version(root, meta)
+    with open(
+        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f)
+    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return version
+
+
+def _next_schema_id(meta: dict) -> int:
+    schemas = meta.get("schemas") or [meta["schema"]]
+    return max(s.get("schema-id", 0) for s in schemas) + 1
+
+
+def rename_column(root: str, old: str, new: str) -> int:
+    """ALTER TABLE ... RENAME COLUMN: the field keeps its ID (readers
+    bind by id, so every existing data file stays readable under the
+    new name); identity partition-spec fields sourced from it rename in
+    lockstep.  Metadata-only — zero data rewritten at any table size."""
+    meta = _current_metadata(root)
+    cur = _current_schema(meta)
+    names = [f["name"] for f in cur["fields"]]
+    if old not in names:
+        raise ValueError(f"no such column: {old!r}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    src_id = next(f["id"] for f in cur["fields"] if f["name"] == old)
+    fields = [
+        {**f, "name": new} if f["name"] == old else dict(f)
+        for f in cur["fields"]
+    ]
+    new_schema = {
+        "type": "struct",
+        "schema-id": _next_schema_id(meta),
+        "fields": fields,
+    }
+    spec_fields = [
+        {**pf, "name": new} if pf["source-id"] == src_id else dict(pf)
+        for pf in meta["partition-specs"][0]["fields"]
+    ]
+    return _commit_schema_evolution(root, meta, new_schema, spec_fields)
+
+
+def add_column(root: str, name: str, ice_type: str) -> int:
+    """ALTER TABLE ... ADD COLUMN: a FRESH field id (last-column-id + 1
+    — ids are never reused, so re-adding a dropped name can never
+    resurrect the dropped column's bytes); existing files lack the id
+    and read typed NULLs."""
+    meta = _current_metadata(root)
+    cur = _current_schema(meta)
+    if name in [f["name"] for f in cur["fields"]]:
+        raise ValueError(f"column {name!r} already exists")
+    if ice_type not in _ICE_TO_SPARK and ice_type != "long":
+        raise ValueError(f"unsupported iceberg type: {ice_type!r}")
+    new_id = meta.get("last-column-id", 0) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": _next_schema_id(meta),
+        "fields": [dict(f) for f in cur["fields"]]
+        + [{"id": new_id, "name": name, "required": False, "type": ice_type}],
+    }
+    return _commit_schema_evolution(root, meta, new_schema)
+
+
+def drop_column(root: str, name: str) -> int:
+    """ALTER TABLE ... DROP COLUMN: the field leaves the current schema;
+    its bytes stay in the data files, unreachable because no live field
+    carries its id.  Identity-partition source columns refuse."""
+    meta = _current_metadata(root)
+    cur = _current_schema(meta)
+    field = next((f for f in cur["fields"] if f["name"] == name), None)
+    if field is None:
+        raise ValueError(f"no such column: {name!r}")
+    if len(cur["fields"]) == 1:
+        raise ValueError("cannot drop the only column")
+    if any(
+        pf["source-id"] == field["id"]
+        for pf in meta["partition-specs"][0]["fields"]
+    ):
+        raise ValueError(f"cannot drop partition source column {name!r}")
+    new_schema = {
+        "type": "struct",
+        "schema-id": _next_schema_id(meta),
+        "fields": [dict(f) for f in cur["fields"] if f["name"] != name],
+    }
+    return _commit_schema_evolution(root, meta, new_schema)
+
+
 def _resolve_path(root: str, p: str) -> str:
     return p if os.path.isabs(p) else os.path.join(root, p)
 
@@ -242,6 +395,23 @@ def plan_files(
     live data_file dicts (status != DELETED)."""
     meta = _current_metadata(root)
     snap = _snapshot(meta, snapshot_id)
+    # manifests written before a partition-column RENAME key their
+    # partition tuples by the old name; resolve the filter key through
+    # the spec's source-id across every historical schema (Iceberg's
+    # own resolution is by id, never name)
+    aliases: dict[str, set[str]] = {}
+    if partition_filter:
+        spec_fields = meta["partition-specs"][0]["fields"]
+        schemas = meta.get("schemas") or [meta["schema"]]
+        for k in partition_filter:
+            pf = next((p for p in spec_fields if p["name"] == k), None)
+            names = {k}
+            if pf is not None:
+                for sc in schemas:
+                    for f in sc["fields"]:
+                        if f["id"] == pf["source-id"]:
+                            names.add(f["name"])
+            aliases[k] = names
     files: list[dict] = []
     for mf in read_container(_resolve_path(root, snap["manifest-list"])):
         manifest_path = _resolve_path(root, mf[0])
@@ -249,10 +419,17 @@ def plan_files(
             if status == DELETED:
                 continue
             part = data_file.get("partition") or {}
-            if partition_filter and any(
-                part.get(k) != v for k, v in partition_filter.items()
-            ):
-                continue
+            if partition_filter:
+                skip = False
+                for k, v in partition_filter.items():
+                    got = next(
+                        (part[a] for a in aliases[k] if a in part), None
+                    )
+                    if got != v:
+                        skip = True
+                        break
+                if skip:
+                    continue
             files.append(data_file)
     return sorted(files, key=lambda d: d["file_path"])
 
@@ -263,18 +440,65 @@ def read_table(
     snapshot_id: int | None = None,
     partition_filter: dict[str, Any] | None = None,
 ) -> DataFrame:
+    """Snapshot read with FIELD-ID column resolution (Iceberg's read
+    contract): the latest read uses the table's CURRENT schema, a time
+    travel read uses the schema the snapshot was written under; either
+    way columns bind to data-file columns by field id, so files from
+    before a rename/add/drop resolve correctly (missing ids read as
+    typed NULLs)."""
     meta = _current_metadata(root)
     schemas = meta.get("schemas") or [meta["schema"]]
     by_id = {s.get("schema-id", 0): s for s in schemas}
     snap = _snapshot(meta, snapshot_id)
-    schema = by_id.get(snap.get("schema-id", 0), schemas[-1])
-    ddl = spark_ddl_for(schema)
+    if snapshot_id is None:
+        schema = by_id.get(meta.get("current-schema-id", 0), schemas[-1])
+    else:
+        schema = by_id.get(snap.get("schema-id", 0), schemas[-1])
     files = plan_files(root, snapshot_id, partition_filter)
     if not files:
-        return spark.createDataFrame([], ddl)
-    return spark.read.schema(ddl).parquet(
+        return spark.createDataFrame([], _spark_struct_for(schema))
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+    # Upstream hazard (verified in this build): Spark's PARQUET FILTER
+    # PUSHDOWN matches file columns by NAME even when the scan itself
+    # binds by field id — a field whose name was ever attached to a
+    # DIFFERENT id (drop + re-add, rename swaps) can have a pushed
+    # IsNull/equality wrongly evaluated against the old same-named
+    # column and silently drop rows.  Shield exactly those fields: read
+    # them under a synthetic name no data file contains (pushdown on a
+    # name absent from the file schema is skipped, id binding is
+    # unaffected), then alias back.  Non-hazard fields keep their real
+    # name so their filters still push down — the property that matters
+    # at 100 TB.
+    hazards = {
+        f["name"]
+        for f in schema["fields"]
+        if any(
+            o["name"] == f["name"] and o["id"] != f["id"]
+            for s in schemas
+            for o in s["fields"]
+        )
+    }
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    read_fields, out_cols = [], []
+    for f in schema["fields"]:
+        rname = f"_fid_{f['id']}" if f["name"] in hazards else f["name"]
+        read_fields.append(
+            StructField(
+                rname,
+                _parse_datatype_string(
+                    _ICE_TO_SPARK.get(f["type"], f["type"])
+                ),
+                not f["required"],
+                {"parquet.field.id": f["id"]},
+            )
+        )
+        out_cols.append(F.col(rname).alias(f["name"]))
+    df = spark.read.schema(StructType(read_fields)).parquet(
         *[_resolve_path(root, f["file_path"]) for f in files]
     )
+    return df.select(*out_cols)
 
 
 def history(root: str) -> list[dict]:
@@ -297,11 +521,19 @@ def history(root: str) -> list[dict]:
 
 
 def _write_data_files(
-    spark: SparkSession, df: DataFrame, root: str, partition_cols: list[str]
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    partition_cols: list[str],
+    ice_schema: dict | None = None,
 ) -> list[dict]:
     """Parquet data files (Iceberg data files CONTAIN all columns,
     including identity-partition ones — unlike Delta) + their manifest
-    data_file dicts with identity partition tuples."""
+    data_file dicts with identity partition tuples.  Every column is
+    stamped with its Iceberg field id (parquet field_id), per spec."""
+    if ice_schema is not None:
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        df = _stamp_field_ids(df, ice_schema)
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(root, f"_staging_{token}")
     writer = df.write.mode("overwrite")
@@ -338,6 +570,9 @@ def _write_data_files(
                 # the data file)
                 import pyarrow as pa
 
+                ids = {
+                    f["name"]: f["id"] for f in (ice_schema or {}).get("fields", [])
+                }
                 table = pq.read_table(src)
                 for col, val in pvals.items():
                     field = df.schema[col].dataType.simpleString()
@@ -350,7 +585,16 @@ def _write_data_files(
                     }[field]
                     pyval = _coerce_py(val, field)
                     arr = pa.array([pyval] * n_rows, type=typ)
-                    table = table.append_column(col, arr)
+                    # re-attached partition columns carry their field id
+                    # too (pyarrow spells it PARQUET:field_id)
+                    pa_field = pa.field(
+                        col,
+                        typ,
+                        metadata={b"PARQUET:field_id": str(ids[col]).encode()}
+                        if col in ids
+                        else None,
+                    )
+                    table = table.append_column(pa_field, arr)
                 table = table.select([f.name for f in df.schema.fields])
                 pq.write_table(table, os.path.join(root, rel))
             else:
@@ -423,6 +667,16 @@ def _write_manifest(
     }
 
 
+def _next_version(root: str, meta: dict | None) -> int:
+    """Metadata file version: snapshot commits AND metadata-only schema
+    commits each take the next number (decoupled from snapshot ids)."""
+    if meta is None:
+        return 1
+    hint = os.path.join(_meta_dir(root), "version-hint.text")
+    with open(hint) as f:
+        return int(f.read().strip()) + 1
+
+
 def _commit_snapshot(
     root: str,
     meta: dict | None,
@@ -455,22 +709,31 @@ def _commit_snapshot(
         _MANIFEST_LIST_SCHEMA,
         codec="deflate",
     )
+    cur_schema_id = ice_schema.get("schema-id", 0)
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": 0,
         "summary": {"operation": operation},
         "manifest-list": os.path.relpath(ml_path, root),
-        "schema-id": 0,
+        "schema-id": cur_schema_id,
     }
+    # evolution-aware: keep every historical schema (time travel needs
+    # them); ids are never reused so last-column-id is monotonic
+    schemas = list(meta.get("schemas") or []) if meta else []
+    if cur_schema_id not in {s.get("schema-id", 0) for s in schemas}:
+        schemas.append(ice_schema)
+    prev_last = meta.get("last-column-id", 0) if meta else 0
     new_meta = {
         "format-version": 1,
         "table-uuid": meta["table-uuid"] if meta else str(uuid.uuid4()),
         "location": root,
         "last-updated-ms": 0,
-        "last-column-id": max(f["id"] for f in ice_schema["fields"]),
+        "last-column-id": max(
+            prev_last, max(f["id"] for f in ice_schema["fields"])
+        ),
         "schema": ice_schema,
-        "schemas": [ice_schema],
-        "current-schema-id": 0,
+        "schemas": schemas,
+        "current-schema-id": cur_schema_id,
         "partition-spec": spec["fields"],
         "partition-specs": [spec],
         "default-spec-id": 0,
@@ -478,7 +741,7 @@ def _commit_snapshot(
         "current-snapshot-id": snapshot_id,
         "snapshots": (meta["snapshots"] if meta else []) + [snapshot],
     }
-    version = snapshot_id
+    version = _next_version(root, meta)
     with open(
         os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
     ) as f:
@@ -497,7 +760,9 @@ def create_table(
     ice_schema = _iceberg_schema(df.schema)
     spec = _partition_spec(ice_schema, partition_cols)
     pschema = _partition_avro_schema(ice_schema, spec)
-    data_files = _write_data_files(spark, df, root, partition_cols)
+    data_files = _write_data_files(
+        spark, df, root, partition_cols, ice_schema=ice_schema
+    )
     os.makedirs(_meta_dir(root), exist_ok=True)
     manifest = _write_manifest(
         root,
@@ -516,7 +781,7 @@ def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
     still sees the deleted rows.  Identity transforms only (matching
     this writer's partition specs)."""
     meta = _current_metadata(root)
-    ice_schema = meta["schema"]
+    ice_schema = _current_schema(meta)
     spec = meta["partition-specs"][0]
     pschema = _partition_avro_schema(ice_schema, spec)
     snap_id = len(meta["snapshots"]) + 1
@@ -538,11 +803,13 @@ def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
 def append(df: DataFrame, root: str) -> dict:
     spark = SparkSession.getActiveSession()
     meta = _current_metadata(root)
-    ice_schema = meta["schema"]
+    ice_schema = _current_schema(meta)
     spec = meta["partition-specs"][0]
     partition_cols = [f["name"] for f in spec["fields"]]
     pschema = _partition_avro_schema(ice_schema, spec)
-    data_files = _write_data_files(spark, df, root, partition_cols)
+    data_files = _write_data_files(
+        spark, df, root, partition_cols, ice_schema=ice_schema
+    )
     snap_id = len(meta["snapshots"]) + 1
     new_manifest = _write_manifest(
         root,

@@ -247,3 +247,19 @@ def test_empty_merge_range_yields_no_changes(spark, tmp_path):
     src = _mk(spark, []).filter("k IS NOT NULL").limit(0)
     dp.merge(spark, root, src, "k")
     assert dp.table_changes(spark, root, 1, 1).count() == 0
+
+
+def test_cdf_flag_survives_checkpoint(spark, tmp_path):
+    """The checkpoint's metaData row must carry the LIVE configuration:
+    the r9 column-mapping work found it writing {} — a checkpointed CDF
+    table silently stopped recording changes (delete_where would skip
+    the cdc files, then table_changes refused the commit)."""
+    root = str(tmp_path / "cdf_ck")
+    dp.create_table(_mk(spark, [(1, 10.0, "a"), (2, 20.0, "b")]), root,
+                    configuration=CDF)
+    dp.checkpoint(spark, root)
+    snap = dp.resolve(spark, root)
+    assert snap.metadata["configuration"]["delta.enableChangeDataFeed"] == "true"
+    dp.delete_where(spark, root, "k = 1")
+    ch = dp.table_changes(spark, root, 1, 1)
+    assert _rows(ch.select("k", "_change_type")) == [(1, "delete")]
