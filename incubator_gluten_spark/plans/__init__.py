@@ -85,7 +85,7 @@ _FRONT = (
     "ds_excess_discount",
     "ds_exists_agg_profile",
     "ds_exists_or_chain",
-    "ds_frequent_items",
+    "src_hudi_incremental",
     "src_iceberg_schema_evo",
     "src_delta_restore",
     "fn_datetime_make",

@@ -2090,3 +2090,83 @@ def src_iceberg_schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_note"),
         )
     )
+
+
+@q(
+    "src_hudi_incremental",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT o_totalprice * 2 AS price, o_orderpriority
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_orderkey % 5 = 0
+        AND o_orderpriority = '3-MEDIUM'
+      UNION ALL
+      SELECT o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1997
+    )
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "hudi",
+)
+def src_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Hudi INCREMENTAL QUERY (sources/hudi_format.py
+    read_incremental — hoodie.datasource.query.type=incremental): create
+    a COW table from 1996 orders, then one upsert that UPDATES every
+    fifth '3-MEDIUM' key (price doubled — one partition's file group
+    rewritten, the other partitions' base files untouched) and INSERTS
+    the 1997 rows; the pull over
+    ``(create_instant, upsert_instant]`` must return EXACTLY the
+    records the upsert touched, at their post-upsert values — which is
+    only true because the COW rewrite preserves untouched rows'
+    record-level ``_hoodie_commit_time`` (the file groups holding
+    updated keys were rewritten whole).  Also asserted: base files from
+    before ``begin`` are pruned from the scan by NAME alone.  The agg
+    hash-matching the oracle's reconstruction of the change set
+    certifies the record-level semantics.  gluten-hudi/HudiSuite.scala
+    is the jar module analog; the contract is the public datasource's."""
+    import os as _os
+    import shutil
+
+    from incubator_gluten_spark.sources import hudi_format as hf
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("hudi_incremental")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(*cols)
+    hf.create_table(
+        y96, root, key_col="o_orderkey", partition_col="o_orderpriority"
+    )
+    i1 = hf.completed_instants(root)[-1]
+    updates = y96.filter(
+        (F.col("o_orderkey") % 5 == 0)
+        & (F.col("o_orderpriority") == "3-MEDIUM")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    inserts = orders.filter(F.year("o_orderdate") == 1997).select(*cols)
+    src = updates.unionByName(inserts)
+    n_src = src.count()
+    hf.upsert(spark, src, root, "o_orderkey")
+    scanned = hf.read_incremental(
+        spark, root, begin_instant=i1, drop_meta_cols=False
+    )
+    pruned_away = [
+        p
+        for p in hf.snapshot_files(root)
+        if _os.path.basename(p)[: -len(".parquet")].split("_")[2] <= i1
+    ]
+    if not pruned_away:
+        raise RuntimeError("no pre-begin base file survived to be pruned")
+    inc = hf.read_incremental(spark, root, begin_instant=i1)
+    if inc.count() != n_src:
+        raise RuntimeError(
+            f"incremental returned {inc.count()} rows, changed {n_src}"
+        )
+    return inc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    ).withColumnRenamed("o_totalprice", "price")

@@ -171,6 +171,52 @@ def read_table(
     return df.drop(*META_COLS) if drop_meta_cols else df
 
 
+def read_incremental(
+    spark: SparkSession,
+    root: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+    drop_meta_cols: bool = True,
+) -> DataFrame:
+    """Hudi INCREMENTAL QUERY (hoodie.datasource.query.type=incremental):
+    the records inserted or updated in ``(begin_instant, end_instant]``,
+    at their end-of-range values — begin EXCLUSIVE, end inclusive, the
+    datasource's contract.  Correctness rests on the writer preserving
+    untouched rows' ``_hoodie_commit_time`` through COW rewrites
+    (``upsert``), so a rewritten file group contributes only the rows
+    the upsert actually changed.
+
+    Scale note: base files whose instant is <= begin are pruned from
+    the scan by NAME alone (a COW base file written at instant i holds
+    only rows with commit time <= i) — an incremental pull off a
+    100 TB table reads the recently-written file groups, not the
+    table."""
+    committed = sorted(completed_instants(root))
+    if not committed:
+        raise ValueError("table has no committed instants")
+    if end_instant is None:
+        end_instant = committed[-1]
+    if begin_instant > end_instant:
+        raise ValueError(
+            f"begin {begin_instant!r} is after end {end_instant!r}"
+        )
+    files = [
+        p
+        for p in snapshot_files(root, as_of=end_instant)
+        if os.path.basename(p)[: -len(".parquet")].split("_")[2]
+        > begin_instant
+    ]
+    if not files:
+        return spark.createDataFrame(
+            [], read_table(spark, root, drop_meta_cols=drop_meta_cols).schema
+        )
+    df = spark.read.parquet(*files).filter(
+        (F.col("_hoodie_commit_time") > begin_instant)
+        & (F.col("_hoodie_commit_time") <= end_instant)
+    )
+    return df.drop(*META_COLS) if drop_meta_cols else df
+
+
 # ---------------------------------------------------------------------------
 # writer
 
@@ -197,18 +243,26 @@ def _write_file_group(
     out_dir = os.path.join(root, seg) if seg else root
     os.makedirs(out_dir, exist_ok=True)
     target = os.path.join(out_dir, name)
-    with_meta = (
-        df.withColumn("_hoodie_commit_time", F.lit(instant))
-        .withColumn(
-            "_hoodie_commit_seqno",
-            F.concat_ws(
-                "_", F.lit(instant), F.monotonically_increasing_id().cast("string")
-            ),
+    # a rewrite may carry per-row commit time/seqno overrides ("__ct" /
+    # "__seq" columns): real Hudi PRESERVES the original meta of
+    # records an upsert did not touch — the property incremental
+    # queries (rows with begin < _hoodie_commit_time <= end) depend on
+    data_cols = [c for c in df.columns if c not in ("__ct", "__seq")]
+    ct = F.col("__ct") if "__ct" in df.columns else F.lit(instant)
+    seq = (
+        F.col("__seq")
+        if "__seq" in df.columns
+        else F.concat_ws(
+            "_", F.lit(instant), F.monotonically_increasing_id().cast("string")
         )
+    )
+    with_meta = (
+        df.withColumn("_hoodie_commit_time", ct)
+        .withColumn("_hoodie_commit_seqno", seq)
         .withColumn("_hoodie_record_key", F.col(key_col).cast("string"))
         .withColumn("_hoodie_partition_path", F.lit(partition_path))
         .withColumn("_hoodie_file_name", F.lit(name))
-        .select(*META_COLS, *df.columns)
+        .select(*META_COLS, *data_cols)
     )
     staging = target + ".stage"
     with_meta.coalesce(1).write.mode("overwrite").parquet(staging)
@@ -373,15 +427,18 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
     instant = _next_instant(root)
     src = df.alias("s")
     # which file groups hold matched keys? resolve from the meta columns
+    # "__hkey" not "k": a user key column literally named after the
+    # internal alias must not make the anti-join ambiguous
     existing = spark.read.parquet(*files).select(
-        F.col("_hoodie_record_key").alias("k"),
+        F.col("_hoodie_record_key").alias("__hkey"),
         F.col("_hoodie_file_name").alias("fname"),
         F.col("_hoodie_partition_path").alias("ppath"),
     )
     hit_groups = {
         (r.ppath, r.fname.split("_")[0])
         for r in existing.join(
-            src.select(F.col(key_col).cast("string").alias("k")), "k"
+            src.select(F.col(key_col).cast("string").alias("__hkey")),
+            "__hkey",
         )
         .select("ppath", "fname")
         .distinct()
@@ -399,18 +456,39 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
             continue
         if path not in files:
             continue  # superseded historical file
-        tgt = spark.read.parquet(path).drop(*META_COLS).alias("t")
+        tgt_full = spark.read.parquet(path)
+        data_cols = [c for c in tgt_full.columns if c not in META_COLS]
+        tgt = tgt_full.alias("t")
         matched = F.col(f"s.{key_col}").isNotNull()
+        # untouched rows KEEP their original commit time + seqno (Hudi's
+        # record-level incremental contract); only matched rows take the
+        # new instant
         merged = tgt.join(
             src, F.col(f"t.{key_col}") == F.col(f"s.{key_col}"), "left"
         ).select(
+            F.when(matched, F.lit(instant))
+            .otherwise(F.col("t._hoodie_commit_time"))
+            .alias("__ct"),
+            F.when(matched, F.lit(None).cast("string"))
+            .otherwise(F.col("t._hoodie_commit_seqno"))
+            .alias("__seq0"),
             *[
                 F.when(matched, F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}"))
                 .alias(c)
-                for c in tgt.columns
-            ]
-        )
+                for c in data_cols
+            ],
+        ).withColumn(
+            "__seq",
+            F.coalesce(
+                F.col("__seq0"),
+                F.concat_ws(
+                    "_",
+                    F.lit(instant),
+                    F.monotonically_increasing_id().cast("string"),
+                ),
+            ),
+        ).drop("__seq0")
         ws = _write_file_group(
             spark, merged, root, raw, file_id, instant, key_col, disk_dir=part
         )
@@ -418,8 +496,8 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
         rewritten += 1
     # pure inserts: keys not present anywhere -> one new file group
     new_rows = src.join(
-        existing.select("k").distinct(),
-        F.col(f"s.{key_col}").cast("string") == F.col("k"),
+        existing.select("__hkey").distinct(),
+        F.col(f"s.{key_col}").cast("string") == F.col("__hkey"),
         "left_anti",
     )
     n_new = new_rows.count()
