@@ -38,6 +38,7 @@ import zlib
 from collections.abc import Iterator, Sequence
 
 MAGIC = b"Obj\x01"
+AVRO_SPLIT_TARGET = 8 << 20  # ~8 MB of container bytes per read task
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +457,88 @@ def read_container(path: str) -> Iterator[tuple]:
             raise ValueError("sync marker mismatch (corrupt block)")
 
 
+def scan_blocks(path: str) -> list[tuple[int, int, int]]:
+    """(offset, byte_length, n_rows) for every data block — METADATA
+    ONLY: reads the two varint headers (~2-10 bytes) per block and
+    SEEKS over the data, so splitting a multi-GB container costs
+    O(blocks), not O(bytes).  Avro blocks are independently decodable
+    (each is delimited by the header's sync marker), which is what
+    makes block-level split parallelism sound."""
+    _, _, sync, offset = read_header(path)
+    size = os.path.getsize(path)
+    out = []
+    with open(path, "rb") as f:
+        f.seek(offset)
+        while f.tell() < size:
+            start = f.tell()
+            n_rows = _zigzag_decode(f)
+            n_bytes = _zigzag_decode(f)
+            f.seek(n_bytes, 1)
+            if f.read(16) != sync:
+                raise ValueError(f"sync marker mismatch at {start} in {path}")
+            out.append((start, f.tell() - start, n_rows))
+    return out
+
+
+def read_block_range(path: str, offset: int, length: int) -> Iterator[tuple]:
+    """Rows from the blocks in ``[offset, offset+length)`` of one
+    container file (block boundaries from ``scan_blocks``)."""
+    schema, codec, sync, _ = read_header(path)
+    _, codecs = _record_codecs(schema)
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = io.BytesIO(f.read(length))
+    while buf.tell() < length:
+        n_rows = _zigzag_decode(buf)
+        n_bytes = _zigzag_decode(buf)
+        data = buf.read(n_bytes)
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec: {codec}")
+        block = io.BytesIO(data)
+        for _ in range(n_rows):
+            yield tuple(dec(block) for _, dec in codecs)
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+
+
+def _arrow_schema_for(struct):
+    """pyarrow schema for a FLAT Spark StructType, sessionless (the
+    pyspark to_arrow_schema helper needs an active session for the
+    timestamp timezone; data-source workers have none).  Timestamps are
+    UTC micros — the engine pins spark.sql.session.timeZone=UTC."""
+    import re as _re
+
+    import pyarrow as pa
+
+    mapping = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    fields = []
+    for f in struct.fields:
+        simple = f.dataType.simpleString()
+        t = mapping.get(simple)
+        if t is None:
+            m = _re.fullmatch(r"decimal\((\d+),(\d+)\)", simple)
+            if not m:
+                raise ValueError(f"no arrow mapping for {simple}")
+            t = pa.decimal128(int(m.group(1)), int(m.group(2)))
+        fields.append(pa.field(f.name, t, nullable=True))
+    return pa.schema(fields)
+
+
 # ---------------------------------------------------------------------------
 # Python DataSource mount
 
@@ -469,21 +552,92 @@ def _make_datasource_classes():
         WriterCommitMessage,
     )
 
-    class _FilePartition(InputPartition):
-        def __init__(self, path: str) -> None:
+    class _RangePartition(InputPartition):
+        def __init__(self, path: str, offset: int, length: int) -> None:
             self.path = path
+            self.offset = offset
+            self.length = length
+
 
     class _AvroReader(DataSourceReader):
-        def __init__(self, options: dict) -> None:
+        """Block-range splits + Arrow-batched transfer (r9): the former
+        shape was one partition per FILE yielding pickled per-row
+        tuples — a single multi-GB container read in one task, and
+        every row crossed the Python<->JVM boundary individually.  Now
+        the driver scans block boundaries (metadata-only), packs them
+        into ~8 MB ranges, and each task decodes its range into
+        pyarrow RecordBatches (Spark 4's Python DataSource accepts
+        either; the Arrow path skips per-row pickling).  The per-VALUE
+        decode is still pure Python — inherent to a no-jar Avro codec
+        — but transfer and split parallelism now scale like a real
+        source."""
+
+        def __init__(self, options: dict, struct) -> None:
             self.path = options["path"]
+            # the reader initializes in a SESSIONLESS python planner
+            # worker (and read() in executors): no JVM-backed pyspark
+            # API (DDL parsing, to_arrow_schema) is available, so the
+            # arrow schema comes from a local type mapping over the
+            # StructType Spark already resolved.  Timestamps map to UTC
+            # micros: the engine pins spark.sql.session.timeZone=UTC
+            self.complex = any(
+                t.simpleString().startswith(("array", "map", "struct"))
+                for t in (f.dataType for f in struct.fields)
+            )
+            self.arrow_schema = (
+                None if self.complex else _arrow_schema_for(struct)
+            )
 
         def partitions(self) -> Sequence[InputPartition]:
-            # one partition per container file — the split-level
-            # parallelism a directory listing gives the JVM sources
-            return [_FilePartition(p) for p in sorted(_avro_files(self.path))]
+            parts: list[_RangePartition] = []
+            for path in sorted(_avro_files(self.path)):
+                run_start, run_len = None, 0
+                for off, length, _n in scan_blocks(path):
+                    if run_start is None:
+                        run_start, run_len = off, length
+                    elif run_len + length > AVRO_SPLIT_TARGET:
+                        parts.append(_RangePartition(path, run_start, run_len))
+                        run_start, run_len = off, length
+                    else:
+                        run_len += length
+                if run_start is not None:
+                    parts.append(_RangePartition(path, run_start, run_len))
+            return parts
 
-        def read(self, partition: _FilePartition) -> Iterator[tuple]:
-            return read_container(partition.path)
+        def read(self, partition: _RangePartition):
+            import pyarrow as pa
+
+            rows = read_block_range(
+                partition.path, partition.offset, partition.length
+            )
+            if self.complex:
+                # nested values keep the row path (dict<->map arrow
+                # conversion is not worth the edge cases here)
+                yield from rows
+                return
+            arrow_schema = self.arrow_schema
+            batch, cap = [], 4096
+            for row in rows:
+                batch.append(row)
+                if len(batch) >= cap:
+                    cols = list(zip(*batch))
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(c, type=f.type)
+                            for c, f in zip(cols, arrow_schema)
+                        ],
+                        schema=arrow_schema,
+                    )
+                    batch = []
+            if batch:
+                cols = list(zip(*batch))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(c, type=f.type)
+                        for c, f in zip(cols, arrow_schema)
+                    ],
+                    schema=arrow_schema,
+                )
 
     class _AvroCommit(WriterCommitMessage):
         def __init__(self, path: str, n_rows: int) -> None:
@@ -541,7 +695,7 @@ def _make_datasource_classes():
             return spark_ddl_for(header_schema)
 
         def reader(self, schema) -> _AvroReader:
-            return _AvroReader(self.options)
+            return _AvroReader(self.options, schema)
 
         def writer(self, schema, overwrite: bool) -> _AvroWriter:
             return _AvroWriter(self.options, schema)

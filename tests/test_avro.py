@@ -324,3 +324,81 @@ def test_timestamp_micros_aware_datetime_converts_to_utc(tmp_path):
     write_container(p, iter([(aware,)]), schema, codec="null")
     (got,) = list(read_container(p))
     assert got[0] == datetime.datetime(2001, 2, 3, 4, 5, 6)
+
+
+def test_scan_blocks_is_metadata_only_and_exact(spark, tmp_path):
+    """Block boundaries from the varint headers alone: offsets tile the
+    file after the header, row counts sum to the written total, and a
+    range read over any split reproduces the rows (what makes block
+    splits sound)."""
+    import os
+
+    from incubator_gluten_spark.sources.avro import (
+        avro_schema_for,
+        read_block_range,
+        read_container,
+        scan_blocks,
+        write_container,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i}") for i in range(1000)], "k bigint, s string"
+    )
+    path = str(tmp_path / "blocks.avro")
+    schema = avro_schema_for(df.schema)
+    write_container(
+        path, ((r["k"], r["s"]) for r in df.collect()), schema, codec="deflate"
+    )
+    blocks = scan_blocks(path)
+    assert sum(n for _, _, n in blocks) == 1000
+    # offsets tile the data section exactly
+    end = None
+    for off, length, _ in blocks:
+        if end is not None:
+            assert off == end
+        end = off + length
+    assert end == os.path.getsize(path)
+    # a range read over each block reproduces the container's rows
+    got = []
+    for off, length, _ in blocks:
+        got.extend(read_block_range(path, off, length))
+    assert got == list(read_container(path))
+
+
+def test_datasource_splits_large_file_into_multiple_partitions(spark, tmp_path):
+    """A single container bigger than the split target must read as
+    MULTIPLE input partitions (block-level parallelism), and the arrow
+    path must reproduce every value."""
+    from incubator_gluten_spark.sources import avro as av
+    from incubator_gluten_spark.sources.avro import register_avro_datasource
+
+    register_avro_datasource(spark)
+    n = 20000
+    df = spark.createDataFrame(
+        [(i, float(i) / 7, "x" * 50) for i in range(n)],
+        "k bigint, v double, pad string",
+    )
+    p = str(tmp_path / "big_avro")
+    df.coalesce(1).write.format("graft_avro").mode("append").option(
+        "path", p
+    ).save()
+    back = spark.read.format("graft_avro").option("path", p).load()
+    import pyspark.sql.functions as F
+
+    row = back.agg(
+        F.count(F.lit(1)), F.sum("k"), F.round(F.sum("v"), 4)
+    ).first()
+    assert row[0] == n and row[1] == n * (n - 1) // 2
+    assert row[2] == round(sum(i / 7 for i in range(n)), 4)
+    # patch the split target down: the single container must split into
+    # many block-range partitions
+    old_target = av.AVRO_SPLIT_TARGET
+    av.AVRO_SPLIT_TARGET = 1  # every block its own partition
+    try:
+        ds_cls = av._make_datasource_classes()
+        reader = ds_cls({"path": p}).reader(back.schema)
+        n_parts = len(reader.partitions())
+    finally:
+        av.AVRO_SPLIT_TARGET = old_target
+    # writer blocks are 4096 rows -> 20000 rows = 5 blocks = 5 splits
+    assert n_parts == 5, n_parts
