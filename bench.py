@@ -117,8 +117,35 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"bench: baseline compare failed: {exc}", file=sys.stderr)
     if os.environ.get("SPARK_GRAFT_UPDATE_BASELINE"):
+        # MERGE-MIN refresh: keep the committed minimum where this run
+        # was slower (minima may only tighten — the r8 audit checked
+        # exactly that), adopt this run where faster, add new entries.
+        # SPARK_GRAFT_BASELINE_RESET="a,b" force-adopts the current time
+        # for named entries whose SEMANTICS changed (a different plan
+        # deserves a fresh minimum, not the old plan's).
+        reset = {
+            s
+            for s in os.environ.get("SPARK_GRAFT_BASELINE_RESET", "").split(",")
+            if s
+        }
+        try:
+            with open(base_path) as fh:
+                prev = json.load(fh)
+            prev_q = (
+                prev.get("queries", {}) if prev.get("sf_dir") == sf_dir else {}
+            )
+        except Exception:  # noqa: BLE001
+            prev_q = {}
+        merged = {
+            k: (
+                v
+                if k in reset or not (k in prev_q and prev_q[k] > 0)
+                else round(min(v, prev_q[k]), 3)
+            )
+            for k, v in ok.items()
+        }
         with open(base_path, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "queries": ok}, fh, indent=1,
+            json.dump({"sf_dir": sf_dir, "queries": merged}, fh, indent=1,
                       sort_keys=True)
         print(f"bench: baseline updated at {base_path}", file=sys.stderr)
     tpch = {

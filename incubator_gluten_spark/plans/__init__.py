@@ -105,10 +105,10 @@ _FRONT = (
     "agg_grouping_id",
     "stream_foreach_batch",
     "udf_partial_project",
-    "op_correlated_scalar",
     # --- r9 new wire-format surface, certified the round it lands ---
     "src_delta_cdf",
     "src_delta_column_mapping",
+    "src_iceberg_hidden_partitioning",
 )
 
 

@@ -2007,6 +2007,141 @@ def src_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_optimize",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997) AND o_totalprice <= 150000
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE on the wire format (sources/delta_protocol.py
+    optimize — PROTOCOL.md dataChange=false compaction): create (1996)
+    -> append (1997) so every partition holds two files -> DV delete
+    (merge-on-read) -> OPTIMIZE.  The commit must compact each
+    partition to ONE file (asserted), carry only dataChange=false
+    actions (so CDF readers skip it), MATERIALIZE the DV deletes (no
+    descriptor survives — asserted) without resurrecting deleted rows,
+    and leave every prior version time-travelable (pre-optimize
+    version re-read and counted, asserted).  The final read
+    hash-matching the filtered oracle certifies compaction changed
+    nothing logically.  gluten-delta/src/main/scala/org/apache/gluten/
+    execution/DeltaScanTransformer.scala reads such tables via the
+    jar; the action contract here is PROTOCOL.md's."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_optimize")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    dp.delete_where_dv(spark, root, "o_totalprice > 150000")
+    pre = dp.resolve(spark, root)
+    n_rows_pre = dp.read_table(spark, root).count()
+    out = dp.optimize(spark, root)
+    if not out["files_removed"] > out["files_added"] > 0:
+        raise RuntimeError(f"compaction did not shrink files: {out}")
+    snap = dp.resolve(spark, root)
+    per_part: dict = {}
+    for a in snap.adds:
+        key = tuple(sorted(a["partitionValues"].items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    if max(per_part.values()) != 1:
+        raise RuntimeError("a partition still holds multiple files")
+    if any(a.get("deletionVector") for a in snap.adds):
+        raise RuntimeError("OPTIMIZE left a deletion vector behind")
+    if dp.read_table(spark, root, version=pre.version).count() != n_rows_pre:
+        raise RuntimeError("pre-optimize version no longer time-travels")
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_delta_vacuum",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997) AND o_orderkey % 3 <> 0
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta VACUUM on the wire format (sources/delta_protocol.py
+    vacuum — version-retention physical cleanup): create -> append ->
+    COW DELETE (restages survivors, leaving the original files
+    unreferenced) -> VACUUM retaining only the current version.  The
+    walk must delete the unreferenced originals (asserted > 0), leave
+    disk holding exactly the live add-set (asserted), keep the current
+    read byte-identical (the oracle hash), and make time travel behind
+    the retention fail at the scan rather than return wrong rows
+    (asserted).  Metadata-only: the cleanup never reads data files.
+    Reference analog: vacuum is upstream Delta's
+    VacuumCommand; gluten-delta scans the surviving table."""
+    import os
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_vacuum")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    dp.delete_where(spark, root, "o_orderkey % 3 = 0")
+    out = dp.vacuum(spark, root, retain_versions=1)
+    if out["files_deleted"] == 0:
+        raise RuntimeError("vacuum deleted nothing — COW left no garbage?")
+    n_disk = sum(
+        len(fs) for d, _, fs in os.walk(root) if "_delta_log" not in d
+    )
+    snap = dp.resolve(spark, root)
+    if n_disk != len(snap.adds):
+        raise RuntimeError(
+            f"disk holds {n_disk} files, live set is {len(snap.adds)}"
+        )
+    try:
+        dp.read_table(spark, root, version=0).count()
+        raise RuntimeError("vacuumed version 0 still readable")
+    except RuntimeError:
+        raise
+    except Exception:
+        pass  # the scan fails on the deleted files — the contract
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_iceberg_schema_evo",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -2088,6 +2223,79 @@ def src_iceberg_schema_evo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("note").isNull(), 0).otherwise(1))
             .cast("bigint")
             .alias("n_note"),
+        )
+    )
+
+
+@q(
+    "src_iceberg_hidden_partitioning",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache Iceberg HIDDEN PARTITIONING (sources/iceberg_transforms.py
+    + iceberg_format.py — the spec's partition transforms): create a
+    table partitioned by day(ts) x bucket(4, user_id) — the day ordinal
+    computed JVM-side (datediff, codegen), the bucket through the spec's
+    seed-0 murmur3 in an Arrow-batched numpy kernel (Appendix B vectors
+    pinned in tests/test_iceberg_transforms.py) — then query by a
+    TIMESTAMP RANGE on the source column.  plan_files must prune files
+    from the manifests' day tuples alone (asserted, metadata-only:
+    range endpoints map through the monotonic transform), a bucket
+    equality must prune to one of 4 buckets (asserted), a bucket RANGE
+    must prune nothing (hash order is meaningless — asserted), and the
+    residual source filter makes the pruned read EXACT, which the
+    oracle hash certifies.  This is the property that makes a
+    day-partitioned 100 TB events table cheap to query by time range
+    while the user never mentions the partition column.
+    gluten-iceberg/src/main/scala/org/apache/gluten/execution/
+    IcebergScanTransformer.scala offloads transformed-spec scans via
+    the jar; the transform math here is the public spec's."""
+    import datetime as dt
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (events,) = _t(spark, sf_dir, "events")
+    root = _path("iceberg_hidden")
+    shutil.rmtree(root, ignore_errors=True)
+    ice.create_table(
+        events.select("event_id", "ts", "user_id", "event_type", "value"),
+        root,
+        partition_cols=["day(ts)", "bucket(4, user_id)"],
+    )
+    lo, hi = dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 15)
+    preds = [("ts", ">=", lo), ("ts", "<", hi)]
+    n_all = len(ice.plan_files(root))
+    pruned = ice.plan_files(root, source_predicates=preds)
+    if not (0 < len(pruned) < n_all):
+        raise RuntimeError(
+            f"day-transform pruning never fired: {len(pruned)}/{n_all}"
+        )
+    bucketed = ice.plan_files(root, source_predicates=[("user_id", "=", 7)])
+    if not (0 < len(bucketed) <= (n_all + 2) // 3):
+        raise RuntimeError(
+            f"bucket pruning never fired: {len(bucketed)}/{n_all}"
+        )
+    unprunable = ice.plan_files(root, source_predicates=[("user_id", ">=", 7)])
+    if len(unprunable) != n_all:
+        raise RuntimeError("bucket range predicate must not prune")
+    return (
+        ice.read_table(spark, root, source_predicates=preds)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
         )
     )
 

@@ -1729,3 +1729,121 @@ def history(spark: SparkSession, root: str) -> list[dict]:
             {"version": v, "n_files": len(snap.adds), "n_rows": n_rows}
         )
     return out
+
+
+def optimize(spark: SparkSession, root: str, min_files: int = 2) -> dict:
+    """OPTIMIZE (bin-packing compaction) on the wire format, as Delta
+    commits it: partitions holding >= ``min_files`` live data files —
+    or any file carrying a deletion vector — are rewritten into one
+    file per partition, and the commit's remove+add actions all say
+    ``dataChange: false`` (PROTOCOL.md: the logical table content is
+    unchanged), so CDF readers skip the commit entirely
+    (``table_changes`` derives inserts only from dataChange=true adds)
+    and concurrent readers of prior versions keep time traveling.
+
+    DV-carrying files are compacted THROUGH ``_live_rows`` — deleted
+    positions are materialized out and the descriptor dropped, Delta's
+    own PURGE behavior for rewritten files.  New adds carry footer
+    min/max ``stats`` like every staged file, so post-OPTIMIZE scans
+    keep file-skipping.
+
+    Scale shape: the rewrite is ONE distributed job — a repartition by
+    the partition columns co-locates each partition's rows into a
+    single task/file (unpartitioned tables coalesce instead, no
+    shuffle); untouched partitions are not read.  At 100 TB run it
+    partition-range by partition-range, several bounded commits
+    (SCALE.md), exactly like the txnlog OPTIMIZE.
+
+    Reference analog: gluten-delta reads post-OPTIMIZE tables through
+    the Delta jar (gluten-delta/src/main/scala/org/apache/gluten/
+    execution/DeltaScanTransformer.scala); the compaction contract here
+    is PROTOCOL.md's."""
+    snap = resolve(spark, root)
+    groups: dict[tuple, list[dict]] = {}
+    for a in snap.adds:
+        key = tuple(sorted((a.get("partitionValues") or {}).items()))
+        groups.setdefault(key, []).append(a)
+    victims: list[dict] = []
+    n_parts = 0
+    for adds in groups.values():
+        if len(adds) >= min_files or any(
+            a.get("deletionVector") for a in adds
+        ):
+            victims.extend(adds)
+            n_parts += 1
+    if not victims:
+        return {
+            "version": snap.version,
+            "partitions_compacted": 0,
+            "files_removed": 0,
+            "files_added": 0,
+        }
+    sub = Snapshot(snap.version, snap.metadata, victims, snap.protocol)
+    live = _live_rows(spark, root, sub)
+    pcols = snap.partition_columns
+    live = live.repartition(*pcols) if pcols else live.coalesce(1)
+    staged = _stage_data_files(
+        live, root, pcols, mapping=_write_mapping(snap.metadata)
+    )
+    actions: list[dict] = []
+    for r in _remove_actions(victims):
+        r["remove"]["dataChange"] = False
+        actions.append(r)
+    for s in staged:
+        s["add"]["dataChange"] = False
+        actions.append(s)
+    _write_actions(root, snap.version + 1, actions)
+    return {
+        "version": snap.version + 1,
+        "partitions_compacted": n_parts,
+        "files_removed": len(victims),
+        "files_added": len(staged),
+    }
+
+
+def vacuum(spark: SparkSession, root: str, retain_versions: int = 1) -> dict:
+    """VACUUM on the wire format: physically delete every data / DV /
+    change-data file not referenced by the last ``retain_versions``
+    snapshots (version-based retention — the sandbox writes
+    deterministic zero timestamps, so Delta's hour-based tombstone
+    retention has no clock to cut on; the referenced-set construction
+    is the same).  The log itself is never touched: ``resolve`` of an
+    old version still replays, but reading one whose files were
+    vacuumed fails at the scan — and ``restore`` refuses up front (its
+    vacuumed-file check predates this writer).
+
+    Returns the deleted file count; walking the table root is
+    O(files-on-disk), metadata-only (no data reads)."""
+    cur = resolve(spark, root)
+    keep_from = max(0, cur.version - retain_versions + 1)
+    referenced: set[str] = set()
+    for v in range(keep_from, cur.version + 1):
+        s = resolve(spark, root, v)
+        for a in s.adds:
+            referenced.add(a["path"].replace("/", os.sep))
+            dv = a.get("deletionVector")
+            if dv and dv.get("storageType") == "u":
+                referenced.add(_dv_file_rel(dv).replace("/", os.sep))
+        # change-data files of RETAINED commits stay readable via CDF
+        for act in _read_commit_actions(root, v):
+            if act.get("cdc"):
+                referenced.add(act["cdc"]["path"].replace("/", os.sep))
+    deleted = 0
+    for dirpath, dirnames, filenames in os.walk(root):
+        rel_dir = os.path.relpath(dirpath, root)
+        if rel_dir == ".":
+            dirnames[:] = [
+                d for d in dirnames
+                if d != "_delta_log" and not d.startswith("_staging_")
+            ]
+            rel_dir = ""
+        for name in filenames:
+            rel = os.path.join(rel_dir, name) if rel_dir else name
+            if rel not in referenced:
+                os.remove(os.path.join(dirpath, name))
+                deleted += 1
+    return {
+        "version": cur.version,
+        "files_deleted": deleted,
+        "retained_from_version": keep_from,
+    }

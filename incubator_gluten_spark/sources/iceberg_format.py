@@ -137,29 +137,36 @@ def _stamp_field_ids(df: DataFrame, ice_schema: dict) -> DataFrame:
 
 
 def _partition_spec(ice_schema: dict, partition_cols: list[str]) -> dict:
-    by_name = {f["name"]: f for f in ice_schema["fields"]}
-    fields = []
-    for i, col in enumerate(partition_cols):
-        fields.append(
-            {
-                "name": col,
-                "transform": "identity",
-                "source-id": by_name[col]["id"],
-                "field-id": 1000 + i,
-            }
-        )
+    """Partition spec from column names OR transform strings
+    (``"day(ts)"``, ``"bucket(8, user_id)"``, ``"truncate(4, name)"``)
+    — hidden partitioning per the spec's transform table
+    (iceberg_transforms.py)."""
+    from incubator_gluten_spark.sources.iceberg_transforms import (
+        parse_partition_field,
+    )
+
+    fields = [
+        parse_partition_field(col, ice_schema, 1000 + i)
+        for i, col in enumerate(partition_cols)
+    ]
     return {"spec-id": 0, "fields": fields}
 
 
 def _partition_avro_schema(ice_schema: dict, spec: dict) -> dict:
+    from incubator_gluten_spark.sources.iceberg_transforms import (
+        result_ice_type,
+    )
+
     by_id = {f["id"]: f for f in ice_schema["fields"]}
     fields = []
     for pf in spec["fields"]:
-        ice_t = by_id[pf["source-id"]]["type"]
+        src_t = by_id[pf["source-id"]]["type"]
+        ice_t = result_ice_type(pf.get("transform", "identity"), src_t)
         if ice_t not in _ICE_TO_AVRO:
             raise ValueError(
                 f"identity partitioning on {ice_t} not supported by this "
-                "writer (partition on a date/int/string column instead)"
+                "writer (partition on a date/int/string column instead, "
+                "or use a transform: day(ts), bucket(8, col), ...)"
             )
         fields.append(
             {
@@ -388,13 +395,90 @@ def plan_files(
     root: str,
     snapshot_id: int | None = None,
     partition_filter: dict[str, Any] | None = None,
+    source_predicates: list[tuple] | None = None,
 ) -> list[dict]:
     """Metadata-only scan planning: snapshot -> manifest list -> manifest
-    entries, identity-partition predicate applied from the manifest's
-    partition tuples — no data-file listing or footer reads.  Returns the
-    live data_file dicts (status != DELETED)."""
+    entries, partition predicates applied from the manifest's partition
+    tuples — no data-file listing or footer reads.  Returns the live
+    data_file dicts (status != DELETED).
+
+    ``partition_filter`` matches identity tuples by exact value (legacy
+    surface).  ``source_predicates`` is the HIDDEN-partitioning path:
+    ``[(source_col, op, literal)]`` with op in =, in, <, <=, >, >= —
+    each predicate on a SOURCE column maps into partition space through
+    the spec's transform (iceberg_transforms.apply_literal): monotonic
+    transforms (identity/year/month/day/hour/truncate) map range
+    endpoints (``part <= T(ub)`` is sound because the transform is
+    order-preserving), bucket maps equality/IN only.  Pruning is always
+    conservative — a kept file may still need the residual row filter
+    (read_table applies it), a pruned file provably has no matches."""
     meta = _current_metadata(root)
     snap = _snapshot(meta, snapshot_id)
+    checks: list[tuple] = []  # (tuple_key, op, transformed value/set)
+    if source_predicates:
+        from incubator_gluten_spark.sources.iceberg_transforms import (
+            apply_literal,
+            is_monotonic,
+        )
+
+        spec_fields = meta["partition-specs"][0]["fields"]
+        all_schemas = meta.get("schemas") or [meta["schema"]]
+        cur_schema = _current_schema(meta)
+        by_name = {f["name"]: f for f in cur_schema["fields"]}
+        by_id = {f["id"]: f for f in cur_schema["fields"]}
+
+        def _manifest_rep(v, ice_t):
+            # identity tuples store dates as days-since-epoch (_coerce)
+            if ice_t == "date":
+                import datetime as _dt
+
+                return (v - _dt.date(1970, 1, 1)).days
+            return v
+
+        for col, op, val in source_predicates:
+            if col not in by_name:
+                raise ValueError(f"unknown predicate column {col!r}")
+            if op not in ("=", "in", "<", "<=", ">", ">="):
+                raise ValueError(f"unknown predicate op {op!r}")
+            if val is None:
+                continue  # no null-literal pruning; residual filter only
+            fid = by_name[col]["id"]
+            for pf in spec_fields:
+                if pf["source-id"] != fid:
+                    continue
+                t = pf.get("transform", "identity")
+                ice_t = by_id[fid]["type"]
+                if t == "identity":
+                    # manifests written before a source-column rename
+                    # key the tuple by the old name (resolution is by
+                    # source-id, like the partition_filter path above)
+                    names = {pf["name"]} | {
+                        f["name"]
+                        for sc in all_schemas
+                        for f in sc["fields"]
+                        if f["id"] == fid
+                    }
+
+                    def lit(v, _t=t, _it=ice_t):
+                        return _manifest_rep(apply_literal(_t, v, _it), _it)
+
+                else:
+                    names = {pf["name"]}
+
+                    def lit(v, _t=t, _it=ice_t):
+                        return apply_literal(_t, v, _it)
+
+                if op == "in":
+                    checks.append((names, "in", {lit(v) for v in val}))
+                elif op == "=":
+                    checks.append((names, "=", lit(val)))
+                elif is_monotonic(t):
+                    # order-preserving: map the endpoint, relax to
+                    # inclusive (the endpoint's partition may hold both
+                    # matching and non-matching rows)
+                    side = "<=" if op in ("<", "<=") else ">="
+                    checks.append((names, side, lit(val)))
+                # bucket + range predicate: no pruning possible
     # manifests written before a partition-column RENAME key their
     # partition tuples by the old name; resolve the filter key through
     # the spec's source-id across every historical schema (Iceberg's
@@ -430,6 +514,25 @@ def plan_files(
                         break
                 if skip:
                     continue
+            if checks:
+                keep = True
+                for names, op, tv in checks:
+                    pv = next((part[a] for a in names if a in part), None)
+                    if pv is None:
+                        # transform(null) = null (spec): a null tuple
+                        # can never satisfy a non-null predicate
+                        keep = False
+                        break
+                    if (
+                        (op == "=" and pv != tv)
+                        or (op == "in" and pv not in tv)
+                        or (op == "<=" and pv > tv)
+                        or (op == ">=" and pv < tv)
+                    ):
+                        keep = False
+                        break
+                if not keep:
+                    continue
             files.append(data_file)
     return sorted(files, key=lambda d: d["file_path"])
 
@@ -439,6 +542,7 @@ def read_table(
     root: str,
     snapshot_id: int | None = None,
     partition_filter: dict[str, Any] | None = None,
+    source_predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read with FIELD-ID column resolution (Iceberg's read
     contract): the latest read uses the table's CURRENT schema, a time
@@ -454,7 +558,7 @@ def read_table(
         schema = by_id.get(meta.get("current-schema-id", 0), schemas[-1])
     else:
         schema = by_id.get(snap.get("schema-id", 0), schemas[-1])
-    files = plan_files(root, snapshot_id, partition_filter)
+    files = plan_files(root, snapshot_id, partition_filter, source_predicates)
     if not files:
         return spark.createDataFrame([], _spark_struct_for(schema))
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
@@ -498,7 +602,29 @@ def read_table(
     df = spark.read.schema(StructType(read_fields)).parquet(
         *[_resolve_path(root, f["file_path"]) for f in files]
     )
-    return df.select(*out_cols)
+    df = df.select(*out_cols)
+    if source_predicates:
+        # hidden partitioning: pruning above is conservative (a kept
+        # file may straddle the predicate); the RESIDUAL filter on the
+        # source column makes the result exact — this is the query the
+        # user wrote, pruning is invisible (the spec's whole point)
+        cond = F.lit(True)
+        for col, op, val in source_predicates:
+            c = F.col(col)
+            if op == "=":
+                cond = cond & (c == F.lit(val))
+            elif op == "in":
+                cond = cond & c.isin(list(val))
+            elif op == "<":
+                cond = cond & (c < F.lit(val))
+            elif op == "<=":
+                cond = cond & (c <= F.lit(val))
+            elif op == ">":
+                cond = cond & (c > F.lit(val))
+            elif op == ">=":
+                cond = cond & (c >= F.lit(val))
+        df = df.filter(cond)
+    return df
 
 
 def history(root: str) -> list[dict]:
@@ -526,19 +652,67 @@ def _write_data_files(
     root: str,
     partition_cols: list[str],
     ice_schema: dict | None = None,
+    spec: dict | None = None,
 ) -> list[dict]:
     """Parquet data files (Iceberg data files CONTAIN all columns,
     including identity-partition ones — unlike Delta) + their manifest
-    data_file dicts with identity partition tuples.  Every column is
-    stamped with its Iceberg field id (parquet field_id), per spec."""
+    data_file dicts with partition tuples.  Every column is stamped with
+    its Iceberg field id (parquet field_id), per spec.
+
+    With ``spec`` (hidden partitioning), transform fields are computed
+    as synthetic columns (iceberg_transforms.spark_transform_expr —
+    JVM-side except bucket's Arrow kernel), partitionBy strips them, and
+    the SOURCE column stays in the data file untouched; identity fields
+    keep the strip-and-reattach path.  Without ``spec`` the legacy
+    identity behavior from ``partition_cols`` is unchanged (iceberg_v2
+    and the adversarial fixtures call it that way)."""
     if ice_schema is not None:
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         df = _stamp_field_ids(df, ice_schema)
+    out_fields = [f.name for f in df.schema.fields]
+    # per-partition-field descriptors: dir = the partitionBy column name
+    # (== the directory key), key = the manifest tuple key, typ = spark
+    # type for _coerce, src = source column, reattach = identity source
+    # stripped by partitionBy that must be restored into the file
+    if spec is not None:
+        from incubator_gluten_spark.sources.iceberg_transforms import (
+            result_ice_type,
+            spark_transform_expr,
+        )
+
+        by_id = {f["id"]: f["name"] for f in (ice_schema or {})["fields"]}
+        descr = []
+        for pf in spec["fields"]:
+            src = by_id[pf["source-id"]]
+            t = pf.get("transform", "identity")
+            src_t = df.schema[src].dataType.simpleString()
+            if t == "identity":
+                descr.append(
+                    {"dir": src, "key": pf["name"], "typ": src_t,
+                     "src": src, "reattach": True}
+                )
+            else:
+                synth = pf["name"]
+                df = df.withColumn(synth, spark_transform_expr(t, src, src_t))
+                rt = result_ice_type(t, _SPARK_TO_ICE.get(src_t, src_t))
+                descr.append(
+                    {"dir": synth, "key": pf["name"],
+                     "typ": _ICE_TO_SPARK.get(rt, rt),
+                     "src": src, "reattach": False}
+                )
+    else:
+        descr = [
+            {"dir": c, "key": c,
+             "typ": df.schema[c].dataType.simpleString(),
+             "src": c, "reattach": True}
+            for c in partition_cols
+        ]
+    part_by = [d["dir"] for d in descr]
     token = uuid.uuid4().hex[:8]
     staging = os.path.join(root, f"_staging_{token}")
     writer = df.write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
+    if part_by:
+        writer = writer.partitionBy(*part_by)
     writer.parquet(staging)
     import pyarrow.parquet as pq
 
@@ -558,23 +732,26 @@ def _write_data_files(
             for seg in rel_dir.split(os.sep):
                 k, _, v = seg.partition("=")
                 pvals[unescape_path_name(k)] = unescape_path_name(v)
+        reattach = [d for d in descr if d["reattach"]]
         for name in sorted(n for n in names if n.endswith(".parquet")):
             src = os.path.join(dirpath, name)
             n_rows = pq.read_metadata(src).num_rows
             if n_rows == 0:
                 continue
             rel = f"data/{token}-{len(data_files):04d}.parquet"
-            if partition_cols:
-                # partition columns are stripped by partitionBy: rewrite
-                # the file WITH them (spec: identity values also live in
-                # the data file)
+            if reattach:
+                # identity partition columns are stripped by partitionBy:
+                # rewrite the file WITH them (spec: identity values also
+                # live in the data file).  Transform fields need nothing —
+                # their SOURCE column was never stripped.
                 import pyarrow as pa
 
                 ids = {
                     f["name"]: f["id"] for f in (ice_schema or {}).get("fields", [])
                 }
                 table = pq.read_table(src)
-                for col, val in pvals.items():
+                for d in reattach:
+                    col, val = d["src"], pvals[d["dir"]]
                     field = df.schema[col].dataType.simpleString()
                     typ = {
                         "bigint": pa.int64(),
@@ -595,13 +772,12 @@ def _write_data_files(
                         else None,
                     )
                     table = table.append_column(pa_field, arr)
-                table = table.select([f.name for f in df.schema.fields])
+                table = table.select(out_fields)
                 pq.write_table(table, os.path.join(root, rel))
             else:
                 shutil.move(src, os.path.join(root, rel))
             part_tuple = {
-                c: _coerce(pvals[c], df.schema[c].dataType.simpleString())
-                for c in partition_cols
+                d["key"]: _coerce(pvals[d["dir"]], d["typ"]) for d in descr
             }
             data_files.append(
                 {
@@ -761,7 +937,7 @@ def create_table(
     spec = _partition_spec(ice_schema, partition_cols)
     pschema = _partition_avro_schema(ice_schema, spec)
     data_files = _write_data_files(
-        spark, df, root, partition_cols, ice_schema=ice_schema
+        spark, df, root, partition_cols, ice_schema=ice_schema, spec=spec
     )
     os.makedirs(_meta_dir(root), exist_ok=True)
     manifest = _write_manifest(
@@ -805,10 +981,9 @@ def append(df: DataFrame, root: str) -> dict:
     meta = _current_metadata(root)
     ice_schema = _current_schema(meta)
     spec = meta["partition-specs"][0]
-    partition_cols = [f["name"] for f in spec["fields"]]
     pschema = _partition_avro_schema(ice_schema, spec)
     data_files = _write_data_files(
-        spark, df, root, partition_cols, ice_schema=ice_schema
+        spark, df, root, [], ice_schema=ice_schema, spec=spec
     )
     snap_id = len(meta["snapshots"]) + 1
     new_manifest = _write_manifest(

@@ -193,13 +193,16 @@ def test_protocol_gate_still_refuses_unknown_features(spark, tmp_path):
                     "protocol": {
                         "minReaderVersion": 3,
                         "minWriterVersion": 7,
-                        "readerFeatures": ["deletionVectors", "columnMapping"],
+                        # columnMapping graduated to a SUPPORTED reader
+                        # feature (r9); v2Checkpoint is still unknown —
+                        # the gate must refuse rather than misread
+                        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
                     }
                 }
             )
             + "\n"
         )
-    with pytest.raises(dp.DeltaProtocolError, match="columnMapping"):
+    with pytest.raises(dp.DeltaProtocolError, match="v2Checkpoint"):
         dp.resolve(spark, root)
 
 

@@ -1,0 +1,190 @@
+"""Delta OPTIMIZE (bin-packing compaction, dataChange=false) and
+VACUUM (version-retention physical cleanup) on the wire format.
+
+Pins: compaction must not change logical content at ANY version,
+must materialize DV deletes (and never resurrect them), must be
+invisible to CDF, and must keep per-file stats; vacuum must delete
+exactly the unreferenced files, keep retained versions readable, and
+keep retained commits' change-data files.
+
+Reference analog: gluten-delta reads post-OPTIMIZE tables through the
+Delta jar (gluten-delta/src/main/scala/org/apache/gluten/execution/
+DeltaScanTransformer.scala); the action semantics are PROTOCOL.md's.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.sources import delta_protocol as dp
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()), key=lambda t: tuple(map(str, t)))
+
+
+def _orders(spark, sf_dir, year):
+    from incubator_gluten_spark.catalog import load_tables
+
+    return (
+        load_tables(spark, sf_dir, ("orders",))["orders"]
+        .filter(F.year("o_orderdate") == year)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def _two_commit_table(spark, sf_dir, tmp_path, name):
+    root = str(tmp_path / name)
+    a = _orders(spark, sf_dir, 1996)
+    b = _orders(spark, sf_dir, 1997)
+    dp.create_table(a, root, partition_cols=["o_orderpriority"])
+    dp.append(b, root)
+    return root, a.unionByName(b)
+
+
+def _commit_actions(root, version):
+    path = os.path.join(root, "_delta_log", f"{version:020d}.json")
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_optimize_compacts_to_one_file_per_partition(spark, sf_dir, tmp_path):
+    root, want = _two_commit_table(spark, sf_dir, tmp_path, "opt")
+    before = dp.resolve(spark, root)
+    per_part: dict = {}
+    for a in before.adds:
+        key = tuple(sorted(a["partitionValues"].items()))
+        per_part[key] = per_part.get(key, 0) + 1
+    assert max(per_part.values()) >= 2  # two appends -> >= 2 files/part
+    out = dp.optimize(spark, root)
+    assert out["files_removed"] > out["files_added"] > 0
+    after = dp.resolve(spark, root)
+    per_part_after: dict = {}
+    for a in after.adds:
+        key = tuple(sorted(a["partitionValues"].items()))
+        per_part_after[key] = per_part_after.get(key, 0) + 1
+    assert max(per_part_after.values()) == 1
+    # logical content unchanged, at the new version AND the old one
+    assert _rows(dp.read_table(spark, root)) == _rows(want)
+    assert _rows(dp.read_table(spark, root, version=before.version)) == _rows(
+        want
+    )
+
+
+def test_optimize_actions_say_datachange_false(spark, sf_dir, tmp_path):
+    root, _ = _two_commit_table(spark, sf_dir, tmp_path, "flags")
+    out = dp.optimize(spark, root)
+    for act in _commit_actions(root, out["version"]):
+        if act.get("add"):
+            assert act["add"]["dataChange"] is False
+            # staged adds keep footer stats for file skipping
+            stats = json.loads(act["add"]["stats"])
+            assert stats["numRecords"] > 0
+            assert "minValues" in stats and "maxValues" in stats
+        if act.get("remove"):
+            assert act["remove"]["dataChange"] is False
+
+
+def test_optimize_materializes_dv_deletes(spark, sf_dir, tmp_path):
+    root, _ = _two_commit_table(spark, sf_dir, tmp_path, "dv")
+    dp.delete_where_dv(spark, root, "o_totalprice > 150000")
+    want = _rows(dp.read_table(spark, root))
+    assert any(a.get("deletionVector") for a in dp.resolve(spark, root).adds)
+    dp.optimize(spark, root)
+    after = dp.resolve(spark, root)
+    assert not any(a.get("deletionVector") for a in after.adds)
+    # DV-deleted rows stay deleted through the rewrite
+    assert _rows(dp.read_table(spark, root)) == want
+
+
+def test_optimize_noop_when_nothing_to_compact(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "noop")
+    dp.create_table(
+        _orders(spark, sf_dir, 1996), root, partition_cols=["o_orderpriority"]
+    )
+    v0 = dp.resolve(spark, root).version
+    out = dp.optimize(spark, root)  # one file per partition, no DVs
+    assert out["files_removed"] == 0 and out["partitions_compacted"] == 0
+    assert dp.resolve(spark, root).version == v0  # no empty commit
+
+
+def test_optimize_is_invisible_to_cdf(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "cdf")
+    dp.create_table(
+        _orders(spark, sf_dir, 1996), root, partition_cols=["o_orderpriority"]
+    )
+    dp.enable_cdf(spark, root)
+    dp.append(_orders(spark, sf_dir, 1997), root)
+    v_before = dp.resolve(spark, root).version
+    out = dp.optimize(spark, root)
+    changes = dp.table_changes(spark, root, v_before + 1, out["version"])
+    assert changes.count() == 0  # the OPTIMIZE commit contributes nothing
+    # and the append before it is still a visible insert
+    changes = dp.table_changes(spark, root, v_before, out["version"])
+    assert (
+        changes.filter(F.col("_change_type") == "insert").count()
+        == _orders(spark, sf_dir, 1997).count()
+    )
+
+
+def test_vacuum_deletes_unreferenced_keeps_current(spark, sf_dir, tmp_path):
+    root, _ = _two_commit_table(spark, sf_dir, tmp_path, "vac")
+    dp.delete_where(spark, root, "o_totalprice > 150000")  # COW rewrite
+    want = _rows(dp.read_table(spark, root))
+    n_disk_before = sum(
+        len(fs)
+        for d, _, fs in os.walk(root)
+        if "_delta_log" not in d
+    )
+    out = dp.vacuum(spark, root, retain_versions=1)
+    assert out["files_deleted"] > 0
+    n_disk_after = sum(
+        len(fs)
+        for d, _, fs in os.walk(root)
+        if "_delta_log" not in d
+    )
+    assert n_disk_after == n_disk_before - out["files_deleted"]
+    # current version reads exactly as before the vacuum
+    assert _rows(dp.read_table(spark, root)) == want
+    # disk now holds exactly the referenced set
+    assert n_disk_after == len(dp.resolve(spark, root).adds)
+    # time travel behind the retention fails at the scan (files gone)
+    with pytest.raises(Exception):
+        dp.read_table(spark, root, version=0).collect()
+
+
+def test_vacuum_retains_requested_versions(spark, sf_dir, tmp_path):
+    root, want_all = _two_commit_table(spark, sf_dir, tmp_path, "vac2")
+    dp.delete_where(spark, root, "o_totalprice > 150000")
+    cur = dp.resolve(spark, root).version
+    want_prev = _rows(dp.read_table(spark, root, version=cur - 1))
+    dp.vacuum(spark, root, retain_versions=2)
+    # the previous version is inside the retention window: still readable
+    assert _rows(dp.read_table(spark, root, version=cur - 1)) == want_prev
+
+
+def test_vacuum_keeps_cdc_files_of_retained_commits(spark, sf_dir, tmp_path):
+    root = str(tmp_path / "vac_cdf")
+    dp.create_table(
+        _orders(spark, sf_dir, 1996), root, partition_cols=["o_orderpriority"]
+    )
+    dp.enable_cdf(spark, root)
+    dp.delete_where(spark, root, "o_totalprice > 150000")
+    v_del = dp.resolve(spark, root).version
+    want = _rows(
+        dp.table_changes(spark, root, v_del, v_del).select(
+            "o_orderkey", "_change_type"
+        )
+    )
+    assert want  # the delete produced cdc rows
+    dp.vacuum(spark, root, retain_versions=1)  # window includes v_del
+    got = _rows(
+        dp.table_changes(spark, root, v_del, v_del).select(
+            "o_orderkey", "_change_type"
+        )
+    )
+    assert got == want
