@@ -625,6 +625,84 @@ def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_delta_source",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "source", "lakehouse", "delta",
+)
+def stream_delta_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta wire-format table as a STREAMING SOURCE
+    (sources/delta_stream.py — version-offset micro-batches over the
+    `_delta_log`, delta's own DeltaSource contract): load half the
+    events into a Delta table, stream it availableNow through a
+    CHECKPOINTED parquet sink, append the second half to the table, and
+    resume from the SAME checkpoint — the second run must deliver
+    EXACTLY the new commit's rows (asserted: sink count grows by the
+    appended count, no duplicates), which is the exactly-once property
+    a 100 TB CDC pipeline hangs off the offset log.  The final sink
+    aggregate hash-matching the full-events oracle certifies both
+    batches arrived exactly once.  Reference analog: gluten-delta
+    streams via the Delta jar's DeltaSource; the offset/replay contract
+    here is the public one."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+    from incubator_gluten_spark.sources.delta_stream import (
+        register_delta_stream_source,
+    )
+
+    from incubator_gluten_spark.catalog import load_tables
+
+    register_delta_stream_source(spark)
+    base = f"/tmp/spark_graft_io_{os.getpid()}/stream_delta_source"
+    shutil.rmtree(base, ignore_errors=True)
+    root, ckpt, sink = f"{base}/tbl", f"{base}/ckpt", f"{base}/sink"
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    first = ev.filter(F.dayofmonth("ts") <= 15)
+    second = ev.filter(F.dayofmonth("ts") > 15)
+    dp.create_table(first, root)
+
+    def run() -> None:
+        sq = (
+            spark.readStream.format("graft_delta")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+
+    run()
+    n1 = spark.read.parquet(sink).count()
+    if n1 != first.count():
+        raise RuntimeError(f"first run delivered {n1} rows")
+    dp.append(second, root)
+    run()  # resume from the checkpoint: ONLY the new commit streams
+    n2 = spark.read.parquet(sink).count()
+    if n2 != n1 + second.count():
+        raise RuntimeError(
+            f"resume delivered {n2 - n1} rows, want {second.count()} "
+            "(duplicate or missed commit)"
+        )
+    return spark.read.parquet(sink).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "stream_stream_full_outer",
     """
     WITH m AS (SELECT max(ts) AS mx FROM events),
