@@ -2007,6 +2007,83 @@ def src_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_constraints",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHECK CONSTRAINTS (sources/delta_protocol.py —
+    PROTOCOL.md's writer feature): ADD CONSTRAINT validates the
+    existing rows first (a constraint the data violates must refuse to
+    commit — asserted), stores ``delta.constraints.<name>`` and raises
+    minWriterVersion to 3 (asserted); every write path then enforces
+    with SQL TRUE/UNKNOWN-pass semantics — a violating append must
+    raise naming the constraint and commit NOTHING (version + row count
+    asserted unchanged).  The final read hash-matching the oracle
+    certifies enforcement never corrupted or dropped valid data.
+    Reference analog: constraint scans pass through
+    gluten-delta/src/main/scala/org/apache/gluten/execution/
+    DeltaScanTransformer.scala; the semantics are delta's
+    AlterTableAddConstraint + write-side invariant checks."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_constraints")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    dp.add_check_constraint(spark, root, "pos_price", "o_totalprice > 0")
+    snap = dp.resolve(spark, root)
+    if snap.protocol["minWriterVersion"] < 3:
+        raise RuntimeError("ADD CONSTRAINT did not raise minWriterVersion")
+    try:
+        dp.add_check_constraint(
+            spark, root, "tiny", "o_totalprice < 100"
+        )
+        raise RuntimeError("constraint violated by existing data committed")
+    except dp.DeltaProtocolError:
+        pass
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    v = dp.resolve(spark, root).version
+    n = dp.read_table(spark, root).count()
+    try:
+        dp.append(
+            orders.filter(F.year("o_orderdate") == 1997)
+            .select(*cols)
+            .withColumn("o_totalprice", -F.col("o_totalprice")),
+            root,
+        )
+        raise RuntimeError("violating append was not refused")
+    except dp.DeltaProtocolError as exc:
+        if "pos_price" not in str(exc):
+            raise RuntimeError(f"error does not name the constraint: {exc}")
+    after = dp.resolve(spark, root)
+    if after.version != v or dp.read_table(spark, root).count() != n:
+        raise RuntimeError("refused append still committed something")
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_delta_optimize",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -2294,6 +2371,77 @@ def src_iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
+    "src_iceberg_refs",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SNAPSHOT REFERENCES (sources/iceberg_format.py — the
+    spec's branches and tags): tag the initial snapshot, fork a BRANCH,
+    append 1997 to the branch — main must stay at 1996 (asserted), the
+    tag must stay pinned (asserted), appending to a tag must refuse
+    (asserted) — then read THROUGH the branch ref.  The branch read
+    hash-matching the two-year oracle certifies the ref resolution and
+    the fork-parented manifest carry-over; this is the WAP
+    (write-audit-publish) pattern a production lakehouse runs on refs.
+    Reference analog: gluten-iceberg scans branch/tag reads through the
+    jar's ref resolution (gluten-iceberg/src/main/scala/org/apache/
+    gluten/execution/IcebergScanTransformer.scala); the semantics are
+    iceberg.apache.org/spec "Snapshot References"."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_refs")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ice.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    n_1996 = ice.read_table(spark, root).count()
+    ice.create_tag(root, "baseline")
+    ice.create_branch(root, "audit")
+    ice.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols),
+        root,
+        branch="audit",
+    )
+    if ice.read_table(spark, root).count() != n_1996:
+        raise RuntimeError("a branch append moved MAIN")
+    if ice.read_table(spark, root, ref="baseline").count() != n_1996:
+        raise RuntimeError("the tag moved")
+    try:
+        ice.append(
+            orders.filter(F.year("o_orderdate") == 1997).select(*cols),
+            root,
+            branch="baseline",
+        )
+        raise RuntimeError("append to a TAG was not refused")
+    except ValueError:
+        pass
+    return (
+        ice.read_table(spark, root, ref="audit")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
             .cast("double")
             .alias("total"),
         )

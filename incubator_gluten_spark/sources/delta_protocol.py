@@ -903,6 +903,7 @@ def append(df: DataFrame, root: str) -> int:
     v = current_version(root) + 1
     spark = SparkSession.getActiveSession()
     snap = resolve(spark, root)
+    _enforce_constraints(df, snap.metadata, "append")
     adds = _stage_data_files(
         df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
     )
@@ -922,6 +923,7 @@ def append_stream_batch(
     snap = resolve(spark, root)
     if snap.txns.get(app_id, -1) >= batch_id:
         return False
+    _enforce_constraints(df, snap.metadata, "streaming append")
     v = current_version(root) + 1
     adds = _stage_data_files(
         df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
@@ -1051,6 +1053,7 @@ def update_where(
                 for c in live.columns
             ]
         )
+        _enforce_constraints(updated, snap.metadata, "UPDATE")
         actions.extend(
             _stage_data_files(
                 updated, root, pcols, mapping=_write_mapping(snap.metadata)
@@ -1171,6 +1174,7 @@ def merge(
     else:
         merged = src_nn.select(*cols)
     merged = merged.unionByName(null_inserts)
+    _enforce_constraints(merged, snap.metadata, "MERGE")
     actions = _stage_data_files(
         merged, root, pcols, mapping=_write_mapping(snap.metadata)
     )
@@ -1847,3 +1851,83 @@ def vacuum(spark: SparkSession, root: str, retain_versions: int = 1) -> dict:
         "files_deleted": deleted,
         "retained_from_version": keep_from,
     }
+
+
+# ---------------------------------------------------------------------------
+# CHECK constraints (PROTOCOL.md "Check Constraints" — writer feature)
+
+_CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def _table_constraints(metadata: dict | None) -> dict[str, str]:
+    conf = (metadata or {}).get("configuration") or {}
+    return {
+        k[len(_CONSTRAINT_PREFIX):]: v
+        for k, v in conf.items()
+        if k.startswith(_CONSTRAINT_PREFIX)
+    }
+
+
+def _enforce_constraints(df: DataFrame, metadata: dict | None, op: str) -> None:
+    """Refuse a write whose rows violate any CHECK constraint.  SQL
+    semantics: a constraint passes on TRUE and on NULL (UNKNOWN), fails
+    only on FALSE — hence the ``NOT coalesce(expr, true)`` predicate.
+    One short-circuiting job per write (``limit(1)``); Delta enforces
+    the same invariants inside its write operator."""
+    cons = _table_constraints(metadata)
+    if not cons:
+        return
+    bad_any = " OR ".join(f"NOT coalesce(({e}), true)" for e in cons.values())
+    hit = df.filter(bad_any).limit(1).collect()
+    if not hit:
+        return
+    for name, e in sorted(cons.items()):
+        if df.filter(f"NOT coalesce(({e}), true)").limit(1).collect():
+            raise DeltaProtocolError(
+                f"{op} violates CHECK constraint {name!r} ({e}); "
+                f"example row: {hit[0].asDict()}"
+            )
+
+
+def add_check_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK: validates the EXISTING
+    rows first (one scan — Delta does the same before committing), then
+    a metadata-only commit storing ``delta.constraints.<name>`` and
+    raising the protocol to minWriterVersion 3, the version whose
+    writer contract includes constraint enforcement — a foreign writer
+    below it must refuse to append rather than insert violating rows."""
+    snap = resolve(spark, root)
+    if name in _table_constraints(snap.metadata):
+        raise DeltaProtocolError(f"constraint {name!r} already exists")
+    existing = read_table(spark, root)
+    bad = existing.filter(f"NOT coalesce(({expr}), true)").limit(1).collect()
+    if bad:
+        raise DeltaProtocolError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing row "
+            f"violates it: {bad[0].asDict()}"
+        )
+    v = current_version(root) + 1
+    meta = dict(snap.metadata)
+    conf = dict(meta.get("configuration") or {})
+    conf[_CONSTRAINT_PREFIX + name] = expr
+    meta["configuration"] = conf
+    proto = dict(snap.protocol)
+    proto["minWriterVersion"] = max(proto.get("minWriterVersion", 2), 3)
+    _write_actions(root, v, [{"protocol": proto}, {"metaData": meta}])
+    return v
+
+
+def drop_check_constraint(spark: SparkSession, root: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: metadata-only removal."""
+    snap = resolve(spark, root)
+    if name not in _table_constraints(snap.metadata):
+        raise DeltaProtocolError(f"no such constraint: {name!r}")
+    v = current_version(root) + 1
+    meta = dict(snap.metadata)
+    conf = dict(meta.get("configuration") or {})
+    del conf[_CONSTRAINT_PREFIX + name]
+    meta["configuration"] = conf
+    _write_actions(root, v, [{"metaData": meta}])
+    return v

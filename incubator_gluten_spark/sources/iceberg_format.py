@@ -543,6 +543,7 @@ def read_table(
     snapshot_id: int | None = None,
     partition_filter: dict[str, Any] | None = None,
     source_predicates: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Snapshot read with FIELD-ID column resolution (Iceberg's read
     contract): the latest read uses the table's CURRENT schema, a time
@@ -551,6 +552,10 @@ def read_table(
     before a rename/add/drop resolve correctly (missing ids read as
     typed NULLs)."""
     meta = _current_metadata(root)
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass either ref or snapshot_id, not both")
+        snapshot_id = ref_snapshot_id(root, ref)
     schemas = meta.get("schemas") or [meta["schema"]]
     by_id = {s.get("schema-id", 0): s for s in schemas}
     snap = _snapshot(meta, snapshot_id)
@@ -860,6 +865,7 @@ def _commit_snapshot(
     operation: str,
     ice_schema: dict,
     spec: dict,
+    branch: str | None = None,
 ) -> dict:
     os.makedirs(_meta_dir(root), exist_ok=True)
     snapshot_id = (
@@ -899,6 +905,16 @@ def _commit_snapshot(
     if cur_schema_id not in {s.get("schema-id", 0) for s in schemas}:
         schemas.append(ice_schema)
     prev_last = meta.get("last-column-id", 0) if meta else 0
+    # refs (spec "Snapshot References"): a BRANCH commit advances its
+    # ref and leaves current-snapshot-id (= main) untouched; a main
+    # commit advances current-snapshot-id and leaves refs alone.  Tags
+    # never move (append refuses them).
+    refs = dict(meta.get("refs") or {}) if meta else {}
+    if branch is not None:
+        refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
+        current_id = meta["current-snapshot-id"]
+    else:
+        current_id = snapshot_id
     new_meta = {
         "format-version": 1,
         "table-uuid": meta["table-uuid"] if meta else str(uuid.uuid4()),
@@ -914,7 +930,8 @@ def _commit_snapshot(
         "partition-specs": [spec],
         "default-spec-id": 0,
         "properties": {},
-        "current-snapshot-id": snapshot_id,
+        "current-snapshot-id": current_id,
+        "refs": refs,
         "snapshots": (meta["snapshots"] if meta else []) + [snapshot],
     }
     version = _next_version(root, meta)
@@ -976,12 +993,25 @@ def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
     return {"snapshot_id": snap_id, "files_deleted": n_deleted}
 
 
-def append(df: DataFrame, root: str) -> dict:
+def append(df: DataFrame, root: str, branch: str | None = None) -> dict:
+    """Append a snapshot — to main, or to a BRANCH (spec "Snapshot
+    References"): a branch append parents off the branch HEAD's
+    manifest list and advances only the branch ref; main and every
+    other ref are untouched.  Appending to a tag refuses (tags are
+    immutable labels)."""
     spark = SparkSession.getActiveSession()
     meta = _current_metadata(root)
     ice_schema = _current_schema(meta)
     spec = meta["partition-specs"][0]
     pschema = _partition_avro_schema(ice_schema, spec)
+    parent_id = None
+    if branch is not None:
+        ref = (meta.get("refs") or {}).get(branch)
+        if ref is None:
+            raise ValueError(f"no such ref: {branch!r}")
+        if ref["type"] != "branch":
+            raise ValueError(f"cannot append to tag {branch!r} — tags are immutable")
+        parent_id = ref["snapshot-id"]
     data_files = _write_data_files(
         spark, df, root, [], ice_schema=ice_schema, spec=spec
     )
@@ -992,8 +1022,8 @@ def append(df: DataFrame, root: str) -> dict:
         pschema,
         uuid.uuid4().hex[:8],
     )
-    # previous snapshot's manifests carry over (EXISTING data)
-    prev = _snapshot(meta, None)
+    # the parent snapshot's manifests carry over (EXISTING data)
+    prev = _snapshot(meta, parent_id)
     prev_manifests = [
         {
             "manifest_path": mf[0],
@@ -1010,4 +1040,62 @@ def append(df: DataFrame, root: str) -> dict:
         "append",
         ice_schema,
         spec,
+        branch=branch,
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot references (spec "Snapshot References": branches and tags)
+
+
+def _commit_refs(root: str, meta: dict, refs: dict) -> int:
+    """Metadata-only version with an updated refs map (no snapshot)."""
+    new_meta = dict(meta)
+    new_meta["refs"] = refs
+    version = _next_version(root, meta)
+    with open(
+        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f)
+    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return version
+
+
+def _make_ref(root: str, name: str, ref_type: str, snapshot_id: int | None) -> int:
+    meta = _current_metadata(root)
+    refs = dict(meta.get("refs") or {})
+    if name in refs:
+        raise ValueError(f"ref {name!r} already exists")
+    snap = _snapshot(meta, snapshot_id)  # validates the id
+    refs[name] = {"snapshot-id": snap["snapshot-id"], "type": ref_type}
+    return _commit_refs(root, meta, refs)
+
+
+def create_tag(root: str, name: str, snapshot_id: int | None = None) -> int:
+    """An immutable label on a snapshot (defaults to the current one)."""
+    return _make_ref(root, name, "tag", snapshot_id)
+
+
+def create_branch(root: str, name: str, snapshot_id: int | None = None) -> int:
+    """A movable ref forked from a snapshot (defaults to the current
+    one); ``append(..., branch=name)`` advances it independently of
+    main."""
+    return _make_ref(root, name, "branch", snapshot_id)
+
+
+def drop_ref(root: str, name: str) -> int:
+    meta = _current_metadata(root)
+    refs = dict(meta.get("refs") or {})
+    if name not in refs:
+        raise ValueError(f"no such ref: {name!r}")
+    del refs[name]
+    return _commit_refs(root, meta, refs)
+
+
+def ref_snapshot_id(root: str, name: str) -> int:
+    meta = _current_metadata(root)
+    ref = (meta.get("refs") or {}).get(name)
+    if ref is None:
+        raise ValueError(f"no such ref: {name!r}")
+    return ref["snapshot-id"]
