@@ -2378,6 +2378,86 @@ def src_iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @q(
+    "src_iceberg_spec_evolution",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+      AND o_orderdate >= TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg PARTITION SPEC EVOLUTION (sources/iceberg_format.py —
+    the spec's "Partition Evolution"): create identity-partitioned by
+    o_orderpriority (spec 0, 1996 data), EVOLVE to day(o_orderdate)
+    (spec 1 — metadata-only: zero snapshots, zero data motion,
+    asserted), append 1997 under the new layout, then query by a DATE
+    RANGE: plan_files must prune spec-1 files from their day tuples
+    while conservatively keeping EVERY spec-0 file (they are not
+    partitioned by date — both asserted), and the residual filter makes
+    the mixed-generation read EXACT, which the oracle hash certifies.
+    This is how a production table changes its partition layout without
+    rewriting 100 TB.  gluten-iceberg scans mixed-spec tables through
+    the jar (gluten-iceberg/src/main/scala/org/apache/gluten/execution/
+    IcebergScanTransformer.scala); the semantics are the public
+    spec's."""
+    import datetime as dt
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_spec_evo")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    ice.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    snaps0 = len(ice._current_metadata(root)["snapshots"])
+    files0 = {f["file_path"] for f in ice.plan_files(root)}
+    ice.evolve_partition_spec(root, ["day(o_orderdate)"])
+    meta = ice._current_metadata(root)
+    if len(meta["snapshots"]) != snaps0:
+        raise RuntimeError("spec evolution created a snapshot")
+    if {f["file_path"] for f in ice.plan_files(root)} != files0:
+        raise RuntimeError("spec evolution touched data files")
+    if meta["default-spec-id"] != 1:
+        raise RuntimeError("default spec did not advance")
+    ice.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    preds = [("o_orderdate", ">=", dt.datetime(1997, 4, 1))]
+    all_files = ice.plan_files(root)
+    pruned = ice.plan_files(root, source_predicates=preds)
+    n_old_all = sum(1 for f in all_files if f["_spec_id"] == 0)
+    n_old_kept = sum(1 for f in pruned if f["_spec_id"] == 0)
+    n_new_all = sum(1 for f in all_files if f["_spec_id"] == 1)
+    n_new_kept = sum(1 for f in pruned if f["_spec_id"] == 1)
+    if n_old_kept != n_old_all:
+        raise RuntimeError("a date predicate pruned NON-date-partitioned files")
+    if not (0 < n_new_kept < n_new_all):
+        raise RuntimeError(
+            f"day pruning never fired on spec-1 files: {n_new_kept}/{n_new_all}"
+        )
+    return (
+        ice.read_table(spark, root, source_predicates=preds)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@q(
     "src_iceberg_refs",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

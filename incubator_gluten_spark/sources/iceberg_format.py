@@ -279,10 +279,14 @@ def _commit_schema_evolution(
         max(f["id"] for f in new_schema["fields"]),
     )
     if spec_fields is not None:
-        new_meta["partition-spec"] = spec_fields
-        new_meta["partition-specs"] = [
-            {**meta["partition-specs"][0], "fields": spec_fields}
-        ]
+        # spec_fields: full replacement partition-specs LIST (a rename
+        # of a partition source column touches every historical spec)
+        new_meta["partition-specs"] = spec_fields
+        new_meta["partition-spec"] = next(
+            s["fields"]
+            for s in spec_fields
+            if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+        )
     version = _next_version(root, meta)
     with open(
         os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
@@ -320,11 +324,20 @@ def rename_column(root: str, old: str, new: str) -> int:
         "schema-id": _next_schema_id(meta),
         "fields": fields,
     }
-    spec_fields = [
-        {**pf, "name": new} if pf["source-id"] == src_id else dict(pf)
-        for pf in meta["partition-specs"][0]["fields"]
+    new_specs = [
+        {
+            **sp,
+            "fields": [
+                {**pf, "name": new}
+                if pf["source-id"] == src_id
+                and pf.get("transform", "identity") == "identity"
+                else dict(pf)
+                for pf in sp["fields"]
+            ],
+        }
+        for sp in meta["partition-specs"]
     ]
-    return _commit_schema_evolution(root, meta, new_schema, spec_fields)
+    return _commit_schema_evolution(root, meta, new_schema, new_specs)
 
 
 def add_column(root: str, name: str, ice_type: str) -> int:
@@ -361,7 +374,8 @@ def drop_column(root: str, name: str) -> int:
         raise ValueError("cannot drop the only column")
     if any(
         pf["source-id"] == field["id"]
-        for pf in meta["partition-specs"][0]["fields"]
+        for sp in meta["partition-specs"]
+        for pf in sp["fields"]
     ):
         raise ValueError(f"cannot drop partition source column {name!r}")
     new_schema = {
@@ -414,14 +428,17 @@ def plan_files(
     (read_table applies it), a pruned file provably has no matches."""
     meta = _current_metadata(root)
     snap = _snapshot(meta, snapshot_id)
-    checks: list[tuple] = []  # (tuple_key, op, transformed value/set)
+    # per-SPEC check lists (spec evolution: each manifest prunes under
+    # the spec it was written with — partition_spec_id in the manifest
+    # list; a spec that does not partition by the predicate's source
+    # column contributes no checks, so its files are conservatively kept)
+    checks_by_spec: dict[int, list[tuple]] = {}
     if source_predicates:
         from incubator_gluten_spark.sources.iceberg_transforms import (
             apply_literal,
             is_monotonic,
         )
 
-        spec_fields = meta["partition-specs"][0]["fields"]
         all_schemas = meta.get("schemas") or [meta["schema"]]
         cur_schema = _current_schema(meta)
         by_name = {f["name"]: f for f in cur_schema["fields"]}
@@ -443,52 +460,58 @@ def plan_files(
             if val is None:
                 continue  # no null-literal pruning; residual filter only
             fid = by_name[col]["id"]
-            for pf in spec_fields:
-                if pf["source-id"] != fid:
-                    continue
-                t = pf.get("transform", "identity")
-                ice_t = by_id[fid]["type"]
-                if t == "identity":
-                    # manifests written before a source-column rename
-                    # key the tuple by the old name (resolution is by
-                    # source-id, like the partition_filter path above)
-                    names = {pf["name"]} | {
-                        f["name"]
-                        for sc in all_schemas
-                        for f in sc["fields"]
-                        if f["id"] == fid
-                    }
+            for sp in meta["partition-specs"]:
+                checks = checks_by_spec.setdefault(sp.get("spec-id", 0), [])
+                for pf in sp["fields"]:
+                    if pf["source-id"] != fid:
+                        continue
+                    t = pf.get("transform", "identity")
+                    ice_t = by_id[fid]["type"]
+                    if t == "identity":
+                        # manifests written before a source-column rename
+                        # key the tuple by the old name (resolution is by
+                        # source-id, like the partition_filter path above)
+                        names = {pf["name"]} | {
+                            f["name"]
+                            for sc in all_schemas
+                            for f in sc["fields"]
+                            if f["id"] == fid
+                        }
 
-                    def lit(v, _t=t, _it=ice_t):
-                        return _manifest_rep(apply_literal(_t, v, _it), _it)
+                        def lit(v, _t=t, _it=ice_t):
+                            return _manifest_rep(
+                                apply_literal(_t, v, _it), _it
+                            )
 
-                else:
-                    names = {pf["name"]}
+                    else:
+                        names = {pf["name"]}
 
-                    def lit(v, _t=t, _it=ice_t):
-                        return apply_literal(_t, v, _it)
+                        def lit(v, _t=t, _it=ice_t):
+                            return apply_literal(_t, v, _it)
 
-                if op == "in":
-                    checks.append((names, "in", {lit(v) for v in val}))
-                elif op == "=":
-                    checks.append((names, "=", lit(val)))
-                elif is_monotonic(t):
-                    # order-preserving: map the endpoint, relax to
-                    # inclusive (the endpoint's partition may hold both
-                    # matching and non-matching rows)
-                    side = "<=" if op in ("<", "<=") else ">="
-                    checks.append((names, side, lit(val)))
-                # bucket + range predicate: no pruning possible
+                    if op == "in":
+                        checks.append((names, "in", {lit(v) for v in val}))
+                    elif op == "=":
+                        checks.append((names, "=", lit(val)))
+                    elif is_monotonic(t):
+                        # order-preserving: map the endpoint, relax to
+                        # inclusive (the endpoint's partition may hold
+                        # both matching and non-matching rows)
+                        side = "<=" if op in ("<", "<=") else ">="
+                        checks.append((names, side, lit(val)))
+                    # bucket + range predicate: no pruning possible
     # manifests written before a partition-column RENAME key their
     # partition tuples by the old name; resolve the filter key through
     # the spec's source-id across every historical schema (Iceberg's
     # own resolution is by id, never name)
     aliases: dict[str, set[str]] = {}
     if partition_filter:
-        spec_fields = meta["partition-specs"][0]["fields"]
+        all_spec_fields = [
+            p for sp in meta["partition-specs"] for p in sp["fields"]
+        ]
         schemas = meta.get("schemas") or [meta["schema"]]
         for k in partition_filter:
-            pf = next((p for p in spec_fields if p["name"] == k), None)
+            pf = next((p for p in all_spec_fields if p["name"] == k), None)
             names = {k}
             if pf is not None:
                 for sc in schemas:
@@ -499,6 +522,7 @@ def plan_files(
     files: list[dict] = []
     for mf in read_container(_resolve_path(root, snap["manifest-list"])):
         manifest_path = _resolve_path(root, mf[0])
+        checks = checks_by_spec.get(mf[2], [])
         for status, _snap_id, data_file in read_container(manifest_path):
             if status == DELETED:
                 continue
@@ -533,6 +557,7 @@ def plan_files(
                         break
                 if not keep:
                     continue
+            data_file["_spec_id"] = mf[2]  # internal: the origin spec
             files.append(data_file)
     return sorted(files, key=lambda d: d["file_path"])
 
@@ -755,6 +780,22 @@ def _write_data_files(
                     f["name"]: f["id"] for f in (ice_schema or {}).get("fields", [])
                 }
                 table = pq.read_table(src)
+                # Spark stages timestamps as INT96, which pyarrow reads
+                # as tz-less timestamp[ns]; writing that back verbatim
+                # produces TIMESTAMP(NANOS, ntz) — unreadable as a Spark
+                # `timestamp`.  Coerce to UTC micros (the instant is
+                # already UTC — session tz is pinned) so the rewritten
+                # file reads as TIMESTAMP(MICROS, adjusted=true).
+                for ci, pa_f in enumerate(table.schema):
+                    if pa.types.is_timestamp(pa_f.type):
+                        tgt = pa.timestamp("us", tz=pa_f.type.tz or "UTC")
+                        table = table.set_column(
+                            ci,
+                            pa.field(
+                                pa_f.name, tgt, pa_f.nullable, pa_f.metadata
+                            ),
+                            table.column(ci).cast(tgt),
+                        )
                 for d in reattach:
                     col, val = d["src"], pvals[d["dir"]]
                     field = df.schema[col].dataType.simpleString()
@@ -831,7 +872,11 @@ def _coerce_py(v: str | None, spark_type: str):
 
 
 def _write_manifest(
-    root: str, entries: list[tuple], partition_schema: dict, seq: str
+    root: str,
+    entries: list[tuple],
+    partition_schema: dict,
+    seq: str,
+    spec_id: int = 0,
 ) -> dict:
     path = os.path.join(_meta_dir(root), f"manifest-{seq}.avro")
     write_container(
@@ -843,9 +888,20 @@ def _write_manifest(
     return {
         "manifest_path": os.path.relpath(path, root),
         "manifest_length": os.path.getsize(path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "added_snapshot_id": None,
     }
+
+
+def _spec_by_id(meta: dict, spec_id: int) -> dict:
+    for s in meta["partition-specs"]:
+        if s.get("spec-id", 0) == spec_id:
+            return s
+    raise ValueError(f"no partition spec with id {spec_id}")
+
+
+def _default_spec(meta: dict) -> dict:
+    return _spec_by_id(meta, meta.get("default-spec-id", 0))
 
 
 def _next_version(root: str, meta: dict | None) -> int:
@@ -926,9 +982,13 @@ def _commit_snapshot(
         "schema": ice_schema,
         "schemas": schemas,
         "current-schema-id": cur_schema_id,
+        # spec EVOLUTION: keep the table's full spec history — a
+        # snapshot commit never collapses it back to one spec
         "partition-spec": spec["fields"],
-        "partition-specs": [spec],
-        "default-spec-id": 0,
+        "partition-specs": (
+            meta["partition-specs"] if meta else [spec]
+        ),
+        "default-spec-id": meta.get("default-spec-id", 0) if meta else 0,
         "properties": {},
         "current-snapshot-id": current_id,
         "refs": refs,
@@ -975,21 +1035,35 @@ def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
     this writer's partition specs)."""
     meta = _current_metadata(root)
     ice_schema = _current_schema(meta)
-    spec = meta["partition-specs"][0]
-    pschema = _partition_avro_schema(ice_schema, spec)
     snap_id = len(meta["snapshots"]) + 1
-    entries = []
+    by_spec: dict[int, list[tuple]] = {}
     n_deleted = 0
     for f in plan_files(root):
+        sid = f.pop("_spec_id", 0)
         part = f.get("partition") or {}
         matched = all(part.get(k) == v for k, v in partition_filter.items())
         if matched:
             n_deleted += 1
-        entries.append((DELETED if matched else EXISTING, snap_id, f))
+        by_spec.setdefault(sid, []).append(
+            (DELETED if matched else EXISTING, snap_id, f)
+        )
     if n_deleted == 0:
         raise ValueError(f"no files match {partition_filter}")
-    manifest = _write_manifest(root, entries, pschema, uuid.uuid4().hex[:8])
-    _commit_snapshot(root, meta, [manifest], "delete", ice_schema, spec)
+    # one re-stated manifest PER SPEC: a manifest's partition tuples
+    # are encoded under a single spec's avro schema
+    manifests = [
+        _write_manifest(
+            root,
+            entries,
+            _partition_avro_schema(ice_schema, _spec_by_id(meta, sid)),
+            uuid.uuid4().hex[:8],
+            spec_id=sid,
+        )
+        for sid, entries in sorted(by_spec.items())
+    ]
+    _commit_snapshot(
+        root, meta, manifests, "delete", ice_schema, _default_spec(meta)
+    )
     return {"snapshot_id": snap_id, "files_deleted": n_deleted}
 
 
@@ -1002,7 +1076,7 @@ def append(df: DataFrame, root: str, branch: str | None = None) -> dict:
     spark = SparkSession.getActiveSession()
     meta = _current_metadata(root)
     ice_schema = _current_schema(meta)
-    spec = meta["partition-specs"][0]
+    spec = _default_spec(meta)  # new data lands under the DEFAULT spec
     pschema = _partition_avro_schema(ice_schema, spec)
     parent_id = None
     if branch is not None:
@@ -1021,8 +1095,10 @@ def append(df: DataFrame, root: str, branch: str | None = None) -> dict:
         [(ADDED, snap_id, d) for d in data_files],
         pschema,
         uuid.uuid4().hex[:8],
+        spec_id=spec.get("spec-id", 0),
     )
-    # the parent snapshot's manifests carry over (EXISTING data)
+    # the parent snapshot's manifests carry over (EXISTING data),
+    # each keeping ITS OWN partition_spec_id
     prev = _snapshot(meta, parent_id)
     prev_manifests = [
         {
@@ -1099,3 +1175,58 @@ def ref_snapshot_id(root: str, name: str) -> int:
     if ref is None:
         raise ValueError(f"no such ref: {name!r}")
     return ref["snapshot-id"]
+
+
+# ---------------------------------------------------------------------------
+# partition spec evolution (spec "Partition Evolution")
+
+
+def evolve_partition_spec(root: str, partition_cols: list[str]) -> int:
+    """ALTER TABLE ... REPLACE PARTITION FIELD — Iceberg's partition
+    EVOLUTION: a metadata-only version appending a NEW spec (spec-id =
+    max + 1, partition field ids continue from the table-wide max so
+    ids never collide across specs) and advancing ``default-spec-id``.
+    No snapshot, no data motion: existing manifests keep their old
+    partition_spec_id and their files stay laid out (and PRUNED) under
+    the spec they were written with; only new writes use the new spec.
+    ``plan_files`` maps source predicates per manifest through that
+    manifest's own spec, so a query by the evolved column prunes the
+    new files and conservatively keeps the old ones — the spec's
+    "split planning" contract for mixed-spec tables.
+
+    Accepts the same column/transform strings as ``create_table``
+    (``"day(ts)"``, ``"bucket(8, id)"``, plain names)."""
+    from incubator_gluten_spark.sources.iceberg_transforms import (
+        parse_partition_field,
+    )
+
+    meta = _current_metadata(root)
+    ice_schema = _current_schema(meta)
+    next_field_id = (
+        max(
+            (pf["field-id"] for sp in meta["partition-specs"] for pf in sp["fields"]),
+            default=999,
+        )
+        + 1
+    )
+    new_spec_id = (
+        max(sp.get("spec-id", 0) for sp in meta["partition-specs"]) + 1
+    )
+    fields = [
+        parse_partition_field(col, ice_schema, next_field_id + i)
+        for i, col in enumerate(partition_cols)
+    ]
+    new_spec = {"spec-id": new_spec_id, "fields": fields}
+    # reuse the metadata-only commit shape; schema unchanged
+    new_meta = dict(meta)
+    new_meta["partition-specs"] = list(meta["partition-specs"]) + [new_spec]
+    new_meta["default-spec-id"] = new_spec_id
+    new_meta["partition-spec"] = fields
+    version = _next_version(root, meta)
+    with open(
+        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f)
+    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return version
