@@ -2529,6 +2529,93 @@ def src_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_hudi_services",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT CASE WHEN o_orderkey % 5 = 0
+                   AND o_orderpriority = '3-MEDIUM'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+             o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996
+    )
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "hudi",
+)
+def src_hudi_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi TABLE SERVICES (sources/hudi_format.py clean + rollback —
+    the hudi-client cleaner/rollback over the public timeline): create
+    (1996) -> upsert (doubling some 3-MEDIUM prices, so touched file
+    groups carry TWO base versions) -> a simulated CRASHED writer
+    (inflight markers + an orphan base file, invisible to readers —
+    asserted) -> ROLLBACK reclaims it (.rollback action, file gone —
+    asserted) -> CLEAN retain-1 deletes every superseded base version
+    (asserted > 0) while the snapshot stays byte-identical (the oracle
+    hash), and time travel behind the cleaner horizon REFUSES rather
+    than returning a partial table (asserted).  Reference analog:
+    gluten-hudi/src/main/scala/org/apache/gluten/execution/
+    HudiScanTransformer.scala scans the surviving table; the service
+    semantics are hudi's timeline contract."""
+    import os as _os
+    import shutil
+
+    from incubator_gluten_spark.sources import hudi_format as hf
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("hudi_services")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(*cols)
+    hf.create_table(
+        y96, root, key_col="o_orderkey", partition_col="o_orderpriority"
+    )
+    i1 = hf.completed_instants(root)[-1]
+    updates = y96.filter(
+        (F.col("o_orderkey") % 5 == 0)
+        & (F.col("o_orderpriority") == "3-MEDIUM")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    hf.upsert(spark, updates, root, "o_orderkey")
+    n_rows = hf.read_table(spark, root).count()
+    # crashed writer: markers + an orphan base file, never committed
+    crashed = "20990101000000000"
+    tdir = hf._timeline_dir(root)
+    for suffix in (".requested", ".inflight"):
+        with open(_os.path.join(tdir, f"{crashed}.commit{suffix}"), "w") as f:
+            f.write("{}")
+    orphan = _os.path.join(root, f"deadbeef_0-0-0_{crashed}.parquet")
+    shutil.copy(hf._base_files(root)[0][3], orphan)
+    if hf.read_table(spark, root).count() != n_rows:
+        raise RuntimeError("an uncommitted file leaked into the snapshot")
+    out = hf.rollback(root)
+    if out["rolled_back"] != crashed or _os.path.exists(orphan):
+        raise RuntimeError(f"rollback failed: {out}")
+    cleaned = hf.clean(root, retain_file_versions=1)
+    if cleaned["files_deleted"] == 0:
+        raise RuntimeError("cleaner found nothing — upsert rewrote nothing?")
+    try:
+        hf.read_table(spark, root, as_of=i1).count()
+        raise RuntimeError("time travel behind the cleaner horizon answered")
+    except hf.HudiFormatError:
+        pass
+    return (
+        hf.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("total"),
+        )
+        .withColumnRenamed("total", "total")
+    )
+
+
+@q(
     "src_hudi_incremental",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

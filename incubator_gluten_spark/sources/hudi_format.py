@@ -145,6 +145,13 @@ def snapshot_files(root: str, as_of: str | None = None) -> list[str]:
         )
     committed = set(completed_instants(root))
     if as_of is not None:
+        horizon = clean_horizon(root)
+        if horizon is not None and as_of < horizon:
+            raise HudiFormatError(
+                f"time travel to {as_of} is behind the cleaner horizon "
+                f"({horizon}): the file versions were deleted by a .clean "
+                "action — refusing rather than returning a partial snapshot"
+            )
         committed = {i for i in committed if i <= as_of}
     if not committed:
         return []
@@ -518,4 +525,172 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
         "instant": instant,
         "file_groups_rewritten": rewritten,
         "new_rows": n_new,
+    }
+
+
+# ---------------------------------------------------------------------------
+# table services: cleaner + rollback (Hudi timeline actions .clean /
+# .rollback — the services hudi-client runs to reclaim space and repair
+# failed writes; semantics per the public timeline docs)
+
+
+def _all_timeline_instants(root: str) -> list[str]:
+    """Every completed timeline action's instant (commit/clean/rollback
+    and MOR's deltacommit), so service actions never reuse an instant."""
+    out = []
+    for name in os.listdir(_timeline_dir(root)):
+        stem = name.split(".")[0]
+        if len(stem) == 17 and stem.isdigit() and not name.endswith(
+            (".requested", ".inflight")
+        ):
+            out.append(stem)
+    return sorted(out)
+
+
+def _next_service_instant(root: str) -> str:
+    existing = _all_timeline_instants(root)
+    if not existing:
+        return "20240101000000000"
+    return str(int(existing[-1]) + 1).zfill(17)
+
+
+def _three_phase(root: str, instant: str, action: str, body: dict) -> None:
+    tdir = _timeline_dir(root)
+    for suffix in (".requested", ".inflight"):
+        with open(os.path.join(tdir, f"{instant}.{action}{suffix}"), "w") as f:
+            f.write("{}")
+    with open(os.path.join(tdir, f"{instant}.{action}"), "w") as f:
+        json.dump(body, f)
+    for suffix in (".requested", ".inflight"):
+        os.remove(os.path.join(tdir, f"{instant}.{action}{suffix}"))
+
+
+def clean_horizon(root: str) -> str | None:
+    """The newest earliestInstantRetained across completed .clean
+    actions — time travel strictly before it cannot be answered."""
+    horizon = None
+    for name in os.listdir(_timeline_dir(root)):
+        if name.endswith(".clean"):
+            with open(os.path.join(_timeline_dir(root), name)) as f:
+                body = json.load(f)
+            e = body.get("earliestInstantRetained")
+            if e and (horizon is None or e > horizon):
+                horizon = e
+    return horizon
+
+
+def clean(root: str, retain_file_versions: int = 1) -> dict:
+    """The CLEANER, KEEP_LATEST_FILE_VERSIONS policy: per file group,
+    physically delete all but the newest ``retain_file_versions``
+    committed base files, and record a completed ``.clean`` timeline
+    action carrying ``earliestInstantRetained`` — the horizon behind
+    which time travel refuses (``read_table(as_of=...)`` checks it)
+    instead of silently returning a snapshot missing cleaned groups.
+    Metadata-only planning: the victim set comes from file NAMES and
+    the timeline, no data reads."""
+    if retain_file_versions < 1:
+        raise ValueError("retain_file_versions must be >= 1")
+    committed = set(completed_instants(root))
+    groups: dict[tuple[str, str], list[tuple[str, str]]] = {}
+    for part, file_id, instant, path in _base_files(root):
+        if instant in committed:
+            groups.setdefault((part, file_id), []).append((instant, path))
+    deleted: list[str] = []
+    earliest_retained = None
+    for versions in groups.values():
+        versions.sort(reverse=True)
+        kept = versions[:retain_file_versions]
+        for _, path in versions[retain_file_versions:]:
+            os.remove(path)
+            deleted.append(os.path.relpath(path, root))
+        oldest_kept = kept[-1][0]
+        if earliest_retained is None or oldest_kept > earliest_retained:
+            # a snapshot read needs EVERY group at a version <= as_of;
+            # the binding horizon is the NEWEST oldest-kept instant
+            earliest_retained = oldest_kept
+    instant = _next_service_instant(root)
+    _three_phase(
+        root,
+        instant,
+        "clean",
+        {
+            "policy": "KEEP_LATEST_FILE_VERSIONS",
+            "retain": retain_file_versions,
+            "earliestInstantRetained": earliest_retained,
+            "deleted": sorted(deleted),
+        },
+    )
+    return {
+        "instant": instant,
+        "files_deleted": len(deleted),
+        "earliest_instant_retained": earliest_retained,
+    }
+
+
+def pending_instants(root: str) -> list[str]:
+    """Instants with a requested/inflight marker and no completed
+    action — crashed or in-flight writes (invisible to readers)."""
+    tdir = _timeline_dir(root)
+    names = os.listdir(tdir)
+    completed = {n.split(".")[0] for n in names if not n.endswith((".requested", ".inflight"))}
+    pend = {
+        n.split(".")[0]
+        for n in names
+        if n.endswith((".requested", ".inflight"))
+    }
+    return sorted(pend - completed)
+
+
+def rollback(root: str, instant: str | None = None) -> dict:
+    """ROLLBACK a failed (pending) instant — or, with an explicit
+    ``instant``, the LATEST completed commit (Hudi only rolls back from
+    the tail of the timeline): delete the base files the write stamped
+    with that instant, clear its timeline markers, and record a
+    completed ``.rollback`` action.  Readers never saw pending files
+    (snapshot planning filters to committed instants), so a crash
+    rollback is pure garbage collection; rolling back a completed
+    commit rewinds the table to the previous instant."""
+    tdir = _timeline_dir(root)
+    if instant is None:
+        pend = pending_instants(root)
+        if not pend:
+            raise ValueError("no pending instants to roll back")
+        target, was_completed = pend[-1], False
+    else:
+        target = instant
+        completed = completed_instants(root)
+        if target in completed:
+            if target != completed[-1]:
+                raise ValueError(
+                    f"can only roll back the LATEST completed commit "
+                    f"({completed[-1]}), not {target}"
+                )
+            was_completed = True
+        elif target in pending_instants(root):
+            was_completed = False
+        else:
+            raise ValueError(f"unknown instant: {target}")
+    deleted = []
+    for part, file_id, fi, path in _base_files(root):
+        if fi == target:
+            os.remove(path)
+            deleted.append(os.path.relpath(path, root))
+    for name in list(os.listdir(tdir)):
+        if name.split(".")[0] == target:
+            os.remove(os.path.join(tdir, name))
+    ri = _next_service_instant(root)
+    _three_phase(
+        root,
+        ri,
+        "rollback",
+        {
+            "rollbackInstant": target,
+            "wasCompleted": was_completed,
+            "deleted": sorted(deleted),
+        },
+    )
+    return {
+        "instant": ri,
+        "rolled_back": target,
+        "files_deleted": len(deleted),
     }
