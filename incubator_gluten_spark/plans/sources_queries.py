@@ -2007,6 +2007,77 @@ def src_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_clone",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996 AND o_totalprice <= 200000
+      UNION ALL
+      SELECT o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1997
+    )
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE (sources/delta_protocol.py clone — CREATE
+    TABLE ... SHALLOW CLONE): source = 1996 orders with a DV delete
+    (>200000), clone by ABSOLUTE-path reference (zero data files under
+    the clone root — asserted), then APPEND 1997 to the clone only.
+    The source must stay version- and byte-identical (asserted), the
+    clone's DV semantics must survive the "u"->"p" descriptor rewrite
+    (the >200000 rows stay deleted — part of the oracle), and the final
+    clone read hash-matches the diverged oracle.  Reference analog:
+    shallow clones resolve through the same DeltaLog the
+    gluten-delta scan reads; the absolute-path add contract is
+    PROTOCOL.md's."""
+    import glob as _glob
+    import os as _os
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    src_root = _path("delta_clone_src")
+    dst_root = _path("delta_clone_dst")
+    shutil.rmtree(src_root, ignore_errors=True)
+    shutil.rmtree(dst_root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        src_root,
+        partition_cols=["o_orderpriority"],
+    )
+    dp.delete_where_dv(spark, src_root, "o_totalprice > 200000")
+    src_version = dp.resolve(spark, src_root).version
+    out = dp.clone(spark, src_root, dst_root)
+    if out["files_referenced"] == 0:
+        raise RuntimeError("clone referenced nothing")
+    clone_data = [
+        p
+        for p in _glob.glob(_os.path.join(dst_root, "**", "*"), recursive=True)
+        if _os.path.isfile(p) and "_delta_log" not in p
+    ]
+    if clone_data:
+        raise RuntimeError(f"shallow clone copied data files: {clone_data}")
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), dst_root
+    )
+    if dp.resolve(spark, src_root).version != src_version:
+        raise RuntimeError("a clone write advanced the SOURCE")
+    return dp.read_table(spark, dst_root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_delta_constraints",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -2374,6 +2445,63 @@ def src_iceberg_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFra
             .cast("double")
             .alias("total"),
         )
+    )
+
+
+@q(
+    "src_iceberg_meta_tables",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_meta_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg METADATA TABLES (sources/iceberg_format.py
+    read_meta_table — the tbl$files / tbl$snapshots inspection
+    surface): per-partition row counts computed from the FILES metadata
+    table alone (manifest record_count sums — zero data reads, the way
+    an operator profiles layout health on a 100 TB table) must
+    hash-match the oracle's actual GROUP BY over the data.  In-entry:
+    snapshots table shows both append snapshots, refs shows main.
+    gluten-iceberg exposes the same tables through the jar's
+    SparkTable; here they come from the module's own metadata-only
+    planning."""
+    import json as _json
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_meta_tables")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ice.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    ice.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    snaps = ice.read_meta_table(spark, root, "snapshots")
+    if snaps.count() != 2:
+        raise RuntimeError("snapshots metadata table is wrong")
+    refs = ice.read_meta_table(spark, root, "refs")
+    if refs.filter("name = 'main'").count() != 1:
+        raise RuntimeError("refs metadata table lacks main")
+    files = ice.read_meta_table(spark, root, "files")
+    return (
+        files.select(
+            F.get_json_object("partition", "$.o_orderpriority").alias(
+                "o_orderpriority"
+            ),
+            "record_count",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum("record_count").cast("bigint").alias("n"))
     )
 
 

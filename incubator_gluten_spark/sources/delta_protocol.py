@@ -1931,3 +1931,45 @@ def drop_check_constraint(spark: SparkSession, root: str, name: str) -> int:
     meta["configuration"] = conf
     _write_actions(root, v, [{"metaData": meta}])
     return v
+
+
+def clone(spark: SparkSession, src_root: str, dst_root: str) -> dict:
+    """SHALLOW CLONE (Delta's CREATE TABLE ... SHALLOW CLONE): a new
+    table whose version-0 log REFERENCES the source's data files by
+    ABSOLUTE path (PROTOCOL.md: an add's ``path`` may be an absolute
+    URI) — zero data copied, O(files) metadata.  DV descriptors with
+    relative storage ("u") are rewritten to absolute ("p") so the
+    clone's merge-on-read keeps working from its own root.  Writes to
+    the clone stage RELATIVE files under the clone root, so the tables
+    diverge without ever touching each other's data; the clone's
+    ``vacuum`` walks only its own root and can never reclaim source
+    bytes.  The one shared-fate hazard is Delta's own: VACUUMING THE
+    SOURCE deletes files the clone still references (pinned) — the
+    documented shallow-clone contract."""
+    snap = resolve(spark, src_root)
+    shutil.rmtree(dst_root, ignore_errors=True)
+    os.makedirs(_log_dir(dst_root))
+    meta = dict(snap.metadata)
+    meta["id"] = str(uuid.uuid4())  # a clone is a NEW table
+    actions: list[dict] = [
+        {"protocol": dict(snap.protocol)},
+        {"metaData": meta},
+    ]
+    src_abs = os.path.abspath(src_root)
+    for a in snap.adds:
+        add = dict(a)
+        add["path"] = os.path.join(src_abs, a["path"])
+        dv = a.get("deletionVector")
+        if dv and dv.get("storageType") == "u":
+            abs_dv = os.path.join(src_abs, _dv_file_rel(dv))
+            dv = dict(dv)
+            dv["storageType"] = "p"
+            dv["pathOrInlineDv"] = abs_dv
+            add["deletionVector"] = dv
+        actions.append({"add": add})
+    _write_actions(dst_root, 0, actions)
+    return {
+        "version": 0,
+        "files_referenced": len(snap.adds),
+        "source_version": snap.version,
+    }

@@ -1230,3 +1230,84 @@ def evolve_partition_spec(root: str, partition_cols: list[str]) -> int:
     with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
         f.write(str(version))
     return version
+
+
+# ---------------------------------------------------------------------------
+# metadata tables (Iceberg's inspection surface: SELECT * FROM tbl$files)
+
+
+def read_meta_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
+    """The spec'd metadata tables as DataFrames — ``files``,
+    ``manifests``, ``snapshots``, ``history``, ``refs`` — built from
+    the SAME metadata-only planning the scans use (no data reads; the
+    ``files`` table comes from manifest entries, so its
+    ``record_count`` sums are exact without opening a parquet footer).
+    This is Iceberg's ``table$files`` / ``table$snapshots`` inspection
+    surface, the tool an operator uses to reason about layout health
+    (file sizes, partition skew, snapshot lineage) on a 100 TB table
+    without scanning it."""
+    meta = _current_metadata(root)
+    if kind == "files":
+        rows = [
+            (
+                f["file_path"],
+                f["file_format"],
+                json.dumps(f.get("partition") or {}, sort_keys=True),
+                f.get("_spec_id", 0),
+                f["record_count"],
+                f["file_size_in_bytes"],
+            )
+            for f in plan_files(root)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "file_path string, file_format string, partition string, "
+            "spec_id int, record_count bigint, file_size_in_bytes bigint",
+        )
+    if kind == "manifests":
+        snap = _snapshot(meta, None)
+        rows = [
+            (mf[0], mf[1], mf[2], mf[3])
+            for mf in read_container(_resolve_path(root, snap["manifest-list"]))
+        ]
+        return spark.createDataFrame(
+            rows,
+            "path string, length bigint, partition_spec_id int, "
+            "added_snapshot_id bigint",
+        )
+    if kind == "snapshots":
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("summary", {}).get("operation"),
+                s["manifest-list"],
+                s.get("schema-id", 0),
+            )
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows,
+            "snapshot_id bigint, operation string, manifest_list string, "
+            "schema_id int",
+        )
+    if kind == "history":
+        cur = meta.get("current-snapshot-id")
+        rows = [
+            (s["snapshot-id"], s["snapshot-id"] == cur)
+            for s in meta.get("snapshots", [])
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id bigint, is_current_ancestor boolean"
+        )
+    if kind == "refs":
+        refs = dict(meta.get("refs") or {})
+        rows = [
+            (name, r["type"], r["snapshot-id"]) for name, r in sorted(refs.items())
+        ] + [("main", "branch", meta["current-snapshot-id"])]
+        return spark.createDataFrame(
+            rows, "name string, type string, snapshot_id bigint"
+        )
+    raise ValueError(
+        f"unknown metadata table {kind!r} "
+        "(have: files, manifests, snapshots, history, refs)"
+    )

@@ -153,14 +153,26 @@ def test_read_handwritten_spec_log(spark, tmp_path):
     assert [f.name for f in snap.schema.fields] == ["k", "v", "region"]
 
 
-def test_protocol_gate_refuses_reader_v2(spark, tmp_path):
-    root = str(tmp_path / "delta_v2")
+def test_protocol_gate_refuses_unsupported_reader_version(spark, tmp_path):
+    """minReaderVersion 2 graduated to SUPPORTED (legacy column-mapping
+    reader version, r9) — the gate must still refuse versions this
+    reader cannot honor (here 4, beyond any implemented feature set)."""
+    root = str(tmp_path / "delta_v4")
     _handwritten_table(spark, root)
-    # bump the protocol in a new commit: reader must now refuse loudly
+    # a v2 upgrade commit is ACCEPTED now (column mapping era)
     with open(os.path.join(root, "_delta_log", f"{2:020d}.json"), "w") as f:
         f.write(
             json.dumps(
                 {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+            )
+            + "\n"
+        )
+    assert dp.read_table(spark, root).count() == 2
+    # an unsupported version must refuse loudly
+    with open(os.path.join(root, "_delta_log", f"{3:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}}
             )
             + "\n"
         )
