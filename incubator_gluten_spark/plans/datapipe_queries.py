@@ -2255,6 +2255,67 @@ def dp_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dp_corpus_to_lakehouse",
+    f"""
+    WITH survivors AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents WHERE n_chars >= 300
+      GROUP BY md5({_NORM})
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN survivors s ON d.doc_id = s.doc_id
+    GROUP BY d.lang
+    """,
+    "datapipe", "capstone", "lakehouse",
+)
+def dp_corpus_to_lakehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datapipe x wire-format integration: a training-corpus
+    RELEASE INTO A REAL DELTA TABLE the way a production pipeline
+    lands one — (1) quality gate (n_chars >= 300), (2) exact dedup
+    (fingerprint groupBy, keep lowest doc_id — one shuffle, map-side
+    partial agg), (3) left-semi join back for the survivors'
+    metadata, (4) `delta_protocol.create_table` partitioned by lang
+    (the log carries partition values; files contain none), (5) read
+    back through the snapshot and aggregate.  The read-back agg
+    hash-matching the pure-SQL oracle certifies the whole chain —
+    dedup semantics AND the wire-format roundtrip.  In-entry: the
+    log's partitionValues must cover every released lang (pruning
+    capability asserted at the metadata level).  At 100 TB this is
+    the same plan: one dedup shuffle + one partitioned write; the
+    Delta commit is O(files) metadata."""
+    import os as _os
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (docs,) = _t(spark, sf_dir, "documents")
+    quality = docs.filter(F.col("n_chars") >= 300)
+    keep = exact_dedup(quality).select("doc_id")
+    released = quality.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    root = f"/tmp/spark_graft_io_{_os.getpid()}/dp_corpus_lakehouse"
+    shutil.rmtree(root, ignore_errors=True)
+    dp.create_table(released, root, partition_cols=["lang"])
+    snap = dp.resolve(spark, root)
+    langs_in_log = {a["partitionValues"]["lang"] for a in snap.adds}
+    want_langs = {r.lang for r in released.select("lang").distinct().collect()}
+    if langs_in_log != want_langs:
+        raise RuntimeError(
+            f"log partitions {langs_in_log} != released langs {want_langs}"
+        )
+    return (
+        dp.read_table(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@q(
     "dp_corpus_release",
     f"""
     WITH eval_sh AS (
