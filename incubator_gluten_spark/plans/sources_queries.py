@@ -2007,6 +2007,79 @@ def src_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_generated",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta GENERATED COLUMNS (sources/delta_protocol.py —
+    PROTOCOL.md's delta.generationExpression field metadata, declared
+    at CREATE TABLE): the table is PARTITIONED BY a generated
+    price-band column the user never supplies — CREATE computes it for
+    1996, append computes it for 1997 (column absent from the incoming
+    frame — asserted present afterwards), an append providing an
+    INCONSISTENT value refuses and commits nothing (asserted), and
+    minWriterVersion rises to 4 so down-level foreign writers must
+    refuse (asserted).  The read-back band aggregate hash-matching the
+    oracle's floor() arithmetic certifies the computed values.
+    Reference analog: generated columns resolve through the same
+    DeltaLog the gluten-delta scan reads; the contract is delta's
+    GeneratedColumn compute/validate path."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_generated")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    gen = {
+        "price_band": ("bigint", "CAST(floor(o_totalprice / 50000) AS BIGINT)")
+    }
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["price_band"],
+        generated_columns=gen,
+    )
+    snap = dp.resolve(spark, root)
+    if snap.protocol["minWriterVersion"] < 4:
+        raise RuntimeError("generated columns did not raise minWriterVersion")
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    if "price_band" not in dp.read_table(spark, root).columns:
+        raise RuntimeError("append did not compute the generated column")
+    v = dp.resolve(spark, root).version
+    try:
+        dp.append(
+            orders.filter(F.year("o_orderdate") == 1997)
+            .select(*cols)
+            .withColumn("price_band", F.lit(99).cast("bigint")),
+            root,
+        )
+        raise RuntimeError("inconsistent generated value was accepted")
+    except dp.DeltaProtocolError:
+        pass
+    if dp.resolve(spark, root).version != v:
+        raise RuntimeError("refused append committed something")
+    return dp.read_table(spark, root).groupBy("price_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_delta_clone",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

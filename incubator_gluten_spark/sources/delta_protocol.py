@@ -853,6 +853,7 @@ def create_table(
     partition_cols: list[str] | None = None,
     configuration: dict[str, str] | None = None,
     column_mapping: str | None = None,
+    generated_columns: dict[str, tuple[str, str]] | None = None,
 ) -> None:
     """Version 0: protocol + metaData + adds (drops prior state).  Table
     properties (e.g. ``delta.enableChangeDataFeed``) go into the
@@ -864,6 +865,20 @@ def create_table(
     shutil.rmtree(root, ignore_errors=True)
     partition_cols = partition_cols or []
     configuration = dict(configuration or {})
+    if generated_columns and column_mapping:
+        raise DeltaProtocolError(
+            "generated columns + column mapping together are not "
+            "supported by this writer"
+        )
+    if generated_columns:
+        # Delta only declares generated columns at CREATE TABLE;
+        # compute the missing ones (or validate provided values) before
+        # the schema is derived from the frame
+        gens = {
+            name: (typ, expr)
+            for name, (typ, expr) in generated_columns.items()
+        }
+        df = _compute_or_validate_generated(df, gens, "CREATE TABLE")
     if column_mapping is not None:
         if column_mapping != "name":
             raise DeltaProtocolError(
@@ -873,6 +888,14 @@ def create_table(
         configuration[_CM_MODE_KEY] = "name"
         configuration[_CM_MAXID_KEY] = str(len(df.schema.fields))
         schema_json = _mapped_schema_json(df.schema)
+    elif generated_columns:
+        d = json.loads(df.schema.json())
+        for f in d["fields"]:
+            if f["name"] in generated_columns:
+                md = dict(f.get("metadata") or {})
+                md[_GEN_EXPR_KEY] = generated_columns[f["name"]][1]
+                f["metadata"] = md
+        schema_json = json.dumps(d)
     else:
         schema_json = df.schema.json()
     meta = _metadata_action(schema_json, partition_cols, configuration)
@@ -880,7 +903,7 @@ def create_table(
     adds = _stage_data_files(df, root, partition_cols, mapping=mapping)
     cdf = configuration.get(_CDF_KEY) == "true"
     reader_v = 2 if column_mapping else 1
-    writer_v = 5 if column_mapping else (4 if cdf else 2)
+    writer_v = 5 if column_mapping else (4 if cdf or generated_columns else 2)
     _write_actions(
         root,
         0,
@@ -903,6 +926,11 @@ def append(df: DataFrame, root: str) -> int:
     v = current_version(root) + 1
     spark = SparkSession.getActiveSession()
     snap = resolve(spark, root)
+    gens = _generated_cols(snap.metadata)
+    if gens:
+        df = _compute_or_validate_generated(df, gens, "append").select(
+            *[f.name for f in snap.schema.fields]
+        )
     _enforce_constraints(df, snap.metadata, "append")
     adds = _stage_data_files(
         df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
@@ -923,6 +951,11 @@ def append_stream_batch(
     snap = resolve(spark, root)
     if snap.txns.get(app_id, -1) >= batch_id:
         return False
+    gens = _generated_cols(snap.metadata)
+    if gens:
+        df = _compute_or_validate_generated(
+            df, gens, "streaming append"
+        ).select(*[f.name for f in snap.schema.fields])
     _enforce_constraints(df, snap.metadata, "streaming append")
     v = current_version(root) + 1
     adds = _stage_data_files(
@@ -1053,6 +1086,18 @@ def update_where(
                 for c in live.columns
             ]
         )
+        gens = _generated_cols(snap.metadata)
+        if gens:
+            # delta's UPDATE semantics for generated columns: one the
+            # user did NOT assign is RECOMPUTED from the post-update row
+            # (dropping it makes the helper compute it); one the user
+            # DID assign is validated against its expression
+            recompute = [n for n in gens if n not in assignments]
+            if recompute:
+                updated = updated.drop(*recompute)
+            updated = _compute_or_validate_generated(
+                updated, gens, "UPDATE"
+            ).select(*[f.name for f in snap.schema.fields])
         _enforce_constraints(updated, snap.metadata, "UPDATE")
         actions.extend(
             _stage_data_files(
@@ -1174,6 +1219,11 @@ def merge(
     else:
         merged = src_nn.select(*cols)
     merged = merged.unionByName(null_inserts)
+    gens = _generated_cols(snap.metadata)
+    if gens:
+        # merge frames carry the full schema: validate (a source row
+        # with an inconsistent generated value must refuse)
+        merged = _compute_or_validate_generated(merged, gens, "MERGE")
     _enforce_constraints(merged, snap.metadata, "MERGE")
     actions = _stage_data_files(
         merged, root, pcols, mapping=_write_mapping(snap.metadata)
@@ -1887,6 +1937,46 @@ def _enforce_constraints(df: DataFrame, metadata: dict | None, op: str) -> None:
                 f"{op} violates CHECK constraint {name!r} ({e}); "
                 f"example row: {hit[0].asDict()}"
             )
+
+
+_GEN_EXPR_KEY = "delta.generationExpression"
+
+
+def _generated_cols(metadata: dict | None) -> dict[str, tuple[str, str]]:
+    """name -> (spark type, generation expression) for every field whose
+    schemaString metadata carries ``delta.generationExpression``."""
+    if not metadata:
+        return {}
+    d = json.loads(metadata["schemaString"])
+    out: dict[str, tuple[str, str]] = {}
+    for f in d["fields"]:
+        md = f.get("metadata") or {}
+        if _GEN_EXPR_KEY in md:
+            typ = f["type"] if isinstance(f["type"], str) else json.dumps(f["type"])
+            out[f["name"]] = (typ, md[_GEN_EXPR_KEY])
+    return out
+
+
+def _compute_or_validate_generated(
+    df: DataFrame, gens: dict[str, tuple[str, str]], op: str
+) -> DataFrame:
+    """Delta's GENERATED COLUMNS write contract: an absent generated
+    column is COMPUTED from its expression; a present one is VALIDATED
+    against it (null-safe) and a mismatch refuses the write — the same
+    behavior as delta's GeneratedColumn.validate + compute path."""
+    for name, (typ, e) in gens.items():
+        want = F.expr(e).cast(typ)
+        if name not in df.columns:
+            df = df.withColumn(name, want)
+            continue
+        bad = df.filter(~F.col(name).eqNullSafe(want)).limit(1).collect()
+        if bad:
+            raise DeltaProtocolError(
+                f"{op} provides generated column {name!r} with a value "
+                f"that does not match its generation expression ({e}); "
+                f"example row: {bad[0].asDict()}"
+            )
+    return df
 
 
 def add_check_constraint(
