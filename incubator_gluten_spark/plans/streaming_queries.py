@@ -625,6 +625,135 @@ def stream_delta_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_iceberg_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "sink", "lakehouse", "iceberg",
+)
+def stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming sink into the REAL Iceberg wire format
+    (sources/iceberg_format.py append_stream_batch): each micro-batch
+    commits a snapshot whose SUMMARY carries the (app, batch-id)
+    checkpoint — the idempotence mechanism Iceberg's own streaming
+    sinks use — so a replayed foreachBatch finds its batch already
+    committed and NO-OPs (asserted by re-delivering the final batch).
+    Oracle: the final snapshot equals the plain batch aggregate over
+    events.  The Delta/txnlog twins are stream_delta_sink /
+    stream_txnlog_sink; this completes the sink matrix across the
+    three wire formats."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    root = f"/tmp/spark_graft_io_{os.getpid()}/stream_iceberg_sink"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = read_events_stream(spark, sf_dir)
+    ice.create_table(
+        ev.sparkSession.createDataFrame([], ev.schema), root
+    )
+    replay: dict = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = ice.append_stream_batch(
+            batch_df, root, "stream_iceberg_sink", batch_id
+        )
+        replay["last"] = (batch_df, batch_id)
+        if not committed:
+            raise RuntimeError(f"batch {batch_id} double-committed")
+
+    sq = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    n_before = ice.read_table(spark, root).count()
+    batch_df, batch_id = replay["last"]
+    if ice.append_stream_batch(
+        batch_df, root, "stream_iceberg_sink", batch_id
+    ):
+        raise RuntimeError("replayed batch committed twice")
+    if ice.read_table(spark, root).count() != n_before:
+        raise RuntimeError("replay changed the table")
+    return ice.read_table(spark, root).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "stream_hudi_sink",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "sink", "lakehouse", "hudi",
+)
+def stream_hudi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming UPSERT sink into the Hudi COW wire format
+    (sources/hudi_format.py append_stream_batch): the micro-batch
+    checkpoint rides in the commit's ``extraMetadata`` under
+    ``deltastreamer.checkpoint.key`` — where hudi's own streaming
+    ingest records it — so a replayed batch NO-OPs (asserted), and
+    record-key upsert gives idempotence per key on top.  The table is
+    seeded with the day-1 events; the stream delivers the rest; the
+    final snapshot aggregate hash-matches the full-events oracle."""
+    import shutil
+
+    from incubator_gluten_spark.catalog import load_tables
+    from incubator_gluten_spark.sources import hudi_format as hf
+
+    root = f"/tmp/spark_graft_io_{os.getpid()}/stream_hudi_sink"
+    shutil.rmtree(root, ignore_errors=True)
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    hf.create_table(
+        events.filter(F.dayofmonth("ts") == 1), root, key_col="event_id"
+    )
+    ev = read_events_stream(spark, sf_dir).filter(F.dayofmonth("ts") > 1)
+    replay: dict = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = hf.append_stream_batch(
+            batch_df.sparkSession, batch_df, root, "event_id",
+            "stream_hudi_sink", batch_id,
+        )
+        replay["last"] = (batch_df, batch_id)
+        if not committed:
+            raise RuntimeError(f"batch {batch_id} double-committed")
+
+    sq = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    n_before = hf.read_table(spark, root).count()
+    batch_df, batch_id = replay["last"]
+    if hf.append_stream_batch(
+        spark, batch_df, root, "event_id", "stream_hudi_sink", batch_id
+    ):
+        raise RuntimeError("replayed batch committed twice")
+    if hf.read_table(spark, root).count() != n_before:
+        raise RuntimeError("replay changed the table")
+    return hf.read_table(spark, root).groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "stream_delta_source",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,

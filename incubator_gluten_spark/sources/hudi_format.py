@@ -86,21 +86,25 @@ def _next_instant(root: str) -> str:
     return str(int(existing[-1]) + 1).zfill(17)
 
 
-def _commit_instant(root: str, instant: str, stats: dict) -> None:
-    """Three-phase timeline commit: requested -> inflight -> commit."""
+def _commit_instant(
+    root: str, instant: str, stats: dict, extra_metadata: dict | None = None
+) -> None:
+    """Three-phase timeline commit: requested -> inflight -> commit.
+    ``extra_metadata`` lands under the commit's ``extraMetadata`` map —
+    where hudi's own streaming writers store their checkpoint key."""
     tdir = _timeline_dir(root)
     for suffix in (".requested", ".inflight"):
         with open(os.path.join(tdir, f"{instant}.commit{suffix}"), "w") as f:
             f.write("{}")
+    body = {
+        "partitionToWriteStats": stats,
+        "operation": "upsert",
+        "compacted": False,
+    }
+    if extra_metadata:
+        body["extraMetadata"] = extra_metadata
     with open(os.path.join(tdir, f"{instant}.commit"), "w") as f:
-        json.dump(
-            {
-                "partitionToWriteStats": stats,
-                "operation": "upsert",
-                "compacted": False,
-            },
-            f,
-        )
+        json.dump(body, f)
     for suffix in (".requested", ".inflight"):
         os.remove(os.path.join(tdir, f"{instant}.commit{suffix}"))
 
@@ -424,7 +428,13 @@ def create_table(
     return instant
 
 
-def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
+def upsert(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    key_col: str,
+    extra_metadata: dict | None = None,
+) -> dict:
     """COW upsert: file groups holding matched record keys are rewritten
     at the new instant (old base files stay for time travel); unmatched
     incoming keys append as a new file group.  Returns the accounting."""
@@ -520,7 +530,7 @@ def upsert(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> dict:
                 spark, new_rows, root, "", uuid.uuid4().hex[:12], instant, key_col
             )
             stats.setdefault("", []).append(ws)
-    _commit_instant(root, instant, stats)
+    _commit_instant(root, instant, stats, extra_metadata=extra_metadata)
     return {
         "instant": instant,
         "file_groups_rewritten": rewritten,
@@ -694,3 +704,36 @@ def rollback(root: str, instant: str | None = None) -> dict:
         "rolled_back": target,
         "files_deleted": len(deleted),
     }
+
+
+_CHECKPOINT_KEY = "deltastreamer.checkpoint.key"
+
+
+def append_stream_batch(
+    spark: SparkSession, df: DataFrame, root: str, key_col: str,
+    app_id: str, batch_id: int,
+) -> bool:
+    """EXACTLY-ONCE streaming sink: the micro-batch checkpoint rides in
+    the commit's ``extraMetadata`` under ``deltastreamer.checkpoint.key``
+    — where hudi's own streaming ingest records its checkpoint.  A
+    batch at or below the highest committed one for this app is a
+    NO-OP returning False; otherwise the batch UPSERTS (record-key
+    idempotence on top of checkpoint idempotence)."""
+    best = -1
+    tdir = _timeline_dir(root)
+    for i in completed_instants(root):
+        with open(os.path.join(tdir, f"{i}.commit")) as f:
+            body = json.load(f)
+        ck = (body.get("extraMetadata") or {}).get(_CHECKPOINT_KEY, "")
+        if ck.startswith(f"{app_id}:"):
+            best = max(best, int(ck.split(":", 1)[1]))
+    if best >= batch_id:
+        return False
+    upsert(
+        spark,
+        df,
+        root,
+        key_col,
+        extra_metadata={_CHECKPOINT_KEY: f"{app_id}:{batch_id}"},
+    )
+    return True

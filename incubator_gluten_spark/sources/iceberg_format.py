@@ -922,6 +922,7 @@ def _commit_snapshot(
     ice_schema: dict,
     spec: dict,
     branch: str | None = None,
+    summary_extra: dict | None = None,
 ) -> dict:
     os.makedirs(_meta_dir(root), exist_ok=True)
     snapshot_id = (
@@ -951,7 +952,7 @@ def _commit_snapshot(
     snapshot = {
         "snapshot-id": snapshot_id,
         "timestamp-ms": 0,
-        "summary": {"operation": operation},
+        "summary": {"operation": operation, **(summary_extra or {})},
         "manifest-list": os.path.relpath(ml_path, root),
         "schema-id": cur_schema_id,
     }
@@ -1067,7 +1068,12 @@ def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
     return {"snapshot_id": snap_id, "files_deleted": n_deleted}
 
 
-def append(df: DataFrame, root: str, branch: str | None = None) -> dict:
+def append(
+    df: DataFrame,
+    root: str,
+    branch: str | None = None,
+    summary_extra: dict | None = None,
+) -> dict:
     """Append a snapshot — to main, or to a BRANCH (spec "Snapshot
     References"): a branch append parents off the branch HEAD's
     manifest list and advances only the branch ref; main and every
@@ -1117,7 +1123,32 @@ def append(df: DataFrame, root: str, branch: str | None = None) -> dict:
         ice_schema,
         spec,
         branch=branch,
+        summary_extra=summary_extra,
     )
+
+
+def append_stream_batch(
+    df: DataFrame, root: str, app_id: str, batch_id: int
+) -> bool:
+    """EXACTLY-ONCE streaming sink: the micro-batch checkpoint rides in
+    the snapshot SUMMARY (``streaming-app`` / ``batch-id``) — the same
+    mechanism Iceberg's own Spark/Flink sinks use to make foreachBatch
+    replays idempotent.  A batch at or below the highest committed
+    batch-id for this app is a NO-OP returning False."""
+    meta = _current_metadata(root)
+    best = -1
+    for s in meta.get("snapshots", []):
+        su = s.get("summary") or {}
+        if su.get("streaming-app") == app_id:
+            best = max(best, int(su.get("batch-id", -1)))
+    if best >= batch_id:
+        return False
+    append(
+        df,
+        root,
+        summary_extra={"streaming-app": app_id, "batch-id": str(batch_id)},
+    )
+    return True
 
 
 # ---------------------------------------------------------------------------
