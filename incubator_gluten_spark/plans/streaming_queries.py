@@ -754,6 +754,79 @@ def stream_hudi_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_iceberg_source",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "source", "lakehouse", "iceberg",
+)
+def stream_iceberg_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table as a STREAMING SOURCE (sources/iceberg_stream.py —
+    snapshot-id offsets over the metadata log, Iceberg's own
+    SparkMicroBatchStream contract): load half the events into an
+    Iceberg table, stream availableNow through a CHECKPOINTED parquet
+    sink, append the second half, resume from the SAME checkpoint —
+    the second run must deliver EXACTLY the new snapshot's rows
+    (asserted), the exactly-once lever a 100 TB incremental pipeline
+    hangs off the offset log.  The final sink aggregate hash-matches
+    the full-events oracle.  Twin: stream_delta_source (version
+    offsets over the Delta log)."""
+    import shutil
+
+    from incubator_gluten_spark.catalog import load_tables
+    from incubator_gluten_spark.sources import iceberg_format as ice
+    from incubator_gluten_spark.sources.iceberg_stream import (
+        register_iceberg_stream_source,
+    )
+
+    register_iceberg_stream_source(spark)
+    base = f"/tmp/spark_graft_io_{os.getpid()}/stream_iceberg_source"
+    shutil.rmtree(base, ignore_errors=True)
+    root, ckpt, sink = f"{base}/tbl", f"{base}/ckpt", f"{base}/sink"
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    first = ev.filter(F.dayofmonth("ts") <= 15)
+    second = ev.filter(F.dayofmonth("ts") > 15)
+    ice.create_table(first, root)
+
+    def run() -> None:
+        sq = (
+            spark.readStream.format("graft_iceberg")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+
+    run()
+    n1 = spark.read.parquet(sink).count()
+    if n1 != first.count():
+        raise RuntimeError(f"first run delivered {n1} rows")
+    ice.append(second, root)
+    run()
+    n2 = spark.read.parquet(sink).count()
+    if n2 != n1 + second.count():
+        raise RuntimeError(
+            f"resume delivered {n2 - n1} rows, want {second.count()}"
+        )
+    return spark.read.parquet(sink).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "stream_delta_source",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
