@@ -399,3 +399,77 @@ def minhash_md5_cols(shingles: Column, num_hashes: int = 16) -> list[Column]:
         F.array_min(F.transform(shingles, hash_fn(j))).alias(f"mh{j}")
         for j in range(num_hashes)
     ]
+
+
+def boilerplate_chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph/line-level boilerplate removal (CCNet / RefinedWeb line
+    dedup re-expressed for corpora without newline structure): split each
+    document into fixed-size non-overlapping token chunks, count how many
+    DISTINCT documents each chunk occurs in corpus-wide, drop every chunk
+    reaching ``min_docs`` documents (headers, footers, licence blurbs —
+    anything repeated verbatim across documents), and reassemble what
+    remains in original order.
+
+    Returns per document: ``n_chunks`` (before), ``n_removed`` (boiler
+    chunks dropped), and ``cleaned_fp`` — md5 of the reassembled cleaned
+    text, so the oracle certifies the exact surviving byte stream, not
+    just counts.
+
+    Scale shape: one explode (rows x ~chunks-per-doc, each chunk a short
+    string), one countDistinct shuffle keyed by chunk fingerprint, one
+    broadcast-or-shuffle hash join back, one groupBy(id) with an ordered
+    collect_list bounded by document size.  Everything is JVM built-ins
+    (md5 / slice / array_join / posexplode) — no Python in the plan, and
+    the chunk table never carries the full document text, so the shuffle
+    volume is O(corpus tokens), not O(docs x doc-size^2).
+
+    Reference analog: Gluten executes the same shape as exploded
+    GenerateExec + hash agg (gluten-substrait GenerateExecTransformer);
+    the pipeline semantics follow CCNet section 4.2's shard-level
+    paragraph dedup.
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n_chunk = (F.floor((F.size(toks) - F.lit(1)) / F.lit(chunk_tokens)))
+    chunks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunk.cast("int")),
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).withColumn("fp", F.md5(F.col("chunk")))
+    boiler = (
+        chunks.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("fp", F.lit(True).alias("is_boiler"))
+    )
+    marked = chunks.join(boiler, "fp", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.col("is_boiler").cast("int")).cast("bigint").alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("chunk"),
+                ),
+                " ",
+            )
+        ).alias("cleaned_fp"),
+    )

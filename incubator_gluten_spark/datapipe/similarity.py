@@ -673,3 +673,41 @@ def ann_ivf_topk(
         .filter(F.col("rn") <= k)
         .select(F.col("qid").alias("query_id"), "neighbor_id", "cosine", "rn")
     )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "id",
+    vec_col: str = "v",
+    bands: int = 96,
+    band_bits: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop every item that has a
+    near-duplicate (cosine > threshold) with a SMALLER id, keep the rest
+    — the deterministic "keep first" retention rule pre-training corpus
+    releases use, so re-running the job on the same corpus always
+    retains the same representatives.
+
+    Built as embedding_near_dup_pairs (banded hyperplane LSH candidates,
+    exact-cosine verification — no cartesian at any corpus size)
+    followed by ONE broadcast-able left-anti join: a pair (id1 < id2)
+    condemns id2, survivors are the anti-join of the corpus against the
+    condemned-id set.  Note this is the star rule, not connected
+    components: in a chain a~b~c with a!~c, both b and c drop (each has
+    a smaller near-dup) — matching the SQL-expressible oracle exactly;
+    use dedup.connected_components when cluster-level retention is
+    wanted instead.
+    """
+    pairs = embedding_near_dup_pairs(
+        corpus,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        bands=bands,
+        band_bits=band_bits,
+        dim=dim,
+    )
+    condemned = pairs.select(F.col("id2").alias(id_col)).dropDuplicates()
+    return corpus.join(condemned, id_col, "left_anti")

@@ -2408,3 +2408,115 @@ def dp_corpus_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+@q(
+    "dp_boilerplate_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(list_slice(t, i*16+1, i*16+16), ' ') AS chunk,
+             md5(array_to_string(list_slice(t, i*16+1, i*16+16), ' ')) AS fp
+      FROM toks, LATERAL unnest(range(0, ((len(t)-1)//16)+1)) AS u(i)
+    ),
+    boiler AS (
+      SELECT fp FROM chunks GROUP BY fp HAVING count(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk, b.fp IS NOT NULL AS is_b
+      FROM chunks c LEFT JOIN boiler b USING (fp)
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_sort(list({{'chunk_idx': chunk_idx, 'chunk': chunk}})
+                   FILTER (WHERE NOT is_b)),
+               x -> x.chunk), ' '), '')) AS cleaned_fp
+    FROM marked GROUP BY doc_id
+    """,
+    "datapipe", "dedup",
+)
+def dp_boilerplate_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level boilerplate removal (CCNet / RefinedWeb line-dedup
+    analog): 16-token chunks, drop chunks seen in >= 3 distinct docs,
+    reassemble in order, certify the cleaned byte stream by md5.  At
+    sf0.01 exactly 7 chunk fingerprints cross the threshold (the
+    exact-duplicate doc groups' shared chunks), so the entry is
+    non-vacuous at every graded sf.  All JVM built-ins; the oracle
+    replays the whole pipeline in DuckDB."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    from incubator_gluten_spark.datapipe.dedup import boilerplate_chunk_dedup
+
+    return boilerplate_chunk_dedup(docs, chunk_tokens=16, min_docs=3)
+
+
+@q(
+    "dp_semantic_dedup",
+    """
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 500
+    ),
+    corpus AS (
+      SELECT vec_id AS id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000 AS id, list_transform(v, x -> x * 0.9 + 0.05) AS v
+      FROM base
+    ),
+    condemned AS (
+      SELECT DISTINCT b.id FROM corpus a JOIN corpus b ON a.id < b.id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) > 0.85
+    )
+    SELECT id,
+           CAST(id < 1000 AS INTEGER) AS is_original,
+           round(sqrt(list_dot_product(v, v)), 6) AS vnorm
+    FROM corpus WHERE id NOT IN (SELECT id FROM condemned)
+    """,
+    "datapipe", "dedup", "ann",
+)
+def dp_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style retention over the planted near-dup corpus of
+    dp_embedding_near_dup: every planted twin (cosine 0.896-0.940 with
+    its original) is condemned by the keep-smallest-id star rule, the
+    originals survive — LSH candidates + exact verification on the
+    Spark side, the all-pairs replay on the oracle side.  vnorm
+    certifies the survivors' vector payloads, not just their ids."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    from incubator_gluten_spark.datapipe.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    base = emb.filter(F.col("vec_id") < 500).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = base.select(F.col("vec_id").alias("id"), "v").unionAll(
+        base.select(
+            (F.col("vec_id") + 1000).alias("id"),
+            F.transform("v", lambda x: x * 0.9 + 0.05).alias("v"),
+        )
+    )
+    bands, band_bits = lsh_params_for(
+        0.85, target_miss=1e-9, n_rows=1000, target_bucket=1
+    )
+    survivors = semantic_dedup_survivors(
+        corpus,
+        threshold=0.85,
+        id_col="id",
+        vec_col="v",
+        bands=bands,
+        band_bits=band_bits,
+    )
+    dot_self = F.aggregate(
+        F.zip_with("v", "v", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return survivors.select(
+        "id",
+        (F.col("id") < 1000).cast("int").alias("is_original"),
+        F.round(F.sqrt(dot_self), 6).alias("vnorm"),
+    )

@@ -2894,3 +2894,67 @@ def src_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     ).withColumnRenamed("o_totalprice", "price")
+
+
+@q(
+    "src_delta_uniform",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta", "iceberg",
+)
+def src_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta UNIFORM (sources/uniform.py —
+    delta.universalFormat.enabledFormats=iceberg): Iceberg metadata
+    generated over the Delta table's OWN data files, zero bytes copied
+    (asserted), published with schema.name-mapping.default (spec
+    Appendix C) because Delta files carry no Iceberg field ids; the
+    Iceberg name-mapped read path re-injects the identity partition
+    values Delta strips from data files.  Flow: create partitioned
+    Delta table (1996) -> enable_uniform -> Delta append (1997) ->
+    sync_uniform (carried-over files EXISTING, new files ADDED) ->
+    read through the ICEBERG reader; in-entry cross-check: the Iceberg
+    read must row-for-row equal the Delta read of the same root.  The
+    final agg hash-matches the fixture oracle through the Iceberg
+    scan, certifying the whole conversion."""
+    import glob
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+    from incubator_gluten_spark.sources import iceberg_format as ice
+    from incubator_gluten_spark.sources import uniform as uf
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_uniform")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    uf.enable_uniform(spark, root)
+    before = sorted(glob.glob(root + "/**/*.parquet", recursive=True))
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    uf.sync_uniform(spark, root)
+    after = sorted(glob.glob(root + "/**/*.parquet", recursive=True))
+    n_added = len(after) - len(before)
+    if n_added != len(dp.resolve(spark, root).adds) - len(before):
+        raise RuntimeError("sync copied data files (must be zero-copy)")
+    via_ice = ice.read_table(spark, root)
+    via_delta = dp.read_table(spark, root)
+    if via_ice.exceptAll(via_delta.select(*via_ice.columns)).count() != 0:
+        raise RuntimeError("Iceberg view diverges from Delta view")
+    return via_ice.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -1100,3 +1100,77 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint()  # materialize before tmp cleanup
     shutil.rmtree(out_dir, ignore_errors=True)
     return result
+
+
+@q(
+    "stream_hudi_source",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events GROUP BY event_type
+    """,
+    "streaming", "source", "lakehouse", "hudi",
+)
+def stream_hudi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi COW table as a STREAMING SOURCE (sources/hudi_stream.py —
+    commit-instant offsets, RECORD-LEVEL incremental batches, the
+    hoodie.datasource incremental contract): load half the events,
+    stream availableNow through a CHECKPOINTED parquet sink, upsert the
+    second half, resume from the SAME checkpoint — the second run must
+    deliver EXACTLY the upserted records (asserted; untouched records
+    of rewritten file groups are NOT re-delivered thanks to
+    commit-time preservation).  Completes the lakehouse stream-source
+    matrix with stream_delta_source / stream_iceberg_source; final
+    aggregate hash-matches the full-events oracle."""
+    import shutil
+
+    from incubator_gluten_spark.catalog import load_tables
+    from incubator_gluten_spark.sources import hudi_format as hf
+    from incubator_gluten_spark.sources.hudi_stream import (
+        register_hudi_stream_source,
+    )
+
+    register_hudi_stream_source(spark)
+    base = f"/tmp/spark_graft_io_{os.getpid()}/stream_hudi_source"
+    shutil.rmtree(base, ignore_errors=True)
+    root, ckpt, sink = f"{base}/tbl", f"{base}/ckpt", f"{base}/sink"
+    ev = load_tables(spark, sf_dir, ("events",))["events"].select(
+        "event_id", "ts", "event_type", "value"
+    )
+    first = ev.filter(F.dayofmonth("ts") <= 15)
+    second = ev.filter(F.dayofmonth("ts") > 15)
+    hf.create_table(first, root, key_col="event_id")
+
+    def run() -> None:
+        sq = (
+            spark.readStream.format("graft_hudi")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+
+    run()
+    n1 = spark.read.parquet(sink).count()
+    if n1 != first.count():
+        raise RuntimeError(f"first run delivered {n1} rows")
+    hf.upsert(spark, second, root, key_col="event_id")
+    run()  # resume: exactly the upserted records stream (record-level)
+    n2 = spark.read.parquet(sink).count()
+    if n2 != n1 + second.count():
+        raise RuntimeError(
+            f"resume delivered {n2 - n1} rows, want {second.count()} "
+            "(duplicate or missed record-level change)"
+        )
+    return spark.read.parquet(sink).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -591,6 +591,12 @@ def read_table(
     files = plan_files(root, snapshot_id, partition_filter, source_predicates)
     if not files:
         return spark.createDataFrame([], _spark_struct_for(schema))
+    if (meta.get("properties") or {}).get("schema.name-mapping.default"):
+        # NAME MAPPING (spec Appendix C): data files written WITHOUT
+        # Iceberg field ids (Hive migration via add_files, Delta UniForm)
+        # bind by name through the mapping instead of by id
+        df = _read_name_mapped(spark, root, meta, schema, files)
+        return _apply_residual(df, source_predicates)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     # Upstream hazard (verified in this build): Spark's PARQUET FILTER
@@ -633,28 +639,115 @@ def read_table(
         *[_resolve_path(root, f["file_path"]) for f in files]
     )
     df = df.select(*out_cols)
-    if source_predicates:
-        # hidden partitioning: pruning above is conservative (a kept
-        # file may straddle the predicate); the RESIDUAL filter on the
-        # source column makes the result exact — this is the query the
-        # user wrote, pruning is invisible (the spec's whole point)
-        cond = F.lit(True)
-        for col, op, val in source_predicates:
-            c = F.col(col)
-            if op == "=":
-                cond = cond & (c == F.lit(val))
-            elif op == "in":
-                cond = cond & c.isin(list(val))
-            elif op == "<":
-                cond = cond & (c < F.lit(val))
-            elif op == "<=":
-                cond = cond & (c <= F.lit(val))
-            elif op == ">":
-                cond = cond & (c > F.lit(val))
-            elif op == ">=":
-                cond = cond & (c >= F.lit(val))
-        df = df.filter(cond)
-    return df
+    return _apply_residual(df, source_predicates)
+
+
+def _apply_residual(df: DataFrame, source_predicates: list[tuple] | None) -> DataFrame:
+    """Hidden partitioning: pruning is conservative (a kept file may
+    straddle the predicate); the RESIDUAL filter on the source column
+    makes the result exact — this is the query the user wrote, pruning
+    is invisible (the spec's whole point)."""
+    if not source_predicates:
+        return df
+    cond = F.lit(True)
+    for col, op, val in source_predicates:
+        c = F.col(col)
+        if op == "=":
+            cond = cond & (c == F.lit(val))
+        elif op == "in":
+            cond = cond & c.isin(list(val))
+        elif op == "<":
+            cond = cond & (c < F.lit(val))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(val))
+        elif op == ">":
+            cond = cond & (c > F.lit(val))
+        elif op == ">=":
+            cond = cond & (c >= F.lit(val))
+    return df.filter(cond)
+
+
+def _read_name_mapped(
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    schema: dict,
+    files: list[dict],
+) -> DataFrame:
+    """Read planned data files that carry NO Iceberg field ids, binding
+    columns BY NAME through ``schema.name-mapping.default`` (spec
+    Appendix C) — the read path for Hive-migrated tables and Delta
+    UniForm.  Identity partition values a data file LACKS (Delta strips
+    partition columns from files) are injected from the manifest's
+    partition tuple, per the spec's note that identity values may be
+    sourced from metadata.
+
+    Only sound while names have never been rebound: a table whose
+    schema history holds more than one schema refuses (field-id
+    binding is the evolution-correct path and needs ids in the files).
+    """
+    import datetime as _dt
+    import json as _json
+
+    schemas = meta.get("schemas") or [meta["schema"]]
+    if len(schemas) > 1:
+        raise ValueError(
+            "name-mapped read with evolved schema history: name binding "
+            "cannot track renames/re-adds — refusing (write field ids "
+            "into new data files and drop the name mapping instead)"
+        )
+    mapping = _json.loads(meta["properties"]["schema.name-mapping.default"])
+    mapped = {m["names"][0]: m["field-id"] for m in mapping}
+    for f in schema["fields"]:
+        if mapped.get(f["name"]) != f["id"]:
+            raise ValueError(
+                f"name mapping does not cover field {f['name']!r} "
+                f"(id {f['id']}) — refusing a partial mapping"
+            )
+    spec = _default_spec(meta)
+    if any(pf.get("transform", "identity") != "identity" for pf in spec["fields"]):
+        raise ValueError(
+            "name-mapped read supports identity partition specs only"
+        )
+    by_id = {f["id"]: f for f in schema["fields"]}
+    part_fields = [
+        (pf["name"], by_id[pf["source-id"]]) for pf in spec["fields"]
+    ]
+    part_names = {name for name, _ in part_fields}
+    data_fields = [f for f in schema["fields"] if f["name"] not in part_names]
+    from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+    read_schema = StructType(
+        [
+            StructField(
+                f["name"],
+                _parse_datatype_string(_ICE_TO_SPARK.get(f["type"], f["type"])),
+                not f["required"],
+            )
+            for f in data_fields
+        ]
+    )
+
+    def _part_lit(v, ice_t):
+        if v is None:
+            return F.lit(None).cast(_ICE_TO_SPARK.get(ice_t, ice_t))
+        if ice_t == "date":  # manifest tuples store days-since-epoch
+            return F.lit(_dt.date(1970, 1, 1) + _dt.timedelta(days=int(v)))
+        return F.lit(v).cast(_ICE_TO_SPARK.get(ice_t, ice_t))
+
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple((f.get("partition") or {}).get(name) for name, _ in part_fields)
+        groups.setdefault(key, []).append(_resolve_path(root, f["file_path"]))
+    out = None
+    order = [f["name"] for f in schema["fields"]]
+    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        g = spark.read.schema(read_schema).parquet(*paths)
+        for (pname, src_f), v in zip(part_fields, key):
+            g = g.withColumn(src_f["name"], _part_lit(v, src_f["type"]))
+        g = g.select(*order)
+        out = g if out is None else out.unionAll(g)
+    return out
 
 
 def history(root: str) -> list[dict]:
@@ -990,7 +1083,9 @@ def _commit_snapshot(
             meta["partition-specs"] if meta else [spec]
         ),
         "default-spec-id": meta.get("default-spec-id", 0) if meta else 0,
-        "properties": {},
+        # table properties survive snapshot commits (name mapping,
+        # UniForm markers, user properties)
+        "properties": dict(meta.get("properties") or {}) if meta else {},
         "current-snapshot-id": current_id,
         "refs": refs,
         "snapshots": (meta["snapshots"] if meta else []) + [snapshot],

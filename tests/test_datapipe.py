@@ -501,3 +501,89 @@ def test_lsh_sizing_at_512k_point():
 
     assert lsh_params_for(0.85, 1e-9, n_rows=512000, target_bucket=1) == (822, 19)
     assert lsh_params_for(0.85, 1e-9, n_rows=64000, target_bucket=1) == (454, 16)
+
+
+def test_boilerplate_dedup_removes_cross_doc_chunks_exactly(spark):
+    """Chunk shared by >=3 docs drops everywhere (including a doc made
+    ENTIRELY of it -> md5('') fingerprint); chunk shared by only 2 docs
+    survives; reassembly is order-exact (fingerprint recomputed in
+    Python)."""
+    import hashlib
+
+    from incubator_gluten_spark.datapipe.dedup import boilerplate_chunk_dedup
+
+    A = " ".join(f"a{i}" for i in range(16))
+    B = " ".join(f"b{i}" for i in range(16))
+    U = {k: " ".join(f"u{k}x{i}" for i in range(16)) for k in range(1, 7)}
+    docs = spark.createDataFrame(
+        [
+            (1, f"{A} {U[1]}"),
+            (2, f"{A} {U[2]}"),
+            (3, f"{A} {U[3]}"),
+            (4, A),
+            (5, f"{B} {U[5]}"),
+            (6, f"{B} {U[6]}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in boilerplate_chunk_dedup(docs, chunk_tokens=16, min_docs=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert (out[1].n_chunks, out[1].n_removed) == (2, 1)
+    assert out[1].cleaned_fp == md5(U[1])
+    assert (out[4].n_chunks, out[4].n_removed) == (1, 1)
+    assert out[4].cleaned_fp == md5("")
+    assert (out[5].n_chunks, out[5].n_removed) == (2, 0)
+    assert out[5].cleaned_fp == md5(f"{B} {U[5]}")
+
+
+def test_semantic_dedup_keeps_all_originals_drops_all_twins(spark, sf_dir):
+    """On the planted corpus (original + 0.9x+0.05 twin, ids offset by
+    1000) every original survives and every twin is condemned — random
+    pairs never cross 0.85 on the isotropic fixture."""
+    from incubator_gluten_spark.catalog import load_tables
+    from incubator_gluten_spark.datapipe.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = emb.filter(F.col("vec_id") < 500).select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    corpus = base.select(F.col("vec_id").alias("id"), "v").unionAll(
+        base.select(
+            (F.col("vec_id") + 1000).alias("id"),
+            F.transform("v", lambda x: x * 0.9 + 0.05).alias("v"),
+        )
+    )
+    survivors = {
+        r.id for r in semantic_dedup_survivors(corpus, threshold=0.85).collect()
+    }
+    originals = {r.id for r in corpus.filter(F.col("id") < 1000).collect()}
+    assert survivors == originals
+
+
+def test_semantic_dedup_star_rule_chain(spark):
+    """a~b (cos .866), b~c (cos .866), a!~c (cos .5): the star rule drops
+    BOTH b and c (each has a smaller near-dup), keeping only a — the
+    documented divergence from connected-components retention."""
+    import math
+
+    from incubator_gluten_spark.datapipe.similarity import (
+        semantic_dedup_survivors,
+    )
+
+    def vec(theta):
+        v = [0.0] * 64
+        v[0] = math.cos(theta)
+        v[1] = math.sin(theta)
+        return v
+
+    corpus = spark.createDataFrame(
+        [(1, vec(0.0)), (2, vec(math.pi / 6)), (3, vec(math.pi / 3))],
+        "id long, v array<double>",
+    )
+    survivors = {r.id for r in semantic_dedup_survivors(corpus).collect()}
+    assert survivors == {1}
