@@ -84,12 +84,16 @@ def main() -> None:
     # timing is host-jitter-dominated and a plan regression is
     # impossible, so the guard skips them instead of crying wolf.
     _DRIVER_SIDE = {"misc_inline_rows", "src_collect_limit_tail"}
-    n_regressed = 0
+    # r9 verdict #2: query_suite_total stays the FIRST-run sum computed
+    # above (warm reruns no longer feed it), and confirmed regressions
+    # carry their names + old/new/warm timings into the stdout JSON the
+    # driver stores — an alarm that names nothing is un-actionable.
+    regressed: list[dict] = []
     try:
         with open(base_path) as fh:
             base = json.load(fh)
         if base.get("sf_dir") == sf_dir:
-            for k, v in ok.items():
+            for k, v in sorted(ok.items()):
                 if k in _DRIVER_SIDE:
                     continue
                 old = base.get("queries", {}).get(k)
@@ -103,19 +107,29 @@ def main() -> None:
                     warm = time.perf_counter() - t0
                 except Exception:  # noqa: BLE001
                     warm = v
+                # warm rerun refines the per-query record (baseline merge
+                # uses it) but does NOT feed query_suite_total — rerun
+                # cost must not pollute the cross-round headline.
                 ok[k] = timings[k] = round(min(v, warm), 3)
                 if warm > 2 * old and warm - old > 0.5:
-                    n_regressed += 1
+                    regressed.append(
+                        {
+                            "name": k,
+                            "old": round(old, 3),
+                            "new": round(v, 3),
+                            "warm": round(warm, 3),
+                        }
+                    )
                     print(
                         f"bench: REGRESSION {k}: {old:.2f}s -> {v:.2f}s "
                         f"(warm rerun {warm:.2f}s, {warm / old:.1f}x)",
                         file=sys.stderr,
                     )
-            total = round(sum(ok.values()), 3)
     except FileNotFoundError:
         pass
     except Exception as exc:  # noqa: BLE001
         print(f"bench: baseline compare failed: {exc}", file=sys.stderr)
+    n_regressed = len(regressed)
     if os.environ.get("SPARK_GRAFT_UPDATE_BASELINE"):
         # MERGE-MIN refresh: keep the committed minimum where this run
         # was slower (minima may only tighten — the r8 audit checked
@@ -204,6 +218,7 @@ def main() -> None:
                 "n_queries": len(ok),
                 "n_failed": len(timings) - len(ok),
                 "n_regressed": n_regressed,
+                "regressed": regressed,
                 "queries": tpch,
                 "vs_min": vs_min,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -148,6 +148,85 @@ def test_column_mapped_table_is_refused(spark, sf_dir, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# partition-planned reader (r9 verdict directive #4): per-file input
+# partitions planned driver-side from the log alone, parquet decode
+# executor-side
+
+
+def test_partitioned_reader_plans_one_partition_per_add(table, spark, sf_dir):
+    from incubator_gluten_spark.sources.delta_stream import (
+        _DeltaPartitionedStreamReader,
+    )
+
+    r = _DeltaPartitionedStreamReader({"path": table})
+    assert r.initialOffset() == {"version": -1}
+    assert r.latestOffset() == {"version": 1}
+    parts = r.partitions({"version": -1}, {"version": 1})
+    n_adds = len(dp.resolve(spark, table).adds)
+    assert len(parts) == n_adds  # one split per add-action
+    # decoding every partition (what executors do) == the batch read
+    rows = []
+    for p in parts:
+        for item in r.read(p):
+            if hasattr(item, "columns"):  # pyarrow RecordBatch
+                rows.extend(zip(*[c.to_pylist() for c in item.columns]))
+            else:
+                rows.append(tuple(item))
+    want = _rows(dp.read_table(spark, table))
+    assert sorted(rows, key=lambda t: tuple(map(str, t))) == want
+
+
+def test_partitioned_reader_validation_happens_at_planning(table, spark):
+    from incubator_gluten_spark.sources.delta_stream import (
+        _DeltaPartitionedStreamReader,
+    )
+
+    dp.delete_where(spark, table, "o_totalprice > 150000")
+    r = _DeltaPartitionedStreamReader({"path": table})
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        r.partitions({"version": -1}, {"version": 2})
+
+
+def test_partitioned_reader_paces_with_max_versions(table):
+    from incubator_gluten_spark.sources.delta_stream import (
+        _DeltaPartitionedStreamReader,
+    )
+
+    r = _DeltaPartitionedStreamReader(
+        {"path": table, "maxversionsperbatch": "1"}
+    )
+    r.initialOffset()
+    assert r.latestOffset() == {"version": 0}
+    r.partitions({"version": -1}, {"version": 0})
+    assert r.latestOffset() == {"version": 1}
+
+
+def test_stream_microbatch_is_partitioned_per_file(table, spark):
+    """Executor-side instrumentation: the micro-batch DataFrame must
+    carry one partition per planned add-file (the simple reader's
+    prefetched driver list collapses to a single partition) — proof the
+    engine took streamReader() and the decode ran where partitions run."""
+    register_delta_stream_source(spark)
+    n_adds = len(dp.resolve(spark, table).adds)
+    assert n_adds >= 2
+    seen: list[int] = []
+
+    def grab(df, _):
+        seen.append(df.rdd.getNumPartitions())
+
+    sq = (
+        spark.readStream.format("graft_delta")
+        .option("path", table)
+        .load()
+        .writeStream.foreachBatch(grab)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    assert seen and seen[0] == n_adds
+
+
+# ---------------------------------------------------------------------------
 # end-to-end through the engine
 
 
