@@ -2958,3 +2958,82 @@ def src_delta_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_iceberg_migrate",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``system.migrate`` + ``system.add_files``
+    (sources/iceberg_migrate.py): a Hive-layout parquet directory
+    (partition values ONLY in key=value dir names) converted IN PLACE
+    to an Iceberg table — zero bytes copied (asserted) — then a FOREIGN
+    directory registered via add_files as one new snapshot whose
+    carried files stay EXISTING and foreign files are ADDED (asserted),
+    so incremental consumers see each file exactly once.  Read-back
+    binds through the published schema.name-mapping.default with
+    identity partition values injected from manifest tuples; the oracle
+    hash certifies the whole chain.  At 100 TB this is the migration
+    path that never rewrites data: a directory walk + footer reads.
+    gluten-iceberg scans migrate-procedure output through the jar
+    (gluten-iceberg/src/main/scala/org/apache/gluten/execution/
+    IcebergScanTransformer.scala); procedure semantics here follow the
+    public spark-procedures docs + spec Appendix C."""
+    import glob
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+    from incubator_gluten_spark.sources import iceberg_migrate as mig
+    from incubator_gluten_spark.sources.avro import read_container
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    root = _path("iceberg_migrate_hive")
+    src = _path("iceberg_migrate_foreign")
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    orders.filter(F.year("o_orderdate") == 1996).select(*cols).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(root)
+    orders.filter(F.year("o_orderdate") == 1997).select(*cols).write.partitionBy(
+        "o_orderpriority"
+    ).parquet(src)
+    before = sorted(glob.glob(root + "/**/*.parquet", recursive=True))
+    mig.migrate_hive_dir(
+        spark, root, partition_cols={"o_orderpriority": "string"}
+    )
+    after = sorted(glob.glob(root + "/**/*.parquet", recursive=True))
+    if before != after:
+        raise RuntimeError("migrate must be zero-copy (no data rewrite)")
+    mig.add_files(spark, root, src)
+    meta = ice._current_metadata(root)
+    ml = ice._resolve_path(root, ice._snapshot(meta, None)["manifest-list"])
+    statuses = [
+        status
+        for mf in read_container(ml)
+        for status, _, _ in read_container(ice._resolve_path(root, mf[0]))
+    ]
+    if not (
+        statuses.count(mig.EXISTING) == len(before)
+        and statuses.count(mig.ADDED) > 0
+    ):
+        raise RuntimeError("add_files must carry EXISTING + mark ADDED")
+    return (
+        ice.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -46,6 +46,17 @@ from pyspark.sql.datasource import DataSource
 __all__ = ["HudiStreamDataSource", "register_hudi_stream_source"]
 
 
+def _newest_base_file(files: list[str]) -> str:
+    """Newest by the COMMIT INSTANT embedded in the base-file name
+    (``<file_id>_<write_token>_<instant>.parquet``) — basenames START
+    with the md5 file_id, so lexicographic max picks an arbitrary file
+    group, not the latest write (r9 ADVICE)."""
+    return max(
+        files,
+        key=lambda p: os.path.basename(p)[: -len(".parquet")].split("_")[2],
+    )
+
+
 def _opt(options: dict, *names: str, default: str = "") -> str:
     for n in names:
         for k in (n, n.lower()):
@@ -130,7 +141,7 @@ class _HudiTableStreamReader:
         files = snapshot_files(self.root)
         if not files:
             raise ValueError(f"no committed snapshot in {self.root}")
-        schema = pq.read_schema(max(files, key=os.path.basename))
+        schema = pq.read_schema(_newest_base_file(files))
         return [n for n in schema.names if n not in META_COLS]
 
 
@@ -160,7 +171,7 @@ class HudiStreamDataSource(DataSource):
         files = snapshot_files(root)
         if not files:
             raise ValueError(f"no committed snapshot in {root}")
-        schema = pq.read_schema(max(files, key=os.path.basename))
+        schema = pq.read_schema(_newest_base_file(files))
         full = from_arrow_schema(schema)
         from pyspark.sql.types import StructType
 

@@ -142,6 +142,39 @@ def _schema_from_footer(
     )
 
 
+def _check_footers_agree(
+    src_dir: str, rels: list[str], expected: list[str] | None = None
+) -> None:
+    """Refuse heterogeneous footers (r9 ADVICE): every parquet file's
+    (column name, arrow type) list must agree — with ``expected`` column
+    names when given (add_files against an existing mapping), else with
+    the first footer (migrate).  A drifting file would otherwise be
+    silently NULL-filled or mis-bound by the name-mapped read.
+    Footer-only reads: metadata-bounded, no data pages touched."""
+    import pyarrow.parquet as pq
+
+    first_cols = None
+    for rel in rels:
+        sch = pq.read_schema(os.path.join(src_dir, rel))
+        cols = [(n, str(t)) for n, t in zip(sch.names, sch.types)]
+        if expected is not None:
+            missing = [c for c in expected if c not in sch.names]
+            if missing:
+                raise ValueError(
+                    f"{rel}: footer lacks column(s) {missing} required "
+                    "by the table's name mapping — refusing (a name-"
+                    "mapped read would silently NULL-fill them)"
+                )
+        if first_cols is None:
+            first_cols = cols
+        elif cols != first_cols:
+            raise ValueError(
+                f"heterogeneous parquet footers under {src_dir}: {rel} "
+                f"has {cols}, first file has {first_cols} — refusing "
+                "(one table schema cannot bind both by name)"
+            )
+
+
 def _part_fields_of(meta_schema: dict, spec: dict) -> list[tuple]:
     by_id = {f["id"]: f for f in meta_schema["fields"]}
     return [
@@ -169,6 +202,7 @@ def migrate_hive_dir(
     files = _walk_hive(root, list(partition_cols))
     if not files:
         raise ValueError(f"no parquet files under {root}")
+    _check_footers_agree(root, [rel for rel, _ in files])
     schema = _schema_from_footer(
         spark, os.path.join(root, files[0][0]), partition_cols
     )
@@ -213,6 +247,11 @@ def add_files(spark: SparkSession, root: str, src_dir: str) -> dict:
     Files already registered carry over EXISTING under their original
     snapshot id; the foreign files are ADDED.  Foreign paths land in
     the manifest as ABSOLUTE paths (the procedure does not copy)."""
+    if not os.path.isdir(_meta_dir(root)):
+        raise ValueError(
+            f"{root} has no Iceberg metadata — add_files requires a "
+            "name-mapped table (migrate first)"
+        )
     meta = _current_metadata(root)
     if "schema.name-mapping.default" not in (meta.get("properties") or {}):
         raise ValueError(
@@ -226,6 +265,16 @@ def add_files(spark: SparkSession, root: str, src_dir: str) -> dict:
     new = _walk_hive(src_dir, part_names)
     if not new:
         raise ValueError(f"no parquet files under {src_dir}")
+    # the foreign footers must COVER the table's name mapping (minus
+    # the partition columns Hive strips from files) and agree with each
+    # other — r9 ADVICE: registering a mismatched directory previously
+    # NULL-filled the unmatched columns instead of refusing
+    data_cols = [
+        f["name"]
+        for f in ice_schema["fields"]
+        if f["name"] not in part_names
+    ]
+    _check_footers_agree(src_dir, [rel for rel, _ in new], data_cols)
     prev = _snapshot(meta, None)
     first_seen: dict[str, int] = {}
     carried = []

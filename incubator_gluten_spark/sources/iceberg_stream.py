@@ -102,6 +102,36 @@ class _IcebergTableStreamReader:
         by_id = {s.get("schema-id", 0): s for s in schemas}
         cur = by_id.get(meta.get("current-schema-id", 0), schemas[-1])
         names = [f["name"] for f in cur["fields"]]
+        # name-mapped tables (Hive migrate, Delta UniForm) strip identity
+        # partition columns from EVERY data file: without injection the
+        # stream would silently NULL-fill them while the batch path
+        # (_read_name_mapped) sources them from the manifest partition
+        # tuple — r9 ADVICE.  Mirror the batch path's refusals too.
+        part_inject: dict[str, str] = {}
+        if (meta.get("properties") or {}).get("schema.name-mapping.default"):
+            if len(schemas) > 1:
+                raise ValueError(
+                    "name-mapped stream with evolved schema history: name "
+                    "binding cannot track renames/re-adds — refusing"
+                )
+            from incubator_gluten_spark.sources.iceberg_format import (
+                _default_spec,
+            )
+
+            spec = _default_spec(meta)
+            if any(
+                pf.get("transform", "identity") != "identity"
+                for pf in spec["fields"]
+            ):
+                raise ValueError(
+                    "name-mapped stream supports identity partition "
+                    "specs only"
+                )
+            fld = {f["id"]: f for f in cur["fields"]}
+            part_inject = {
+                fld[pf["source-id"]]["name"]: fld[pf["source-id"]]["type"]
+                for pf in spec["fields"]
+            }
         for s in meta.get("snapshots", []):
             sid = s["snapshot-id"]
             if not (lo < sid <= hi):
@@ -120,18 +150,30 @@ class _IcebergTableStreamReader:
                 for status, snap_id, data_file in read_container(manifest):
                     if status != self.ADDED or snap_id != sid:
                         continue
-                    yield from self._emit(data_file, names)
+                    yield from self._emit(data_file, names, part_inject)
 
-    def _emit(self, data_file: dict, names: list[str]):
+    def _emit(
+        self, data_file: dict, names: list[str], part_inject: dict
+    ):
+        import datetime as _dt
+
         import pyarrow.parquet as pq
 
         path = os.path.join(self.root, data_file["file_path"])
         table = pq.read_table(path)
         n = table.num_rows
+        pvals = data_file.get("partition") or {}
         cols = []
         for name in names:
             if name in table.schema.names:
                 cols.append(table.column(name).to_pylist())
+            elif name in part_inject:
+                # identity partition value from the manifest tuple
+                # (spec: identity values may be sourced from metadata)
+                v = pvals.get(name)
+                if v is not None and part_inject[name] == "date":
+                    v = _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+                cols.append([v] * n)
             else:
                 cols.append([None] * n)  # pre-evolution file
         return iter(zip(*cols)) if n else iter(())

@@ -192,6 +192,18 @@ def sync_uniform(spark: SparkSession, root: str) -> dict:
             "published name mapping would mis-bind — refusing"
         )
     spec = _default_spec(meta)
+    # partition drift is schema-invisible: a metaData commit can change
+    # partitionColumns without touching a field, and _data_file_for
+    # would then inject NULL for the old spec's values (r9 ADVICE) —
+    # compare the Delta partition columns against the spec's sources
+    by_id = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    spec_sources = [by_id[pf_["source-id"]] for pf_ in spec["fields"]]
+    if list(snap.partition_columns) != spec_sources:
+        raise ValueError(
+            "UniForm sync: Delta partition columns "
+            f"{list(snap.partition_columns)} no longer match the "
+            f"published Iceberg spec {spec_sources} — refusing"
+        )
     pschema = _partition_avro_schema(ice_schema, spec)
     pf = _part_fields(ice_schema, spec)
     prev = _snapshot(meta, None)

@@ -173,3 +173,18 @@ def test_mor_table_refuses(spark):
     rd = _HudiTableStreamReader({"path": root})
     with pytest.raises(HudiFormatError, match="MERGE_ON_READ"):
         list(rd._rows("", "99999999999999999"))
+
+
+def test_newest_base_file_by_instant_not_basename():
+    """Base-file names start with the md5 file_id, so lexicographic max
+    picks an arbitrary file GROUP; the schema source must be the latest
+    INSTANT (r9 ADVICE)."""
+    from incubator_gluten_spark.sources.hudi_stream import _newest_base_file
+
+    files = [
+        "/t/ff000000_0_20240101000000000.parquet",  # big id, old instant
+        "/t/00000000_0_20240301000000000.parquet",  # small id, newest
+        "/t/aa000000_0_20240201000000000.parquet",
+    ]
+    assert _newest_base_file(files).endswith("00000000_0_20240301000000000.parquet")
+    assert max(files, key=os.path.basename) != _newest_base_file(files)

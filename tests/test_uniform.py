@@ -120,9 +120,12 @@ def test_stream_source_delivers_each_file_once(spark):
     batch1 = list(rd._rows(0, 1))
     batch2 = list(rd._rows(1, 2))
     assert len(batch1) == 10 and len(batch2) == 4
-    # note: UniForm data files lack partition columns; the stream
-    # source NULL-fills them (by-name binding) — k and v are real
     assert {r[0] for r in batch2} == {10, 11, 12, 13}
+    # UniForm data files lack identity partition columns; the stream
+    # source must inject them from the manifest partition tuple exactly
+    # like the batch path — NULL-filling them silently corrupts every
+    # partition-filtered consumer (r9 ADVICE)
+    assert all(r[1] == str(r[0] % 3) for r in batch1 + batch2)
 
 
 def test_remove_only_commit_becomes_overwrite_snapshot(spark):
@@ -183,6 +186,24 @@ def test_refusals(spark):
         root, dp.current_version(root) + 1, [{"metaData": meta_action}]
     )
     with pytest.raises(ValueError, match="schema changed"):
+        uf.sync_uniform(spark, root)
+
+
+def test_sync_refuses_partition_column_drift(spark):
+    """Partition drift is schema-invisible: a metaData commit can change
+    partitionColumns without touching any field, and the old spec would
+    then inject NULL partition values for every new file (r9 ADVICE) —
+    sync must refuse."""
+    root = _fresh("refuse_part_drift")
+    _mk(spark, root)
+    uf.enable_uniform(spark, root)
+    snap = dp.resolve(spark, root)
+    meta_action = dict(snap.metadata)
+    meta_action["partitionColumns"] = []
+    dp._write_actions(
+        root, dp.current_version(root) + 1, [{"metaData": meta_action}]
+    )
+    with pytest.raises(ValueError, match="partition columns"):
         uf.sync_uniform(spark, root)
 
 
