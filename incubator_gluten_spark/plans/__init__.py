@@ -52,8 +52,14 @@ _PLAN_MODULES = (
 # src_delta_merge, the r8 half-landed surface now oracle-pinned) and 38
 # never-graded names weighted toward ds_* (still the largest
 # never-graded pool: 64), then fn_*/cb_*.  All 50 are oracle-backed
-# (hard three-gate check).  Cumulative driver-certified target:
-# 206 + 40 = 246.
+# (hard three-gate check).  Round 10 (r9 verdict directives #1 + #5 +
+# #7): same 10 anchors, the never-graded stream_* family placed
+# EXPLICITLY (the flagship exactly-once lakehouse sources/sinks +
+# stream-stream joins were the least driver-certified pool), the new
+# src_iceberg_migrate certified the round it lands, and the rest
+# ds_*/dp_*/fn_* weighted.  Cumulative driver-certified target:
+# 246 + 40 = 286 (the verdict's "296" assumed 50 new slots; 10 are
+# anchors by its own directive, so 286 is the attainable maximum).
 _FRONT = (
     # --- anchors (10 = the entire overlap with prior windows) ---
     "q1",
@@ -66,49 +72,50 @@ _FRONT = (
     "dp_dedup_exact",
     "dp_sequence_packing",
     "dp_embedding_near_dup",
-    # --- r9 Delta MERGE/UPDATE landing (r8 verdict #2) ---
-    "src_delta_update",
-    "src_delta_merge",
-    # --- rotation: never-graded, ds_* weighted (r8 verdict #1) ---
-    "ds_click_to_purchase_window",
-    "ds_common_items_rollup",
-    "ds_cov_stats",
-    "ds_cross_border_brand",
-    "ds_cumulative_compare",
-    "ds_cumulative_cross_channel",
-    "ds_cust_percentile_band",
-    "ds_customer_band_lookup",
-    "ds_delay_crosstab",
-    "ds_disjunct_band_avgs",
-    "ds_effective_net_quantity",
-    "ds_except_counts",
-    "ds_excess_discount",
-    "ds_exists_agg_profile",
-    "ds_exists_or_chain",
-    "src_hudi_incremental",
-    "src_iceberg_schema_evo",
-    "src_delta_restore",
-    "fn_datetime_make",
-    "fn_datetime_more",
-    "fn_decimal",
-    "fn_hash",
-    "fn_hash_golden",
-    "fn_json",
-    "cb_hour_histogram",
-    "cb_ip_octet_buckets",
-    "cb_latest_wide_rows",
-    "cb_like_topk",
-    "cb_mobile_share_hourly",
-    "cb_paged_aggregate",
-    "dp_ann_lsh",
-    "dp_cross_corpus_dedup",
-    "agg_grouping_id",
-    "stream_foreach_batch",
-    "udf_partial_project",
-    # --- r9 new wire-format surface, certified the round it lands ---
-    "src_delta_cdf",
-    "src_delta_column_mapping",
-    "src_iceberg_hidden_partitioning",
+    # --- r10 new surface, certified the round it lands (r9 #7) ---
+    "src_iceberg_migrate",
+    # --- stream_* pool, placed explicitly (r9 #5); stream_delta_source
+    #     re-certifies the r10 partition-planned executor-side reader ---
+    "stream_delta_source",
+    "stream_iceberg_source",
+    "stream_hudi_source",
+    "stream_iceberg_sink",
+    "stream_hudi_sink",
+    "stream_stream_join",
+    "stream_stream_full_outer",
+    "stream_static_join",
+    # --- rotation: never-graded, ds_*/dp_*/fn_* weighted (r9 #1) ---
+    "ds_frequent_items",
+    "ds_frequent_top_spenders",
+    "ds_full_outer_match",
+    "ds_half_year_share",
+    "ds_having_join",
+    "ds_hour_band_channels",
+    "ds_hour_profile_users",
+    "ds_in_exists_chain",
+    "ds_inlist_or_members",
+    "ds_late_ship_promo_nulls",
+    "ds_mfr_tri_channel_union",
+    "ds_monthly_cov_pair",
+    "ds_monthly_cov_pair_strict",
+    "ds_monthly_deviation",
+    "ds_multi_slot_counts",
+    "ds_multi_supplier_no_return",
+    "dp_ann_ivf",
+    "dp_boilerplate_dedup",
+    "dp_corpus_to_lakehouse",
+    "dp_curation_pipeline",
+    "dp_dedup_keep_best",
+    "dp_embedding_lsh_verifiable",
+    "dp_embedding_quantize",
+    "dp_fingerprint",
+    "fn_lateral_alias",
+    "fn_lev_bounded",
+    "fn_map_batch3",
+    "fn_map_more",
+    "fn_math",
+    "fn_math_golden",
+    "fn_math_trig",
 )
 
 
