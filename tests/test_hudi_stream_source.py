@@ -188,3 +188,51 @@ def test_newest_base_file_by_instant_not_basename():
     ]
     assert _newest_base_file(files).endswith("00000000_0_20240301000000000.parquet")
     assert max(files, key=os.path.basename) != _newest_base_file(files)
+
+
+def test_partitioned_reader_per_file_and_executor_decode(spark):
+    """r10: one InputPartition per candidate base file; the engine-side
+    micro-batch carries one partition per file and the record-level
+    commit-time filter runs executor-side."""
+    from incubator_gluten_spark.sources.hudi_stream import (
+        _HudiPartitionedStreamReader,
+    )
+
+    root = _fresh("part_reader")
+    df1 = spark.range(4).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    hf.create_table(df1, root, key_col="k")
+    hf.upsert(
+        spark,
+        spark.range(4, 8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        root,
+        key_col="k",
+    )
+    r = _HudiPartitionedStreamReader({"path": root})
+    r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions({"instant": ""}, end)
+    assert len(parts) >= 1
+    rows = []
+    for p in parts:
+        for item in r.read(p):
+            if hasattr(item, "columns"):
+                rows.extend(zip(*[c.to_pylist() for c in item.columns]))
+            else:
+                rows.append(tuple(item))
+    assert sorted(r[0] for r in rows) == list(range(8))
+    register_hudi_stream_source(spark)
+    seen: list[int] = []
+    sq = (
+        spark.readStream.format("graft_hudi")
+        .option("path", root)
+        .load()
+        .writeStream.foreachBatch(lambda df, _: seen.append(df.rdd.getNumPartitions()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    assert seen and seen[0] == len(parts)

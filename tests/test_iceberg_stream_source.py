@@ -114,3 +114,51 @@ def test_checkpoint_restart_is_exactly_once(table, spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 4
     assert _rows(got) == _rows(ice.read_table(spark, table))
+
+
+def test_partitioned_reader_per_file_and_executor_decode(table, spark):
+    """r10: the partition-planned reader plans one InputPartition per
+    ADDED data_file; the engine-side micro-batch DataFrame carries one
+    partition per file (proof the decode ran where partitions run)."""
+    from incubator_gluten_spark.sources.iceberg_stream import (
+        _IcebergPartitionedStreamReader,
+    )
+
+    r = _IcebergPartitionedStreamReader({"path": table})
+    r.initialOffset()
+    end = r.latestOffset()
+    parts = r.partitions({"snapshot": 0}, end)
+    n_files = len(ice.plan_files(table))
+    assert len(parts) == n_files >= 2
+    rows = []
+    for p in parts:
+        for item in r.read(p):
+            if hasattr(item, "columns"):  # pyarrow RecordBatch
+                rows.extend(zip(*[c.to_pylist() for c in item.columns]))
+            else:
+                rows.append(tuple(item))
+    assert sorted(rows) == [(1, "a"), (2, "b"), (3, "c")]
+    # engine-side: one micro-batch partition per planned file
+    register_iceberg_stream_source(spark)
+    seen: list[int] = []
+    sq = (
+        spark.readStream.format("graft_iceberg")
+        .option("path", table)
+        .load()
+        .writeStream.foreachBatch(lambda df, _: seen.append(df.rdd.getNumPartitions()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    assert seen and seen[0] == n_files
+
+
+def test_partitioned_reader_validates_at_planning(table, spark):
+    from incubator_gluten_spark.sources.iceberg_stream import (
+        _IcebergPartitionedStreamReader,
+    )
+
+    ice.delete_partition(table, {"grp": "a"})
+    r = _IcebergPartitionedStreamReader({"path": table})
+    with pytest.raises(ValueError, match="ignoreChanges"):
+        r.partitions({"snapshot": 0}, {"snapshot": 3})
