@@ -74,6 +74,7 @@ _FRONT = (
     "dp_embedding_near_dup",
     # --- r10 new surface, certified the round it lands (r9 #7) ---
     "src_iceberg_migrate",
+    "src_delta_merge_clauses",
     # --- stream_* pool, placed explicitly (r9 #5); stream_delta_source
     #     re-certifies the r10 partition-planned executor-side reader ---
     "stream_delta_source",
@@ -115,7 +116,6 @@ _FRONT = (
     "fn_map_more",
     "fn_math",
     "fn_math_golden",
-    "fn_math_trig",
 )
 
 

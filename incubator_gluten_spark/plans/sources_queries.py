@@ -3037,3 +3037,112 @@ def src_iceberg_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@q(
+    "src_delta_merge_clauses",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    s AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, o_orderpriority
+      FROM t WHERE o_orderkey < 300
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1997 AND o_orderkey < 300
+    ),
+    merged AS (
+      SELECT t.o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderkey % 2 = 0
+                  THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NOT NULL AND s.o_orderkey % 2 = 0
+                  THEN 'M-UP'
+                  WHEN s.o_orderkey IS NULL AND t.o_orderkey < 100
+                  THEN 'T-STALE'
+                  ELSE t.o_orderpriority END AS o_orderpriority
+      FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+      WHERE s.o_orderkey IS NULL OR s.o_orderkey % 2 = 0
+      UNION ALL
+      SELECT s.o_orderkey, s.o_totalprice, s.o_orderpriority
+      FROM s
+      WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t)
+        AND s.o_orderpriority LIKE '1-%'
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CONDITIONAL MERGE INTO (sources/delta_protocol.py
+    merge_clauses — whenMatchedUpdate w/ condition + whenMatchedDelete
+    + whenNotMatchedInsert w/ condition + whenNotMatchedBySourceUpdate
+    w/ condition, Delta's full clause surface): first matching clause
+    wins within a category; even-keyed matched rows take the source
+    price and 'M-UP', odd-keyed matched rows DELETE, only urgent
+    unmatched source rows insert, and stale target-only rows under key
+    100 get re-labeled 'T-STALE'.  The not_matched_by_source clause
+    forces EVERY file into the rewrite set (asserted files_skipped ==
+    0) — Delta's own documented full-scan behavior for that clause,
+    the honest O(table) case; without it, skipping is identical to
+    ``merge`` (src_delta_merge asserts that side).  Operation metrics
+    (updated/deleted/inserted counts) are asserted non-zero in-entry;
+    the oracle recomputes the clause semantics as a LEFT JOIN CASE
+    chain ∪ filtered anti-join inserts and the hash certifies the
+    whole clause evaluation order end to end.  Reference analog:
+    gluten-delta scans Delta-jar MERGE output (DeltaScanTransformer);
+    clause semantics follow the public Delta MERGE INTO docs."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_merge_clauses")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    o96 = orders.filter(F.year("o_orderdate") == 1996).select(*cols)
+    dp.create_table(o96.repartitionByRange(4, "o_orderkey"), root)
+    upd = o96.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    ins = orders.filter(
+        (F.year("o_orderdate") == 1997) & (F.col("o_orderkey") < 300)
+    ).select(*cols)
+    out = dp.merge_clauses(
+        spark,
+        root,
+        upd.unionByName(ins),
+        "o_orderkey",
+        [
+            {"when": "matched", "condition": "s.o_orderkey % 2 = 0",
+             "action": "update",
+             "set": {"o_totalprice": "s.o_totalprice",
+                     "o_orderpriority": "'M-UP'"}},
+            {"when": "matched", "action": "delete"},
+            {"when": "not_matched",
+             "condition": "s.o_orderpriority LIKE '1-%'",
+             "action": "insert_all"},
+            {"when": "not_matched_by_source",
+             "condition": "t.o_orderkey < 100", "action": "update",
+             "set": {"o_orderpriority": "'T-STALE'"}},
+        ],
+    )
+    if out["files_skipped"] != 0:
+        raise RuntimeError(
+            "not_matched_by_source must force a full rewrite set"
+        )
+    if not (out["num_updated"] and out["num_deleted"] and out["num_inserted"]):
+        raise RuntimeError(f"clause metrics incomplete: {out}")
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -374,3 +374,207 @@ def test_stage_writes_parseable_stats_json(spark, tmp_path):
         stats = json.loads(a["stats"])  # parse_constant raises on NaN
         assert stats["numRecords"] >= 1
         assert stats["minValues"]["k"] == 1 and stats["maxValues"]["k"] == 2
+
+
+# ---------------------------------------------------------------------------
+# merge_clauses: full conditional MERGE INTO (r10)
+
+
+def _mk_target(spark, tmp_path, name, cdf=False):
+    root = str(tmp_path / name)
+    conf = {"delta.enableChangeDataFeed": "true"} if cdf else None
+    dp.create_table(
+        _mk(spark, [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")]),
+        root,
+        configuration=conf,
+    )
+    return root
+
+
+def test_clauses_ordered_update_then_delete(spark, tmp_path):
+    """First matching clause wins: matched rows with s.price > t.price
+    update; remaining matched rows delete; unmatched target rows stay."""
+    root = _mk_target(spark, tmp_path, "mc_order")
+    src = _mk(spark, [(1, 99.0, "s1"), (2, 5.0, "s2")])
+    out = dp.merge_clauses(
+        spark, root, src, "k",
+        [
+            {"when": "matched", "condition": "s.price > t.price",
+             "action": "update", "set": {"price": "s.price"}},
+            {"when": "matched", "action": "delete"},
+        ],
+    )
+    assert out["num_updated"] == 1 and out["num_deleted"] == 1
+    got = _rows(dp.read_table(spark, root))
+    # k=1 updated price only (grp keeps target value), k=2 deleted
+    assert got == _rows(_mk(spark, [(1, 99.0, "a"), (3, 30.0, "c")]))
+
+
+def test_clauses_conditional_insert_nulls_unset(spark, tmp_path):
+    root = _mk_target(spark, tmp_path, "mc_ins")
+    src = _mk(spark, [(7, 70.0, "x"), (8, 1.0, "y")])
+    out = dp.merge_clauses(
+        spark, root, src, "k",
+        [
+            {"when": "not_matched", "condition": "s.price > 10",
+             "action": "insert", "set": {"k": "s.k", "price": "s.price"}},
+        ],
+    )
+    assert out["num_inserted"] == 1
+    got = _rows(dp.read_table(spark, root).filter("k = 7"))
+    assert got == [(7, 70.0, None)]  # grp unset -> NULL
+    assert dp.read_table(spark, root).filter("k = 8").count() == 0
+
+
+def test_clauses_not_matched_by_source_forces_full_rewrite(spark, tmp_path):
+    """Any not_matched_by_source clause makes EVERY file a rewrite
+    candidate (a target-only row can live anywhere) — Delta's own
+    documented full-scan behavior; and the clause's condition applies."""
+    root = str(tmp_path / "mc_nmbs")
+    dp.create_table(_mk(spark, [(1, 10.0, "a"), (2, 20.0, "b")]), root)
+    dp.append(_mk(spark, [(100, 1.0, "z")]), root)  # range-disjoint file
+    src = _mk(spark, [(1, 11.0, "a")])
+    out = dp.merge_clauses(
+        spark, root, src, "k",
+        [
+            {"when": "matched", "action": "update_all"},
+            {"when": "not_matched_by_source", "condition": "t.price >= 20",
+             "action": "delete"},
+        ],
+    )
+    assert out["files_skipped"] == 0  # disjoint file still rewritten
+    assert out["num_deleted"] == 1  # only k=2 (t.price>=20); k=100 kept
+    got = _rows(dp.read_table(spark, root))
+    assert got == _rows(_mk(spark, [(1, 11.0, "a"), (100, 1.0, "z")]))
+
+
+def test_clauses_nmbs_update_expression_over_target(spark, tmp_path):
+    root = _mk_target(spark, tmp_path, "mc_nmbs_upd")
+    src = _mk(spark, [(1, 10.0, "a")])
+    dp.merge_clauses(
+        spark, root, src, "k",
+        [
+            {"when": "not_matched_by_source", "action": "update",
+             "set": {"price": "t.price * 2"}},
+        ],
+    )
+    got = _rows(dp.read_table(spark, root))
+    assert got == _rows(
+        _mk(spark, [(1, 10.0, "a"), (2, 40.0, "b"), (3, 60.0, "c")])
+    )
+
+
+def test_clauses_stats_skipping_without_nmbs(spark, tmp_path):
+    root = str(tmp_path / "mc_skip")
+    dp.create_table(_mk(spark, [(1, 10.0, "a"), (2, 20.0, "b")]), root)
+    dp.append(_mk(spark, [(100, 1.0, "z")]), root)
+    out = dp.merge_clauses(
+        spark, root, _mk(spark, [(1, 99.0, "s")]), "k",
+        [{"when": "matched", "action": "update_all"}],
+    )
+    assert out["files_skipped"] == 1 and out["files_rewritten"] == 1
+
+
+def test_clauses_update_set_mixes_t_and_s(spark, tmp_path):
+    root = _mk_target(spark, tmp_path, "mc_mix")
+    src = _mk(spark, [(2, 5.0, "s2")])
+    dp.merge_clauses(
+        spark, root, src, "k",
+        [
+            {"when": "matched", "action": "update",
+             "set": {"price": "t.price + s.price", "grp": "concat(t.grp, s.grp)"}},
+        ],
+    )
+    got = _rows(dp.read_table(spark, root).filter("k = 2"))
+    assert got == [(2, 25.0, "bs2")]
+
+
+def test_clauses_null_key_source_rows_reach_insert(spark, tmp_path):
+    root = _mk_target(spark, tmp_path, "mc_null")
+    src = _mk(spark, [(None, 5.0, "n"), (9, 9.0, "i")])
+    out = dp.merge_clauses(
+        spark, root, src, "k",
+        [{"when": "not_matched", "action": "insert_all"}],
+    )
+    assert out["num_inserted"] == 2
+    assert dp.read_table(spark, root).count() == 5
+
+
+def test_clauses_validation_errors(spark, tmp_path):
+    root = _mk_target(spark, tmp_path, "mc_bad")
+    src = _mk(spark, [(1, 1.0, "x")])
+    with pytest.raises(DeltaProtocolError, match="unreachable"):
+        dp.merge_clauses(
+            spark, root, src, "k",
+            [
+                {"when": "matched", "action": "delete"},
+                {"when": "matched", "action": "update_all"},
+            ],
+        )
+    with pytest.raises(DeltaProtocolError, match="not valid"):
+        dp.merge_clauses(
+            spark, root, src, "k",
+            [{"when": "not_matched", "action": "delete"}],
+        )
+    with pytest.raises(DeltaProtocolError, match="unknown column"):
+        dp.merge_clauses(
+            spark, root, src, "k",
+            [{"when": "matched", "action": "update", "set": {"nope": "1"}}],
+        )
+    with pytest.raises(DeltaProtocolError, match="unknown WHEN"):
+        dp.merge_clauses(
+            spark, root, src, "k",
+            [{"when": "sometimes", "action": "update"}],
+        )
+
+
+def test_clauses_duplicate_matching_keys_raise(spark, tmp_path):
+    root = _mk_target(spark, tmp_path, "mc_dup")
+    src = _mk(spark, [(1, 1.0, "x"), (1, 2.0, "y")])
+    with pytest.raises(DeltaProtocolError, match="duplicate"):
+        dp.merge_clauses(
+            spark, root, src, "k",
+            [{"when": "matched", "action": "update_all"}],
+        )
+
+
+def test_clauses_cdf_emits_all_change_types(spark, tmp_path):
+    root = _mk_target(spark, tmp_path, "mc_cdf", cdf=True)
+    src = _mk(spark, [(1, 99.0, "s1"), (2, 5.0, "s2"), (7, 70.0, "s7")])
+    dp.merge_clauses(
+        spark, root, src, "k",
+        [
+            {"when": "matched", "condition": "s.price > t.price",
+             "action": "update_all"},
+            {"when": "matched", "action": "delete"},
+            {"when": "not_matched", "action": "insert_all"},
+        ],
+    )
+    ch = dp.table_changes(spark, root, 1, 1)
+    assert _rows(ch.select("k", "price", "_change_type")) == sorted(
+        [
+            (1, 10.0, "update_preimage"),
+            (1, 99.0, "update_postimage"),
+            (2, 20.0, "delete"),
+            (7, 70.0, "insert"),
+        ],
+        key=lambda t: tuple(map(str, t)),
+    )
+
+
+def test_clauses_unclaimed_matched_rows_carry_unchanged(spark, tmp_path):
+    """A matched row claimed by no clause is copied as-is through the
+    rewrite (not dropped, not updated)."""
+    root = _mk_target(spark, tmp_path, "mc_keep")
+    src = _mk(spark, [(1, 0.0, "s1")])
+    dp.merge_clauses(
+        spark, root, src, "k",
+        [
+            {"when": "matched", "condition": "s.price > t.price",
+             "action": "update_all"},
+        ],
+    )
+    got = _rows(dp.read_table(spark, root))
+    assert got == _rows(
+        _mk(spark, [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")])
+    )
