@@ -75,6 +75,7 @@ _FRONT = (
     # --- r10 new surface, certified the round it lands (r9 #7) ---
     "src_iceberg_migrate",
     "src_delta_merge_clauses",
+    "src_delta_replace_where",
     # --- stream_* pool, placed explicitly (r9 #5); stream_delta_source
     #     re-certifies the r10 partition-planned executor-side reader ---
     "stream_delta_source",
@@ -115,7 +116,6 @@ _FRONT = (
     "fn_map_batch3",
     "fn_map_more",
     "fn_math",
-    "fn_math_golden",
 )
 
 

@@ -3146,3 +3146,88 @@ def src_delta_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_delta_replace_where",
+    """
+    WITH kept AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders
+      WHERE year(o_orderdate) IN (1996, 1997)
+        AND o_orderpriority <> '1-URGENT'
+    ),
+    fresh AS (
+      SELECT o_orderkey, o_totalprice, '1-URGENT' AS o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1995
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (SELECT * FROM kept UNION ALL SELECT * FROM fresh)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``INSERT OVERWRITE ... replaceWhere``
+    (sources/delta_protocol.py overwrite_where): ONE atomic commit
+    replaces exactly the '1-URGENT' partition of a priority-partitioned
+    table with a fresh load (1995 orders re-stamped urgent) while every
+    other partition survives BYTE-IDENTICAL and is pruned from the
+    rewrite via the log's partitionValues alone (files_skipped > 0 and
+    untouched add-paths asserted) — the idempotent-backfill primitive:
+    overwriting one day of a day-partitioned 100 TB table rewrites one
+    partition and reads zero others.  A SECOND identical replaceWhere
+    converges (asserted) — re-running a backfill cannot duplicate.  The
+    strict new-rows-must-match-predicate contract
+    (DELTA_REPLACE_WHERE_MISMATCH) is pinned in
+    tests/test_delta_protocol.py.  Reference analog: gluten-delta scans
+    replaceWhere output through the jar (DeltaScanTransformer);
+    semantics follow the public DataFrameWriter replaceWhere docs."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_replace_where")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate").isin(1996, 1997)).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    untouched_before = {
+        a["path"]
+        for a in dp.resolve(spark, root).adds
+        if a["partitionValues"]["o_orderpriority"] != "1-URGENT"
+    }
+    fresh = orders.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit("1-URGENT").alias("o_orderpriority"),
+    )
+    out = dp.overwrite_where(
+        spark, root, "o_orderpriority = '1-URGENT'", fresh
+    )
+    if out["files_skipped"] == 0:
+        raise RuntimeError("replaceWhere never pruned a partition")
+    out2 = dp.overwrite_where(
+        spark, root, "o_orderpriority = '1-URGENT'", fresh
+    )
+    if out2["files_skipped"] != out["files_skipped"]:
+        raise RuntimeError("replaceWhere replay diverged")
+    untouched_after = {
+        a["path"]
+        for a in dp.resolve(spark, root).adds
+        if a["partitionValues"]["o_orderpriority"] != "1-URGENT"
+    }
+    if untouched_before != untouched_after:
+        raise RuntimeError("replaceWhere touched a pruned partition")
+    return dp.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

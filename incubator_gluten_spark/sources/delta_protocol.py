@@ -1050,6 +1050,89 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
     }
 
 
+def overwrite_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    df: DataFrame,
+    strict: bool = True,
+) -> dict:
+    """``INSERT OVERWRITE ... replaceWhere``: ONE atomic commit that
+    replaces exactly the rows matching ``predicate`` with ``df`` — the
+    idempotent-backfill primitive (re-running the same day's load
+    converges instead of duplicating).
+
+    Delta's contract: with ``strict`` (the default,
+    ``replaceWhere.constraintCheck.enabled``) every NEW row must satisfy
+    the predicate — refusing otherwise (DELTA_REPLACE_WHERE_MISMATCH)
+    keeps the operation idempotent; ``strict=False`` mirrors disabling
+    the check.  Files whose log-carried partitionValues cannot match a
+    partition-equality predicate are pruned from the rewrite via the
+    LOG ALONE (no listing, no footers) — overwriting one day of a
+    day-partitioned 100 TB table rewrites one partition, reads zero
+    others.  Matching files are COW-rewritten keeping their
+    non-matching rows (DV-aware via ``_live_rows``).  CDF: delete
+    images for replaced rows + insert images for new rows.
+
+    Reference analog: gluten-delta scans replaceWhere output through
+    the jar (gluten-delta/src/main/scala/org/apache/gluten/execution/
+    DeltaScanTransformer.scala); semantics follow the public Delta
+    DataFrameWriter.option("replaceWhere", ...) docs."""
+    v = current_version(root) + 1
+    snap = resolve(spark, root)
+    pcols = snap.partition_columns
+    cols = [f.name for f in snap.schema.fields]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise DeltaProtocolError(
+            f"replaceWhere data lacks table column(s) {missing}"
+        )
+    new_df = df.select(*cols)
+    gens = _generated_cols(snap.metadata)
+    if gens:
+        new_df = _compute_or_validate_generated(
+            new_df, gens, "replaceWhere"
+        ).select(*cols)
+    _enforce_constraints(new_df, snap.metadata, "replaceWhere")
+    if strict and not new_df.filter(f"NOT ({predicate})").isEmpty():
+        raise DeltaProtocolError(
+            "replaceWhere: new rows violate the replace predicate "
+            f"({predicate!r}) — Delta's DELTA_REPLACE_WHERE_MISMATCH; "
+            "pass strict=False to mirror disabling constraintCheck"
+        )
+    rewrite, skipped = _split_by_partition_predicate(snap, predicate)
+    mapping = _write_mapping(snap.metadata)
+    actions: list[dict] = []
+    live = None
+    if rewrite:
+        sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
+        live = _live_rows(spark, root, sub)
+        kept = live.filter(f"NOT ({predicate})")
+        if not kept.isEmpty():
+            actions.extend(
+                _stage_data_files(kept, root, pcols, mapping=mapping)
+            )
+    actions.extend(_stage_data_files(new_df, root, pcols, mapping=mapping))
+    if _cdf_enabled(snap.metadata):
+        changes = new_df.withColumn("_change_type", F.lit("insert"))
+        if live is not None:
+            changes = changes.unionByName(
+                live.filter(predicate).withColumn(
+                    "_change_type", F.lit("delete")
+                )
+            )
+        actions.extend(
+            _stage_data_files(changes, root, pcols, cdc=True, mapping=mapping)
+        )
+    actions.extend(_remove_actions(rewrite))
+    _write_actions(root, v, actions)
+    return {
+        "version": v,
+        "files_skipped": len(skipped),
+        "files_rewritten": len(rewrite),
+    }
+
+
 def update_where(
     spark: SparkSession, root: str, predicate: str, assignments: dict[str, str]
 ) -> dict:

@@ -318,3 +318,129 @@ def test_partition_values_unescaped_and_null_sentinel(spark, tmp_path):
     assert vals == {"a=b", "x:y", None, "p%q", "plain"}
     got = dp.read_table(spark, root)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# overwrite_where (replaceWhere) — r10
+
+
+def _rw_mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "k bigint, price double, grp string"
+    ).coalesce(1)
+
+
+def test_replace_where_partition_pruned_and_replaces(spark, tmp_path):
+    import incubator_gluten_spark.sources.delta_protocol as dp
+
+    root = str(tmp_path / "rw_part")
+    dp.create_table(
+        _rw_mk(spark, [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a")]),
+        root,
+        partition_cols=["grp"],
+    )
+    before = {
+        a["path"]
+        for a in dp.resolve(spark, root).adds
+        if a["partitionValues"]["grp"] == "b"
+    }
+    out = dp.overwrite_where(
+        spark, root, "grp = 'a'", _rw_mk(spark, [(9, 90.0, "a")])
+    )
+    assert out["files_skipped"] >= 1  # the 'b' partition never touched
+    after = {
+        a["path"]
+        for a in dp.resolve(spark, root).adds
+        if a["partitionValues"]["grp"] == "b"
+    }
+    assert before == after  # byte-identical survivors
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == [(2, 20.0, "b"), (9, 90.0, "a")]
+
+
+def test_replace_where_strict_refuses_mismatched_rows(spark, tmp_path):
+    import incubator_gluten_spark.sources.delta_protocol as dp
+
+    root = str(tmp_path / "rw_strict")
+    dp.create_table(_rw_mk(spark, [(1, 10.0, "a")]), root)
+    with pytest.raises(dp.DeltaProtocolError, match="REPLACE_WHERE_MISMATCH"):
+        dp.overwrite_where(
+            spark, root, "grp = 'a'", _rw_mk(spark, [(9, 90.0, "z")])
+        )
+    # constraint check disabled: rows land regardless
+    dp.overwrite_where(
+        spark, root, "grp = 'a'", _rw_mk(spark, [(9, 90.0, "z")]),
+        strict=False,
+    )
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == [(9, 90.0, "z")]
+
+
+def test_replace_where_row_level_predicate_keeps_others(spark, tmp_path):
+    import incubator_gluten_spark.sources.delta_protocol as dp
+
+    root = str(tmp_path / "rw_rows")
+    dp.create_table(
+        _rw_mk(spark, [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "b")]), root
+    )
+    dp.overwrite_where(
+        spark, root, "price >= 20", _rw_mk(spark, [(7, 70.0, "n")])
+    )
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == [(1, 10.0, "a"), (7, 70.0, "n")]
+
+
+def test_replace_where_is_idempotent(spark, tmp_path):
+    import incubator_gluten_spark.sources.delta_protocol as dp
+
+    root = str(tmp_path / "rw_idem")
+    dp.create_table(
+        _rw_mk(spark, [(1, 10.0, "a"), (2, 20.0, "b")]), root,
+        partition_cols=["grp"],
+    )
+    day = _rw_mk(spark, [(5, 50.0, "a"), (6, 60.0, "a")])
+    dp.overwrite_where(spark, root, "grp = 'a'", day)
+    first = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    dp.overwrite_where(spark, root, "grp = 'a'", day)  # replayed backfill
+    second = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert first == second == [(2, 20.0, "b"), (5, 50.0, "a"), (6, 60.0, "a")]
+
+
+def test_replace_where_preserves_dv_deleted_rows(spark, tmp_path):
+    import incubator_gluten_spark.sources.delta_protocol as dp
+
+    root = str(tmp_path / "rw_dv")
+    dp.create_table(
+        _rw_mk(spark, [(1, 10.0, "a"), (2, 20.0, "a"), (3, 30.0, "a")]), root
+    )
+    dp.delete_where_dv(spark, root, "k = 2")
+    dp.overwrite_where(spark, root, "k >= 3", _rw_mk(spark, [(9, 9.0, "x")]))
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == [(1, 10.0, "a"), (9, 9.0, "x")]  # k=2 stays deleted
+
+
+def test_replace_where_cdf_emits_delete_and_insert(spark, tmp_path):
+    import incubator_gluten_spark.sources.delta_protocol as dp
+
+    root = str(tmp_path / "rw_cdf")
+    dp.create_table(
+        _rw_mk(spark, [(1, 10.0, "a"), (2, 20.0, "b")]), root,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dp.overwrite_where(spark, root, "grp = 'a'", _rw_mk(spark, [(9, 90.0, "a")]))
+    ch = dp.table_changes(spark, root, 1, 1)
+    got = sorted(
+        map(tuple, ch.select("k", "_change_type").collect()),
+        key=lambda t: tuple(map(str, t)),
+    )
+    assert got == [(1, "delete"), (9, "insert")]
+
+
+def test_replace_where_missing_column_refuses(spark, tmp_path):
+    import incubator_gluten_spark.sources.delta_protocol as dp
+
+    root = str(tmp_path / "rw_cols")
+    dp.create_table(_rw_mk(spark, [(1, 10.0, "a")]), root)
+    bad = spark.createDataFrame([(5,)], "k bigint")
+    with pytest.raises(dp.DeltaProtocolError, match="lacks table column"):
+        dp.overwrite_where(spark, root, "grp = 'a'", bad)
