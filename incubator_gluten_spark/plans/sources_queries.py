@@ -3231,3 +3231,83 @@ def src_delta_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_iceberg_cow_dml",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    ),
+    after_del AS (
+      SELECT * FROM t
+      WHERE NOT (o_orderpriority = '1-URGENT' AND o_totalprice > 100000)
+    ),
+    after_upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '2-HIGH'
+                  THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderpriority
+      FROM after_del
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM after_upd
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_cow_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg row-level COPY-ON-WRITE DELETE + UPDATE
+    (sources/iceberg_format.py delete_where / update_where —
+    ``write.delete.mode=copy-on-write``, Spark's default DML mode on
+    Iceberg; the v2 merge-on-read twins live in src_iceberg_mor): on a
+    priority-partitioned table, DELETE prunes its candidates to the
+    '1-URGENT' partition through the manifests' identity tuples
+    (files_skipped asserted — other partitions never read), rewrites
+    survivors, and commits ONE 'overwrite' snapshot; UPDATE then
+    doubles '2-HIGH' prices the same way.  Both predicates use the
+    module's tuple form, the same surface plan_files prunes with, so
+    pruning and the row filter cannot disagree.  Time travel to the
+    pre-DML snapshot still sees every original row (asserted).  The
+    oracle recomputes both statements as CASE/WHERE chains and the
+    hash certifies the chain end to end.  gluten-iceberg scans the
+    jar's COW DML output (IcebergScanTransformer.scala); semantics
+    here follow the public spec + Spark-on-Iceberg DML docs."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_cow_dml")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    ice.create_table(
+        orders.filter(F.year("o_orderdate").isin(1996, 1997)).select(*cols),
+        root,
+        partition_cols=["o_orderpriority"],
+    )
+    n_before = ice.read_table(spark, root).count()
+    out = ice.delete_where(
+        spark,
+        root,
+        [("o_orderpriority", "=", "1-URGENT"), ("o_totalprice", ">", 100000)],
+    )
+    if out["files_skipped"] == 0:
+        raise RuntimeError("COW DELETE never pruned a partition")
+    ice.update_where(
+        spark,
+        root,
+        [("o_orderpriority", "=", "2-HIGH")],
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    if ice.read_table(spark, root, snapshot_id=1).count() != n_before:
+        raise RuntimeError("time travel lost the pre-DML snapshot")
+    return ice.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

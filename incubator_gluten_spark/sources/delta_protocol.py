@@ -507,6 +507,7 @@ def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
     )
 
     snap = resolve(spark, root)
+    _require_mutable(snap.metadata, "DELETE (DV)")
     v = current_version(root) + 1
     df = _grouped_scan(spark, root, snap, with_positions=True)
     existing = {
@@ -1011,6 +1012,20 @@ def _remove_actions(adds: list[dict]) -> list[dict]:
     ]
 
 
+def _require_mutable(metadata: dict | None, op: str) -> None:
+    """delta.appendOnly=true (writer protocol feature ``appendOnly``,
+    minWriterVersion 2): any operation that removes or rewrites data
+    refuses — appends, OPTIMIZE (dataChange=false), and insert-only
+    merges stay legal.  The audit-log / event-stream table contract."""
+    if ((metadata or {}).get("configuration") or {}).get(
+        "delta.appendOnly"
+    ) == "true":
+        raise DeltaProtocolError(
+            f"{op} on an append-only table (delta.appendOnly=true) — "
+            "Delta refuses deletes/updates on appendOnly tables"
+        )
+
+
 def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
     """Copy-on-write DELETE: rewrite every file that may contain matching
     rows (partition-pruned via the log's partitionValues when the
@@ -1018,6 +1033,7 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
     file accounting."""
     v = current_version(root) + 1
     snap = resolve(spark, root)
+    _require_mutable(snap.metadata, "DELETE")
     pcols = snap.partition_columns
     rewrite, skipped = _split_by_partition_predicate(snap, predicate)
     mapping = _write_mapping(snap.metadata)
@@ -1080,6 +1096,7 @@ def overwrite_where(
     DataFrameWriter.option("replaceWhere", ...) docs."""
     v = current_version(root) + 1
     snap = resolve(spark, root)
+    _require_mutable(snap.metadata, "replaceWhere OVERWRITE")
     pcols = snap.partition_columns
     cols = [f.name for f in snap.schema.fields]
     missing = [c for c in cols if c not in df.columns]
@@ -1146,6 +1163,7 @@ def update_where(
     survive it, same as delete_where."""
     v = current_version(root) + 1
     snap = resolve(spark, root)
+    _require_mutable(snap.metadata, "UPDATE")
     pcols = snap.partition_columns
     unknown = set(assignments) - {f.name for f in snap.schema.fields}
     if unknown:
@@ -1248,6 +1266,8 @@ def merge(
     match nothing are plain multi-row inserts, which Delta allows."""
     v = current_version(root) + 1
     snap = resolve(spark, root)
+    # merge() always carries an UPDATE clause (whenMatchedUpdateAll)
+    _require_mutable(snap.metadata, "MERGE with update clause")
     pcols = snap.partition_columns
     cols = [f.name for f in snap.schema.fields]
     n_src, n_nn, n_keys, lo, hi = source.agg(
@@ -1436,6 +1456,12 @@ def merge_clauses(
     snap = resolve(spark, root)
     cols = [f.name for f in snap.schema.fields]
     _validate_clauses(clauses, cols)
+    mutating = any(
+        c["action"] in ("update", "update_all", "delete") for c in clauses
+    )
+    if mutating:
+        # insert-only merges are legal on appendOnly tables (Delta)
+        _require_mutable(snap.metadata, "MERGE with update/delete clauses")
     v = current_version(root) + 1
     pcols = snap.partition_columns
     has_nmbs = any(c["when"] == "not_matched_by_source" for c in clauses)
@@ -1446,11 +1472,16 @@ def merge_clauses(
         F.min(key_col),
         F.max(key_col),
     ).first()
-    rewrite, untouched = [], []
+    # scan set = files whose rows can MATCH a source key (needed to
+    # decide matched vs not-matched even when nothing rewrites);
+    # rewrite set = scan set only when some clause mutates target rows —
+    # an insert-only merge stages just its inserts (O(inserts), legal
+    # on appendOnly tables).
+    scan, untouched = [], []
     phys_key = (_write_mapping(snap.metadata) or {}).get(key_col, key_col)
     for add in snap.adds:
         if has_nmbs:
-            rewrite.append(add)  # target-only rows can live in ANY file
+            scan.append(add)  # target-only rows can live in ANY file
             continue
         if lo is None:
             untouched.append(add)
@@ -1463,9 +1494,10 @@ def merge_clauses(
         if disjoint:
             untouched.append(add)
         else:
-            rewrite.append(add)
-    sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
-    tgt = _live_rows(spark, root, sub) if rewrite else None
+            scan.append(add)
+    rewrite = scan if mutating else []
+    sub = Snapshot(snap.version, snap.metadata, scan, snap.protocol)
+    tgt = _live_rows(spark, root, sub) if scan else None
     if n_keys != n_nn and tgt is not None:
         dups = (
             source.filter(F.col(key_col).isNotNull())
@@ -1537,9 +1569,13 @@ def merge_clauses(
         # cast pins the table type even when every branch is NULL (an
         # insert clause that leaves the column unset)
         out_cols.append(e.cast(types[name]).alias(name))
-    survivors = joined.filter(
-        ~F.col("__act").rlike(":delete$") & (F.col("__act") != "drop")
-    )
+    if mutating:
+        survivors = joined.filter(
+            ~F.col("__act").rlike(":delete$") & (F.col("__act") != "drop")
+        )
+    else:
+        # insert-only: target files stay in place — stage ONLY inserts
+        survivors = joined.filter(F.col("__act").rlike(":insert(_all)?$"))
     merged = survivors.select(*out_cols)
     gens = _generated_cols(snap.metadata)
     if gens:

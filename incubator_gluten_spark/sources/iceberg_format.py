@@ -597,6 +597,16 @@ def read_table(
         # bind by name through the mapping instead of by id
         df = _read_name_mapped(spark, root, meta, schema, files)
         return _apply_residual(df, source_predicates)
+    df = _read_files_by_id(spark, root, meta, schema, files)
+    return _apply_residual(df, source_predicates)
+
+
+def _read_files_by_id(
+    spark: SparkSession, root: str, meta: dict, schema: dict, files: list[dict]
+) -> DataFrame:
+    """Field-id-bound read of specific planned data files (the shared
+    scan core of read_table and the row-level COW rewrites)."""
+    schemas = meta.get("schemas") or [meta["schema"]]
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
     # Upstream hazard (verified in this build): Spark's PARQUET FILTER
@@ -638,17 +648,11 @@ def read_table(
     df = spark.read.schema(StructType(read_fields)).parquet(
         *[_resolve_path(root, f["file_path"]) for f in files]
     )
-    df = df.select(*out_cols)
-    return _apply_residual(df, source_predicates)
+    return df.select(*out_cols)
 
 
-def _apply_residual(df: DataFrame, source_predicates: list[tuple] | None) -> DataFrame:
-    """Hidden partitioning: pruning is conservative (a kept file may
-    straddle the predicate); the RESIDUAL filter on the source column
-    makes the result exact — this is the query the user wrote, pruning
-    is invisible (the spec's whole point)."""
-    if not source_predicates:
-        return df
+def _source_pred_cond(source_predicates: list[tuple]):
+    """Spark Column for the module's predicate-tuple form."""
     cond = F.lit(True)
     for col, op, val in source_predicates:
         c = F.col(col)
@@ -664,7 +668,17 @@ def _apply_residual(df: DataFrame, source_predicates: list[tuple] | None) -> Dat
             cond = cond & (c > F.lit(val))
         elif op == ">=":
             cond = cond & (c >= F.lit(val))
-    return df.filter(cond)
+    return cond
+
+
+def _apply_residual(df: DataFrame, source_predicates: list[tuple] | None) -> DataFrame:
+    """Hidden partitioning: pruning is conservative (a kept file may
+    straddle the predicate); the RESIDUAL filter on the source column
+    makes the result exact — this is the query the user wrote, pruning
+    is invisible (the spec's whole point)."""
+    if not source_predicates:
+        return df
+    return df.filter(_source_pred_cond(source_predicates))
 
 
 def _read_name_mapped(
@@ -1161,6 +1175,140 @@ def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
         root, meta, manifests, "delete", ice_schema, _default_spec(meta)
     )
     return {"snapshot_id": snap_id, "files_deleted": n_deleted}
+
+
+def _cow_rewrite(
+    spark: SparkSession,
+    root: str,
+    predicates: list[tuple],
+    transform,
+    op_name: str,
+) -> dict:
+    """Shared row-level COPY-ON-WRITE core for delete_where /
+    update_where: candidate files planned METADATA-ONLY through the
+    spec's partition transforms (plan_files(source_predicates=...));
+    candidates are re-read field-id-bound (hazard-shielded), their rows
+    pass through ``transform(rows, cond)``, the result restages as new
+    ADDED files under the default spec; untouched files re-state
+    EXISTING under their own specs, candidates re-state DELETED, and
+    ONE 'overwrite' snapshot commits the swap.  Predicates use the
+    module's tuple form — the same surface plan_files prunes with, so
+    pruning and the exact row filter can never disagree.
+
+    At 100 TB: rewrite cost is O(files whose partitions intersect the
+    predicate); planning is O(manifests); time travel to prior
+    snapshots still sees the old rows.  Name-mapped tables refuse
+    (these are writer ops for iceberg-written tables; Hive-migrated
+    data has no field ids to restamp)."""
+    meta = _current_metadata(root)
+    if (meta.get("properties") or {}).get("schema.name-mapping.default"):
+        raise ValueError(
+            f"{op_name} on a name-mapped table is not supported (no "
+            "field ids in the data files to rewrite against)"
+        )
+    ice_schema = _current_schema(meta)
+    spec = _default_spec(meta)
+    cond = _source_pred_cond(predicates)
+    cand = plan_files(root, source_predicates=predicates)
+    cand_paths = {f["file_path"] for f in cand}
+    snap_id = len(meta["snapshots"]) + 1
+    by_spec: dict[int, list[tuple]] = {}
+    n_untouched = 0
+    for f in plan_files(root):
+        sid = f.pop("_spec_id", 0)
+        if f["file_path"] in cand_paths:
+            st = DELETED
+        else:
+            st = EXISTING
+            n_untouched += 1
+        by_spec.setdefault(sid, []).append((st, snap_id, f))
+    manifests = [
+        _write_manifest(
+            root,
+            entries,
+            _partition_avro_schema(ice_schema, _spec_by_id(meta, sid)),
+            uuid.uuid4().hex[:8],
+            spec_id=sid,
+        )
+        for sid, entries in sorted(by_spec.items())
+    ]
+    if cand:
+        rows = _read_files_by_id(
+            spark, root, meta, _current_schema(meta), cand
+        )
+        out = transform(rows, cond)
+        added = _write_data_files(
+            spark, out, root, [], ice_schema=ice_schema, spec=spec
+        )
+        if added:
+            manifests.append(
+                _write_manifest(
+                    root,
+                    [(ADDED, snap_id, d) for d in added],
+                    _partition_avro_schema(ice_schema, spec),
+                    uuid.uuid4().hex[:8],
+                    spec_id=spec.get("spec-id", 0),
+                )
+            )
+    committed = _commit_snapshot(
+        root, meta, manifests, "overwrite", ice_schema, spec
+    )
+    return {
+        "snapshot_id": committed["snapshot-id"],
+        "files_rewritten": len(cand),
+        "files_skipped": n_untouched,
+    }
+
+
+def delete_where(
+    spark: SparkSession, root: str, predicates: list[tuple]
+) -> dict:
+    """Row-level COW DELETE (``write.delete.mode=copy-on-write``,
+    Spark's default for DELETE on Iceberg): survivors of every
+    intersecting file restage; see ``_cow_rewrite``.  The v2
+    merge-on-read twins (position/equality delete files) live in
+    iceberg_v2.py."""
+    return _cow_rewrite(
+        spark,
+        root,
+        predicates,
+        lambda rows, cond: rows.filter(~cond),
+        "COW DELETE",
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    root: str,
+    predicates: list[tuple],
+    assignments: dict[str, str],
+) -> dict:
+    """Row-level COW UPDATE: matching rows take the SQL-expression
+    ``assignments`` (all evaluated against PRE-update values, standard
+    UPDATE semantics), non-matching rows of rewritten files restage
+    unchanged; see ``_cow_rewrite``."""
+    meta = _current_metadata(root)
+    known = {f["name"] for f in _current_schema(meta)["fields"]}
+    bad = [c for c in assignments if c not in known]
+    if bad:
+        raise ValueError(f"COW UPDATE assigns unknown column(s) {bad}")
+
+    def transform(rows: DataFrame, cond) -> DataFrame:
+        return rows.select(
+            *[
+                F.when(
+                    cond,
+                    F.expr(assignments[c]).cast(rows.schema[c].dataType),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in rows.columns
+            ]
+        )
+
+    return _cow_rewrite(spark, root, predicates, transform, "COW UPDATE")
 
 
 def append(

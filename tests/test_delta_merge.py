@@ -578,3 +578,57 @@ def test_clauses_unclaimed_matched_rows_carry_unchanged(spark, tmp_path):
     assert got == _rows(
         _mk(spark, [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")])
     )
+
+
+def test_insert_only_merge_rewrites_nothing(spark, tmp_path):
+    """An insert-only clause merge must stage ONLY its inserts — the
+    matched files stay in place (no remove actions, no restage), which
+    is also what makes it legal on appendOnly tables."""
+    root = _mk_target(spark, tmp_path, "mc_insonly")
+    before = {a["path"] for a in dp.resolve(spark, root).adds}
+    out = dp.merge_clauses(
+        spark, root, _mk(spark, [(1, 1.0, "dup"), (7, 70.0, "new")]), "k",
+        [{"when": "not_matched", "action": "insert_all"}],
+    )
+    assert out["files_rewritten"] == 0 and out["num_inserted"] == 1
+    after = {a["path"] for a in dp.resolve(spark, root).adds}
+    assert before < after  # originals untouched, one new file
+    got = _rows(dp.read_table(spark, root))
+    assert got == _rows(
+        _mk(spark, [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"),
+                    (7, 70.0, "new")])
+    )
+
+
+def test_append_only_table_refuses_mutations(spark, tmp_path):
+    """delta.appendOnly=true: deletes/updates/mutating merges refuse;
+    appends and insert-only merges stay legal."""
+    root = str(tmp_path / "ao")
+    dp.create_table(
+        _mk(spark, [(1, 10.0, "a")]), root,
+        configuration={"delta.appendOnly": "true"},
+    )
+    dp.append(_mk(spark, [(2, 20.0, "b")]), root)  # appends fine
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        dp.delete_where(spark, root, "k = 1")
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        dp.delete_where_dv(spark, root, "k = 1")
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        dp.update_where(spark, root, "k = 1", {"price": "0.0"})
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        dp.merge(spark, root, _mk(spark, [(1, 1.0, "x")]), "k")
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        dp.overwrite_where(spark, root, "grp = 'a'",
+                           _mk(spark, [(9, 9.0, "a")]))
+    with pytest.raises(DeltaProtocolError, match="append-only"):
+        dp.merge_clauses(
+            spark, root, _mk(spark, [(1, 1.0, "x")]), "k",
+            [{"when": "matched", "action": "delete"}],
+        )
+    # insert-only merge is the documented appendOnly-legal merge shape
+    out = dp.merge_clauses(
+        spark, root, _mk(spark, [(9, 90.0, "n")]), "k",
+        [{"when": "not_matched", "action": "insert_all"}],
+    )
+    assert out["num_inserted"] == 1 and out["files_rewritten"] == 0
+    assert dp.read_table(spark, root).count() == 3

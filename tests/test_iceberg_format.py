@@ -271,3 +271,100 @@ def test_partition_values_unescaped_in_manifests(spark, tmp_path):
     assert sorted(map(tuple, back.collect()), key=str) == sorted(
         map(tuple, df.collect()), key=str
     )
+
+
+# ---------------------------------------------------------------------------
+# row-level COPY-ON-WRITE delete/update (r10) — the v1 COW twins of
+# iceberg_v2's merge-on-read deletes
+
+
+def _mk_cow(spark, tmp_path, name):
+    root = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(i, float(i * 10), str(i % 3)) for i in range(12)],
+        "k long, v double, p string",
+    )
+    ice.create_table(df, root, partition_cols=["p"])
+    return root
+
+
+def test_cow_delete_prunes_and_rewrites(spark, tmp_path):
+    root = _mk_cow(spark, tmp_path, "cow_del")
+    out = ice.delete_where(spark, root, [("p", "=", "1"), ("k", "<", 5)])
+    # only partition p='1' files are candidates; others EXISTING untouched
+    assert out["files_skipped"] >= 1 and out["files_rewritten"] >= 1
+    got = sorted(r.k for r in ice.read_table(spark, root).collect())
+    assert got == [k for k in range(12) if not (k % 3 == 1 and k < 5)]
+    # time travel still sees the deleted rows
+    assert ice.read_table(spark, root, snapshot_id=1).count() == 12
+
+
+def test_cow_delete_full_file_leaves_no_added_manifest(spark, tmp_path):
+    root = _mk_cow(spark, tmp_path, "cow_del_all")
+    out = ice.delete_where(spark, root, [("p", "=", "2")])
+    assert out["files_rewritten"] >= 1
+    got = {r.p for r in ice.read_table(spark, root).collect()}
+    assert got == {"0", "1"}
+
+
+def test_cow_update_pre_update_semantics(spark, tmp_path):
+    """All assignments see PRE-update values: the v <- k, k <- v swap
+    detector (same pin shape as delta's update_where)."""
+    root = str(tmp_path / "cow_upd_swap")
+    df = spark.createDataFrame([(1, 100.0), (2, 200.0)], "k long, v double")
+    ice.create_table(df, root)
+    ice.update_where(
+        spark, root, [("k", "=", 1)],
+        {"k": "CAST(v AS BIGINT)", "v": "CAST(k AS DOUBLE)"},
+    )
+    got = sorted(map(tuple, ice.read_table(spark, root).collect()))
+    assert got == [(2, 200.0), (100, 1.0)]
+
+
+def test_cow_update_moves_rows_across_partitions(spark, tmp_path):
+    """Updating a partition source column restages the row under its
+    NEW partition tuple (the default spec governs the rewrite)."""
+    root = _mk_cow(spark, tmp_path, "cow_upd_move")
+    ice.update_where(spark, root, [("p", "=", "2")], {"p": "'9'"})
+    got = {r.p for r in ice.read_table(spark, root).collect()}
+    assert got == {"0", "1", "9"}
+    # and partition pruning on the NEW value finds the moved rows
+    assert len(ice.plan_files(root, source_predicates=[("p", "=", "9")])) >= 1
+    rows = ice.read_table(spark, root, source_predicates=[("p", "=", "9")])
+    assert rows.count() == 4
+
+
+def test_cow_update_unknown_column_refuses(spark, tmp_path):
+    root = _mk_cow(spark, tmp_path, "cow_upd_bad")
+    with pytest.raises(ValueError, match="unknown column"):
+        ice.update_where(spark, root, [("k", "=", 1)], {"nope": "1"})
+
+
+def test_cow_on_name_mapped_table_refuses(spark, tmp_path):
+    from incubator_gluten_spark.sources import delta_protocol as dp
+    from incubator_gluten_spark.sources import uniform as uf
+
+    root = str(tmp_path / "cow_nm")
+    dp.create_table(
+        spark.createDataFrame([(1, "a")], "k long, p string").coalesce(1),
+        root,
+        partition_cols=["p"],
+    )
+    uf.enable_uniform(spark, root)
+    with pytest.raises(ValueError, match="name-mapped"):
+        ice.delete_where(spark, root, [("k", "=", 1)])
+
+
+def test_cow_delete_on_evolved_schema_binds_by_field_id(spark, tmp_path):
+    """COW rewrite over a renamed column must bind the old files by
+    field id and restage under the CURRENT schema."""
+    root = str(tmp_path / "cow_evo")
+    ice.create_table(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"),
+        root,
+    )
+    ice.rename_column(root, "v", "val")
+    ice.delete_where(spark, root, [("val", ">", 15.0)])
+    got = sorted(map(tuple, ice.read_table(spark, root).collect()))
+    assert got == [(1, 10.0)]
+    assert ice.read_table(spark, root).columns == ["k", "val"]
