@@ -3311,3 +3311,81 @@ def src_iceberg_cow_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_delta_zorder",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY event_type
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE ZORDER BY (sources/delta_protocol.py optimize
+    zorder_by=...): the events table rewritten into 8 files clustered
+    by the Morton interleave of (user_id, value) — after the rewrite
+    EVERY file's footer stats range must be narrower than 70% of the
+    global range on BOTH columns simultaneously (asserted), the
+    multi-dimensional skipping property a single-column sort cannot
+    give; the commit is dataChange=false (asserted), so CDF and
+    concurrent readers skip it.  The oracle hash certifies the rewrite
+    is lossless — same rows, new layout.  Reference analog:
+    gluten-delta scans OPTIMIZE ZORDER output through the jar
+    (DeltaScanTransformer); the layout contract is Delta's documented
+    OPTIMIZE ZORDER BY."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (events,) = _t(spark, sf_dir, "events")
+    root = _path("delta_zorder")
+    shutil.rmtree(root, ignore_errors=True)
+    df = events.select("event_id", "user_id", "event_type", "value")
+    dp.create_table(df.coalesce(2), root)
+    out = dp.optimize(
+        spark, root, zorder_by=["user_id", "value"], target_files=8
+    )
+    if out["files_added"] < 2:
+        raise RuntimeError(f"zorder produced too few files: {out}")
+    snap = dp.resolve(spark, root)
+    glo_u = glo_v = None
+    spans = []
+    for add in snap.adds:
+        bu, bv = dp._stats_bounds(add, "user_id"), dp._stats_bounds(add, "value")
+        if not (bu and bv):
+            raise RuntimeError("zorder output lost footer stats")
+        spans.append((bu, bv))
+        glo_u = (
+            (bu[0], bu[1]) if glo_u is None
+            else (min(glo_u[0], bu[0]), max(glo_u[1], bu[1]))
+        )
+        glo_v = (
+            (bv[0], bv[1]) if glo_v is None
+            else (min(glo_v[0], bv[0]), max(glo_v[1], bv[1]))
+        )
+    wu, wv = glo_u[1] - glo_u[0], glo_v[1] - glo_v[0]
+    narrow = sum(
+        1
+        for bu, bv in spans
+        if (bu[1] - bu[0]) <= 0.7 * wu and (bv[1] - bv[0]) <= 0.7 * wv
+    )
+    if narrow * 4 < len(spans) * 3:
+        raise RuntimeError(
+            f"z-clustering too weak: only {narrow}/{len(spans)} files "
+            f"narrow on both dims"
+        )
+    acts = dp._read_commit_actions(root, snap.version)
+    if any(a["add"]["dataChange"] for a in acts if "add" in a):
+        raise RuntimeError("OPTIMIZE must commit dataChange=false")
+    return dp.read_table(spark, root).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+        F.count_distinct(F.col("user_id")).alias("users"),
+    )

@@ -2153,7 +2153,57 @@ def history(spark: SparkSession, root: str) -> list[dict]:
     return out
 
 
-def optimize(spark: SparkSession, root: str, min_files: int = 2) -> dict:
+def _zorder_key(df: DataFrame, cols: list[str]):
+    """Morton (bit-interleaved) key over NUMERIC columns: each column
+    min-max normalized to 16 bits (the cheap analog of Delta's
+    range-partition ids), bit j of column i landing at position
+    ``j*k + i`` — sorting by the single key clusters ALL k dimensions,
+    which is what narrows per-file min/max stats on every z-ordered
+    column at once.  One bounded agg computes the mins/maxs."""
+    numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+    for c in cols:
+        t = dict(df.dtypes)[c]
+        if t not in numeric and not t.startswith("decimal"):
+            raise DeltaProtocolError(
+                f"ZORDER BY supports numeric columns only (got {c}: {t})"
+            )
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).first()
+    k = len(cols)
+    zkey = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        lo, hi = row[2 * i], row[2 * i + 1]
+        lo = 0.0 if lo is None else float(lo)
+        span = 1.0 if hi is None or float(hi) == lo else float(hi) - lo
+        norm = F.coalesce(
+            F.least(
+                F.lit(65535),
+                F.greatest(
+                    F.lit(0),
+                    ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                     * 65535).cast("long"),
+                ),
+            ),
+            F.lit(0),  # NULLs cluster first, like Delta's NULLS FIRST
+        )
+        for j in range(16):
+            zkey = zkey.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(norm, j).bitwiseAND(F.lit(1)), j * k + i
+                )
+            )
+    return zkey
+
+
+def optimize(
+    spark: SparkSession,
+    root: str,
+    min_files: int = 2,
+    zorder_by: list[str] | None = None,
+    target_files: int = 1,
+) -> dict:
     """OPTIMIZE (bin-packing compaction) on the wire format, as Delta
     commits it: partitions holding >= ``min_files`` live data files —
     or any file carrying a deletion vector — are rewritten into one
@@ -2187,12 +2237,19 @@ def optimize(spark: SparkSession, root: str, min_files: int = 2) -> dict:
         groups.setdefault(key, []).append(a)
     victims: list[dict] = []
     n_parts = 0
-    for adds in groups.values():
-        if len(adds) >= min_files or any(
-            a.get("deletionVector") for a in adds
-        ):
-            victims.extend(adds)
-            n_parts += 1
+    if zorder_by:
+        # ZORDER rewrites every live file of the scope — re-clustering
+        # changes layout even for single-file partitions (Delta's
+        # OPTIMIZE ZORDER BY contract); min_files does not apply
+        victims = list(snap.adds)
+        n_parts = len(groups)
+    else:
+        for adds in groups.values():
+            if len(adds) >= min_files or any(
+                a.get("deletionVector") for a in adds
+            ):
+                victims.extend(adds)
+                n_parts += 1
     if not victims:
         return {
             "version": snap.version,
@@ -2203,7 +2260,23 @@ def optimize(spark: SparkSession, root: str, min_files: int = 2) -> dict:
     sub = Snapshot(snap.version, snap.metadata, victims, snap.protocol)
     live = _live_rows(spark, root, sub)
     pcols = snap.partition_columns
-    live = live.repartition(*pcols) if pcols else live.coalesce(1)
+    if zorder_by:
+        # Morton-clustered layout: partitioned tables z-order WITHIN
+        # each partition (one file per partition, rows sorted by the
+        # key -> tight row-group stats); unpartitioned tables range-
+        # split the key into target_files files, each covering one
+        # contiguous z-interval -> tight per-FILE min/max on every
+        # z-ordered column (the multi-dimensional skipping layout)
+        live = live.withColumn("__z", _zorder_key(live, list(zorder_by)))
+        if pcols:
+            live = live.repartition(*pcols).sortWithinPartitions("__z")
+        else:
+            live = live.repartitionByRange(
+                max(1, target_files), "__z"
+            ).sortWithinPartitions("__z")
+        live = live.drop("__z")
+    else:
+        live = live.repartition(*pcols) if pcols else live.coalesce(1)
     staged = _stage_data_files(
         live, root, pcols, mapping=_write_mapping(snap.metadata)
     )

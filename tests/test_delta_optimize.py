@@ -188,3 +188,72 @@ def test_vacuum_keeps_cdc_files_of_retained_commits(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER BY (r10)
+
+
+def test_zorder_narrows_stats_on_both_dimensions(spark, tmp_path):
+    """A 32x32 grid z-ordered into 4 files: every output file's stats
+    range must be narrow on BOTH columns (a Morton quadrant ± range-
+    sampling slop) — single-column sorting would leave the other
+    column's range at full width, which is exactly what ZORDER fixes
+    for multi-dimensional file skipping."""
+    root = str(tmp_path / "zorder_grid")
+    grid = spark.createDataFrame(
+        [(a, b) for a in range(32) for b in range(32)], "a bigint, b bigint"
+    ).coalesce(1)
+    dp.create_table(grid, root)
+    out = dp.optimize(spark, root, zorder_by=["a", "b"], target_files=4)
+    assert out["files_added"] == 4 and out["files_removed"] == 1
+    snap = dp.resolve(spark, root)
+    for add in snap.adds:
+        ba = dp._stats_bounds(add, "a")
+        bb = dp._stats_bounds(add, "b")
+        assert ba and bb
+        assert ba[1] - ba[0] <= 22, f"a-range too wide: {ba}"
+        assert bb[1] - bb[0] <= 22, f"b-range too wide: {bb}"
+    # logical content unchanged, and the commit is dataChange=false
+    assert dp.read_table(spark, root).count() == 1024
+    acts = dp._read_commit_actions(root, snap.version)
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    ) and all(not a["remove"]["dataChange"] for a in acts if "remove" in a)
+
+
+def test_zorder_partitioned_sorts_within_partition(spark, tmp_path):
+    root = str(tmp_path / "zorder_part")
+    df = spark.createDataFrame(
+        [(i, float(i % 13), str(i % 2)) for i in range(100)],
+        "k bigint, v double, p string",
+    ).coalesce(1)
+    dp.create_table(df, root, partition_cols=["p"])
+    out = dp.optimize(spark, root, zorder_by=["k", "v"])
+    assert out["partitions_compacted"] == 2
+    snap = dp.resolve(spark, root)
+    assert len(snap.adds) == 2  # one z-ordered file per partition
+    assert dp.read_table(spark, root).count() == 100
+
+
+def test_zorder_non_numeric_column_refuses(spark, tmp_path):
+    root = str(tmp_path / "zorder_bad")
+    dp.create_table(
+        spark.createDataFrame([(1, "x")], "k bigint, s string").coalesce(1),
+        root,
+    )
+    with pytest.raises(dp.DeltaProtocolError, match="numeric"):
+        dp.optimize(spark, root, zorder_by=["s"])
+
+
+def test_zorder_null_values_cluster_first(spark, tmp_path):
+    root = str(tmp_path / "zorder_null")
+    rows = [(None, 1.0)] + [(float(i), float(i)) for i in range(50)]
+    dp.create_table(
+        spark.createDataFrame(rows, "a double, b double").coalesce(1), root
+    )
+    dp.optimize(spark, root, zorder_by=["a", "b"], target_files=2)
+    assert dp.read_table(spark, root).count() == 51
+    assert (
+        dp.read_table(spark, root).filter("a IS NULL").count() == 1
+    )  # NULL survived the rewrite
