@@ -78,6 +78,7 @@ _FRONT = (
     "src_delta_replace_where",
     "src_iceberg_cow_dml",
     "src_delta_zorder",
+    "src_delta_identity",
     # --- stream_* pool, placed explicitly (r9 #5); stream_delta_source
     #     re-certifies the r10 partition-planned executor-side reader ---
     "stream_delta_source",
@@ -115,7 +116,6 @@ _FRONT = (
     "dp_fingerprint",
     "fn_lateral_alias",
     "fn_lev_bounded",
-    "fn_map_batch3",
 )
 
 

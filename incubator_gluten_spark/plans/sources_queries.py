@@ -3389,3 +3389,59 @@ def src_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         F.count_distinct(F.col("user_id")).alias("users"),
     )
+
+
+@q(
+    "src_delta_identity",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) AS BIGINT) AS n_ids,
+           CAST(1 AS BIGINT) AS on_grid
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IDENTITY columns (sources/delta_protocol.py — writer
+    feature identityColumns, minWriterVersion 6, GENERATED ALWAYS AS
+    IDENTITY with delta.identity.start/step/highWaterMark field
+    metadata): ids are assigned fully DISTRIBUTED (no global sort — the
+    contract is uniqueness + above-the-water-mark + on the start/step
+    grid, NOT contiguity, exactly like Delta's own range-burning
+    writer), and each commit persists the advanced highWaterMark in a
+    new metaData action so the next append cannot collide.  The entry
+    creates the table from 1996 orders, appends 1997, and the Spark
+    side computes n_ids = count(DISTINCT row_id) per group and on_grid
+    from the REAL generated ids — the oracle pins them to count(*) and
+    1, which only hash-match if generation is collision-free across
+    both commits and every id sits on the declared grid.  Exact id
+    values are writer-dependent (as in Delta) and excluded from the
+    hash.  Reference analog: gluten-delta scans identity-column tables
+    through the jar; the feature contract is PROTOCOL.md's
+    identityColumns writer feature."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_identity")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols),
+        root,
+        identity_columns={"row_id": (1000, 2)},
+    )
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(*cols), root
+    )
+    t = dp.read_table(spark, root)
+    return t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("row_id").alias("n_ids"),
+        F.min(
+            ((F.col("row_id") >= 1000)
+             & ((F.col("row_id") - 1000) % 2 == 0)).cast("bigint")
+        ).alias("on_grid"),
+    )

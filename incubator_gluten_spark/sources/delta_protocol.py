@@ -848,6 +848,71 @@ def _mapped_schema_json(schema: StructType) -> str:
     return json.dumps(d)
 
 
+def _identity_cols(metadata: dict | None) -> dict[str, dict]:
+    """{name: {start, step, hwm}} for every IDENTITY field (the
+    ``delta.identity.*`` field-metadata keys, writer feature
+    ``identityColumns`` / minWriterVersion 6)."""
+    out: dict[str, dict] = {}
+    if not metadata:
+        return out
+    for f in json.loads(metadata["schemaString"])["fields"]:
+        md = f.get("metadata") or {}
+        if "delta.identity.start" in md:
+            out[f["name"]] = {
+                "start": int(md["delta.identity.start"]),
+                "step": int(md["delta.identity.step"]),
+                "hwm": (
+                    int(md["delta.identity.highWaterMark"])
+                    if "delta.identity.highWaterMark" in md
+                    else None
+                ),
+            }
+    return out
+
+
+def _assign_identity(
+    df: DataFrame, metadata: dict, op: str
+) -> tuple[DataFrame, dict | None]:
+    """Generate GENERATED ALWAYS AS IDENTITY values for an incoming
+    batch and return (df_with_ids, updated_metaData_action_or_None).
+
+    Values are ``hwm + step * (monotonically_increasing_id() + 1)`` —
+    unique, above the high water mark, and on the ``start + k*step``
+    grid (the Delta contract: uniqueness and monotonic growth, NOT
+    contiguity — Delta's own writer burns ranges too).  The id
+    assignment is fully distributed (no global sort, no shuffle); the
+    only extra cost is ONE bounded agg over the new batch to advance
+    ``delta.identity.highWaterMark``, which the same commit persists in
+    a new metaData action — exactly how Delta tracks it."""
+    ids = _identity_cols(metadata)
+    if not ids:
+        return df, None
+    for name in ids:
+        if name in df.columns:
+            raise DeltaProtocolError(
+                f"{op}: column {name!r} is GENERATED ALWAYS AS IDENTITY "
+                "— explicit values are not accepted"
+            )
+    mono = F.monotonically_increasing_id()
+    for name, spec in ids.items():
+        base = spec["hwm"] if spec["hwm"] is not None else spec["start"] - spec["step"]
+        df = df.withColumn(
+            name, (F.lit(base) + F.lit(spec["step"]) * (mono + 1)).cast("long")
+        )
+    hwms = df.agg(
+        *[F.max(name).alias(name) for name in ids]
+    ).first()
+    schema = json.loads(metadata["schemaString"])
+    for f in schema["fields"]:
+        if f["name"] in ids and hwms[f["name"]] is not None:
+            md = dict(f.get("metadata") or {})
+            md["delta.identity.highWaterMark"] = int(hwms[f["name"]])
+            f["metadata"] = md
+    meta = dict(metadata)
+    meta["schemaString"] = json.dumps(schema)
+    return df, {"metaData": meta}
+
+
 def create_table(
     df: DataFrame,
     root: str,
@@ -855,6 +920,7 @@ def create_table(
     configuration: dict[str, str] | None = None,
     column_mapping: str | None = None,
     generated_columns: dict[str, tuple[str, str]] | None = None,
+    identity_columns: dict[str, tuple[int, int]] | None = None,
 ) -> None:
     """Version 0: protocol + metaData + adds (drops prior state).  Table
     properties (e.g. ``delta.enableChangeDataFeed``) go into the
@@ -871,6 +937,20 @@ def create_table(
             "generated columns + column mapping together are not "
             "supported by this writer"
         )
+    if identity_columns and (column_mapping or generated_columns):
+        raise DeltaProtocolError(
+            "identity columns cannot combine with column mapping or "
+            "generated columns in this writer"
+        )
+    if identity_columns:
+        for name, (start, step) in identity_columns.items():
+            if name in df.columns:
+                raise DeltaProtocolError(
+                    f"identity column {name!r} must not exist in the "
+                    "data (GENERATED ALWAYS)"
+                )
+            if step == 0:
+                raise DeltaProtocolError("identity step must be non-zero")
     if generated_columns:
         # Delta only declares generated columns at CREATE TABLE;
         # compute the missing ones (or validate provided values) before
@@ -897,14 +977,40 @@ def create_table(
                 md[_GEN_EXPR_KEY] = generated_columns[f["name"]][1]
                 f["metadata"] = md
         schema_json = json.dumps(d)
+    elif identity_columns:
+        d = json.loads(df.schema.json())
+        for name, (start, step) in identity_columns.items():
+            d["fields"].append(
+                {
+                    "name": name,
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.identity.start": start,
+                        "delta.identity.step": step,
+                        "delta.identity.allowExplicitInsert": False,
+                    },
+                }
+            )
+        schema_json = json.dumps(d)
     else:
         schema_json = df.schema.json()
     meta = _metadata_action(schema_json, partition_cols, configuration)
+    if identity_columns:
+        df, meta_upd = _assign_identity(df, meta["metaData"], "CREATE TABLE")
+        if meta_upd:
+            meta = meta_upd
     mapping = _write_mapping(meta["metaData"])
     adds = _stage_data_files(df, root, partition_cols, mapping=mapping)
     cdf = configuration.get(_CDF_KEY) == "true"
     reader_v = 2 if column_mapping else 1
-    writer_v = 5 if column_mapping else (4 if cdf or generated_columns else 2)
+    writer_v = (
+        6
+        if identity_columns
+        else 5
+        if column_mapping
+        else (4 if cdf or generated_columns else 2)
+    )
     _write_actions(
         root,
         0,
@@ -932,11 +1038,14 @@ def append(df: DataFrame, root: str) -> int:
         df = _compute_or_validate_generated(df, gens, "append").select(
             *[f.name for f in snap.schema.fields]
         )
+    df, meta_upd = _assign_identity(df, snap.metadata, "append")
+    if meta_upd:
+        df = df.select(*[f.name for f in snap.schema.fields])
     _enforce_constraints(df, snap.metadata, "append")
     adds = _stage_data_files(
         df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
     )
-    _write_actions(root, v, adds)
+    _write_actions(root, v, ([meta_upd] if meta_upd else []) + adds)
     return v
 
 
@@ -957,6 +1066,9 @@ def append_stream_batch(
         df = _compute_or_validate_generated(
             df, gens, "streaming append"
         ).select(*[f.name for f in snap.schema.fields])
+    df, meta_upd = _assign_identity(df, snap.metadata, "streaming append")
+    if meta_upd:
+        df = df.select(*[f.name for f in snap.schema.fields])
     _enforce_constraints(df, snap.metadata, "streaming append")
     v = current_version(root) + 1
     adds = _stage_data_files(
@@ -967,6 +1079,7 @@ def append_stream_batch(
         v,
         [
             {"txn": {"appId": app_id, "version": batch_id, "lastUpdated": 0}},
+            *([meta_upd] if meta_upd else []),
             *adds,
         ],
     )
@@ -1097,6 +1210,11 @@ def overwrite_where(
     v = current_version(root) + 1
     snap = resolve(spark, root)
     _require_mutable(snap.metadata, "replaceWhere OVERWRITE")
+    if _identity_cols(snap.metadata):
+        raise DeltaProtocolError(
+            "replaceWhere on a table with identity columns is not "
+            "supported by this writer — delete_where + append instead"
+        )
     pcols = snap.partition_columns
     cols = [f.name for f in snap.schema.fields]
     missing = [c for c in cols if c not in df.columns]
@@ -1164,6 +1282,12 @@ def update_where(
     v = current_version(root) + 1
     snap = resolve(spark, root)
     _require_mutable(snap.metadata, "UPDATE")
+    bad_ids = set(assignments) & set(_identity_cols(snap.metadata))
+    if bad_ids:
+        raise DeltaProtocolError(
+            f"UPDATE cannot assign identity column(s) {sorted(bad_ids)} "
+            "(GENERATED ALWAYS AS IDENTITY)"
+        )
     pcols = snap.partition_columns
     unknown = set(assignments) - {f.name for f in snap.schema.fields}
     if unknown:
@@ -1268,6 +1392,13 @@ def merge(
     snap = resolve(spark, root)
     # merge() always carries an UPDATE clause (whenMatchedUpdateAll)
     _require_mutable(snap.metadata, "MERGE with update clause")
+    if _identity_cols(snap.metadata):
+        raise DeltaProtocolError(
+            "MERGE on a table with identity columns is not supported by "
+            "this writer (whole-row update would overwrite GENERATED "
+            "ALWAYS values) — use merge_clauses with explicit SET lists "
+            "that do not touch the identity column, or append"
+        )
     pcols = snap.partition_columns
     cols = [f.name for f in snap.schema.fields]
     n_src, n_nn, n_keys, lo, hi = source.agg(
@@ -1456,6 +1587,21 @@ def merge_clauses(
     snap = resolve(spark, root)
     cols = [f.name for f in snap.schema.fields]
     _validate_clauses(clauses, cols)
+    id_cols = set(_identity_cols(snap.metadata))
+    if id_cols:
+        for c in clauses:
+            if c["action"] in ("update_all", "insert_all", "insert"):
+                raise DeltaProtocolError(
+                    "MERGE insert/update_all on a table with identity "
+                    f"column(s) {sorted(id_cols)} is not supported by this "
+                    "writer — route inserts through append (which "
+                    "generates ids)"
+                )
+            if set(c.get("set") or {}) & id_cols:
+                raise DeltaProtocolError(
+                    "MERGE cannot assign identity column(s) "
+                    f"{sorted(set(c['set']) & id_cols)}"
+                )
     mutating = any(
         c["action"] in ("update", "update_all", "delete") for c in clauses
     )

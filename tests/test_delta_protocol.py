@@ -444,3 +444,106 @@ def test_replace_where_missing_column_refuses(spark, tmp_path):
     bad = spark.createDataFrame([(5,)], "k bigint")
     with pytest.raises(dp.DeltaProtocolError, match="lacks table column"):
         dp.overwrite_where(spark, root, "grp = 'a'", bad)
+
+
+# ---------------------------------------------------------------------------
+# IDENTITY columns (r10) — writer feature identityColumns, minWriterVersion 6
+
+
+def _id_mk(spark, rows):
+    return spark.createDataFrame(rows, "name string, v double").coalesce(2)
+
+
+def test_identity_generates_unique_grid_values(spark, tmp_path):
+    root = str(tmp_path / "idc")
+    dp.create_table(
+        _id_mk(spark, [("a", 1.0), ("b", 2.0), ("c", 3.0)]),
+        root,
+        identity_columns={"id": (100, 10)},
+    )
+    rows = dp.read_table(spark, root).collect()
+    ids = [r.id for r in rows]
+    assert len(set(ids)) == 3  # unique
+    assert all(i >= 100 and (i - 100) % 10 == 0 for i in ids)  # on grid
+    # protocol gate
+    acts = dp._read_commit_actions(root, 0)
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto["minWriterVersion"] == 6
+
+
+def test_identity_append_advances_high_water_mark(spark, tmp_path):
+    root = str(tmp_path / "idc_hwm")
+    dp.create_table(
+        _id_mk(spark, [("a", 1.0)]), root, identity_columns={"id": (1, 1)}
+    )
+    first = {r.id for r in dp.read_table(spark, root).collect()}
+    dp.append(_id_mk(spark, [("b", 2.0), ("c", 3.0)]), root)
+    rows = dp.read_table(spark, root).collect()
+    ids = [r.id for r in rows]
+    assert len(set(ids)) == 3  # no collision across commits
+    new = set(ids) - first
+    assert all(n > max(first) for n in new)  # above the water mark
+    hwm = dp._identity_cols(dp.resolve(spark, root).metadata)["id"]["hwm"]
+    assert hwm == max(ids)  # persisted in the commit's metaData
+
+
+def test_identity_explicit_values_refused(spark, tmp_path):
+    root = str(tmp_path / "idc_explicit")
+    dp.create_table(
+        _id_mk(spark, [("a", 1.0)]), root, identity_columns={"id": (1, 1)}
+    )
+    with pytest.raises(dp.DeltaProtocolError, match="GENERATED ALWAYS"):
+        dp.append(
+            spark.createDataFrame(
+                [("x", 1.0, 999)], "name string, v double, id long"
+            ),
+            root,
+        )
+
+
+def test_identity_mutation_refusals(spark, tmp_path):
+    root = str(tmp_path / "idc_mut")
+    dp.create_table(
+        _id_mk(spark, [("a", 1.0), ("b", 2.0)]),
+        root,
+        identity_columns={"id": (1, 1)},
+    )
+    with pytest.raises(dp.DeltaProtocolError, match="identity"):
+        dp.update_where(spark, root, "name = 'a'", {"id": "999"})
+    # non-identity updates still work and CARRY ids through the rewrite
+    before = {r.name: r.id for r in dp.read_table(spark, root).collect()}
+    dp.update_where(spark, root, "name = 'a'", {"v": "9.0"})
+    after = {r.name: r.id for r in dp.read_table(spark, root).collect()}
+    assert before == after
+    src = spark.createDataFrame([("a", 9.9)], "name string, v double")
+    with pytest.raises(dp.DeltaProtocolError, match="identity"):
+        dp.merge(spark, root, src, "name")
+    with pytest.raises(dp.DeltaProtocolError, match="identity"):
+        dp.merge_clauses(
+            spark, root, src, "name",
+            [{"when": "not_matched", "action": "insert_all"}],
+        )
+    with pytest.raises(dp.DeltaProtocolError, match="identity"):
+        dp.overwrite_where(spark, root, "name = 'a'", src)
+    # delete-only clause merge is fine (no identity write)
+    out = dp.merge_clauses(
+        spark, root, src, "name", [{"when": "matched", "action": "delete"}]
+    )
+    assert out["num_deleted"] == 1
+
+
+def test_identity_streaming_append_generates_ids(spark, tmp_path):
+    root = str(tmp_path / "idc_stream")
+    dp.create_table(
+        _id_mk(spark, [("a", 1.0)]), root, identity_columns={"id": (5, 5)}
+    )
+    assert dp.append_stream_batch(
+        _id_mk(spark, [("b", 2.0)]), root, "app1", 0
+    )
+    # replay NO-OPs, ids stay unique
+    assert not dp.append_stream_batch(
+        _id_mk(spark, [("b", 2.0)]), root, "app1", 0
+    )
+    ids = [r.id for r in dp.read_table(spark, root).collect()]
+    assert len(ids) == len(set(ids)) == 2
+    assert all(i % 5 == 0 for i in ids)
