@@ -79,6 +79,7 @@ _FRONT = (
     "src_iceberg_cow_dml",
     "src_delta_zorder",
     "src_delta_identity",
+    "src_iceberg_rewrite_manifests",
     # --- stream_* pool, placed explicitly (r9 #5); stream_delta_source
     #     re-certifies the r10 partition-planned executor-side reader ---
     "stream_delta_source",
@@ -105,7 +106,6 @@ _FRONT = (
     "ds_monthly_cov_pair_strict",
     "ds_monthly_deviation",
     "ds_multi_slot_counts",
-    "ds_multi_supplier_no_return",
     "dp_ann_ivf",
     "dp_boilerplate_dedup",
     "dp_corpus_to_lakehouse",

@@ -3445,3 +3445,56 @@ def src_delta_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
              & ((F.col("row_id") - 1000) % 2 == 0)).cast("bigint")
         ).alias("on_grid"),
     )
+
+
+@q(
+    "src_iceberg_rewrite_manifests",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE year(o_orderdate) IN (1995, 1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg ``system.rewrite_manifests``
+    (sources/iceberg_format.py): three appends explode the snapshot to
+    3 manifests; the procedure coalesces them to ONE per spec,
+    METADATA-ONLY — zero data files moved (asserted), read-back
+    identical (the oracle hash), time travel intact (asserted), every
+    entry re-stated EXISTING under its ORIGINAL snapshot id so
+    incremental/stream consumers see zero new rows from the 'replace'
+    snapshot (pinned in tests).  This is the manifest-explosion repair
+    that keeps planning O(1 manifest per spec) after thousands of
+    micro-appends on a 100 TB table.  gluten-iceberg scans
+    rewrite_manifests output through the jar; semantics are the public
+    spec's manifest-list contract."""
+    import glob
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_rewrite_manifests")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    ice.create_table(y(1995), root, partition_cols=["o_orderpriority"])
+    ice.append(y(1996), root)
+    ice.append(y(1997), root)
+    before = sorted(glob.glob(root + "/**/*.parquet", recursive=True))
+    out = ice.rewrite_manifests(root)
+    if not (out["manifests_before"] == 3 and out["manifests_after"] == 1):
+        raise RuntimeError(f"manifest coalesce failed: {out}")
+    if before != sorted(glob.glob(root + "/**/*.parquet", recursive=True)):
+        raise RuntimeError("rewrite_manifests touched a data file")
+    if ice.read_table(spark, root, snapshot_id=1).count() != y(1995).count():
+        raise RuntimeError("time travel broken after manifest rewrite")
+    return ice.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

@@ -1136,6 +1136,64 @@ def create_table(
     return _commit_snapshot(root, None, [manifest], "append", ice_schema, spec)
 
 
+def rewrite_manifests(root: str) -> dict:
+    """``system.rewrite_manifests``: coalesce the current snapshot's
+    manifests into ONE manifest per partition spec — METADATA-ONLY (no
+    data file is touched, listed, or read), committed as operation
+    ``replace``.  Every live entry re-states with its ORIGINAL status
+    and snapshot id, so incremental/streaming consumers see ZERO new
+    rows from the replace snapshot and EXISTING provenance survives.
+    This is the manifest-explosion repair after many small appends:
+    planning cost drops from O(appends) manifest opens back to one per
+    spec — the metadata half of keeping a 100 TB table plannable.
+    Reference analog: Iceberg's spark-procedures rewrite_manifests
+    (the gluten-iceberg jar scans its output); semantics are the public
+    spec's manifest-list contract."""
+    meta = _current_metadata(root)
+    ice_schema = _current_schema(meta)
+    prev = _snapshot(meta, None)
+    by_spec: dict[int, list[tuple]] = {}
+    n_before = 0
+    for mf in read_container(_resolve_path(root, prev["manifest-list"])):
+        n_before += 1
+        sid = mf[2]
+        for status, snap_id, data_file in read_container(
+            _resolve_path(root, mf[0])
+        ):
+            if status == DELETED:
+                continue  # deleted entries need no re-statement
+            # ADDED re-states as EXISTING (it is no longer new in the
+            # replace snapshot) under its ORIGINAL snapshot id
+            by_spec.setdefault(sid, []).append((EXISTING, snap_id, data_file))
+    manifests = [
+        _write_manifest(
+            root,
+            entries,
+            _partition_avro_schema(ice_schema, _spec_by_id(meta, sid)),
+            uuid.uuid4().hex[:8],
+            spec_id=sid,
+        )
+        for sid, entries in sorted(by_spec.items())
+    ]
+    for m in manifests:
+        # carry provenance: the manifest is not "added" by this snapshot
+        m["added_snapshot_id"] = prev["snapshot-id"]
+    committed = _commit_snapshot(
+        root,
+        meta,
+        manifests,
+        "replace",
+        ice_schema,
+        _default_spec(meta),
+        summary_extra={"manifests-replaced": str(n_before)},
+    )
+    return {
+        "snapshot_id": committed["snapshot-id"],
+        "manifests_before": n_before,
+        "manifests_after": len(manifests),
+    }
+
+
 def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
     """Partition-level DELETE as a new snapshot (operation=delete): one
     new manifest re-states every live entry — kept files as EXISTING,

@@ -165,20 +165,27 @@ def _plan_data_files(
         if not (lo < sid <= hi):
             continue
         op = s.get("summary", {}).get("operation", "append")
+        ml = os.path.join(root, s["manifest-list"])
+        added = [
+            data_file
+            for mf in read_container(ml)
+            for status, snap_id, data_file in read_container(
+                os.path.join(root, mf[0])
+            )
+            if status == _ADDED and snap_id == sid
+        ]
         if op != "append" and not ignore_changes:
+            if op == "replace" and not added:
+                # metadata-only manifest rewrite (rewrite_manifests):
+                # zero new rows, nothing lost — safe to pass silently
+                continue
             raise ValueError(
                 f"snapshot {sid} is a {op!r}, not an append. Streaming "
                 "past deletes/compactions loses or re-delivers rows; "
                 "opt in with .option('ignoreChanges', 'true') — "
                 "iceberg's own streaming-source contract"
             )
-        ml = os.path.join(root, s["manifest-list"])
-        for mf in read_container(ml):
-            manifest = os.path.join(root, mf[0])
-            for status, snap_id, data_file in read_container(manifest):
-                if status != _ADDED or snap_id != sid:
-                    continue
-                entries.append(data_file)
+        entries.extend(added)
     return entries, names, part_inject
 
 

@@ -61,3 +61,70 @@ def test_manifests_table_lists_current_snapshot_manifests(table, spark):
     assert {r.partition_spec_id for r in m.collect()} == {0}
     with pytest.raises(ValueError, match="unknown metadata table"):
         ice.read_meta_table(spark, table, "nope")
+
+
+# ---------------------------------------------------------------------------
+# rewrite_manifests (r10)
+
+
+def test_rewrite_manifests_coalesces_metadata_only(spark, tmp_path):
+    """After N small appends the snapshot carries N manifests; the
+    procedure must coalesce them into one per spec WITHOUT touching a
+    data file, keep the read identical, keep time travel, and preserve
+    EXISTING provenance so streams see zero new rows."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+    from incubator_gluten_spark.sources.avro import read_container
+
+    root = str(tmp_path / "rm")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, str(i % 2)) for i in range(lo, hi)], "k long, p string"
+    ).coalesce(1)
+    ice.create_table(mk(0, 4), root, partition_cols=["p"])
+    for j in range(3):
+        ice.append(mk(4 * (j + 1), 4 * (j + 2)), root)
+    data_before = sorted(glob.glob(root + "/**/*.parquet", recursive=True))
+    out = ice.rewrite_manifests(root)
+    assert out["manifests_before"] == 4 and out["manifests_after"] == 1
+    data_after = sorted(glob.glob(root + "/**/*.parquet", recursive=True))
+    assert data_before == data_after  # not one data byte moved
+    got = sorted(r.k for r in ice.read_table(spark, root).collect())
+    assert got == list(range(16))
+    assert ice.read_table(spark, root, snapshot_id=2).count() == 8
+    # every entry re-stated EXISTING under its ORIGINAL snapshot id
+    meta = ice._current_metadata(root)
+    ml = ice._resolve_path(root, ice._snapshot(meta, None)["manifest-list"])
+    ids = set()
+    for mf in read_container(ml):
+        for status, snap_id, _df in read_container(
+            ice._resolve_path(root, mf[0])
+        ):
+            assert status == ice.EXISTING
+            ids.add(snap_id)
+    assert ids == {1, 2, 3, 4}
+
+
+def test_rewrite_manifests_invisible_to_stream_source(spark, tmp_path):
+    from incubator_gluten_spark.sources import iceberg_format as ice
+    from incubator_gluten_spark.sources.iceberg_stream import (
+        _IcebergTableStreamReader,
+    )
+
+    root = str(tmp_path / "rm_stream")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i,) for i in range(lo, hi)], "k long"
+    ).coalesce(1)
+    ice.create_table(mk(0, 3), root)
+    ice.append(mk(3, 6), root)
+    rd = _IcebergTableStreamReader({"path": root})
+    rows, off = rd.read({"snapshot": 0})
+    assert len(list(rows)) == 6
+    ice.rewrite_manifests(root)  # replace snapshot, zero new rows
+    rows2, off2 = rd.read(off)
+    assert list(rows2) == []  # silently skipped, no refusal
+    ice.append(mk(6, 8), root)
+    rows3, _ = rd.read(off2)
+    assert sorted(r[0] for r in rows3) == [6, 7]
