@@ -101,7 +101,14 @@ def main() -> int:
             return "graft_delta_simpleonly"
 
         def streamReader(self, schema):  # noqa: ARG002
-            raise NotImplementedError  # engine falls back to simple
+            # the engine's fallback catches PySparkNotImplementedError
+            # specifically (pyspark datasource_internal._streamReader)
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
 
     spark = get_session(app_name="stream-reader-scaling")
     spark.dataSource.register(DeltaStreamDataSource)
