@@ -72,50 +72,48 @@ _FRONT = (
     "dp_dedup_exact",
     "dp_sequence_packing",
     "dp_embedding_near_dup",
-    # --- r10 new surface, certified the round it lands (r9 #7) ---
-    "src_iceberg_migrate",
-    "src_delta_merge_clauses",
-    "src_delta_replace_where",
-    "src_iceberg_cow_dml",
-    "src_delta_zorder",
-    "src_delta_identity",
-    "src_iceberg_rewrite_manifests",
-    # --- stream_* pool, placed explicitly (r9 #5); stream_delta_source
-    #     re-certifies the r10 partition-planned executor-side reader ---
-    "stream_delta_source",
-    "stream_iceberg_source",
-    "stream_hudi_source",
-    "stream_iceberg_sink",
-    "stream_hudi_sink",
-    "stream_stream_join",
-    "stream_stream_full_outer",
-    "stream_static_join",
-    # --- rotation: never-graded, ds_*/dp_*/fn_* weighted (r9 #1) ---
-    "ds_frequent_items",
-    "ds_frequent_top_spenders",
-    "ds_full_outer_match",
-    "ds_half_year_share",
-    "ds_having_join",
-    "ds_hour_band_channels",
-    "ds_hour_profile_users",
-    "ds_in_exists_chain",
-    "ds_inlist_or_members",
-    "ds_late_ship_promo_nulls",
-    "ds_mfr_tri_channel_union",
-    "ds_monthly_cov_pair",
-    "ds_monthly_cov_pair_strict",
-    "ds_monthly_deviation",
-    "ds_multi_slot_counts",
-    "dp_ann_ivf",
-    "dp_boilerplate_dedup",
-    "dp_corpus_to_lakehouse",
-    "dp_curation_pipeline",
-    "dp_dedup_keep_best",
-    "dp_embedding_lsh_verifiable",
-    "dp_embedding_quantize",
-    "dp_fingerprint",
-    "fn_lateral_alias",
-    "fn_lev_bounded",
+    # --- r11 rotation (r10 verdict directive #1): never-graded,
+    #     round-robin across families, oracle-backed first ---
+    "agg_grouping_sets_distinct",
+    "cb_pair_distinct",
+    "dp_frame_sample",
+    "ds_multi_supplier_no_return",
+    "fn_map_batch3",
+    "gen_posexplode",
+    "join_null_safe",
+    "misc_observe",
+    "op_correlated_scalar",
+    "setop_union_distinct",
+    "src_delta_clone",
+    "stream_python_sink",
+    "udf_python_row",
+    "win_frames_rows",
+    "agg_histogram_golden",
+    "cb_peak_minutes",
+    "dp_inverted_index",
+    "ds_nation_above_global",
+    "fn_map_more",
+    "gen_posexplode_outer",
+    "join_right_outer",
+    "misc_range",
+    "op_execute_immediate",
+    "src_delta_constraints",
+    "stream_rate_source",
+    "udf_registered_sql",
+    "win_nth_first_last",
+    "agg_hll_sketch_rollup",
+    "cb_phrase_match_rate",
+    "dp_lang_id",
+    "ds_order_gap_median",
+    "fn_math",
+    "gen_sequence",
+    "misc_repartition",
+    "op_parameterized_sql",
+    "src_delta_generated",
+    "stream_sliding",
+    "udf_scalar_iter",
+    "win_unbounded_agg",
+    "agg_minmax_by",
 )
 
 

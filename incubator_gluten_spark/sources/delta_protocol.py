@@ -874,16 +874,19 @@ def _assign_identity(
     df: DataFrame, metadata: dict, op: str
 ) -> tuple[DataFrame, dict | None]:
     """Generate GENERATED ALWAYS AS IDENTITY values for an incoming
-    batch and return (df_with_ids, updated_metaData_action_or_None).
+    batch and return (df_with_ids, identity_specs_or_None).
 
     Values are ``hwm + step * (monotonically_increasing_id() + 1)`` —
-    unique, above the high water mark, and on the ``start + k*step``
-    grid (the Delta contract: uniqueness and monotonic growth, NOT
-    contiguity — Delta's own writer burns ranges too).  The id
-    assignment is fully distributed (no global sort, no shuffle); the
-    only extra cost is ONE bounded agg over the new batch to advance
-    ``delta.identity.highWaterMark``, which the same commit persists in
-    a new metaData action — exactly how Delta tracks it."""
+    unique, past the high water mark in the direction of ``step``, and
+    on the ``start + k*step`` grid (the Delta contract: uniqueness and
+    monotonic growth, NOT contiguity — Delta's own writer burns ranges
+    too).  The id assignment is fully distributed (no global sort, no
+    shuffle) and the batch is evaluated exactly ONCE: the advanced
+    ``delta.identity.highWaterMark`` is derived afterwards from the
+    staged files' footer stats (``_identity_hwm_update``), never from a
+    second evaluation of the frame — monotonically_increasing_id() is
+    nondeterministic across evaluations after a shuffle, so a separate
+    HWM agg could persist a mark BELOW ids already written."""
     ids = _identity_cols(metadata)
     if not ids:
         return df, None
@@ -899,18 +902,67 @@ def _assign_identity(
         df = df.withColumn(
             name, (F.lit(base) + F.lit(spec["step"]) * (mono + 1)).cast("long")
         )
-    hwms = df.agg(
-        *[F.max(name).alias(name) for name in ids]
-    ).first()
+    return df, ids
+
+
+def _identity_hwm_update(
+    spark: SparkSession, root: str, metadata: dict, ids: dict, adds: list[dict]
+) -> dict | None:
+    """metaData action carrying the advanced
+    ``delta.identity.highWaterMark`` for each identity column, derived
+    from the STAGED adds' footer stats — the mark always matches the
+    ids actually written (no re-evaluation), at zero extra data cost.
+
+    The HWM tracks the extreme in the DIRECTION of step (max for
+    step > 0, min for step < 0 — Delta's contract for descending
+    identity sequences).  If any staged file lacks footer bounds for an
+    identity column (never expected for a plain long, but e.g. an
+    all-NULL row group would), fall back to ONE column-pruned agg over
+    exactly those staged files — still deterministic, since staged
+    files are immutable."""
     schema = json.loads(metadata["schemaString"])
+    changed = False
+    root_adds = [a["add"] for a in adds if "add" in a]
     for f in schema["fields"]:
-        if f["name"] in ids and hwms[f["name"]] is not None:
-            md = dict(f.get("metadata") or {})
-            md["delta.identity.highWaterMark"] = int(hwms[f["name"]])
-            f["metadata"] = md
+        name = f["name"]
+        if name not in ids or not root_adds:
+            continue
+        spec = ids[name]
+        descending = spec["step"] < 0
+        extremes: list[int] = []
+        missing_paths: list[str] = []
+        for add in root_adds:
+            b = _stats_bounds(add, name)
+            if b is None:
+                missing_paths.append(add["path"])
+            else:
+                extremes.append(int(b[0] if descending else b[1]))
+        if missing_paths:
+            agg = F.min(name) if descending else F.max(name)
+            paths = [
+                os.path.join(root, p.replace("/", os.sep))
+                for p in missing_paths
+            ]
+            row = spark.read.parquet(*paths).agg(agg.alias("x")).first()
+            if row["x"] is not None:
+                extremes.append(int(row["x"]))
+        if not extremes:
+            continue
+        new_mark = min(extremes) if descending else max(extremes)
+        prior = spec["hwm"]
+        if prior is not None:
+            new_mark = min(new_mark, prior) if descending else max(new_mark, prior)
+        if new_mark == prior:
+            continue
+        md = dict(f.get("metadata") or {})
+        md["delta.identity.highWaterMark"] = new_mark
+        f["metadata"] = md
+        changed = True
+    if not changed:
+        return None
     meta = dict(metadata)
     meta["schemaString"] = json.dumps(schema)
-    return df, {"metaData": meta}
+    return {"metaData": meta}
 
 
 def create_table(
@@ -996,12 +1048,17 @@ def create_table(
     else:
         schema_json = df.schema.json()
     meta = _metadata_action(schema_json, partition_cols, configuration)
+    id_specs = None
     if identity_columns:
-        df, meta_upd = _assign_identity(df, meta["metaData"], "CREATE TABLE")
-        if meta_upd:
-            meta = meta_upd
+        df, id_specs = _assign_identity(df, meta["metaData"], "CREATE TABLE")
     mapping = _write_mapping(meta["metaData"])
     adds = _stage_data_files(df, root, partition_cols, mapping=mapping)
+    if id_specs:
+        upd = _identity_hwm_update(
+            df.sparkSession, root, meta["metaData"], id_specs, adds
+        )
+        if upd:
+            meta = upd
     cdf = configuration.get(_CDF_KEY) == "true"
     reader_v = 2 if column_mapping else 1
     writer_v = (
@@ -1038,12 +1095,17 @@ def append(df: DataFrame, root: str) -> int:
         df = _compute_or_validate_generated(df, gens, "append").select(
             *[f.name for f in snap.schema.fields]
         )
-    df, meta_upd = _assign_identity(df, snap.metadata, "append")
-    if meta_upd:
+    df, id_specs = _assign_identity(df, snap.metadata, "append")
+    if id_specs:
         df = df.select(*[f.name for f in snap.schema.fields])
     _enforce_constraints(df, snap.metadata, "append")
     adds = _stage_data_files(
         df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
+    )
+    meta_upd = (
+        _identity_hwm_update(spark, root, snap.metadata, id_specs, adds)
+        if id_specs
+        else None
     )
     _write_actions(root, v, ([meta_upd] if meta_upd else []) + adds)
     return v
@@ -1066,13 +1128,18 @@ def append_stream_batch(
         df = _compute_or_validate_generated(
             df, gens, "streaming append"
         ).select(*[f.name for f in snap.schema.fields])
-    df, meta_upd = _assign_identity(df, snap.metadata, "streaming append")
-    if meta_upd:
+    df, id_specs = _assign_identity(df, snap.metadata, "streaming append")
+    if id_specs:
         df = df.select(*[f.name for f in snap.schema.fields])
     _enforce_constraints(df, snap.metadata, "streaming append")
     v = current_version(root) + 1
     adds = _stage_data_files(
         df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
+    )
+    meta_upd = (
+        _identity_hwm_update(spark, root, snap.metadata, id_specs, adds)
+        if id_specs
+        else None
     )
     _write_actions(
         root,
@@ -1160,7 +1227,10 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
         # per-partition-tuple write loop.
         sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
         live = _live_rows(spark, root, sub)
-        kept = live.filter(f"NOT ({predicate})")
+        # SQL DELETE removes rows where the predicate is TRUE only —
+        # NULL-evaluating rows must SURVIVE the rewrite (NOT(NULL)=NULL
+        # would silently drop them)
+        kept = live.filter(f"NOT coalesce(({predicate}), false)")
         if not kept.isEmpty():
             actions.extend(_stage_data_files(kept, root, pcols, mapping=mapping))
         if _cdf_enabled(snap.metadata):
@@ -1229,7 +1299,12 @@ def overwrite_where(
             new_df, gens, "replaceWhere"
         ).select(*cols)
     _enforce_constraints(new_df, snap.metadata, "replaceWhere")
-    if strict and not new_df.filter(f"NOT ({predicate})").isEmpty():
+    # NULL-safe: a new row where the predicate evaluates NULL does NOT
+    # satisfy it (SQL three-valued logic) — `NOT (NULL)` is NULL, which
+    # a plain filter would drop, letting the row slip past the check
+    if strict and not new_df.filter(
+        f"NOT coalesce(({predicate}), false)"
+    ).isEmpty():
         raise DeltaProtocolError(
             "replaceWhere: new rows violate the replace predicate "
             f"({predicate!r}) — Delta's DELTA_REPLACE_WHERE_MISMATCH; "
@@ -1242,7 +1317,9 @@ def overwrite_where(
     if rewrite:
         sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
         live = _live_rows(spark, root, sub)
-        kept = live.filter(f"NOT ({predicate})")
+        # replaceWhere keeps every row NOT satisfying the predicate —
+        # NULL evaluations included (see delete_where's NULL-safe form)
+        kept = live.filter(f"NOT coalesce(({predicate}), false)")
         if not kept.isEmpty():
             actions.extend(
                 _stage_data_files(kept, root, pcols, mapping=mapping)
@@ -2301,11 +2378,16 @@ def history(spark: SparkSession, root: str) -> list[dict]:
 
 def _zorder_key(df: DataFrame, cols: list[str]):
     """Morton (bit-interleaved) key over NUMERIC columns: each column
-    min-max normalized to 16 bits (the cheap analog of Delta's
-    range-partition ids), bit j of column i landing at position
-    ``j*k + i`` — sorting by the single key clusters ALL k dimensions,
-    which is what narrows per-file min/max stats on every z-ordered
-    column at once.  One bounded agg computes the mins/maxs."""
+    min-max normalized to ``bits = min(16, 63 // k)`` bits (the cheap
+    analog of Delta's range-partition ids), bit j of column i landing
+    at position ``j*k + i`` — sorting by the single key clusters ALL k
+    dimensions, which is what narrows per-file min/max stats on every
+    z-ordered column at once.  One bounded agg computes the mins/maxs.
+
+    The per-column width shrinks with k so the TOP interleaved bit
+    (``bits*k - 1``) stays <= 62: a fixed 16 bits would put k=4's top
+    bit on the long's sign bit (those rows would sort FIRST, breaking
+    the curve) and silently wrap shiftleft mod 64 for k >= 5."""
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
     for c in cols:
         t = dict(df.dtypes)[c]
@@ -2318,6 +2400,8 @@ def _zorder_key(df: DataFrame, cols: list[str]):
         aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
     row = df.agg(*aggs).first()
     k = len(cols)
+    bits = min(16, 63 // k)
+    top = (1 << bits) - 1
     zkey = F.lit(0).cast("long")
     for i, c in enumerate(cols):
         lo, hi = row[2 * i], row[2 * i + 1]
@@ -2325,16 +2409,16 @@ def _zorder_key(df: DataFrame, cols: list[str]):
         span = 1.0 if hi is None or float(hi) == lo else float(hi) - lo
         norm = F.coalesce(
             F.least(
-                F.lit(65535),
+                F.lit(top),
                 F.greatest(
                     F.lit(0),
                     ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
-                     * 65535).cast("long"),
+                     * top).cast("long"),
                 ),
             ),
             F.lit(0),  # NULLs cluster first, like Delta's NULLS FIRST
         )
-        for j in range(16):
+        for j in range(bits):
             zkey = zkey.bitwiseOR(
                 F.shiftleft(
                     F.shiftright(norm, j).bitwiseAND(F.lit(1)), j * k + i

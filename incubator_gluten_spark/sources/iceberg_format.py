@@ -798,19 +798,31 @@ def _write_data_files(
 
     With ``spec`` (hidden partitioning), transform fields are computed
     as synthetic columns (iceberg_transforms.spark_transform_expr —
-    JVM-side except bucket's Arrow kernel), partitionBy strips them, and
-    the SOURCE column stays in the data file untouched; identity fields
-    keep the strip-and-reattach path.  Without ``spec`` the legacy
-    identity behavior from ``partition_cols`` is unchanged (iceberg_v2
-    and the adversarial fixtures call it that way)."""
+    JVM-side except bucket's Arrow kernel) and partitionBy strips them,
+    leaving the SOURCE column in the data file untouched.  Identity
+    fields partition by a synthetic COPY of the source column the same
+    way — partitionBy strips the copy, the real column stays in every
+    data file (spec-compliant), and staged files are **moved, never
+    rewritten**: the pre-r11 path re-read and re-wrote every staged
+    file ON THE DRIVER to reattach identity columns — a single-threaded
+    pass over all written bytes on every identity-partitioned write
+    (create/append/COW/stream-sink).  Now the whole write is
+    executor-side; the driver only walks directory names for the
+    manifest tuples (metadata-only).  Timestamps stage directly as
+    MICROS via ``spark.sql.parquet.outputTimestampType`` (the Iceberg
+    spec's representation) instead of the old INT96 + pyarrow recast.
+
+    Reference analog: gluten-iceberg delegates writes to Iceberg's
+    distributed writers (gluten-iceberg/.../IcebergWriteExec.scala) —
+    no driver data pass."""
     if ice_schema is not None:
         spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         df = _stamp_field_ids(df, ice_schema)
-    out_fields = [f.name for f in df.schema.fields]
+    token = uuid.uuid4().hex[:8]
     # per-partition-field descriptors: dir = the partitionBy column name
-    # (== the directory key), key = the manifest tuple key, typ = spark
-    # type for _coerce, src = source column, reattach = identity source
-    # stripped by partitionBy that must be restored into the file
+    # (== the directory key, always synthetic so the real columns all
+    # stay in the file), key = the manifest tuple key, typ = spark type
+    # for _coerce
     if spec is not None:
         from incubator_gluten_spark.sources.iceberg_transforms import (
             result_ice_type,
@@ -824,9 +836,10 @@ def _write_data_files(
             t = pf.get("transform", "identity")
             src_t = df.schema[src].dataType.simpleString()
             if t == "identity":
+                synth = f"__p_{token}_{pf['name']}"
+                df = df.withColumn(synth, F.col(src))
                 descr.append(
-                    {"dir": src, "key": pf["name"], "typ": src_t,
-                     "src": src, "reattach": True}
+                    {"dir": synth, "key": pf["name"], "typ": src_t}
                 )
             else:
                 synth = pf["name"]
@@ -834,23 +847,37 @@ def _write_data_files(
                 rt = result_ice_type(t, _SPARK_TO_ICE.get(src_t, src_t))
                 descr.append(
                     {"dir": synth, "key": pf["name"],
-                     "typ": _ICE_TO_SPARK.get(rt, rt),
-                     "src": src, "reattach": False}
+                     "typ": _ICE_TO_SPARK.get(rt, rt)}
                 )
     else:
-        descr = [
-            {"dir": c, "key": c,
-             "typ": df.schema[c].dataType.simpleString(),
-             "src": c, "reattach": True}
-            for c in partition_cols
-        ]
+        descr = []
+        for c in partition_cols:
+            synth = f"__p_{token}_{c}"
+            df = df.withColumn(synth, F.col(c))
+            descr.append(
+                {"dir": synth, "key": c,
+                 "typ": df.schema[c].dataType.simpleString()}
+            )
     part_by = [d["dir"] for d in descr]
-    token = uuid.uuid4().hex[:8]
     staging = os.path.join(root, f"_staging_{token}")
     writer = df.write.mode("overwrite")
     if part_by:
         writer = writer.partitionBy(*part_by)
-    writer.parquet(staging)
+    # Iceberg timestamps are micros (spec); Spark's default INT96 would
+    # read back via pyarrow as unreadable nanos and carries no footer
+    # min/max stats — stage micros at the source, executor-side (scoped:
+    # restored after the write so session-global parquet staging
+    # elsewhere is untouched)
+    _TS_KEY = "spark.sql.parquet.outputTimestampType"
+    prior_ts = spark.conf.get(_TS_KEY, None)
+    spark.conf.set(_TS_KEY, "TIMESTAMP_MICROS")
+    try:
+        writer.parquet(staging)
+    finally:
+        if prior_ts is None:
+            spark.conf.unset(_TS_KEY)
+        else:
+            spark.conf.set(_TS_KEY, prior_ts)
     import pyarrow.parquet as pq
 
     data_files = []
@@ -869,66 +896,16 @@ def _write_data_files(
             for seg in rel_dir.split(os.sep):
                 k, _, v = seg.partition("=")
                 pvals[unescape_path_name(k)] = unescape_path_name(v)
-        reattach = [d for d in descr if d["reattach"]]
         for name in sorted(n for n in names if n.endswith(".parquet")):
             src = os.path.join(dirpath, name)
             n_rows = pq.read_metadata(src).num_rows
             if n_rows == 0:
                 continue
             rel = f"data/{token}-{len(data_files):04d}.parquet"
-            if reattach:
-                # identity partition columns are stripped by partitionBy:
-                # rewrite the file WITH them (spec: identity values also
-                # live in the data file).  Transform fields need nothing —
-                # their SOURCE column was never stripped.
-                import pyarrow as pa
-
-                ids = {
-                    f["name"]: f["id"] for f in (ice_schema or {}).get("fields", [])
-                }
-                table = pq.read_table(src)
-                # Spark stages timestamps as INT96, which pyarrow reads
-                # as tz-less timestamp[ns]; writing that back verbatim
-                # produces TIMESTAMP(NANOS, ntz) — unreadable as a Spark
-                # `timestamp`.  Coerce to UTC micros (the instant is
-                # already UTC — session tz is pinned) so the rewritten
-                # file reads as TIMESTAMP(MICROS, adjusted=true).
-                for ci, pa_f in enumerate(table.schema):
-                    if pa.types.is_timestamp(pa_f.type):
-                        tgt = pa.timestamp("us", tz=pa_f.type.tz or "UTC")
-                        table = table.set_column(
-                            ci,
-                            pa.field(
-                                pa_f.name, tgt, pa_f.nullable, pa_f.metadata
-                            ),
-                            table.column(ci).cast(tgt),
-                        )
-                for d in reattach:
-                    col, val = d["src"], pvals[d["dir"]]
-                    field = df.schema[col].dataType.simpleString()
-                    typ = {
-                        "bigint": pa.int64(),
-                        "int": pa.int32(),
-                        "string": pa.string(),
-                        "double": pa.float64(),
-                        "date": pa.date32(),
-                    }[field]
-                    pyval = _coerce_py(val, field)
-                    arr = pa.array([pyval] * n_rows, type=typ)
-                    # re-attached partition columns carry their field id
-                    # too (pyarrow spells it PARQUET:field_id)
-                    pa_field = pa.field(
-                        col,
-                        typ,
-                        metadata={b"PARQUET:field_id": str(ids[col]).encode()}
-                        if col in ids
-                        else None,
-                    )
-                    table = table.append_column(pa_field, arr)
-                table = table.select(out_fields)
-                pq.write_table(table, os.path.join(root, rel))
-            else:
-                shutil.move(src, os.path.join(root, rel))
+            # staged files already contain every schema column (identity
+            # partitioning strips only the synthetic __p_* copy) — a
+            # pure rename, zero data bytes through the driver
+            shutil.move(src, os.path.join(root, rel))
             part_tuple = {
                 d["key"]: _coerce(pvals[d["dir"]], d["typ"]) for d in descr
             }
@@ -964,18 +941,6 @@ def _coerce(v: str | None, spark_type: str):
 
         return (_dt.date.fromisoformat(v) - _dt.date(1970, 1, 1)).days
     return v
-
-
-def _coerce_py(v: str | None, spark_type: str):
-    """Directory-name string -> the PYTHON value for the rewritten data
-    file's partition column (pyarrow array element)."""
-    if v is None:
-        return None
-    if spark_type == "date":
-        import datetime as _dt
-
-        return _dt.date.fromisoformat(v)
-    return _coerce(v, spark_type)
 
 
 def _write_manifest(
@@ -1326,11 +1291,14 @@ def delete_where(
     intersecting file restage; see ``_cow_rewrite``.  The v2
     merge-on-read twins (position/equality delete files) live in
     iceberg_v2.py."""
+    # SQL DELETE removes rows where the predicate is TRUE only — a
+    # NULL-evaluating predicate (NULL in the column) must keep the row:
+    # plain ~cond yields NULL for those rows and filter() drops them
     return _cow_rewrite(
         spark,
         root,
         predicates,
-        lambda rows, cond: rows.filter(~cond),
+        lambda rows, cond: rows.filter(~F.coalesce(cond, F.lit(False))),
         "COW DELETE",
     )
 

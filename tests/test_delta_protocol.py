@@ -547,3 +547,106 @@ def test_identity_streaming_append_generates_ids(spark, tmp_path):
     ids = [r.id for r in dp.read_table(spark, root).collect()]
     assert len(ids) == len(set(ids)) == 2
     assert all(i % 5 == 0 for i in ids)
+
+
+# r11 ADVICE pins: negative-step HWM direction, stats-derived HWM
+# determinism, NULL-safe replaceWhere/DELETE predicates, z-order width
+
+
+def test_identity_negative_step_descends_without_collision(spark, tmp_path):
+    """step < 0: the high water mark must track the MINIMUM issued id
+    (the extreme in the direction of step) — an F.max-tracked mark
+    would re-issue already-used values on the next append."""
+    root = str(tmp_path / "idc_neg")
+    dp.create_table(
+        _id_mk(spark, [("a", 1.0), ("b", 2.0)]),
+        root,
+        identity_columns={"id": (100, -10)},
+    )
+    first = {r.id for r in dp.read_table(spark, root).collect()}
+    assert all(i <= 100 and (100 - i) % 10 == 0 for i in first)
+    hwm = dp._identity_cols(dp.resolve(spark, root).metadata)["id"]["hwm"]
+    assert hwm == min(first)  # direction of step, not F.max
+    dp.append(_id_mk(spark, [("c", 3.0), ("d", 4.0)]), root)
+    ids = [r.id for r in dp.read_table(spark, root).collect()]
+    assert len(ids) == len(set(ids)) == 4  # no duplicates across commits
+    assert all(n < min(first) for n in set(ids) - first)  # strictly past
+    hwm2 = dp._identity_cols(dp.resolve(spark, root).metadata)["id"]["hwm"]
+    assert hwm2 == min(ids)
+
+
+def test_identity_hwm_matches_written_ids_after_shuffle(spark, tmp_path):
+    """The persisted HWM is derived from the STAGED files' stats, so it
+    always equals the extreme id actually written — even when the
+    input frame sits behind a shuffle (monotonically_increasing_id is
+    nondeterministic across evaluations there; a second HWM agg could
+    record a mark below ids on disk)."""
+    root = str(tmp_path / "idc_shuffle")
+    base = spark.createDataFrame(
+        [(f"n{i}", float(i)) for i in range(50)], "name string, v double"
+    ).repartition(8, "name")  # post-shuffle, order nondeterministic
+    dp.create_table(base, root, identity_columns={"id": (1, 3)})
+    ids = [r.id for r in dp.read_table(spark, root).collect()]
+    hwm = dp._identity_cols(dp.resolve(spark, root).metadata)["id"]["hwm"]
+    assert hwm == max(ids)  # never below anything on disk
+    dp.append(base, root)
+    ids2 = [r.id for r in dp.read_table(spark, root).collect()]
+    assert len(ids2) == len(set(ids2)) == 100  # no collision
+    assert (
+        dp._identity_cols(dp.resolve(spark, root).metadata)["id"]["hwm"]
+        == max(ids2)
+    )
+
+
+def test_replace_where_keeps_null_predicate_rows(spark, tmp_path):
+    """Rows where the replace predicate evaluates NULL do NOT satisfy
+    it — replaceWhere must KEEP them in the rewrite (they previously
+    vanished with no CDF image) and must REFUSE new rows whose
+    predicate evaluates NULL under strict mode."""
+    root = str(tmp_path / "rw_null")
+    dp.create_table(
+        _rw_mk(spark, [(1, 10.0, "a"), (2, 20.0, None), (3, 30.0, "b")]),
+        root,
+    )
+    out = dp.overwrite_where(
+        spark, root, "grp = 'a'", _rw_mk(spark, [(9, 90.0, "a")])
+    )
+    assert out["files_rewritten"] == 1
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == [(2, 20.0, None), (3, 30.0, "b"), (9, 90.0, "a")]
+    # strict: a NULL-evaluating new row does not satisfy the predicate
+    with pytest.raises(dp.DeltaProtocolError, match="violate"):
+        dp.overwrite_where(
+            spark, root, "grp = 'a'", _rw_mk(spark, [(7, 70.0, None)])
+        )
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE only — a
+    NULL price must survive `DELETE WHERE price > 15`."""
+    root = str(tmp_path / "del_null")
+    dp.create_table(
+        _rw_mk(spark, [(1, 10.0, "a"), (2, None, "b"), (3, 30.0, "c")]),
+        root,
+    )
+    dp.delete_where(spark, root, "price > 15")
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == [(1, 10.0, "a"), (2, None, "b")]
+
+
+def test_zorder_key_wide_column_sets_stay_nonnegative(spark):
+    """4+ column z-order: per-column width shrinks so the top
+    interleaved bit never lands on the sign bit (k=4 at 16 bits put
+    bit 63 there — max-value rows sorted FIRST) and never wraps
+    shiftleft mod 64 (k>=5)."""
+    df = spark.createDataFrame(
+        [(i, i * 2, i * 3, i * 5, i * 7) for i in range(32)],
+        "a long, b long, c long, d long, e long",
+    )
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+        keyed = df.withColumn("__z", dp._zorder_key(df, cols))
+        rows = keyed.orderBy("a").select("a", "__z").collect()
+        assert all(r["__z"] >= 0 for r in rows)  # sign bit untouched
+        # all-max row carries the max key; all-min the min (curve intact)
+        assert rows[-1]["__z"] == max(r["__z"] for r in rows)
+        assert rows[0]["__z"] == min(r["__z"] for r in rows)

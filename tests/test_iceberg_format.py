@@ -368,3 +368,23 @@ def test_cow_delete_on_evolved_schema_binds_by_field_id(spark, tmp_path):
     got = sorted(map(tuple, ice.read_table(spark, root).collect()))
     assert got == [(1, 10.0)]
     assert ice.read_table(spark, root).columns == ["k", "val"]
+
+
+def test_cow_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE removes rows where the predicate is TRUE only — a
+    row whose predicate evaluates NULL (NULL in the column) must
+    SURVIVE the COW rewrite (r11 ADVICE: plain ~cond yields NULL and
+    filter() silently dropped it)."""
+    root = str(tmp_path / "cow_null")
+    ice.create_table(
+        spark.createDataFrame(
+            [(1, 10.0), (2, None), (3, 30.0)], "k long, v double"
+        ),
+        root,
+    )
+    ice.delete_where(spark, root, [("v", ">", 15.0)])
+    got = sorted(
+        map(tuple, ice.read_table(spark, root).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == [(1, 10.0), (2, None)]
