@@ -73,7 +73,8 @@ _FRONT = (
     "dp_sequence_packing",
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
-    #     round-robin across families, oracle-backed first ---
+    #     round-robin across families, oracle-backed first; the three
+    #     r11 new-surface entries certified the round they land ---
     "agg_grouping_sets_distinct",
     "cb_pair_distinct",
     "dp_frame_sample",
@@ -111,9 +112,9 @@ _FRONT = (
     "op_parameterized_sql",
     "src_delta_generated",
     "stream_sliding",
-    "udf_scalar_iter",
-    "win_unbounded_agg",
-    "agg_minmax_by",
+    "src_iceberg_merge",
+    "src_iceberg_maintenance",
+    "src_delta_merge_schema",
 )
 
 

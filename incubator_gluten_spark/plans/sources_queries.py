@@ -3314,6 +3314,234 @@ def src_iceberg_cow_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_iceberg_merge",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    s AS (
+      SELECT o_orderkey, o_totalprice * 0.5 AS o_totalprice,
+             o_orderpriority
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+        AND o_totalprice > 150000
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    merged AS (
+      SELECT * FROM s
+      UNION ALL
+      SELECT * FROM t
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE INTO, copy-on-write (sources/iceberg_format.py
+    merge — ``write.merge.mode=copy-on-write``, Spark's default MERGE
+    mode on Iceberg): a priority-partitioned table of 1996 orders
+    takes one MERGE whose source halves the price of big '1-URGENT'
+    orders (whenMatched UPDATE-all) and carries every 1995 order
+    (whenNotMatched INSERT-all).  Touched-file detection is a
+    column-pruned provenance scan (key column + _metadata.file_path
+    only) semi-joined with the source keys, so only files actually
+    containing a matching key rewrite — files_skipped asserted > 0
+    (the non-URGENT partitions never restage; at 100 TB the rewrite is
+    O(matched files), not O(table)).  Untouched files re-state
+    EXISTING, ONE 'overwrite' snapshot commits, and time travel to the
+    pre-MERGE snapshot still sees the original rows (asserted).  The
+    oracle recomputes upsert semantics as s UNION ALL (t anti-join s)
+    and the hash certifies the whole chain.  gluten-iceberg offloads
+    the scan side of Spark's MERGE-on-Iceberg plans
+    (gluten-iceberg/.../IcebergScanTransformer.scala)."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_merge")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    t = orders.filter(F.year("o_orderdate") == 1996).select(*cols)
+    ice.create_table(t, root, partition_cols=["o_orderpriority"])
+    n_before = ice.read_table(spark, root).count()
+    upd = (
+        orders.filter(
+            (F.year("o_orderdate") == 1996)
+            & (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 150000)
+        )
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+    ins = orders.filter(F.year("o_orderdate") == 1995).select(*cols)
+    out = ice.merge(spark, root, upd.unionByName(ins), ["o_orderkey"])
+    if out["files_skipped"] == 0:
+        raise RuntimeError("MERGE rewrote every file — skipping broken")
+    if ice.read_table(spark, root, snapshot_id=1).count() != n_before:
+        raise RuntimeError("time travel lost the pre-MERGE snapshot")
+    return ice.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_delta_merge_schema",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1997
+    )
+    SELECT coalesce(o_orderpriority, '(pre-evolution)') AS prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM t
+    GROUP BY coalesce(o_orderpriority, '(pre-evolution)')
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta write-path SCHEMA EVOLUTION (sources/delta_protocol.py
+    append(merge_schema=True) — the ``option("mergeSchema","true")``
+    surface): a two-column orders table takes an append carrying a NEW
+    column; the same commit widens the schemaString in ONE metaData
+    action, the pre-widening files are NEVER rewritten, and the scan
+    reads them under the LOG's schema with typed NULLs injected
+    executor-side — no footer-merge pass (mergeSchema's
+    read-every-footer cost is the wrong trade at 100 TB when the log
+    already knows the answer; asserted: file count unchanged across
+    the widening).  A widened batch missing the new column NULL-fills;
+    unknown columns without the flag refuse (pinned in tests).  The
+    oracle recomputes the evolution as UNION ALL with a NULL literal
+    and the hash certifies old-file NULL injection end to end.
+    Reference analog: gluten-delta scans evolved Delta tables through
+    the jar (DeltaScanTransformer.scala); semantics follow the public
+    Delta mergeSchema docs."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_merge_schema")
+    shutil.rmtree(root, ignore_errors=True)
+    dp.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        root,
+    )
+    files_before = {a["path"] for a in dp.resolve(spark, root).adds}
+    dp.append(
+        orders.filter(F.year("o_orderdate") == 1997).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ),
+        root,
+        merge_schema=True,
+    )
+    files_after = {a["path"] for a in dp.resolve(spark, root).adds}
+    if not files_before <= files_after:
+        raise RuntimeError("mergeSchema append rewrote a pre-widening file")
+    return dp.read_table(spark, root).groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("(pre-evolution)")).alias(
+            "prio"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_iceberg_maintenance",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+      AND NOT (o_orderpriority = '5-LOW' AND year(o_orderdate) = 1996)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg table maintenance: ``system.expire_snapshots`` +
+    ``system.remove_orphan_files`` (sources/iceberg_format.py).  The
+    table takes create(1996) -> append(1997) -> COW DELETE of 1996
+    '5-LOW' rows, a tag pins the pre-delete snapshot, and an orphan
+    parquet + stale staging dir are planted.  expire_snapshots
+    (retain_last=1) must expire only snapshot 1 — the tag PROTECTS
+    snapshot 2 (spec retention contract, asserted) and keeps its files
+    on disk; remove_orphan_files must collect exactly the planted
+    junk (asserted) while every referenced file — including
+    DELETED-status history — survives.  Both ops are metadata-sized
+    (manifest walks + unlinks; no data file read), which is what makes
+    nightly maintenance on a 100 TB table affordable.  Current AND
+    tagged reads verify after both ops; the oracle recomputes the
+    current state.  Reference analog: Iceberg's spark-procedures
+    expire_snapshots / remove_orphan_files, run as maintenance jobs on
+    gluten-scanned tables."""
+    import os
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_maintenance")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    ice.create_table(y(1996), root, partition_cols=["o_orderpriority"])
+    ice.append(y(1997), root)
+    ice.create_tag(root, "pre_delete", snapshot_id=2)
+    n_tagged = ice.read_table(spark, root).count()
+    ice.delete_where(spark, root, [("o_orderpriority", "=", "5-LOW")])
+    # the delete only touched 1996+1997 '5-LOW' files; re-add 1997 5-LOW
+    ice.append(
+        y(1997).filter(F.col("o_orderpriority") == "5-LOW"), root
+    )
+    with open(os.path.join(root, "data", "orphan-junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    os.makedirs(os.path.join(root, "_staging_dead"), exist_ok=True)
+    out = ice.expire_snapshots(root, retain_last=1)
+    if 2 in out["expired_snapshot_ids"]:
+        raise RuntimeError("expire collected a tag-protected snapshot")
+    if out["expired_snapshot_ids"] != [1, 3]:
+        raise RuntimeError(f"unexpected expiry set: {out}")
+    orph = ice.remove_orphan_files(root)
+    if orph["orphans_deleted"] != 1 or orph["staging_dirs_deleted"] != 1:
+        raise RuntimeError(f"orphan collection off: {orph}")
+    if ice.read_table(spark, root, snapshot_id=2).count() != n_tagged:
+        raise RuntimeError("tagged snapshot unreadable after maintenance")
+    return ice.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_delta_zorder",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -332,6 +332,19 @@ def _grouped_scan(
             # mapped tables evolve: files written before an add_column
             # lack its physical column -> merge footers, inject nulls
             reader = reader.option("mergeSchema", "true")
+        else:
+            # non-mapped tables evolve too (mergeSchema append): read
+            # under the LOG's schema — files written before a widening
+            # lack the new columns and the scan injects typed NULLs
+            # executor-side, with NO footer-merge pass (mergeSchema's
+            # read-every-footer cost is the wrong trade at 100 TB when
+            # the log already knows the answer)
+            from pyspark.sql.types import StructType
+
+            pset = set(snap.partition_columns)
+            reader = reader.schema(
+                StructType([f for f in schema.fields if f.name not in pset])
+            )
         df = reader.parquet(*[os.path.join(root, r) for r in rels])
         if with_positions:
             df = df.select(
@@ -1084,9 +1097,98 @@ def create_table(
     )
 
 
-def append(df: DataFrame, root: str) -> int:
+def _align_append_schema(
+    df: DataFrame, metadata: dict, merge_schema: bool, op: str
+) -> tuple[DataFrame, dict | None]:
+    """Validate/align an incoming batch against the table schema —
+    Delta's write-path schema contract:
+
+    * columns NOT in the table refuse unless ``merge_schema`` (the
+      ``option("mergeSchema", "true")`` surface), which widens the
+      schemaString with new NULLABLE fields in ONE metaData action in
+      the same commit;
+    * table columns missing from the batch inject typed NULLs when
+      nullable, refuse otherwise;
+    * type mismatches on matched columns refuse (no silent casts — a
+      mismatched parquet file would poison every later scan).
+
+    Returns (aligned-and-ordered df, widening metaData action or
+    None).  Identity columns are skipped — they are GENERATED ALWAYS
+    and assigned downstream.  Mapped tables evolve via ``add_column``
+    (physical names need fresh ids), so merge_schema refuses there."""
+    from pyspark.sql.types import StructType
+
+    fields = json.loads(metadata["schemaString"])["fields"]
+    ids = set(_identity_cols(metadata))
+    for c in df.columns:
+        if c in ids:
+            raise DeltaProtocolError(
+                f"{op}: column {c!r} is GENERATED ALWAYS AS IDENTITY "
+                "— explicit values are not accepted"
+            )
+    tnames = {f["name"] for f in fields}
+    extra = [c for c in df.columns if c not in tnames]
+    meta_upd = None
+    if extra:
+        if not merge_schema:
+            raise DeltaProtocolError(
+                f"{op}: data column(s) {extra} not in the table schema — "
+                "pass merge_schema=True (Delta's "
+                "option('mergeSchema','true')) to widen"
+            )
+        if _write_mapping(metadata):
+            raise DeltaProtocolError(
+                f"{op}: mergeSchema on a column-mapped table is not "
+                "supported — use add_column (fresh field id + physical "
+                "name)"
+            )
+        for c in extra:
+            fields.append(
+                {
+                    "name": c,
+                    "type": df.schema[c].dataType.jsonValue(),
+                    "nullable": True,
+                    "metadata": {},
+                }
+            )
+        meta = dict(metadata)
+        d = json.loads(meta["schemaString"])
+        d["fields"] = fields
+        meta["schemaString"] = json.dumps(d)
+        meta_upd = {"metaData": meta}
+    target = StructType.fromJson({"type": "struct", "fields": fields})
+    sel = []
+    for f in target.fields:
+        if f.name in ids:
+            continue
+        if f.name in df.columns:
+            if df.schema[f.name].dataType != f.dataType:
+                raise DeltaProtocolError(
+                    f"{op}: column {f.name!r} type "
+                    f"{df.schema[f.name].dataType.simpleString()} does not "
+                    f"match table type {f.dataType.simpleString()}"
+                )
+            sel.append(F.col(f.name))
+        else:
+            if not f.nullable:
+                raise DeltaProtocolError(
+                    f"{op}: required column {f.name!r} missing from data"
+                )
+            sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*sel), meta_upd
+
+
+def append(df: DataFrame, root: str, merge_schema: bool = False) -> int:
     """Add-only commit at the next version (partition layout taken from
-    the table's metaData); returns the version."""
+    the table's metaData); returns the version.
+
+    ``merge_schema`` mirrors Delta's ``option("mergeSchema", "true")``:
+    new columns in ``df`` widen the table schema (nullable, appended)
+    in the SAME commit's metaData action; files written before the
+    widening stay untouched and read back with typed NULLs for the new
+    columns (the scan binds to the log's schema — no footer merging).
+    Batches missing nullable table columns are NULL-filled either way;
+    type mismatches and missing required columns refuse."""
     v = current_version(root) + 1
     spark = SparkSession.getActiveSession()
     snap = resolve(spark, root)
@@ -1095,18 +1197,27 @@ def append(df: DataFrame, root: str) -> int:
         df = _compute_or_validate_generated(df, gens, "append").select(
             *[f.name for f in snap.schema.fields]
         )
-    df, id_specs = _assign_identity(df, snap.metadata, "append")
+    df, schema_upd = _align_append_schema(
+        df, snap.metadata, merge_schema, "append"
+    )
+    base_meta = schema_upd["metaData"] if schema_upd else snap.metadata
+    df, id_specs = _assign_identity(df, base_meta, "append")
     if id_specs:
-        df = df.select(*[f.name for f in snap.schema.fields])
-    _enforce_constraints(df, snap.metadata, "append")
+        order = [
+            f["name"] for f in json.loads(base_meta["schemaString"])["fields"]
+        ]
+        df = df.select(*order)
+    _enforce_constraints(df, base_meta, "append")
     adds = _stage_data_files(
         df, root, snap.partition_columns, mapping=_write_mapping(snap.metadata)
     )
+    # one metaData action per commit: the identity HWM update builds on
+    # the (possibly widened) schema
     meta_upd = (
-        _identity_hwm_update(spark, root, snap.metadata, id_specs, adds)
+        _identity_hwm_update(spark, root, base_meta, id_specs, adds)
         if id_specs
         else None
-    )
+    ) or schema_upd
     _write_actions(root, v, ([meta_upd] if meta_upd else []) + adds)
     return v
 

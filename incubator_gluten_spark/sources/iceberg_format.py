@@ -602,10 +602,22 @@ def read_table(
 
 
 def _read_files_by_id(
-    spark: SparkSession, root: str, meta: dict, schema: dict, files: list[dict]
+    spark: SparkSession,
+    root: str,
+    meta: dict,
+    schema: dict,
+    files: list[dict],
+    columns: list[str] | None = None,
+    with_path: bool = False,
 ) -> DataFrame:
     """Field-id-bound read of specific planned data files (the shared
-    scan core of read_table and the row-level COW rewrites)."""
+    scan core of read_table and the row-level COW rewrites).
+
+    ``columns`` prunes the READ SCHEMA itself (only those parquet
+    columns are decoded — the lever that makes MERGE's touched-file
+    scan key-column-cheap at 100 TB); ``with_path`` appends the file's
+    provenance as ``__file_path`` from the parquet ``_metadata``
+    column (computed by the scan, no extra I/O)."""
     schemas = meta.get("schemas") or [meta["schema"]]
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
@@ -633,6 +645,8 @@ def _read_files_by_id(
 
     read_fields, out_cols = [], []
     for f in schema["fields"]:
+        if columns is not None and f["name"] not in columns:
+            continue
         rname = f"_fid_{f['id']}" if f["name"] in hazards else f["name"]
         read_fields.append(
             StructField(
@@ -645,6 +659,8 @@ def _read_files_by_id(
             )
         )
         out_cols.append(F.col(rname).alias(f["name"]))
+    if with_path:
+        out_cols.append(F.col("_metadata.file_path").alias("__file_path"))
     df = spark.read.schema(StructType(read_fields)).parquet(
         *[_resolve_path(root, f["file_path"]) for f in files]
     )
@@ -1159,6 +1175,128 @@ def rewrite_manifests(root: str) -> dict:
     }
 
 
+def _snapshot_file_sets(root: str, snap: dict) -> tuple[set, set, set]:
+    """(live data file paths, ALL referenced data file paths, manifest
+    paths) of one snapshot — a metadata-only walk: manifest list ->
+    manifests -> entries.  'Referenced' includes DELETED-status entries
+    (their physical files may still be live in an older snapshot)."""
+    live: set = set()
+    referenced: set = set()
+    manifests: set = set()
+    for mf in read_container(_resolve_path(root, snap["manifest-list"])):
+        manifests.add(mf[0])
+        for status, _sid, data_file in read_container(
+            _resolve_path(root, mf[0])
+        ):
+            referenced.add(data_file["file_path"])
+            if status != DELETED:
+                live.add(data_file["file_path"])
+    return live, referenced, manifests
+
+
+def expire_snapshots(root: str, retain_last: int = 1) -> dict:
+    """``system.expire_snapshots``: drop all but the newest
+    ``retain_last`` snapshots (plus the current snapshot and every
+    ref'd one — branches and tags NEVER expire, the spec's retention
+    contract), physically deleting what only the expired snapshots can
+    reach: their manifest-list files, manifests unreachable from any
+    retained snapshot, and data files live in NO retained snapshot.
+    The whole operation is METADATA-SIZED: manifest walks plus
+    unlink()s — no data file is ever read, so expiring history on a
+    100 TB table costs O(manifests), not O(bytes).
+
+    Time travel to an expired snapshot id refuses afterwards (the
+    history is gone — that is the point), and incremental consumers
+    positioned before the expiry horizon lose their replay window,
+    exactly like Iceberg's own procedure (documented, not hidden).
+    Reference analog: Iceberg spark-procedures ``expire_snapshots``
+    (gluten scans tables after maintenance jobs run them); semantics
+    follow the public spec's snapshot-retention contract."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    meta = _current_metadata(root)
+    snaps = meta["snapshots"]
+    keep_ids = {s["snapshot-id"] for s in snaps[-retain_last:]}
+    keep_ids.add(meta["current-snapshot-id"])
+    for ref in (meta.get("refs") or {}).values():
+        keep_ids.add(ref["snapshot-id"])
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    if not expired:
+        return {
+            "expired_snapshot_ids": [],
+            "data_files_deleted": 0,
+            "manifests_deleted": 0,
+        }
+    retained = [s for s in snaps if s["snapshot-id"] in keep_ids]
+    kept_live: set = set()
+    kept_manifests: set = set()
+    for s in retained:
+        live, _ref, mans = _snapshot_file_sets(root, s)
+        kept_live |= live
+        kept_manifests |= mans
+    doomed_files: set = set()
+    doomed_manifests: set = set()
+    for s in expired:
+        live, _ref, mans = _snapshot_file_sets(root, s)
+        doomed_files |= live - kept_live
+        doomed_manifests |= mans - kept_manifests
+    for p in doomed_files | doomed_manifests:
+        try:
+            os.remove(_resolve_path(root, p))
+        except FileNotFoundError:
+            pass
+    for s in expired:
+        try:
+            os.remove(_resolve_path(root, s["manifest-list"]))
+        except FileNotFoundError:
+            pass
+    new_meta = dict(meta)
+    new_meta["snapshots"] = retained
+    version = _next_version(root, meta)
+    with open(
+        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f)
+    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return {
+        "expired_snapshot_ids": [s["snapshot-id"] for s in expired],
+        "data_files_deleted": len(doomed_files),
+        "manifests_deleted": len(doomed_manifests),
+    }
+
+
+def remove_orphan_files(root: str) -> dict:
+    """``system.remove_orphan_files``: delete files under the table's
+    ``data/`` directory referenced by NO snapshot's manifests (failed
+    or abandoned writes), plus stale ``_staging_*`` directories.  Scope
+    is deliberately narrow — only the table-owned data dir is walked,
+    so files imported from elsewhere via ``add_files`` (which live
+    outside ``data/``) can never be collected.  Metadata-sized like
+    ``expire_snapshots``: manifest walks + a directory listing."""
+    meta = _current_metadata(root)
+    referenced: set = set()
+    for s in meta["snapshots"]:
+        _live, ref, _mans = _snapshot_file_sets(root, s)
+        referenced |= {
+            os.path.abspath(_resolve_path(root, p)) for p in ref
+        }
+    data_dir = os.path.join(root, "data")
+    removed = 0
+    if os.path.isdir(data_dir):
+        for name in sorted(os.listdir(data_dir)):
+            p = os.path.abspath(os.path.join(data_dir, name))
+            if os.path.isfile(p) and p not in referenced:
+                os.remove(p)
+                removed += 1
+    stale_staging = 0
+    for name in sorted(os.listdir(root)):
+        if name.startswith("_staging_"):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            stale_staging += 1
+    return {"orphans_deleted": removed, "staging_dirs_deleted": stale_staging}
+
+
 def delete_partition(root: str, partition_filter: dict[str, Any]) -> dict:
     """Partition-level DELETE as a new snapshot (operation=delete): one
     new manifest re-states every live entry — kept files as EXISTING,
@@ -1335,6 +1473,189 @@ def update_where(
         )
 
     return _cow_rewrite(spark, root, predicates, transform, "COW UPDATE")
+
+
+def merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    when_matched: str = "update_all",
+    when_not_matched: str = "insert_all",
+) -> dict:
+    """MERGE INTO (copy-on-write, ``write.merge.mode=copy-on-write`` —
+    Spark's default for MERGE on Iceberg): whenMatched UPDATE-all or
+    DELETE, whenNotMatched INSERT-all or ignore.
+
+    Touched-file detection is a COLUMN-PRUNED provenance scan — only
+    the ``on`` key columns plus the scan-computed ``_metadata``
+    file path are decoded — semi-joined with the source keys, so the
+    rewrite set is O(files containing a match), not O(table), and the
+    detection pass reads key bytes only (these manifests carry no
+    per-column bounds, so a Delta-style min/max prune isn't available;
+    the semi-join is strictly more precise anyway).  Untouched files
+    re-state EXISTING, touched files DELETED, the merged rows restage
+    ADDED, ONE 'overwrite' snapshot commits the swap — same shape as
+    ``_cow_rewrite``.
+
+    NULL-key semantics match SQL MERGE: a NULL in any ``on`` column
+    never equals anything, so such source rows are NOT MATCHED (insert
+    path) and such target rows are never updated.  A source with two
+    rows matching one target row refuses (Iceberg/Spark's
+    MERGE_CARDINALITY_VIOLATION).
+
+    Reference analog: gluten-iceberg offloads the scan side of Spark's
+    MERGE-on-Iceberg plans (gluten-iceberg/.../IcebergScanTransformer
+    .scala); the write/commit semantics follow the public Iceberg spec
+    + Spark SQL MERGE INTO docs."""
+    if when_matched not in ("update_all", "delete"):
+        raise ValueError(f"when_matched must be update_all|delete, got {when_matched!r}")
+    if when_not_matched not in ("insert_all", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert_all|ignore, got {when_not_matched!r}"
+        )
+    meta = _current_metadata(root)
+    if (meta.get("properties") or {}).get("schema.name-mapping.default"):
+        raise ValueError(
+            "MERGE on a name-mapped table is not supported (no field "
+            "ids in the data files to rewrite against)"
+        )
+    ice_schema = _current_schema(meta)
+    spec = _default_spec(meta)
+    cols = [f["name"] for f in ice_schema["fields"]]
+    missing = [c for c in cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"MERGE source lacks table column(s) {missing}")
+    bad_on = [c for c in on if c not in cols]
+    if bad_on:
+        raise ValueError(f"MERGE key column(s) {bad_on} not in table schema")
+    source = source.select(*cols)
+    nn = F.lit(True)
+    for c in on:
+        nn = nn & F.col(c).isNotNull()
+    src_nn = source.filter(nn)
+    # NULL-key source rows can never match: straight to the insert path
+    null_inserts = source.filter(~nn)
+    files = plan_files(root)
+    snap_id = len(meta["snapshots"]) + 1
+    if source.isEmpty():
+        return {
+            "snapshot_id": meta.get("current-snapshot-id"),
+            "files_rewritten": 0,
+            "files_skipped": len(files),
+        }
+    # --- touched-file detection: key columns + provenance only ---
+    touched_abs: set = set()
+    if files and not src_nn.isEmpty():
+        prov = _read_files_by_id(
+            spark, root, meta, ice_schema, files, columns=on, with_path=True
+        )
+        hit = prov.join(src_nn.select(*on).distinct(), on, "left_semi")
+        touched_abs = {
+            r["__file_path"]
+            for r in hit.select("__file_path").distinct().collect()
+        }  # bounded: O(matched files)
+
+    def _abs_uri(f: dict) -> str:
+        # Spark's _metadata.file_path spells local URIs "file:/abs/path"
+        p = os.path.abspath(_resolve_path(root, f["file_path"]))
+        return "file:" + p
+
+    touched = [f for f in files if _abs_uri(f) in touched_abs]
+    touched_paths = {f["file_path"] for f in touched}
+    by_spec: dict[int, list[tuple]] = {}
+    n_untouched = 0
+    for f in files:
+        sid = f.pop("_spec_id", 0)
+        if f["file_path"] in touched_paths:
+            st = DELETED
+        else:
+            st = EXISTING
+            n_untouched += 1
+        by_spec.setdefault(sid, []).append((st, snap_id, f))
+    manifests = [
+        _write_manifest(
+            root,
+            entries,
+            _partition_avro_schema(ice_schema, _spec_by_id(meta, sid)),
+            uuid.uuid4().hex[:8],
+            spec_id=sid,
+        )
+        for sid, entries in sorted(by_spec.items())
+    ]
+    # --- merged rows: kept + updated (or deleted) + inserted ---
+    tgt = (
+        _read_files_by_id(spark, root, meta, ice_schema, touched)
+        if touched
+        else None
+    )
+    if tgt is not None:
+        dups = (
+            src_nn.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter("__n > 1")
+            .select(*on)
+        )
+        if not tgt.join(dups, on, "left_semi").isEmpty():
+            raise ValueError(
+                "MERGE source has multiple rows matching a target row — "
+                "Spark/Iceberg's MERGE_CARDINALITY_VIOLATION"
+            )
+        t = tgt.withColumn("__t", F.lit(1)).alias("t")
+        s = src_nn.withColumn("__s", F.lit(1)).alias("s")
+        join_cond = F.lit(True)
+        for c in on:
+            join_cond = join_cond & (F.col(f"t.{c}") == F.col(f"s.{c}"))
+        j = t.join(s, join_cond, "full_outer")
+        matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+        t_only = F.col("s.__s").isNull()
+        if when_matched == "update_all":
+            kept_or_updated = j.filter(matched | t_only).select(
+                *[
+                    F.when(matched, F.col(f"s.{c}"))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in cols
+                ]
+            )
+        else:  # delete: matched rows drop, kept rows pass through
+            kept_or_updated = j.filter(t_only).select(
+                *[F.col(f"t.{c}").alias(c) for c in cols]
+            )
+        inserts = j.filter(F.col("t.__t").isNull()).select(
+            *[F.col(f"s.{c}").alias(c) for c in cols]
+        )
+    else:
+        kept_or_updated = None
+        inserts = src_nn
+    merged = kept_or_updated
+    if when_not_matched == "insert_all":
+        ins = inserts.unionByName(null_inserts)
+        merged = ins if merged is None else merged.unionByName(ins)
+    if merged is None or merged.isEmpty():
+        added = []
+    else:
+        added = _write_data_files(
+            spark, merged, root, [], ice_schema=ice_schema, spec=spec
+        )
+    if added:
+        manifests.append(
+            _write_manifest(
+                root,
+                [(ADDED, snap_id, d) for d in added],
+                _partition_avro_schema(ice_schema, spec),
+                uuid.uuid4().hex[:8],
+                spec_id=spec.get("spec-id", 0),
+            )
+        )
+    committed = _commit_snapshot(
+        root, meta, manifests, "overwrite", ice_schema, spec
+    )
+    return {
+        "snapshot_id": committed["snapshot-id"],
+        "files_rewritten": len(touched),
+        "files_skipped": n_untouched,
+    }
 
 
 def append(

@@ -650,3 +650,79 @@ def test_zorder_key_wide_column_sets_stay_nonnegative(spark):
         # all-max row carries the max key; all-min the min (curve intact)
         assert rows[-1]["__z"] == max(r["__z"] for r in rows)
         assert rows[0]["__z"] == min(r["__z"] for r in rows)
+
+
+# mergeSchema append (r11) — write-path schema evolution without mapping
+
+
+def test_merge_schema_append_widens_and_nullfills(spark, tmp_path):
+    root = str(tmp_path / "ms_widen")
+    dp.create_table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"),
+        root,
+    )
+    dp.append(
+        spark.createDataFrame(
+            [(3, "c", 9.5)], "k long, name string, score double"
+        ),
+        root,
+        merge_schema=True,
+    )
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    # pre-widening files read back with typed NULLs — no rewrite
+    assert got == [(1, "a", None), (2, "b", None), (3, "c", 9.5)]
+    assert [f.name for f in dp.resolve(spark, root).schema.fields] == [
+        "k", "name", "score",
+    ]
+    # batches missing the (nullable) new column still append, NULL-filled
+    dp.append(spark.createDataFrame([(5, "e")], "k long, name string"), root)
+    assert (5, "e", None) in {
+        tuple(r) for r in dp.read_table(spark, root).collect()
+    }
+
+
+def test_merge_schema_refusals(spark, tmp_path):
+    root = str(tmp_path / "ms_refuse")
+    dp.create_table(
+        spark.createDataFrame([(1, "a")], "k long, name string"), root
+    )
+    # unknown column without the flag
+    with pytest.raises(dp.DeltaProtocolError, match="mergeSchema"):
+        dp.append(
+            spark.createDataFrame(
+                [(2, "b", 1.0)], "k long, name string, v double"
+            ),
+            root,
+        )
+    # type mismatch on a matched column refuses even WITH the flag
+    with pytest.raises(dp.DeltaProtocolError, match="type"):
+        dp.append(
+            spark.createDataFrame([("x", "b")], "k string, name string"),
+            root,
+            merge_schema=True,
+        )
+
+
+def test_merge_schema_survives_dml_and_time_travel(spark, tmp_path):
+    """Post-widening DML must carry the evolved schema through COW
+    rewrites, and time travel to the pre-widening version reads the
+    OLD schema."""
+    root = str(tmp_path / "ms_dml")
+    dp.create_table(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+        ),
+        root,
+    )
+    dp.append(
+        spark.createDataFrame([(4, 40.0, "t4")], "k long, v double, tag string"),
+        root,
+        merge_schema=True,
+    )
+    dp.update_where(spark, root, "k = 1", {"tag": "'t1'"})
+    dp.delete_where(spark, root, "k = 2")
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == [(1, 10.0, "t1"), (3, 30.0, None), (4, 40.0, "t4")]
+    old = dp.read_table(spark, root, version=0)
+    assert old.columns == ["k", "v"]
+    assert old.count() == 3

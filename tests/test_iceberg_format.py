@@ -388,3 +388,184 @@ def test_cow_delete_keeps_null_predicate_rows(spark, tmp_path):
         key=lambda t: t[0],
     )
     assert got == [(1, 10.0), (2, None)]
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (COW) — r11
+
+
+def _merge_src(spark, rows):
+    return spark.createDataFrame(rows, "k long, v double, p string")
+
+
+def test_merge_upserts_and_skips_untouched_files(spark, tmp_path):
+    root = _mk_cow(spark, tmp_path, "merge_upsert")
+    before = {
+        f["file_path"]: f["file_size_in_bytes"] for f in ice.plan_files(root)
+    }
+    out = ice.merge(
+        spark,
+        root,
+        _merge_src(spark, [(1, 111.0, "1"), (100, 1000.0, "1")]),
+        ["k"],
+    )
+    assert out["files_rewritten"] >= 1 and out["files_skipped"] >= 1
+    got = sorted(map(tuple, ice.read_table(spark, root).collect()))
+    want = sorted(
+        [(i, float(i * 10), str(i % 3)) for i in range(12) if i != 1]
+        + [(1, 111.0, "1"), (100, 1000.0, "1")]
+    )
+    assert got == want
+    # untouched files survive BYTE-IDENTICAL (EXISTING, not rewritten)
+    after = {
+        f["file_path"]: f["file_size_in_bytes"] for f in ice.plan_files(root)
+    }
+    surviving = set(before) & set(after)
+    assert len(surviving) == out["files_skipped"]
+    assert all(before[p] == after[p] for p in surviving)
+    # time travel still sees the pre-merge rows
+    assert ice.read_table(spark, root, snapshot_id=1).count() == 12
+
+
+def test_merge_null_keys_never_match(spark, tmp_path):
+    """SQL MERGE: NULL in an ON column never equals anything — such
+    source rows INSERT, they must not update any target row."""
+    root = _mk_cow(spark, tmp_path, "merge_null")
+    ice.merge(spark, root, _merge_src(spark, [(None, 5.0, "0")]), ["k"])
+    rows = ice.read_table(spark, root).collect()
+    assert len(rows) == 13
+    assert sum(1 for r in rows if r.k is None) == 1
+    assert sorted(r.v for r in rows if r.k is not None) == [
+        float(i * 10) for i in range(12)
+    ]  # nothing updated
+
+
+def test_merge_delete_mode_and_ignore_inserts(spark, tmp_path):
+    root = _mk_cow(spark, tmp_path, "merge_del")
+    out = ice.merge(
+        spark,
+        root,
+        _merge_src(spark, [(5, 0.0, "x"), (777, 7.0, "0")]),
+        ["k"],
+        when_matched="delete",
+        when_not_matched="ignore",
+    )
+    assert out["files_rewritten"] == 1
+    got = sorted(r.k for r in ice.read_table(spark, root).collect())
+    assert got == [k for k in range(12) if k != 5]  # 777 NOT inserted
+
+
+def test_merge_cardinality_violation_refuses(spark, tmp_path):
+    root = _mk_cow(spark, tmp_path, "merge_card")
+    with pytest.raises(ValueError, match="CARDINALITY"):
+        ice.merge(
+            spark,
+            root,
+            _merge_src(spark, [(1, 1.0, "1"), (1, 2.0, "1")]),
+            ["k"],
+        )
+    # duplicates that match NOTHING are plain multi-row inserts
+    out = ice.merge(
+        spark, root, _merge_src(spark, [(500, 1.0, "1"), (500, 2.0, "1")]),
+        ["k"],
+    )
+    assert out["files_rewritten"] == 0
+    assert ice.read_table(spark, root).count() == 14
+
+
+def test_merge_multi_column_key(spark, tmp_path):
+    root = str(tmp_path / "merge_multi")
+    ice.create_table(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)],
+            "k long, g string, v double",
+        ),
+        root,
+    )
+    ice.merge(
+        spark,
+        root,
+        spark.createDataFrame(
+            [(1, "b", 22.0), (2, "b", 44.0)], "k long, g string, v double"
+        ),
+        ["k", "g"],
+    )
+    got = sorted(map(tuple, ice.read_table(spark, root).collect()))
+    assert got == [(1, "a", 1.0), (1, "b", 22.0), (2, "a", 3.0), (2, "b", 44.0)]
+
+
+# ---------------------------------------------------------------------------
+# expire_snapshots / remove_orphan_files — r11
+
+
+def _mk_history(spark, tmp_path, name, tag_at=None):
+    """4-snapshot table: create(1,2) -> append(3) -> COW delete k=1 ->
+    append(4); optional tag on snapshot ``tag_at``."""
+    root = str(tmp_path / name)
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")
+    ice.create_table(mk([(1, 1.0), (2, 2.0)]), root)
+    ice.append(mk([(3, 3.0)]), root)
+    ice.delete_where(spark, root, [("k", "=", 1)])
+    ice.append(mk([(4, 4.0)]), root)
+    if tag_at is not None:
+        ice.create_tag(root, "pinned", snapshot_id=tag_at)
+    return root
+
+
+def test_expire_snapshots_deletes_unreachable_files(spark, tmp_path):
+    root = _mk_history(spark, tmp_path, "expire_del")
+    import os
+
+    n_before = len(os.listdir(os.path.join(root, "data")))
+    out = ice.expire_snapshots(root, retain_last=1)
+    assert out["expired_snapshot_ids"] == [1, 2, 3]
+    # the pre-rewrite originals are live in NO retained snapshot — gone
+    assert out["data_files_deleted"] >= 1
+    assert len(os.listdir(os.path.join(root, "data"))) == n_before - out[
+        "data_files_deleted"
+    ]
+    # current read unaffected
+    assert sorted(r.k for r in ice.read_table(spark, root).collect()) == [
+        2, 3, 4,
+    ]
+    # time travel to expired history refuses
+    with pytest.raises(ValueError):
+        ice.read_table(spark, root, snapshot_id=1)
+
+
+def test_expire_snapshots_never_expires_refs(spark, tmp_path):
+    """Branch/tag'd snapshots NEVER expire (spec retention contract) —
+    and files reachable from the tag survive, so data_files_deleted is
+    0 here (snapshot 1's files are all live in tagged snapshot 2)."""
+    root = _mk_history(spark, tmp_path, "expire_tag", tag_at=2)
+    out = ice.expire_snapshots(root, retain_last=1)
+    assert 2 not in out["expired_snapshot_ids"]
+    assert out["expired_snapshot_ids"] == [1, 3]
+    assert out["data_files_deleted"] == 0
+    # tagged snapshot fully readable after expiry
+    assert sorted(
+        r.k for r in ice.read_table(spark, root, snapshot_id=2).collect()
+    ) == [1, 2, 3]
+    assert sorted(r.k for r in ice.read_table(spark, root).collect()) == [
+        2, 3, 4,
+    ]
+
+
+def test_remove_orphan_files_scopes_to_unreferenced(spark, tmp_path):
+    root = _mk_history(spark, tmp_path, "orphans")
+    import os
+
+    # plant an orphan + a stale staging dir (abandoned write)
+    with open(os.path.join(root, "data", "orphan-dead.parquet"), "wb") as f:
+        f.write(b"junk")
+    os.makedirs(os.path.join(root, "_staging_dead"))
+    out = ice.remove_orphan_files(root)
+    assert out == {"orphans_deleted": 1, "staging_dirs_deleted": 1}
+    # every snapshot still reads — DELETED-status files are referenced,
+    # never collected as orphans
+    assert sorted(r.k for r in ice.read_table(spark, root).collect()) == [
+        2, 3, 4,
+    ]
+    assert sorted(
+        r.k for r in ice.read_table(spark, root, snapshot_id=1).collect()
+    ) == [1, 2]
