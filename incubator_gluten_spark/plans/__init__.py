@@ -73,7 +73,7 @@ _FRONT = (
     "dp_sequence_packing",
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
-    #     round-robin across families, oracle-backed first; the three
+    #     round-robin across families, oracle-backed first; the four
     #     r11 new-surface entries certified the round they land ---
     "agg_grouping_sets_distinct",
     "cb_pair_distinct",
@@ -111,10 +111,10 @@ _FRONT = (
     "misc_repartition",
     "op_parameterized_sql",
     "src_delta_generated",
-    "stream_sliding",
     "src_iceberg_merge",
     "src_iceberg_maintenance",
     "src_delta_merge_schema",
+    "src_iceberg_merge_mor",
 )
 
 

@@ -3400,6 +3400,94 @@ def src_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_iceberg_merge_mor",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    s AS (
+      SELECT o_orderkey, o_totalprice * 0.5 AS o_totalprice,
+             o_orderpriority
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_orderpriority = '1-URGENT'
+        AND o_totalprice > 150000
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    merged AS (
+      SELECT * FROM s
+      UNION ALL
+      SELECT * FROM t
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM merged
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MERGE as MERGE-ON-READ (sources/iceberg_v2.py merge_mor
+    — ``write.merge.mode=merge-on-read``, the streaming-CDC upsert
+    commit Flink's Iceberg writer produces): ONE v2 snapshot carries an
+    equality-delete file on the key (shadowing every strictly-lower-
+    sequence version) plus the source rows as new data files at the
+    SAME sequence — existing data is never read or rewritten (asserted:
+    every pre-merge data file still live post-merge), so the commit is
+    O(source) at any table size; the COW twin src_iceberg_merge pays
+    O(matched files) instead.  The MOR read folds the delete in as a
+    broadcast anti-join; rewrite_data_files then compacts the debt away
+    and the oracle hash certifies the POST-COMPACTION state — upsert
+    semantics, sequence rules, and compaction agree end to end.
+    Identical oracle to src_iceberg_merge by design: both modes must
+    produce the same table.  Reference analog: gluten-iceberg's
+    equality-delete scan path (IcebergScanTransformer.scala)."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_v2 as v2
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_merge_mor")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    v2.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols), root
+    )
+    before = {
+        f["file_path"] for f, _seq in v2.plan_scan(root)["data"]
+    }
+    upd = orders.filter(
+        (F.year("o_orderdate") == 1996)
+        & (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    ins = orders.filter(F.year("o_orderdate") == 1995).select(*cols)
+    v2.merge_mor(spark, root, upd.unionByName(ins), ["o_orderkey"])
+    after = {f["file_path"] for f, _seq in v2.plan_scan(root)["data"]}
+    if not before <= after:
+        raise RuntimeError("merge_mor touched an existing data file")
+    if not v2.plan_scan(root)["eq_deletes"]:
+        raise RuntimeError("merge_mor committed no equality delete")
+    v2.rewrite_data_files(spark, root)
+    if v2.plan_scan(root)["eq_deletes"]:
+        raise RuntimeError("compaction left delete files behind")
+    return v2.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_delta_merge_schema",
     """
     WITH t AS (

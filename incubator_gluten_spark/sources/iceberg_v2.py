@@ -525,6 +525,105 @@ def equality_delete(
     return {"snapshot_id": snap["snapshot-id"], "keys_deleted": n}
 
 
+def merge_mor(
+    spark: SparkSession, root: str, source: DataFrame, on: list[str]
+) -> dict:
+    """MERGE as MERGE-ON-READ (``write.merge.mode=merge-on-read`` — the
+    streaming-CDC upsert sink pattern, what Flink's Iceberg upsert
+    writer commits): ONE snapshot carrying
+
+    * an EQUALITY-DELETE file (content=2) holding the source's distinct
+      key tuples — it shadows every STRICTLY-LOWER-sequence version of
+      those keys, and
+    * the source rows as new data files (content=0) at the SAME
+      sequence number — the spec's strictly-lower rule means the new
+      rows are untouched by their own commit's delete.
+
+    Existing data is never read, listed, or rewritten — the commit is
+    O(source) at ANY table size, which is why MOR is the mode streaming
+    upserts run in (COW merge pays O(matched files) per micro-batch;
+    see iceberg_format.merge for that mode).  Readers fold the delete
+    in as a broadcast anti-join; ``rewrite_data_files`` compacts the
+    debt away later.
+
+    Contract: key columns must be non-null in the source (equality
+    deletes are null-safe-keyed per spec, so a NULL key would DELETE
+    existing NULL-key rows instead of SQL MERGE's never-match — refuse
+    rather than silently diverge), and duplicate source keys refuse
+    (both copies would land, a cardinality violation).
+
+    Reference analog: gluten-iceberg scans MOR tables with equality
+    deletes through the jar (gluten-iceberg/.../IcebergScanTransformer
+    .scala); write semantics follow the public v2 spec's delete-file
+    sequence rules."""
+    meta = _current_metadata(root)
+    by_name = {f["name"]: f["id"] for f in meta["schema"]["fields"]}
+    bad = [c for c in on if c not in by_name]
+    if bad:
+        raise ValueError(f"MERGE key column(s) {bad} not in table schema")
+    cols = [f["name"] for f in meta["schema"]["fields"]]
+    missing = [c for c in cols if c not in source.columns]
+    if missing:
+        raise ValueError(f"MERGE source lacks table column(s) {missing}")
+    source = source.select(*cols)
+    nullkey = F.lit(False)
+    for c in on:
+        nullkey = nullkey | F.col(c).isNull()
+    if not source.filter(nullkey).isEmpty():
+        raise ValueError(
+            "merge_mor requires non-null key columns (equality deletes "
+            "are null-safe-keyed; a NULL key would shadow existing "
+            "NULL-key rows instead of never matching)"
+        )
+    n_src, n_keys = source.agg(
+        F.count(F.lit(1)), F.count_distinct(*[F.col(c) for c in on])
+    ).first()
+    if n_src != n_keys:
+        raise ValueError(
+            "merge_mor source has duplicate key tuples — both copies "
+            "would land (MERGE_CARDINALITY_VIOLATION)"
+        )
+    if n_src == 0:
+        return {
+            "snapshot_id": meta.get("current-snapshot-id"),
+            "keys_shadowed": 0,
+            "rows_upserted": 0,
+        }
+    eq_ids = [by_name[c] for c in on]
+    ice_schema = meta["schema"]
+    spec = meta["partition-specs"][0]
+    pschema = _partition_avro_schema(ice_schema, spec)
+    snap_id = _next_snapshot_id(meta)
+    keys = source.select(*on).distinct().orderBy(*on)
+    rel, n = _write_delete_parquet(keys, root, dict(zip(on, eq_ids)))
+    del_entry = _with_v2_fields(
+        _delete_file_entry(root, rel, n, spec["fields"]), EQ_DELETES, eq_ids
+    )
+    del_manifest = _write_manifest_v2(
+        root, [(ADDED, snap_id, del_entry)], pschema
+    )
+    partition_cols = [f["name"] for f in spec["fields"]]
+    data_files = _write_data_files(spark, source, root, partition_cols)
+    data_manifest = _write_manifest_v2(
+        root,
+        [(ADDED, snap_id, _with_v2_fields(d, DATA_CONTENT)) for d in data_files],
+        pschema,
+    )
+    snap = _commit_snapshot_v2(
+        root,
+        meta,
+        [(del_manifest, DELETES_MANIFEST), (data_manifest, DATA_CONTENT)],
+        "overwrite",
+        ice_schema,
+        spec,
+    )
+    return {
+        "snapshot_id": snap["snapshot-id"],
+        "keys_shadowed": n,
+        "rows_upserted": n_src,
+    }
+
+
 def rewrite_data_files(spark: SparkSession, root: str) -> dict:
     """COMPACTION (the spec's rewrite action): materialize the current
     MERGE-ON-READ view into fresh data files and commit a snapshot whose

@@ -221,3 +221,66 @@ def test_delete_manifest_list_content_is_1(spark, sf_dir, tmp_path):
                 eq_file_contents.add(data_file.get("content"))
     assert contents <= {0, 1}, contents
     assert eq_file_contents == {2}
+
+
+# ---------------------------------------------------------------------------
+# merge_mor (r11) — the streaming-CDC upsert commit
+
+
+def _mm_mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v double")
+
+
+def test_merge_mor_upserts_without_reading_data(spark, tmp_path):
+    root = str(tmp_path / "mor_merge")
+    v2.create_table(_mm_mk(spark, [(i, float(i * 10)) for i in range(8)]), root)
+    n_data_before = len(v2.plan_scan(root)["data"])
+    out = v2.merge_mor(
+        spark, root, _mm_mk(spark, [(1, 111.0), (100, 1000.0)]), ["k"]
+    )
+    assert out["keys_shadowed"] == 2 and out["rows_upserted"] == 2
+    got = sorted(map(tuple, v2.read_table(spark, root).collect()))
+    want = sorted(
+        [(i, float(i * 10)) for i in range(8) if i != 1]
+        + [(1, 111.0), (100, 1000.0)]
+    )
+    assert got == want
+    # zero existing data files touched: all still live, plus the new ones
+    scan = v2.plan_scan(root)
+    assert len(scan["data"]) > n_data_before
+    assert len(scan["eq_deletes"]) == 1
+    # time travel sees the pre-merge state
+    assert sorted(
+        map(tuple, v2.read_table(spark, root, snapshot_id=1).collect())
+    ) == sorted([(i, float(i * 10)) for i in range(8)])
+
+
+def test_merge_mor_same_commit_rows_survive_own_delete(spark, tmp_path):
+    """The spec's strictly-lower-sequence rule: the commit's own data
+    files share the delete's sequence number, so an upserted key's NEW
+    row is never shadowed by its own delete — and a SECOND merge on the
+    same key shadows the first merge's row."""
+    root = str(tmp_path / "mor_merge_seq")
+    v2.create_table(_mm_mk(spark, [(1, 1.0)]), root)
+    v2.merge_mor(spark, root, _mm_mk(spark, [(1, 2.0)]), ["k"])
+    assert [tuple(r) for r in v2.read_table(spark, root).collect()] == [(1, 2.0)]
+    v2.merge_mor(spark, root, _mm_mk(spark, [(1, 3.0)]), ["k"])
+    assert [tuple(r) for r in v2.read_table(spark, root).collect()] == [(1, 3.0)]
+    # compaction folds the two generations of delete debt away
+    v2.rewrite_data_files(spark, root)
+    scan = v2.plan_scan(root)
+    assert not scan["eq_deletes"] and not scan["pos_deletes"]
+    assert [tuple(r) for r in v2.read_table(spark, root).collect()] == [(1, 3.0)]
+
+
+def test_merge_mor_refusals(spark, tmp_path):
+    root = str(tmp_path / "mor_merge_refuse")
+    v2.create_table(_mm_mk(spark, [(1, 1.0), (None, 5.0)]), root)
+    with pytest.raises(ValueError, match="non-null"):
+        v2.merge_mor(spark, root, _mm_mk(spark, [(None, 9.0)]), ["k"])
+    with pytest.raises(ValueError, match="duplicate"):
+        v2.merge_mor(spark, root, _mm_mk(spark, [(2, 1.0), (2, 2.0)]), ["k"])
+    # an existing NULL-key row is never shadowed by any merge
+    v2.merge_mor(spark, root, _mm_mk(spark, [(1, 9.0)]), ["k"])
+    rows = [tuple(r) for r in v2.read_table(spark, root).collect()]
+    assert (None, 5.0) in rows and (1, 9.0) in rows and len(rows) == 2
