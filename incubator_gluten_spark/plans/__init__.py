@@ -73,7 +73,7 @@ _FRONT = (
     "dp_sequence_packing",
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
-    #     round-robin across families, oracle-backed first; the four
+    #     round-robin across families, oracle-backed first; the six
     #     r11 new-surface entries certified the round they land ---
     "agg_grouping_sets_distinct",
     "cb_pair_distinct",
@@ -100,7 +100,6 @@ _FRONT = (
     "op_execute_immediate",
     "src_delta_constraints",
     "stream_rate_source",
-    "udf_registered_sql",
     "win_nth_first_last",
     "agg_hll_sketch_rollup",
     "cb_phrase_match_rate",
@@ -109,12 +108,13 @@ _FRONT = (
     "fn_math",
     "gen_sequence",
     "misc_repartition",
-    "op_parameterized_sql",
     "src_delta_generated",
     "src_iceberg_merge",
     "src_iceberg_maintenance",
     "src_delta_merge_schema",
     "src_iceberg_merge_mor",
+    "src_delta_defaults",
+    "stream_iceberg_upsert_sink",
 )
 
 

@@ -3400,6 +3400,74 @@ def src_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_defaults",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice, 'initial' AS ingest
+      FROM orders WHERE year(o_orderdate) = 1996
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'late' AS ingest
+      FROM orders WHERE year(o_orderdate) = 1997
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'manual' AS ingest
+      FROM orders WHERE year(o_orderdate) = 1995
+    )
+    SELECT ingest, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM t
+    GROUP BY ingest
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta column DEFAULT values (sources/delta_protocol.py
+    create_table(column_defaults=...) / set_column_default — the
+    ``allowColumnDefaults`` v7 writer FEATURE, no legacy version
+    exists): the table is created with ``ingest DEFAULT 'late'``, an
+    append OMITTING the column takes the default (write-time fill —
+    never a read-time rewrite, asserted: SET DEFAULT is metadata-only,
+    zero files restaged), ALTER COLUMN SET DEFAULT swaps the expression
+    for subsequent writes, and the protocol carries
+    minWriterVersion 7 + writerFeatures (asserted in-entry).  The
+    oracle recomputes the three ingest generations as UNION ALL
+    literals.  Reference analog: Delta PROTOCOL.md "Default Columns";
+    gluten-delta scans such tables through the jar."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_defaults")
+    shutil.rmtree(root, ignore_errors=True)
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(
+        "o_orderkey", "o_totalprice"
+    )
+    dp.create_table(
+        y(1996).withColumn("ingest", F.lit("initial")),
+        root,
+        column_defaults={"ingest": "'late'"},
+    )
+    proto = dp.resolve(spark, root).protocol
+    if proto.get("minWriterVersion") != 7 or "allowColumnDefaults" not in (
+        proto.get("writerFeatures") or []
+    ):
+        raise RuntimeError(f"feature-list protocol missing: {proto}")
+    dp.append(y(1997), root)  # no ingest column -> DEFAULT 'late'
+    files_before = {a["path"] for a in dp.resolve(spark, root).adds}
+    dp.set_column_default(spark, root, "ingest", "'manual'")
+    if {a["path"] for a in dp.resolve(spark, root).adds} != files_before:
+        raise RuntimeError("SET DEFAULT restaged a data file")
+    dp.append(y(1995), root)  # -> the NEW default
+    return dp.read_table(spark, root).groupBy("ingest").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_iceberg_merge_mor",
     """
     WITH t AS (

@@ -689,6 +689,92 @@ def stream_iceberg_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_iceberg_upsert_sink",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events)
+    SELECT 'seen' AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(CAST(user_id * 2 AS DOUBLE)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_score
+    FROM u GROUP BY 'seen'
+    """,
+    "streaming", "sink", "lakehouse", "iceberg",
+)
+def stream_iceberg_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-UPSERT sink into Iceberg v2 MERGE-ON-READ
+    (sources/iceberg_v2.py merge_mor_stream_batch — the Flink-style
+    upsert writer): the events feed is staged as four files and
+    streamed one file per micro-batch; every batch upserts its users'
+    profile rows via ONE merge_mor snapshot (equality delete on
+    user_id + the batch's rows as new data files — existing data never
+    read, O(batch) at any table size).  Users spanning batches are
+    SHADOWED across commits (asserted: equality-delete files present),
+    the replayed final batch NO-OPs on the snapshot-summary checkpoint
+    (asserted), and the MOR read folds the delete debt in as broadcast
+    anti-joins.  Per-key content is key-derived, so the final state is
+    deterministic whatever the batch split: exactly one row per
+    distinct user — which is what the oracle recomputes.  Reference
+    analog: Iceberg's Flink upsert sink semantics (equality-delete
+    commits), scanned by gluten-iceberg's delete-file read path."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_v2 as v2
+
+    base = f"/tmp/spark_graft_io_{os.getpid()}/stream_ice_upsert"
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir, root = f"{base}/src", f"{base}/table"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id"
+    )
+    events.repartition(4).write.parquet(src_dir)
+    profile = lambda df: (
+        df.select("user_id")
+        .distinct()
+        .withColumn("score", (F.col("user_id") * 2).cast("double"))
+        .withColumn("status", F.lit("seen"))
+    )
+    v2.create_table(profile(events.limit(0)), root)
+    replay: dict = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = profile(batch_df)
+        committed = v2.merge_mor_stream_batch(
+            spark, src, root, "stream_ice_upsert", batch_id, ["user_id"]
+        )
+        replay["last"] = (src, batch_id)
+        if not committed:
+            raise RuntimeError(f"batch {batch_id} double-committed")
+
+    sq = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    scan = v2.plan_scan(root)
+    if not scan["eq_deletes"]:
+        raise RuntimeError("no cross-batch shadowing happened")
+    n_before = v2.read_table(spark, root).count()
+    src, batch_id = replay["last"]
+    if v2.merge_mor_stream_batch(
+        spark, src, root, "stream_ice_upsert", batch_id, ["user_id"]
+    ):
+        raise RuntimeError("replayed batch committed twice")
+    if v2.read_table(spark, root).count() != n_before:
+        raise RuntimeError("replay changed the table")
+    return v2.read_table(spark, root).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("score").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_score"),
+    )
+
+
+@q(
     "stream_hudi_sink",
     """
     SELECT event_type, count(*) AS n,

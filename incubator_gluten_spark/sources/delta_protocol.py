@@ -59,6 +59,9 @@ from pyspark.sql.types import StructType
 
 _LOG = "_delta_log"
 _CDF_KEY = "delta.enableChangeDataFeed"
+# Spark's StructField metadata key for column DEFAULT expressions (the
+# writer feature allowColumnDefaults stores the SQL text here)
+_DEFAULT_EXPR_KEY = "CURRENT_DEFAULT"
 _CHANGE_DIR = "_change_data"
 _CM_MODE_KEY = "delta.columnMapping.mode"
 _CM_MAXID_KEY = "delta.columnMapping.maxColumnId"
@@ -986,6 +989,7 @@ def create_table(
     column_mapping: str | None = None,
     generated_columns: dict[str, tuple[str, str]] | None = None,
     identity_columns: dict[str, tuple[int, int]] | None = None,
+    column_defaults: dict[str, str] | None = None,
 ) -> None:
     """Version 0: protocol + metaData + adds (drops prior state).  Table
     properties (e.g. ``delta.enableChangeDataFeed``) go into the
@@ -993,7 +997,12 @@ def create_table(
     protocol to minWriterVersion 4 (the feature's legacy writer
     version); ``column_mapping="name"`` raises it to minReaderVersion 2
     / minWriterVersion 5 and assigns every field an id + physical name
-    (``_mapped_schema_json``)."""
+    (``_mapped_schema_json``).  ``column_defaults`` (``CREATE TABLE ...
+    DEFAULT <expr>``, writer feature ``allowColumnDefaults``) records
+    each expression in the field's ``CURRENT_DEFAULT`` metadata and
+    emits a FEATURE-LIST protocol (minWriterVersion 7 +
+    writerFeatures) — batches later appended WITHOUT the column take
+    the default instead of NULL."""
     shutil.rmtree(root, ignore_errors=True)
     partition_cols = partition_cols or []
     configuration = dict(configuration or {})
@@ -1007,6 +1016,19 @@ def create_table(
             "identity columns cannot combine with column mapping or "
             "generated columns in this writer"
         )
+    if column_defaults and (
+        column_mapping or generated_columns or identity_columns
+    ):
+        raise DeltaProtocolError(
+            "column defaults cannot combine with column mapping, "
+            "generated, or identity columns in this writer"
+        )
+    if column_defaults:
+        missing = [c for c in column_defaults if c not in df.columns]
+        if missing:
+            raise DeltaProtocolError(
+                f"DEFAULT declared for column(s) {missing} not in the data"
+            )
     if identity_columns:
         for name, (start, step) in identity_columns.items():
             if name in df.columns:
@@ -1058,6 +1080,14 @@ def create_table(
                 }
             )
         schema_json = json.dumps(d)
+    elif column_defaults:
+        d = json.loads(df.schema.json())
+        for f in d["fields"]:
+            if f["name"] in column_defaults:
+                md = dict(f.get("metadata") or {})
+                md[_DEFAULT_EXPR_KEY] = column_defaults[f["name"]]
+                f["metadata"] = md
+        schema_json = json.dumps(d)
     else:
         schema_json = df.schema.json()
     meta = _metadata_action(schema_json, partition_cols, configuration)
@@ -1073,28 +1103,34 @@ def create_table(
         if upd:
             meta = upd
     cdf = configuration.get(_CDF_KEY) == "true"
-    reader_v = 2 if column_mapping else 1
-    writer_v = (
-        6
-        if identity_columns
-        else 5
-        if column_mapping
-        else (4 if cdf or generated_columns else 2)
-    )
-    _write_actions(
-        root,
-        0,
-        [
-            {
-                "protocol": {
-                    "minReaderVersion": reader_v,
-                    "minWriterVersion": writer_v,
-                }
-            },
-            meta,
-            *adds,
-        ],
-    )
+    if column_defaults:
+        # column defaults have NO legacy writer version — they exist
+        # only as a v7 writer FEATURE (PROTOCOL.md "Default Columns"),
+        # so the protocol lists every writer feature the table uses
+        feats = ["allowColumnDefaults"]
+        if cdf:
+            feats.append("changeDataFeed")
+        if configuration.get("delta.appendOnly") == "true":
+            feats.append("appendOnly")
+        protocol = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats),
+        }
+    else:
+        reader_v = 2 if column_mapping else 1
+        writer_v = (
+            6
+            if identity_columns
+            else 5
+            if column_mapping
+            else (4 if cdf or generated_columns else 2)
+        )
+        protocol = {
+            "minReaderVersion": reader_v,
+            "minWriterVersion": writer_v,
+        }
+    _write_actions(root, 0, [{"protocol": protocol}, meta, *adds])
 
 
 def _align_append_schema(
@@ -1156,6 +1192,11 @@ def _align_append_schema(
         d["fields"] = fields
         meta["schemaString"] = json.dumps(d)
         meta_upd = {"metaData": meta}
+    defaults = {
+        f["name"]: (f.get("metadata") or {}).get(_DEFAULT_EXPR_KEY)
+        for f in fields
+        if (f.get("metadata") or {}).get(_DEFAULT_EXPR_KEY) is not None
+    }
     target = StructType.fromJson({"type": "struct", "fields": fields})
     sel = []
     for f in target.fields:
@@ -1169,6 +1210,12 @@ def _align_append_schema(
                     f"match table type {f.dataType.simpleString()}"
                 )
             sel.append(F.col(f.name))
+        elif f.name in defaults:
+            # allowColumnDefaults: a batch missing the column takes its
+            # CURRENT_DEFAULT expression, not NULL
+            sel.append(
+                F.expr(defaults[f.name]).cast(f.dataType).alias(f.name)
+            )
         else:
             if not f.nullable:
                 raise DeltaProtocolError(
@@ -1239,6 +1286,9 @@ def append_stream_batch(
         df = _compute_or_validate_generated(
             df, gens, "streaming append"
         ).select(*[f.name for f in snap.schema.fields])
+    df, _schema_upd = _align_append_schema(
+        df, snap.metadata, False, "streaming append"
+    )
     df, id_specs = _assign_identity(df, snap.metadata, "streaming append")
     if id_specs:
         df = df.select(*[f.name for f in snap.schema.fields])
@@ -2214,6 +2264,83 @@ def add_column(
     conf[_CM_MAXID_KEY] = str(next_id)
     meta["configuration"] = conf
     _write_actions(root, v, [{"metaData": meta}])
+    return v
+
+
+def set_column_default(
+    spark: SparkSession, root: str, name: str, expr: str | None
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT <expr> (or DROP
+    DEFAULT with ``expr=None``): metadata-only — the SQL text lands in
+    the field's ``CURRENT_DEFAULT`` metadata and affects only FUTURE
+    writes that omit the column (rows already on disk are untouched;
+    Delta's contract — defaults are a write-time fill, never a read-time
+    rewrite).  Setting the first default on a legacy-protocol table
+    upgrades it to the v7 feature-list protocol
+    (writerFeatures += allowColumnDefaults) in the SAME commit.
+    Identity / generated columns refuse (their values are computed,
+    never defaulted).  Reference analog: Delta's allowColumnDefaults
+    writer feature (PROTOCOL.md "Default Columns")."""
+    snap = resolve(spark, root)
+    if name in _identity_cols(snap.metadata) or name in _generated_cols(
+        snap.metadata
+    ):
+        raise DeltaProtocolError(
+            f"column {name!r} is generated/identity — DEFAULT not allowed"
+        )
+    d = json.loads(snap.metadata["schemaString"])
+    hit = False
+    for f in d["fields"]:
+        if f["name"] != name:
+            continue
+        hit = True
+        md = dict(f.get("metadata") or {})
+        if expr is None:
+            md.pop(_DEFAULT_EXPR_KEY, None)
+        else:
+            md[_DEFAULT_EXPR_KEY] = expr
+        f["metadata"] = md
+    if not hit:
+        raise DeltaProtocolError(f"no such column: {name!r}")
+    meta = dict(snap.metadata)
+    meta["schemaString"] = json.dumps(d)
+    actions: list[dict] = []
+    proto = snap.protocol
+    if expr is not None and "allowColumnDefaults" not in (
+        proto.get("writerFeatures") or []
+    ):
+        feats = set(proto.get("writerFeatures") or [])
+        if not feats:
+            # legacy -> v7 upgrade must carry every feature the old
+            # minWriterVersion implied (PROTOCOL.md upgrade rule)
+            implied = {
+                2: ["appendOnly", "invariants"],
+                3: ["checkConstraints"],
+                4: ["changeDataFeed", "generatedColumns"],
+                5: ["columnMapping"],
+                6: ["identityColumns"],
+            }
+            for v_, fs in implied.items():
+                if proto.get("minWriterVersion", 2) >= v_:
+                    feats.update(fs)
+        feats.add("allowColumnDefaults")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 7,
+                    **(
+                        {"readerFeatures": proto["readerFeatures"]}
+                        if proto.get("readerFeatures")
+                        else {}
+                    ),
+                    "writerFeatures": sorted(feats),
+                }
+            }
+        )
+    actions.append({"metaData": meta})
+    v = current_version(root) + 1
+    _write_actions(root, v, actions)
     return v
 
 

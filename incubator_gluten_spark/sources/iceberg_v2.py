@@ -166,6 +166,7 @@ def _commit_snapshot_v2(
     operation: str,
     ice_schema: dict,
     spec: dict,
+    summary_extra: dict | None = None,
 ) -> dict:
     """Write manifest list + metadata JSON.  ``new_manifests`` is
     [(manifest_dict, content)]; previous manifests carry over with their
@@ -189,7 +190,7 @@ def _commit_snapshot_v2(
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
         "timestamp-ms": 0,
-        "summary": {"operation": operation},
+        "summary": {"operation": operation, **(summary_extra or {})},
         "manifest-list": os.path.relpath(ml_path, root),
         "schema-id": 0,
     }
@@ -526,7 +527,11 @@ def equality_delete(
 
 
 def merge_mor(
-    spark: SparkSession, root: str, source: DataFrame, on: list[str]
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    on: list[str],
+    summary_extra: dict | None = None,
 ) -> dict:
     """MERGE as MERGE-ON-READ (``write.merge.mode=merge-on-read`` — the
     streaming-CDC upsert sink pattern, what Flink's Iceberg upsert
@@ -616,12 +621,47 @@ def merge_mor(
         "overwrite",
         ice_schema,
         spec,
+        summary_extra=summary_extra,
     )
     return {
         "snapshot_id": snap["snapshot-id"],
         "keys_shadowed": n,
         "rows_upserted": n_src,
     }
+
+
+def merge_mor_stream_batch(
+    spark: SparkSession,
+    df: DataFrame,
+    root: str,
+    app_id: str,
+    batch_id: int,
+    on: list[str],
+) -> bool:
+    """EXACTLY-ONCE streaming CDC-UPSERT sink: ``foreachBatch`` calls
+    this per micro-batch; the checkpoint rides in the snapshot SUMMARY
+    (``streaming-app`` / ``batch-id``, the mechanism Iceberg's own
+    Flink upsert sink uses), so a replayed batch at or below the
+    highest committed id is a NO-OP returning False — replays can
+    neither double-insert nor re-shadow.  Each committed batch is one
+    ``merge_mor`` snapshot: O(batch), existing data never read — the
+    write path a CDC stream needs at 100 TB."""
+    meta = _current_metadata(root)
+    best = -1
+    for s in meta.get("snapshots", []):
+        su = s.get("summary") or {}
+        if su.get("streaming-app") == app_id:
+            best = max(best, int(su.get("batch-id", -1)))
+    if best >= batch_id:
+        return False
+    merge_mor(
+        spark,
+        root,
+        df,
+        on,
+        summary_extra={"streaming-app": app_id, "batch-id": str(batch_id)},
+    )
+    return True
 
 
 def rewrite_data_files(spark: SparkSession, root: str) -> dict:

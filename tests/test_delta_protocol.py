@@ -726,3 +726,81 @@ def test_merge_schema_survives_dml_and_time_travel(spark, tmp_path):
     old = dp.read_table(spark, root, version=0)
     assert old.columns == ["k", "v"]
     assert old.count() == 3
+
+
+# column DEFAULT values (r11) — writer feature allowColumnDefaults
+
+
+def test_column_defaults_fill_missing_batch_columns(spark, tmp_path):
+    root = str(tmp_path / "cd_fill")
+    dp.create_table(
+        spark.createDataFrame(
+            [(1, "a", "active")], "k long, name string, status string"
+        ),
+        root,
+        column_defaults={"status": "'active'"},
+    )
+    proto = dp.resolve(spark, root).protocol
+    assert proto["minWriterVersion"] == 7
+    assert "allowColumnDefaults" in proto["writerFeatures"]
+    dp.append(spark.createDataFrame([(2, "b")], "k long, name string"), root)
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == [(1, "a", "active"), (2, "b", "active")]
+    # streaming appends take the default too
+    assert dp.append_stream_batch(
+        spark.createDataFrame([(3, "c")], "k long, name string"),
+        root, "app", 0,
+    )
+    rows = {tuple(r) for r in dp.read_table(spark, root).collect()}
+    assert (3, "c", "active") in rows
+
+
+def test_set_column_default_upgrades_legacy_protocol(spark, tmp_path):
+    """ALTER COLUMN SET DEFAULT on a legacy-protocol table upgrades to
+    the v7 feature list IN THE SAME COMMIT, carrying the legacy
+    version's implied features (PROTOCOL.md upgrade rule); DROP DEFAULT
+    returns missing-column fills to NULL and is metadata-only."""
+    root = str(tmp_path / "cd_alter")
+    dp.create_table(
+        spark.createDataFrame([(1, 0.5)], "k long, score double"), root
+    )
+    files_before = {a["path"] for a in dp.resolve(spark, root).adds}
+    dp.set_column_default(spark, root, "score", "1.5")
+    assert {a["path"] for a in dp.resolve(spark, root).adds} == files_before
+    proto = dp.resolve(spark, root).protocol
+    assert proto["minWriterVersion"] == 7
+    assert {"allowColumnDefaults", "appendOnly", "invariants"} <= set(
+        proto["writerFeatures"]
+    )
+    dp.append(spark.createDataFrame([(2,)], "k long"), root)
+    dp.set_column_default(spark, root, "score", None)
+    dp.append(spark.createDataFrame([(3,)], "k long"), root)
+    got = {t[0]: t[1] for t in map(tuple, dp.read_table(spark, root).collect())}
+    assert got == {1: 0.5, 2: 1.5, 3: None}
+    # pre-existing rows were never rewritten by SET DEFAULT (write-time
+    # fill, not read-time): version 0 still reads the original value
+    assert dp.read_table(spark, root, version=0).collect()[0].score == 0.5
+
+
+def test_column_default_refusals(spark, tmp_path):
+    root = str(tmp_path / "cd_refuse")
+    with pytest.raises(dp.DeltaProtocolError, match="cannot combine"):
+        dp.create_table(
+            spark.createDataFrame([(1, "a")], "k long, s string"),
+            root,
+            column_mapping="name",
+            column_defaults={"s": "'x'"},
+        )
+    with pytest.raises(dp.DeltaProtocolError, match="not in the data"):
+        dp.create_table(
+            spark.createDataFrame([(1,)], "k long"),
+            root,
+            column_defaults={"nope": "'x'"},
+        )
+    dp.create_table(
+        spark.createDataFrame([(1, 2.0)], "k long, v double"),
+        root,
+        generated_columns={"v2": ("double", "v * 2")},
+    )
+    with pytest.raises(dp.DeltaProtocolError, match="generated"):
+        dp.set_column_default(spark, root, "v2", "0.0")

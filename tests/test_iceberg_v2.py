@@ -284,3 +284,21 @@ def test_merge_mor_refusals(spark, tmp_path):
     v2.merge_mor(spark, root, _mm_mk(spark, [(1, 9.0)]), ["k"])
     rows = [tuple(r) for r in v2.read_table(spark, root).collect()]
     assert (None, 5.0) in rows and (1, 9.0) in rows and len(rows) == 2
+
+
+def test_merge_mor_stream_batch_replay_noops(spark, tmp_path):
+    root = str(tmp_path / "mor_stream")
+    v2.create_table(_mm_mk(spark, [(1, 1.0)]), root)
+    assert v2.merge_mor_stream_batch(
+        spark, _mm_mk(spark, [(1, 2.0)]), root, "app", 0, ["k"]
+    )
+    # replay of batch 0 (and anything below it) NO-OPs
+    assert not v2.merge_mor_stream_batch(
+        spark, _mm_mk(spark, [(1, 99.0)]), root, "app", 0, ["k"]
+    )
+    assert [tuple(r) for r in v2.read_table(spark, root).collect()] == [(1, 2.0)]
+    # a DIFFERENT app's batch 0 is independent
+    assert v2.merge_mor_stream_batch(
+        spark, _mm_mk(spark, [(1, 3.0)]), root, "app2", 0, ["k"]
+    )
+    assert [tuple(r) for r in v2.read_table(spark, root).collect()] == [(1, 3.0)]
