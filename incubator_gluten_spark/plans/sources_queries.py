@@ -3400,6 +3400,70 @@ def src_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_iceberg_changelog",
+    """
+    WITH changes AS (
+      SELECT o_orderpriority, o_totalprice, 'insert' AS _change_type
+      FROM orders WHERE year(o_orderdate) = 1997
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice, 'delete' AS _change_type
+      FROM orders
+      WHERE year(o_orderdate) IN (1996, 1997)
+        AND o_orderpriority = '5-LOW'
+    )
+    SELECT _change_type, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM changes
+    GROUP BY _change_type, o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg CHANGELOG read (sources/iceberg_format.py
+    read_changelog — the ``create_changelog_view`` / Spark-on-Iceberg
+    CDC surface, Delta CDF's cross-format twin): a priority-partitioned
+    table takes append(1997) then a partition DELETE of '5-LOW'; the
+    changelog over ``(1, current]`` must carry exactly the 1997 inserts
+    (snapshot 2) and the deleted 5-LOW rows of BOTH years (snapshot 3 —
+    the partition prune means those files delete whole, with NO
+    rewrite re-insert pairs, asserted).  Planning is metadata-only per
+    snapshot (ADDED/DELETED manifest entries stamped with the
+    committing snapshot id); read cost is O(changed files), never
+    O(table) — the property that makes CDC consumers affordable on a
+    100 TB table.  The oracle recomputes both change sets relationally
+    and the hash certifies change typing, attribution, and the decode
+    end to end."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_changelog")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    ice.create_table(y(1996), root, partition_cols=["o_orderpriority"])
+    ice.append(y(1997), root)
+    out = ice.delete_where(spark, root, [("o_orderpriority", "=", "5-LOW")])
+    if out["files_skipped"] == 0:
+        raise RuntimeError("partition DELETE pruned nothing")
+    cl = ice.read_changelog(spark, root, 1)
+    # whole-file partition deletes: no rewrite re-insert pairs at snap 3
+    if not cl.filter(
+        (F.col("_commit_snapshot_id") == 3)
+        & (F.col("_change_type") == "insert")
+    ).isEmpty():
+        raise RuntimeError("partition delete emitted rewrite re-inserts")
+    return cl.groupBy("_change_type", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_delta_defaults",
     """
     WITH t AS (

@@ -569,3 +569,46 @@ def test_remove_orphan_files_scopes_to_unreferenced(spark, tmp_path):
     assert sorted(
         r.k for r in ice.read_table(spark, root, snapshot_id=1).collect()
     ) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# read_changelog — r11 (the CDC-read analog of Delta CDF)
+
+
+def test_changelog_full_history_with_cow_rewrites(spark, tmp_path):
+    root = str(tmp_path / "changelog")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")
+    ice.create_table(mk([(1, 1.0), (2, 2.0)]), root)          # snap 1
+    ice.append(mk([(3, 3.0)]), root)                          # snap 2
+    ice.delete_where(spark, root, [("k", "=", 1)])            # snap 3
+    ice.update_where(spark, root, [("k", "=", 3)], {"v": "30.0"})  # snap 4
+    got = sorted(
+        (r.k, r.v, r._change_type, r._commit_snapshot_id)
+        for r in ice.read_changelog(spark, root, 1).collect()
+    )
+    # raw (non-net) changelog: a COW rewrite emits delete + re-insert
+    want = sorted([
+        (3, 3.0, "insert", 2),
+        (1, 1.0, "delete", 3), (2, 2.0, "delete", 3),
+        (3, 3.0, "delete", 3), (2, 2.0, "insert", 3),
+        (3, 3.0, "insert", 3),
+        (2, 2.0, "delete", 4), (3, 3.0, "delete", 4),
+        (2, 2.0, "insert", 4), (3, 30.0, "insert", 4),
+    ])
+    assert got == want
+
+
+def test_changelog_range_slice_and_expired_refusal(spark, tmp_path):
+    root = str(tmp_path / "changelog_rng")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")
+    ice.create_table(mk([(1, 1.0)]), root)
+    ice.append(mk([(2, 2.0)]), root)
+    ice.append(mk([(3, 3.0)]), root)
+    got = sorted(
+        (r.k, r._change_type)
+        for r in ice.read_changelog(spark, root, 1, 2).collect()
+    )
+    assert got == [(2, "insert")]  # only snapshot 2's changes
+    ice.expire_snapshots(root, retain_last=1)
+    with pytest.raises(ValueError, match="expired or never"):
+        ice.read_changelog(spark, root, 0, 1)
