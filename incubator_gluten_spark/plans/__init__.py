@@ -73,7 +73,7 @@ _FRONT = (
     "dp_sequence_packing",
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
-    #     round-robin across families, oracle-backed first; the seven
+    #     round-robin across families, oracle-backed first; the eight
     #     r11 new-surface entries certified the round they land ---
     "agg_grouping_sets_distinct",
     "cb_pair_distinct",
@@ -106,7 +106,6 @@ _FRONT = (
     "dp_lang_id",
     "ds_order_gap_median",
     "fn_math",
-    "gen_sequence",
     "src_delta_generated",
     "src_iceberg_merge",
     "src_iceberg_maintenance",
@@ -115,6 +114,7 @@ _FRONT = (
     "src_delta_defaults",
     "stream_iceberg_upsert_sink",
     "src_iceberg_changelog",
+    "src_iceberg_changelog_net",
 )
 
 

@@ -3464,6 +3464,59 @@ def src_iceberg_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_iceberg_changelog_net",
+    """
+    WITH changes AS (
+      SELECT o_orderpriority, o_totalprice, 'insert' AS _change_type
+      FROM orders
+      WHERE year(o_orderdate) = 1997 AND o_orderpriority <> '5-LOW'
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice, 'delete' AS _change_type
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_orderpriority = '5-LOW'
+    )
+    SELECT _change_type, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM changes
+    GROUP BY _change_type, o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_changelog_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NET changelog (read_changelog(net=True) — the
+    ``create_changelog_view(net_changes => true)`` option): same
+    append(1997) + partition-DELETE('5-LOW') history as
+    src_iceberg_changelog, but the net view must CANCEL the 1997
+    5-LOW rows (inserted then deleted inside the range — they vanish)
+    while keeping the 1996 5-LOW rows as pure deletes and the
+    surviving 1997 rows as pure inserts.  Net is ONE aggregation over
+    the raw changelog (signed multiset count per distinct row), so the
+    cost stays O(changed files) — never a two-snapshot table diff.
+    The raw twin certifies attribution; this entry certifies the
+    cancellation algebra."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_changelog_net")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    ice.create_table(y(1996), root, partition_cols=["o_orderpriority"])
+    ice.append(y(1997), root)
+    ice.delete_where(spark, root, [("o_orderpriority", "=", "5-LOW")])
+    cl = ice.read_changelog(spark, root, 1, net=True)
+    return cl.groupBy("_change_type", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_delta_defaults",
     """
     WITH t AS (

@@ -1180,6 +1180,7 @@ def read_changelog(
     root: str,
     start_snapshot_id: int,
     end_snapshot_id: int | None = None,
+    net: bool = False,
 ) -> DataFrame:
     """CHANGELOG scan (Iceberg's ``create_changelog_view`` /
     Spark-on-Iceberg CDC read): every row inserted or deleted by the
@@ -1195,6 +1196,16 @@ def read_changelog(
     O(table); each file decodes once per change event, executor-side.
     Consumers positioned before an ``expire_snapshots`` horizon lose
     the range (the metadata is gone) — same contract as Iceberg.
+
+    ``net=True`` (the procedure's ``net_changes`` option) collapses
+    the raw stream to each row's NET effect over the whole range —
+    per distinct row value, inserts minus deletes: +k emits k
+    'insert's, -k emits k 'delete's, zero emits nothing, so COW
+    rewrite delete+re-insert pairs cancel and a row inserted then
+    deleted inside the range vanishes.  Computed as ONE aggregation
+    over the raw changelog (still O(changed files), never a
+    two-snapshot table diff); ``_commit_snapshot_id`` is dropped — a
+    net change spans commits by definition.
     Reference analog: Iceberg spark-procedures
     ``create_changelog_view``; gluten-iceberg scans such views through
     the jar."""
@@ -1236,14 +1247,35 @@ def read_changelog(
             )
     if not parts:
         ddl = spark_ddl_for(ice_schema)
-        empty = spark.createDataFrame([], ddl)
-        return empty.withColumn("_change_type", F.lit("")).withColumn(
-            "_commit_snapshot_id", F.lit(0).cast("long")
-        ).limit(0)
+        empty = spark.createDataFrame([], ddl).withColumn(
+            "_change_type", F.lit("")
+        )
+        if not net:
+            empty = empty.withColumn(
+                "_commit_snapshot_id", F.lit(0).cast("long")
+            )
+        return empty.limit(0)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    if not net:
+        return out
+    cols = [f["name"] for f in ice_schema["fields"]]
+    signed = out.groupBy(*cols).agg(
+        F.sum(
+            F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        ).alias("__net")
+    ).filter("__net != 0")
+    return signed.select(
+        *cols,
+        F.when(F.col("__net") > 0, F.lit("insert"))
+        .otherwise(F.lit("delete"))
+        .alias("_change_type"),
+        F.abs(F.col("__net")).alias("__n"),
+    ).withColumn(
+        # multiset semantics: a row net-inserted k times emits k rows
+        "__dup", F.explode(F.sequence(F.lit(1), F.col("__n")))
+    ).drop("__n", "__dup")
 
 
 def _snapshot_file_sets(root: str, snap: dict) -> tuple[set, set, set]:

@@ -612,3 +612,27 @@ def test_changelog_range_slice_and_expired_refusal(spark, tmp_path):
     ice.expire_snapshots(root, retain_last=1)
     with pytest.raises(ValueError, match="expired or never"):
         ice.read_changelog(spark, root, 0, 1)
+
+
+def test_changelog_net_changes_cancel_rewrites(spark, tmp_path):
+    """net=True (the procedure's net_changes): COW rewrite
+    delete+re-insert pairs cancel, updates net to ONE insert of the
+    final value, and a row inserted then deleted inside the range
+    vanishes entirely."""
+    root = str(tmp_path / "changelog_net")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")
+    ice.create_table(mk([(1, 1.0), (2, 2.0)]), root)
+    ice.append(mk([(3, 3.0)]), root)
+    ice.delete_where(spark, root, [("k", "=", 1)])
+    ice.update_where(spark, root, [("k", "=", 3)], {"v": "30.0"})
+    net = sorted(
+        (r.k, r.v, r._change_type)
+        for r in ice.read_changelog(spark, root, 1, net=True).collect()
+    )
+    assert net == [(1, 1.0, "delete"), (3, 30.0, "insert")]
+    assert "_commit_snapshot_id" not in ice.read_changelog(
+        spark, root, 1, net=True
+    ).columns
+    ice.append(mk([(9, 9.0)]), root)
+    ice.delete_where(spark, root, [("k", "=", 9)])
+    assert ice.read_changelog(spark, root, 4, net=True).isEmpty()
