@@ -636,3 +636,26 @@ def test_changelog_net_changes_cancel_rewrites(spark, tmp_path):
     ice.append(mk([(9, 9.0)]), root)
     ice.delete_where(spark, root, [("k", "=", 9)])
     assert ice.read_changelog(spark, root, 4, net=True).isEmpty()
+
+
+def test_merge_binds_by_field_id_after_rename(spark, tmp_path):
+    """MERGE over a renamed key column: the provenance scan and the
+    rewrite both bind old files by FIELD ID (hazard-shielded read), so
+    a key written under the old name still matches and restages under
+    the CURRENT schema."""
+    root = str(tmp_path / "merge_evo")
+    ice.create_table(
+        spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double"),
+        root,
+    )
+    ice.rename_column(root, "k", "key")
+    out = ice.merge(
+        spark,
+        root,
+        spark.createDataFrame([(2, 222.0), (3, 30.0)], "key long, v double"),
+        ["key"],
+    )
+    assert out["files_rewritten"] == 1  # only the k=2 file
+    got = sorted(map(tuple, ice.read_table(spark, root).collect()))
+    assert got == [(1, 10.0), (2, 222.0), (3, 30.0)]
+    assert ice.read_table(spark, root).columns == ["key", "v"]
