@@ -73,7 +73,7 @@ _FRONT = (
     "dp_sequence_packing",
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
-    #     round-robin across families, oracle-backed first; the eight
+    #     round-robin across families, oracle-backed first; the nine
     #     r11 new-surface entries certified the round they land ---
     "agg_grouping_sets_distinct",
     "cb_pair_distinct",
@@ -94,7 +94,6 @@ _FRONT = (
     "dp_inverted_index",
     "ds_nation_above_global",
     "fn_map_more",
-    "gen_posexplode_outer",
     "join_right_outer",
     "misc_range",
     "op_execute_immediate",
@@ -115,6 +114,7 @@ _FRONT = (
     "stream_iceberg_upsert_sink",
     "src_iceberg_changelog",
     "src_iceberg_changelog_net",
+    "src_hudi_mor_incremental",
 )
 
 

@@ -2817,6 +2817,69 @@ def src_hudi_services(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_hudi_mor_incremental",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT o_totalprice * 2 AS price, o_orderpriority
+      FROM orders
+      WHERE year(o_orderdate) = 1996 AND o_orderkey % 5 = 0
+        AND o_orderpriority = '3-MEDIUM'
+      UNION ALL
+      SELECT o_totalprice AS price, o_orderpriority
+      FROM orders WHERE year(o_orderdate) = 1997
+    )
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "hudi", "arrow-kernel",
+)
+def src_hudi_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MOR INCREMENTAL QUERY (sources/hudi_mor.py
+    read_incremental — the MERGE_ON_READ twin of
+    src_hudi_incremental, same oracle BY DESIGN): create(1996) as base
+    groups, ONE upsert landing '3-MEDIUM' price doubles as executor-
+    written LOG BLOCKS plus 1997 inserts as new groups, then COMPACT.
+    The incremental pull over ``(create, upsert]`` must return exactly
+    the upsert's rows at end-of-range values — and the compaction
+    in between must be change-INVISIBLE: ``compact`` carries each
+    row's ORIGINAL commit time into the new base files (the __ct
+    override), so a consumer polling after the table service sees
+    zero phantom changes (asserted: incremental past the upsert is
+    empty).  At 100 TB this is the CDC-pull contract that survives
+    nightly compaction.  Reference analog: Hudi's incremental query on
+    MOR (hudi-spark-datasource), scanned by the reference through the
+    jar."""
+    import shutil
+
+    from incubator_gluten_spark.sources import hudi_mor as mor
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("hudi_mor_incremental")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    mor.create_table(y(1996), root, key_col="o_orderkey")
+    upd = y(1996).filter(
+        (F.col("o_orderkey") % 5 == 0)
+        & (F.col("o_orderpriority") == "3-MEDIUM")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    mor.upsert(spark, upd.unionByName(y(1997)), root, key_col="o_orderkey")
+    i1, i2 = sorted(mor.completed_instants(root))
+    mor.compact(spark, root)
+    if not mor.read_incremental(spark, root, i2).isEmpty():
+        raise RuntimeError("compaction surfaced phantom incremental rows")
+    inc = mor.read_incremental(spark, root, i1, i2)
+    return inc.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_hudi_incremental",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,

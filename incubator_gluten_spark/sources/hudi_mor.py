@@ -276,15 +276,17 @@ def file_slices(root: str, as_of: str | None = None) -> list[dict]:
 # reader
 
 
-def read_table(
-    spark: SparkSession,
-    root: str,
-    as_of: str | None = None,
-    drop_meta_cols: bool = True,
-) -> DataFrame:
-    """MOR snapshot: base parquet scan UNION distributed log decode,
-    then latest-wins per record key (one window; log beats base on
-    instant ties)."""
+def _latest_rows(
+    spark: SparkSession, root: str, as_of: str | None = None
+) -> tuple[DataFrame, list[str]]:
+    """The MOR latest-wins core: base parquet scan UNION distributed
+    log decode, one window per record key (log beats base on instant
+    ties).  Returns (rows carrying ``__instant`` — the instant whose
+    write produced each surviving row — plus the data columns, list of
+    data column names).  Shared by read_table (drops the instant),
+    read_incremental (filters on it), and compact (PRESERVES it
+    through the rewrite — the property incremental queries depend
+    on)."""
     props = _properties(root)
     if props.get("hoodie.table.type") != "MERGE_ON_READ":
         raise HudiFormatError("not a MERGE_ON_READ table — use hudi_format")
@@ -310,9 +312,56 @@ def read_table(
     out = (
         merged_src.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(*data_cols)
+        .select(*data_cols, "__instant")
     )
-    return out
+    return out, data_cols
+
+
+def read_table(
+    spark: SparkSession,
+    root: str,
+    as_of: str | None = None,
+    drop_meta_cols: bool = True,
+) -> DataFrame:
+    """MOR snapshot: base parquet scan UNION distributed log decode,
+    then latest-wins per record key (one window; log beats base on
+    instant ties)."""
+    rows, data_cols = _latest_rows(spark, root, as_of)
+    return rows.select(*data_cols)
+
+
+def read_incremental(
+    spark: SparkSession,
+    root: str,
+    begin_instant: str,
+    end_instant: str | None = None,
+) -> DataFrame:
+    """Hudi MOR INCREMENTAL QUERY
+    (hoodie.datasource.query.type=incremental on a MERGE_ON_READ
+    table): records inserted or updated in ``(begin, end]``, at their
+    end-of-range values — begin EXCLUSIVE, end inclusive, the
+    datasource's contract (the COW twin lives in hudi_format).
+
+    Implementation: the snapshot-at-``end`` latest-wins view keeps
+    each surviving row's producing instant (``__instant`` — a log
+    block's deltacommit, a base file's commit, or the ORIGINAL commit
+    preserved through compaction), so the incremental set is one
+    filter over it.  Compaction commits are change-INVISIBLE here:
+    ``compact`` carries every row's pre-compaction commit time into
+    the new base files (``__ct`` override), exactly like real Hudi —
+    an incremental consumer never re-reads a row because a table
+    service rewrote it."""
+    committed = sorted(completed_instants(root))
+    if not committed:
+        raise ValueError("table has no committed instants")
+    if end_instant is None:
+        end_instant = committed[-1]
+    if begin_instant > end_instant:
+        raise ValueError(
+            f"begin {begin_instant!r} is after end {end_instant!r}"
+        )
+    rows, data_cols = _latest_rows(spark, root, as_of=end_instant)
+    return rows.filter(F.col("__instant") > begin_instant).select(*data_cols)
 
 
 def _decode_logs_df(
@@ -504,10 +553,14 @@ def compact(spark: SparkSession, root: str) -> dict:
     """Rewrite every file slice's MERGED view as a new base file at a
     new ``.commit`` instant.  Old bases + logs stay for time travel;
     the next snapshot read picks the new bases and finds no logs
-    attached to them (their baseInstant moved)."""
+    attached to them (their baseInstant moved).  Every row's ORIGINAL
+    ``_hoodie_commit_time`` rides through the rewrite (``__ct``
+    override) — real Hudi preserves untouched records' meta, the
+    property MOR incremental queries depend on (a compaction must be
+    change-invisible to an incremental consumer)."""
     props = _properties(root)
     key_col = props["hoodie.table.recordkey.fields"]
-    merged = read_table(spark, root, drop_meta_cols=True)
+    merged, data_cols = _latest_rows(spark, root)
     slices = file_slices(root)
     instant = _next_instant(root)
     # route merged rows back to their file group via the record key
@@ -525,7 +578,7 @@ def compact(spark: SparkSession, root: str) -> dict:
     for s in slices:
         rows = routed.filter(
             F.col("__fname").startswith(s["file_id"] + "_")
-        ).select(*merged.columns)
+        ).select(*data_cols, F.col("__instant").alias("__ct"))
         ws = _write_file_group(
             spark, rows, root, s["partition"], s["file_id"], instant, key_col
         )

@@ -170,3 +170,36 @@ def test_cow_module_still_refuses_mor(spark, sf_dir, tmp_path):
     mor.create_table(base, root, key_col="o_orderkey")
     with pytest.raises(HudiFormatError, match="MOR|MERGE_ON_READ"):
         hf.read_table(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# MOR incremental query — r11
+
+
+def test_mor_incremental_and_compaction_invisibility(spark, tmp_path):
+    """(begin, end] incremental over a MOR table: log-block updates and
+    new-group inserts report at end-of-range values; a COMPACTION is
+    change-INVISIBLE (rows carry their original commit time through
+    the rewrite — real Hudi preserves record meta, so an incremental
+    consumer never re-reads rows a table service moved)."""
+    root = str(tmp_path / "mor_inc")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")
+    mor.create_table(mk([(1, 1.0), (2, 2.0)]), root, key_col="k")
+    mor.upsert(spark, mk([(2, 22.0), (3, 3.0)]), root, key_col="k")
+    i1, i2 = sorted(mor.completed_instants(root))
+    inc = sorted(map(tuple, mor.read_incremental(spark, root, i1).collect()))
+    assert inc == [(2, 22.0), (3, 3.0)]  # update at NEW value + insert
+    mor.compact(spark, root)
+    # nothing changed since i2 — compaction must not surface anything
+    assert mor.read_incremental(spark, root, i2).isEmpty()
+    # bounded range unaffected by later compaction
+    inc2 = sorted(
+        map(tuple, mor.read_incremental(spark, root, i1, i2).collect())
+    )
+    assert inc2 == [(2, 22.0), (3, 3.0)]
+    # snapshot identical post-compaction
+    assert sorted(map(tuple, mor.read_table(spark, root).collect())) == [
+        (1, 1.0), (2, 22.0), (3, 3.0),
+    ]
+    with pytest.raises(ValueError, match="after end"):
+        mor.read_incremental(spark, root, i2, i1)
