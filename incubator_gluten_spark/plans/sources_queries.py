@@ -4062,3 +4062,152 @@ def src_iceberg_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_iceberg_wap",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE year(o_orderdate) IN (1994, 1995, 1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE-AUDIT-PUBLISH + lineage procedures
+    (sources/iceberg_format.py): 1997 stages with ``wap.id`` —
+    INVISIBLE to main readers (asserted) yet auditable by snapshot id
+    (asserted) — then publishes via ``cherrypick_snapshot`` in
+    fast-forward mode (metadata-only).  A second staged year (1995)
+    publishes in REPLAY mode after main moved (a 1994 append landed in
+    between), stamping ``published-wap-id``.  ``rollback_to_snapshot``
+    then rewinds main past the replay (asserted: 1995 vanishes,
+    by-id time travel still sees it) and ``fast_forward`` re-publishes
+    main to the picked head via a branch ref.  Every publish/rollback
+    step is METADATA-SIZED — zero data bytes move after the initial
+    stage writes, which is what makes audit-gated ingestion affordable
+    on a 100 TB table.  The oracle certifies the final published state
+    = all four years exactly once.  Reference analog: Iceberg
+    spark-procedures cherrypick_snapshot / rollback_to_snapshot /
+    fast_forward; gluten-iceberg scans published tables through the
+    jar."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_wap")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    n96 = y(1996).count()
+    ice.create_table(y(1996), root)
+    staged = ice.append(y(1997), root, wap_id="audit-1997")
+    if ice.read_table(spark, root).count() != n96:
+        raise RuntimeError("staged WAP snapshot leaked into main reads")
+    audit = ice.read_table(spark, root, snapshot_id=staged["snapshot-id"])
+    if audit.count() != n96 + y(1997).count():
+        raise RuntimeError("staged snapshot not auditable by id")
+    out = ice.cherrypick_snapshot(root, wap_id="audit-1997")
+    if out["mode"] != "fast-forward":
+        raise RuntimeError(f"expected fast-forward publish: {out}")
+    staged2 = ice.append(y(1995), root, wap_id="audit-1995")
+    ice.append(y(1994), root)  # main moves past the stage
+    pre_pick = ice._current_metadata(root)["current-snapshot-id"]
+    out2 = ice.cherrypick_snapshot(root, snapshot_id=staged2["snapshot-id"])
+    if out2["mode"] != "replay":
+        raise RuntimeError(f"expected replay publish: {out2}")
+    picked = out2["published_snapshot_id"]
+    ice.rollback_to_snapshot(root, pre_pick)
+    if ice.read_table(spark, root).count() != (
+        n96 + y(1997).count() + y(1994).count()
+    ):
+        raise RuntimeError("rollback did not rewind the replay publish")
+    if ice.read_table(spark, root, snapshot_id=picked).count() != (
+        n96 + y(1997).count() + y(1994).count() + y(1995).count()
+    ):
+        raise RuntimeError("rolled-past snapshot lost to time travel")
+    ice.create_branch(root, "redo", snapshot_id=picked)
+    ice.fast_forward(root, "main", to="redo")
+    return ice.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
+    "src_hudi_savepoint",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "hudi",
+)
+def src_hudi_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi SAVEPOINT / RESTORE (sources/hudi_format.py savepoint +
+    restore_to_savepoint — Hudi's create_savepoint /
+    rollback_to_savepoint procedures): create (1996) -> SAVEPOINT ->
+    two price-mangling upserts -> CLEAN retain-1.  The cleaner deletes
+    superseded versions (asserted > 0) yet the savepointed snapshot
+    stays time-travelable BEHIND the clean horizon (asserted — the
+    savepoint pinned its base files).  RESTORE then rewinds BOTH
+    upserts in one metadata-sized call (asserted: rolled-back count,
+    snapshot identical to the original 1996 data), and the table keeps
+    taking writes — a 1997 upsert lands on the restored head.  The
+    oracle certifies the final state = pristine 1996 + 1997: every
+    trace of the mangled prices is gone.  This is the disaster-recovery
+    path a 100 TB ingest pipeline runs after a bad backfill — restore
+    cost is O(files written since savepoint), never O(table).
+    Reference analog: gluten-hudi scans tables maintained by these
+    services (gluten-hudi/src/main/scala/.../HudiScanTransformer.scala);
+    semantics are Hudi's public savepoint contract."""
+    import shutil
+
+    from incubator_gluten_spark.sources import hudi_format as hf
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("hudi_savepoint")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    n96 = y(1996).count()
+    hf.create_table(
+        y(1996), root, key_col="o_orderkey", partition_col="o_orderpriority"
+    )
+    i1 = hf.completed_instants(root)[-1]
+    hf.savepoint(root, i1)
+    mangle = lambda mod: y(1996).filter(
+        F.col("o_orderkey") % 5 == mod
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    hf.upsert(spark, mangle(0), root, "o_orderkey")
+    hf.upsert(spark, mangle(1), root, "o_orderkey")
+    cleaned = hf.clean(root, retain_file_versions=1)
+    if cleaned["files_deleted"] == 0:
+        raise RuntimeError("cleaner found nothing to delete")
+    if hf.read_table(spark, root, as_of=i1).count() != n96:
+        raise RuntimeError("savepointed snapshot lost rows behind horizon")
+    out = hf.restore_to_savepoint(root, i1)
+    if out["commits_rolled_back"] != 2:
+        raise RuntimeError(f"restore rolled back the wrong commits: {out}")
+    if hf.read_table(spark, root).count() != n96:
+        raise RuntimeError("restored snapshot row count off")
+    hf.upsert(spark, y(1997), root, "o_orderkey")
+    return (
+        hf.read_table(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("total"),
+        )
+    )

@@ -1011,6 +1011,7 @@ def _commit_snapshot(
     spec: dict,
     branch: str | None = None,
     summary_extra: dict | None = None,
+    stage_only: bool = False,
 ) -> dict:
     os.makedirs(_meta_dir(root), exist_ok=True)
     snapshot_id = (
@@ -1037,8 +1038,21 @@ def _commit_snapshot(
         codec="deflate",
     )
     cur_schema_id = ice_schema.get("schema-id", 0)
+    # spec: parent-snapshot-id links each snapshot to the head it was
+    # committed on top of — branch commits parent off the branch head,
+    # main and WAP-staged commits off current.  Ancestry walks (cherry-
+    # pick fast-forward, rollback, changelog) follow this chain.
+    if meta is None:
+        parent_id = None
+    elif branch is not None:
+        parent_id = (meta.get("refs") or {}).get(branch, {}).get(
+            "snapshot-id", meta["current-snapshot-id"]
+        )
+    else:
+        parent_id = meta["current-snapshot-id"]
     snapshot = {
         "snapshot-id": snapshot_id,
+        "parent-snapshot-id": parent_id,
         "timestamp-ms": 0,
         "summary": {"operation": operation, **(summary_extra or {})},
         "manifest-list": os.path.relpath(ml_path, root),
@@ -1058,6 +1072,10 @@ def _commit_snapshot(
     if branch is not None:
         refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
         current_id = meta["current-snapshot-id"]
+    elif stage_only:
+        # WAP stage: the snapshot is committed (audit-able by id) but
+        # current-snapshot-id does NOT advance — cherrypick publishes it
+        current_id = meta["current-snapshot-id"] if meta else None
     else:
         current_id = snapshot_id
     new_meta = {
@@ -1213,11 +1231,24 @@ def read_changelog(
     by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
     if end_snapshot_id is None:
         end_snapshot_id = meta["current-snapshot-id"]
-    wanted = [
-        s
-        for s in meta["snapshots"]
-        if start_snapshot_id < s["snapshot-id"] <= end_snapshot_id
-    ]
+    # walk the end snapshot's ANCESTRY, not the raw id range: staged
+    # (WAP) and branch snapshots share the id space but are not part of
+    # the published lineage, so their changes must not leak into CDC.
+    # Legacy snapshots without parent-snapshot-id fall back to id-range.
+    if by_id.get(end_snapshot_id, {}).get("parent-snapshot-id", "?") != "?":
+        lineage = set(_ancestry(meta, end_snapshot_id))
+        wanted = [
+            s
+            for s in meta["snapshots"]
+            if start_snapshot_id < s["snapshot-id"] <= end_snapshot_id
+            and s["snapshot-id"] in lineage
+        ]
+    else:
+        wanted = [
+            s
+            for s in meta["snapshots"]
+            if start_snapshot_id < s["snapshot-id"] <= end_snapshot_id
+        ]
     if not wanted and start_snapshot_id not in by_id:
         raise ValueError(
             f"changelog range ({start_snapshot_id}, {end_snapshot_id}] "
@@ -1766,17 +1797,32 @@ def append(
     root: str,
     branch: str | None = None,
     summary_extra: dict | None = None,
+    wap_id: str | None = None,
 ) -> dict:
     """Append a snapshot — to main, or to a BRANCH (spec "Snapshot
     References"): a branch append parents off the branch HEAD's
     manifest list and advances only the branch ref; main and every
     other ref are untouched.  Appending to a tag refuses (tags are
-    immutable labels)."""
+    immutable labels).
+
+    ``wap_id`` is the write-audit-publish STAGE step (Iceberg's
+    ``spark.wap.id``): the snapshot commits with ``wap.id`` in its
+    summary but current-snapshot-id does not move — readers of the
+    table see nothing until ``cherrypick_snapshot`` publishes it.
+    Audit the staged data with ``read_table(snapshot_id=...)``."""
     spark = SparkSession.getActiveSession()
     meta = _current_metadata(root)
     ice_schema = _current_schema(meta)
     spec = _default_spec(meta)  # new data lands under the DEFAULT spec
     pschema = _partition_avro_schema(ice_schema, spec)
+    if wap_id is not None:
+        if branch is not None:
+            raise ValueError("wap_id and branch are mutually exclusive")
+        for s in meta.get("snapshots", []):
+            su = s.get("summary") or {}
+            if wap_id in (su.get("wap.id"), su.get("published-wap-id")):
+                raise ValueError(f"wap.id {wap_id!r} already used")
+        summary_extra = {**(summary_extra or {}), "wap.id": wap_id}
     parent_id = None
     if branch is not None:
         ref = (meta.get("refs") or {}).get(branch)
@@ -1817,6 +1863,7 @@ def append(
         spec,
         branch=branch,
         summary_extra=summary_extra,
+        stage_only=wap_id is not None,
     )
 
 
@@ -1899,6 +1946,184 @@ def ref_snapshot_id(root: str, name: str) -> int:
     if ref is None:
         raise ValueError(f"no such ref: {name!r}")
     return ref["snapshot-id"]
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish (Iceberg WAP: stage with wap.id, publish with
+# cherrypick_snapshot / fast_forward), rollback_to_snapshot
+
+
+def _ancestry(meta: dict, from_id: int | None = None) -> list[int]:
+    """Snapshot ids from ``from_id`` (default: current) back to the
+    table's first snapshot, following ``parent-snapshot-id``."""
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    sid = meta["current-snapshot-id"] if from_id is None else from_id
+    chain: list[int] = []
+    while sid is not None and sid in by_id:
+        chain.append(sid)
+        sid = by_id[sid].get("parent-snapshot-id")
+    return chain
+
+
+def _commit_current(root: str, meta: dict, snapshot_id: int) -> int:
+    """Metadata-only version moving current-snapshot-id (no new
+    snapshot, no data or manifest writes)."""
+    new_meta = dict(meta)
+    new_meta["current-snapshot-id"] = snapshot_id
+    version = _next_version(root, meta)
+    with open(
+        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f)
+    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return version
+
+
+def cherrypick_snapshot(
+    root: str, snapshot_id: int | None = None, wap_id: str | None = None
+) -> dict:
+    """PUBLISH step of write-audit-publish (Iceberg's
+    ``system.cherrypick_snapshot`` procedure): make a staged snapshot's
+    changes visible on main.  Identify the snapshot by id or by its
+    staged ``wap.id``.
+
+    Two spec-faithful modes:
+
+    * **fast-forward** — the staged snapshot's parent IS the current
+      snapshot: current-snapshot-id moves to the staged snapshot
+      itself (metadata-only; the published snapshot keeps its wap.id,
+      and ancestry-based duplicate protection refuses a second pick).
+    * **replay** — main moved since staging: a NEW append snapshot is
+      committed whose manifest list = current's manifests + the
+      manifests the staged snapshot ADDED, summary carrying
+      ``published-wap-id`` + ``source-snapshot-id``.  Only ``append``
+      snapshots replay (Iceberg's cherrypick contract); anything else
+      refuses rather than silently mis-merging.
+
+    Both modes are metadata-sized — no data file is read or written.
+    Reference analog: Iceberg spark-procedures CherrypickSnapshot;
+    gluten-iceberg reads published tables through the jar."""
+    meta = _current_metadata(root)
+    snaps = meta.get("snapshots", [])
+    if snapshot_id is None:
+        if wap_id is None:
+            raise ValueError("pass snapshot_id or wap_id")
+        matches = [
+            s
+            for s in snaps
+            if (s.get("summary") or {}).get("wap.id") == wap_id
+        ]
+        if not matches:
+            raise ValueError(f"no staged snapshot with wap.id {wap_id!r}")
+        snapshot_id = matches[0]["snapshot-id"]
+    staged = _snapshot(meta, snapshot_id)
+    summary = staged.get("summary") or {}
+    staged_wap = summary.get("wap.id")
+    main_chain = set(_ancestry(meta))
+    if snapshot_id in main_chain:
+        raise ValueError(
+            f"snapshot {snapshot_id} is already in the main ancestry"
+        )
+    if staged_wap is not None:
+        for s in snaps:
+            if (s.get("summary") or {}).get("published-wap-id") == staged_wap:
+                raise ValueError(f"wap.id {staged_wap!r} already published")
+    if staged.get("parent-snapshot-id") == meta["current-snapshot-id"]:
+        _commit_current(root, meta, snapshot_id)
+        return {"published_snapshot_id": snapshot_id, "mode": "fast-forward"}
+    if summary.get("operation") != "append":
+        raise ValueError(
+            "cherrypick replays append snapshots only; "
+            f"{snapshot_id} is {summary.get('operation')!r} and main moved"
+        )
+    cur = _snapshot(meta, None)
+    cur_manifests = [
+        {
+            "manifest_path": mf[0],
+            "manifest_length": mf[1],
+            "partition_spec_id": mf[2],
+            "added_snapshot_id": mf[3],
+        }
+        for mf in read_container(_resolve_path(root, cur["manifest-list"]))
+    ]
+    added = [
+        {
+            "manifest_path": mf[0],
+            "manifest_length": mf[1],
+            "partition_spec_id": mf[2],
+            "added_snapshot_id": mf[3],
+        }
+        for mf in read_container(_resolve_path(root, staged["manifest-list"]))
+        if mf[3] == snapshot_id
+    ]
+    if not added:
+        raise ValueError(f"snapshot {snapshot_id} added no manifests")
+    extra = {"source-snapshot-id": str(snapshot_id)}
+    if staged_wap is not None:
+        extra["published-wap-id"] = staged_wap
+    snap = _commit_snapshot(
+        root,
+        meta,
+        cur_manifests + added,
+        "append",
+        _current_schema(meta),
+        _default_spec(meta),
+        summary_extra=extra,
+    )
+    return {"published_snapshot_id": snap["snapshot-id"], "mode": "replay"}
+
+
+def rollback_to_snapshot(root: str, snapshot_id: int) -> dict:
+    """``system.rollback_to_snapshot``: move current back to an
+    ANCESTOR of the current snapshot (metadata-only; later snapshots
+    stay readable by id until expired).  A non-ancestor target refuses
+    — that is ``set_current_snapshot``'s job, not rollback's."""
+    meta = _current_metadata(root)
+    _snapshot(meta, snapshot_id)  # validates existence
+    chain = _ancestry(meta)
+    if snapshot_id not in chain:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of current "
+            f"{meta['current-snapshot-id']} (ancestry: {chain})"
+        )
+    prev = meta["current-snapshot-id"]
+    _commit_current(root, meta, snapshot_id)
+    return {"previous_snapshot_id": prev, "current_snapshot_id": snapshot_id}
+
+
+def fast_forward(root: str, branch: str, to: str) -> dict:
+    """``system.fast_forward``: advance ref ``branch`` to ref ``to``'s
+    snapshot, provided the target is a DESCENDANT of the branch head
+    (the branch must be fast-forwardable — no divergence).  ``main``
+    is a valid branch name and moves current-snapshot-id: publishing an
+    audit branch to main this way is the WAP-branch pattern."""
+    meta = _current_metadata(root)
+    refs = dict(meta.get("refs") or {})
+
+    def _resolve_ref(name: str) -> int:
+        if name == "main":
+            return meta["current-snapshot-id"]
+        ref = refs.get(name)
+        if ref is None:
+            raise ValueError(f"no such ref: {name!r}")
+        return ref["snapshot-id"]
+
+    from_id = _resolve_ref(branch)
+    to_id = _resolve_ref(to)
+    if from_id not in _ancestry(meta, to_id):
+        raise ValueError(
+            f"cannot fast-forward {branch!r}: its head {from_id} is not "
+            f"an ancestor of {to!r} ({to_id})"
+        )
+    if branch == "main":
+        _commit_current(root, meta, to_id)
+    else:
+        if refs[branch]["type"] != "branch":
+            raise ValueError(f"{branch!r} is a tag — tags never move")
+        refs[branch] = {"snapshot-id": to_id, "type": "branch"}
+        _commit_refs(root, meta, refs)
+    return {"branch": branch, "from": from_id, "to": to_id}
 
 
 # ---------------------------------------------------------------------------
