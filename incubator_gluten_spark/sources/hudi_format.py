@@ -150,7 +150,14 @@ def snapshot_files(root: str, as_of: str | None = None) -> list[str]:
     committed = set(completed_instants(root))
     if as_of is not None:
         horizon = clean_horizon(root)
-        if horizon is not None and as_of < horizon:
+        # a SAVEPOINTED instant stays readable behind the cleaner
+        # horizon — the cleaner retained its file versions (Hudi's
+        # savepoint contract); anything else behind the horizon refuses
+        if (
+            horizon is not None
+            and as_of < horizon
+            and as_of not in savepoints(root)
+        ):
             raise HudiFormatError(
                 f"time travel to {as_of} is behind the cleaner horizon "
                 f"({horizon}): the file versions were deleted by a .clean "
@@ -601,6 +608,11 @@ def clean(root: str, retain_file_versions: int = 1) -> dict:
     if retain_file_versions < 1:
         raise ValueError("retain_file_versions must be >= 1")
     committed = set(completed_instants(root))
+    # files pinned by savepoints are NEVER cleaned (Hudi's savepoint
+    # contract: the savepointed snapshot stays restorable/readable)
+    protected: set[str] = set()
+    for body in _savepoint_bodies(root).values():
+        protected |= set(body.get("retainedFiles") or [])
     groups: dict[tuple[str, str], list[tuple[str, str]]] = {}
     for part, file_id, instant, path in _base_files(root):
         if instant in committed:
@@ -611,6 +623,8 @@ def clean(root: str, retain_file_versions: int = 1) -> dict:
         versions.sort(reverse=True)
         kept = versions[:retain_file_versions]
         for _, path in versions[retain_file_versions:]:
+            if os.path.relpath(path, root) in protected:
+                continue
             os.remove(path)
             deleted.append(os.path.relpath(path, root))
         oldest_kept = kept[-1][0]
@@ -702,6 +716,132 @@ def rollback(root: str, instant: str | None = None) -> dict:
     return {
         "instant": ri,
         "rolled_back": target,
+        "files_deleted": len(deleted),
+    }
+
+
+# ---------------------------------------------------------------------------
+# savepoint / restore (Hudi's savepoint(), delete_savepoint(),
+# rollback_to_savepoint() — the table-service trio that makes a snapshot
+# restorable no matter what the cleaner or later writers do)
+
+
+def _savepoint_bodies(root: str) -> dict[str, dict]:
+    """savepointed commit instant -> completed .savepoint body."""
+    out: dict[str, dict] = {}
+    tdir = _timeline_dir(root)
+    if not os.path.isdir(tdir):
+        return out
+    for name in os.listdir(tdir):
+        if name.endswith(".savepoint"):
+            with open(os.path.join(tdir, name)) as f:
+                body = json.load(f)
+            out[body["savepointedAt"]] = body
+    return out
+
+
+def savepoints(root: str) -> list[str]:
+    """Savepointed commit instants, sorted."""
+    return sorted(_savepoint_bodies(root))
+
+
+def savepoint(root: str, instant: str | None = None) -> dict:
+    """SAVEPOINT a committed instant (default: the latest): record a
+    completed ``.savepoint`` timeline action pinning the base files of
+    that snapshot.  The cleaner skips pinned files, time travel to the
+    savepointed instant keeps working behind the clean horizon, and
+    ``restore_to_savepoint`` can rewind the table to it.  Planning is
+    metadata-only (file NAMES + timeline).  Reference analog: Hudi's
+    ``create_savepoint`` call used before risky backfills; gluten scans
+    Hudi tables those services maintain."""
+    committed = completed_instants(root)
+    if not committed:
+        raise ValueError("no completed commits to savepoint")
+    target = committed[-1] if instant is None else instant
+    if target not in committed:
+        raise ValueError(f"instant {target!r} is not a completed commit")
+    if target in _savepoint_bodies(root):
+        raise ValueError(f"instant {target!r} is already savepointed")
+    horizon = clean_horizon(root)
+    if horizon is not None and target < horizon:
+        raise ValueError(
+            f"cannot savepoint {target}: behind the clean horizon "
+            f"({horizon}) — its file versions are already deleted"
+        )
+    retained = [
+        os.path.relpath(p, root) for p in snapshot_files(root, as_of=target)
+    ]
+    si = _next_service_instant(root)
+    _three_phase(
+        root,
+        si,
+        "savepoint",
+        {"savepointedAt": target, "retainedFiles": sorted(retained)},
+    )
+    return {
+        "instant": si,
+        "savepointed_at": target,
+        "files_retained": len(retained),
+    }
+
+
+def delete_savepoint(root: str, instant: str) -> dict:
+    """Unpin a savepoint — its files become ordinary cleaner victims."""
+    tdir = _timeline_dir(root)
+    for name in list(os.listdir(tdir)):
+        if name.endswith(".savepoint"):
+            with open(os.path.join(tdir, name)) as f:
+                body = json.load(f)
+            if body["savepointedAt"] == instant:
+                os.remove(os.path.join(tdir, name))
+                return {"deleted_savepoint_at": instant}
+    raise ValueError(f"no savepoint at instant {instant!r}")
+
+
+def restore_to_savepoint(root: str, instant: str) -> dict:
+    """RESTORE the table to a savepointed instant: physically delete
+    every base file written by a commit AFTER the savepoint, remove
+    those commits from the timeline, and record a completed
+    ``.restore`` action.  Unlike ``rollback`` (latest commit only),
+    restore rewinds ANY number of commits — the savepoint's pinned
+    files guarantee the target snapshot is complete even if a cleaner
+    ran in between.  This is Hudi's documented disaster-recovery path
+    (``rollback_to_savepoint`` procedure); incremental consumers
+    positioned after the savepoint lose their window, exactly like
+    upstream."""
+    if instant not in _savepoint_bodies(root):
+        raise ValueError(
+            f"instant {instant!r} is not savepointed — savepoint first "
+            "(restore without a savepoint cannot prove the snapshot "
+            "is still complete)"
+        )
+    committed = completed_instants(root)
+    doomed_commits = [c for c in committed if c > instant]
+    deleted: list[str] = []
+    for _part, _fid, fi, path in _base_files(root):
+        if fi > instant:
+            os.remove(path)
+            deleted.append(os.path.relpath(path, root))
+    tdir = _timeline_dir(root)
+    for name in list(os.listdir(tdir)):
+        stem = name.split(".")[0]
+        if stem in doomed_commits and ".commit" in name:
+            os.remove(os.path.join(tdir, name))
+    ri = _next_service_instant(root)
+    _three_phase(
+        root,
+        ri,
+        "restore",
+        {
+            "restoredTo": instant,
+            "rolledBackCommits": doomed_commits,
+            "deleted": sorted(deleted),
+        },
+    )
+    return {
+        "instant": ri,
+        "restored_to": instant,
+        "commits_rolled_back": len(doomed_commits),
         "files_deleted": len(deleted),
     }
 
