@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Iterable
@@ -179,7 +180,7 @@ def _apply_action(live: dict, state: dict, action: dict) -> None:
     if "protocol" in action:
         p = action["protocol"]
         reader_features = set(p.get("readerFeatures") or [])
-        supported = {"deletionVectors", "columnMapping"}
+        supported = {"deletionVectors", "columnMapping", "typeWidening"}
         # minReaderVersion 2 is the legacy column-mapping reader version
         # (no feature list); 3 carries an explicit feature list
         if p.get("minReaderVersion", 1) > 2 and not (
@@ -685,11 +686,17 @@ def _footer_min_max(meta) -> dict:
             name = col.path_in_schema
             if "." in name:  # nested leaf: not a top-level column stat
                 continue
-            st = col.statistics
-            if st is None or not st.has_min_max:
+            try:
+                st = col.statistics
+                has = st is not None and st.has_min_max
+                lo, hi = (st.min, st.max) if has else (None, None)
+            except Exception:
+                # pyarrow can't extract stats for some physical types
+                # (e.g. decimal) — treat as "no bounds recorded"
+                has = False
+            if not has:
                 dropped.add(name)
                 continue
-            lo, hi = st.min, st.max
             if isinstance(lo, bytes) or not isinstance(
                 lo, (int, float, str, bool)
             ):
@@ -1204,6 +1211,19 @@ def _align_append_schema(
             continue
         if f.name in df.columns:
             if df.schema[f.name].dataType != f.dataType:
+                # a batch NARROWER than a widened column upcasts
+                # losslessly (Delta accepts int batches into a column
+                # widened to long); anything else refuses — no silent
+                # lossy casts
+                got = df.schema[f.name].dataType.jsonValue()
+                want = f.dataType.jsonValue()
+                if (
+                    isinstance(got, str)
+                    and isinstance(want, str)
+                    and _widening_allowed(got, want)
+                ):
+                    sel.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                    continue
                 raise DeltaProtocolError(
                     f"{op}: column {f.name!r} type "
                     f"{df.schema[f.name].dataType.simpleString()} does not "
@@ -2340,6 +2360,137 @@ def set_column_default(
         )
     actions.append({"metaData": meta})
     v = current_version(root) + 1
+    _write_actions(root, v, actions)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# type widening (PROTOCOL.md "Type Widening", readerWriter feature
+# ``typeWidening``): ALTER COLUMN ... TYPE <wider> is METADATA-ONLY —
+# files written before the change keep the narrow physical type and the
+# reader upcasts (Spark 4's parquet reader widens int->long,
+# float->double, int->double and decimal natively, probed in tests).
+
+_INT_ORDER = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def _decimal_params(t: str) -> tuple[int, int] | None:
+    m = re.match(r"decimal\((\d+),\s*(-?\d+)\)$", t)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def _widening_allowed(frm: str, to: str) -> bool:
+    """The spec's allowed widenings: integer family upward, float ->
+    double, integer family -> double, integer family -> decimal with
+    enough integer digits, decimal(p,s) -> decimal(p',s') with s' >= s
+    and p'-s' >= p-s."""
+    if frm == to:
+        return False
+    if frm in _INT_ORDER and to in _INT_ORDER:
+        return _INT_ORDER[to] > _INT_ORDER[frm]
+    if frm in _INT_ORDER and to == "double":
+        return frm != "long"
+    if frm == "float" and to == "double":
+        return True
+    dto = _decimal_params(to)
+    if dto is None:
+        return False
+    p2, s2 = dto
+    # digits needed to hold the integer type losslessly (spec table)
+    need = {"byte": 3, "short": 5, "integer": 10, "long": 20}
+    if frm in need:
+        return s2 >= 0 and (p2 - s2) >= need[frm]
+    dfrm = _decimal_params(frm)
+    if dfrm is None:
+        return False
+    p1, s1 = dfrm
+    return s2 >= s1 and (p2 - s2) >= (p1 - s1)
+
+
+def alter_column_type(
+    spark: SparkSession, root: str, name: str, new_sql_type: str
+) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE <wider type> — Delta TYPE
+    WIDENING: one metadata-only commit re-types the field in the
+    schemaString, records the change in the field's
+    ``delta.typeChanges`` metadata (fromType/toType/tableVersion — the
+    spec's audit trail), and upgrades the protocol to the v3/v7
+    feature-list form with the ``typeWidening`` readerWriter feature.
+    ZERO data files are rewritten at any table size: pre-widening files
+    keep their narrow physical type and every scan binds to the LOG
+    schema, upcasting executor-side.  Narrowing or cross-family changes
+    refuse (they would corrupt existing bytes); widening a partition
+    column refuses (partitionValues are re-coerced strings — Delta
+    refuses too).  Reference analog: PROTOCOL.md "Type Widening";
+    gluten's Velox parquet scan performs the same upcast-on-read for
+    widened Delta tables."""
+    snap = resolve(spark, root)
+    if name in snap.partition_columns:
+        raise DeltaProtocolError(
+            f"cannot widen partition column {name!r}"
+        )
+    if name in _identity_cols(snap.metadata):
+        raise DeltaProtocolError(f"cannot widen identity column {name!r}")
+    from pyspark.sql.types import _parse_datatype_string
+
+    new_dt = _parse_datatype_string(new_sql_type)
+    d = json.loads(snap.metadata["schemaString"])
+    hit = None
+    for f in d["fields"]:
+        if f["name"] == name:
+            hit = f
+    if hit is None:
+        raise DeltaProtocolError(f"no such column: {name!r}")
+    frm = hit["type"] if isinstance(hit["type"], str) else None
+    to = new_dt.jsonValue() if isinstance(new_dt.jsonValue(), str) else None
+    if frm is None or to is None or not _widening_allowed(frm, to):
+        raise DeltaProtocolError(
+            f"type change {hit['type']} -> {new_sql_type} is not a "
+            "supported widening — only lossless upcasts are allowed "
+            "(narrowing would corrupt existing data files)"
+        )
+    v = current_version(root) + 1
+    md = dict(hit.get("metadata") or {})
+    changes = list(md.get("delta.typeChanges") or [])
+    changes.append({"fromType": frm, "toType": to, "tableVersion": v})
+    md["delta.typeChanges"] = changes
+    hit["metadata"] = md
+    hit["type"] = to
+    meta = dict(snap.metadata)
+    meta["schemaString"] = json.dumps(d)
+    actions: list[dict] = []
+    proto = snap.protocol
+    if "typeWidening" not in (proto.get("writerFeatures") or []):
+        wfeats = set(proto.get("writerFeatures") or [])
+        if not wfeats:
+            implied = {
+                2: ["appendOnly", "invariants"],
+                3: ["checkConstraints"],
+                4: ["changeDataFeed", "generatedColumns"],
+                5: ["columnMapping"],
+                6: ["identityColumns"],
+            }
+            for v_, fs in implied.items():
+                if proto.get("minWriterVersion", 2) >= v_:
+                    wfeats.update(fs)
+        wfeats.add("typeWidening")
+        rfeats = set(proto.get("readerFeatures") or [])
+        if proto.get("minReaderVersion", 1) >= 2:
+            rfeats.add("columnMapping")
+        if proto.get("minReaderVersion", 1) >= 3:
+            rfeats.update(proto.get("readerFeatures") or [])
+        rfeats.add("typeWidening")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": sorted(rfeats),
+                    "writerFeatures": sorted(wfeats),
+                }
+            }
+        )
+    actions.append({"metaData": meta})
     _write_actions(root, v, actions)
     return v
 
