@@ -4211,3 +4211,142 @@ def src_hudi_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+@q(
+    "src_delta_type_widening",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN year(o_orderdate) = 1997
+                         THEN CAST(o_orderkey AS BIGINT) * 1000000
+                         ELSE CAST(o_orderkey AS BIGINT) END) AS BIGINT)
+             AS keysum
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TYPE WIDENING (sources/delta_protocol.py
+    alter_column_type — PROTOCOL.md 'Type Widening', readerWriter
+    feature ``typeWidening``): the 1996 orders land with an INT keycode
+    column; ``ALTER COLUMN TYPE long`` re-types it METADATA-ONLY (zero
+    data files rewritten — asserted byte-for-byte on the file list),
+    then a 1997 append writes values * 1_000_000 that only fit in the
+    WIDE type.  The scan binds every file to the LOG schema — narrow
+    pre-widening files upcast executor-side (Spark 4's parquet reader
+    does int->long natively; no footer merging, no rewrite), which is
+    the only affordable contract at 100 TB.  The oracle certifies the
+    mixed narrow+wide scan sums correctly past 2^31.  Reference analog:
+    gluten's Velox scan performs the same upcast-on-read for widened
+    Delta tables (backends-velox type coercion)."""
+    import glob
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_type_widening")
+    shutil.rmtree(root, ignore_errors=True)
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr)
+    dp.create_table(
+        y(1996).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_orderkey").cast("int")).alias("keycode"),
+        ),
+        root,
+    )
+    files_before = sorted(glob.glob(root + "/**/*.parquet", recursive=True))
+    dp.alter_column_type(spark, root, "keycode", "long")
+    if files_before != sorted(
+        glob.glob(root + "/**/*.parquet", recursive=True)
+    ):
+        raise RuntimeError("type widening rewrote a data file")
+    snap = dp.resolve(spark, root)
+    if "typeWidening" not in (snap.protocol.get("readerFeatures") or []):
+        raise RuntimeError("protocol missing the typeWidening feature")
+    dp.append(
+        y(1997).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_orderkey").cast("long") * 1000000).alias("keycode"),
+        ),
+        root,
+    )
+    t = dp.read_table(spark, root)
+    if dict(t.dtypes)["keycode"] != "bigint":
+        raise RuntimeError("scan did not bind to the widened log schema")
+    return t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("keycode").cast("bigint").alias("keysum"),
+    )
+
+
+@q(
+    "src_delta_liquid_clustering",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY event_type
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta LIQUID CLUSTERING (sources/delta_protocol.py cluster_by= +
+    optimize(cluster=True) — PROTOCOL.md 'Clustered Table' + 'Domain
+    Metadata'): the events table is created CLUSTER BY (user_id, value)
+    — the column set rides in the delta.clustering domain metadata
+    under the v7 clustering+domainMetadata features (asserted), NOT in
+    partitionColumns.  A second append lands unclustered (lazy
+    contract), then OPTIMIZE cluster=True re-applies the
+    multi-dimensional layout to the whole table WITHOUT the caller
+    restating columns, as a dataChange=false commit (asserted) that CDF
+    readers and concurrent time travelers skip.  ZORDER BY on the
+    clustered table refuses (asserted), matching Delta.  The oracle
+    hash certifies the recluster is lossless.  At 100 TB the layout is
+    what keeps multi-column point queries file-skipping without the
+    partition-explosion cost of PARTITIONED BY on a high-cardinality
+    key.  Reference analog: gluten-delta scans clustered tables through
+    the jar (DeltaScanTransformer.scala)."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (events,) = _t(spark, sf_dir, "events")
+    root = _path("delta_liquid")
+    shutil.rmtree(root, ignore_errors=True)
+    df = events.select("event_id", "user_id", "event_type", "value")
+    half = df.filter(F.col("event_id") % 2 == 0)
+    rest = df.filter(F.col("event_id") % 2 == 1)
+    dp.create_table(half.coalesce(2), root, cluster_by=["user_id", "value"])
+    snap = dp.resolve(spark, root)
+    if snap.clustering_columns != ["user_id", "value"]:
+        raise RuntimeError("clustering columns missing from domain metadata")
+    if "clustering" not in (snap.protocol.get("writerFeatures") or []):
+        raise RuntimeError("protocol missing the clustering feature")
+    dp.append(rest.coalesce(2), root)
+    try:
+        dp.optimize(spark, root, zorder_by=["user_id"])
+        raise RuntimeError("ZORDER BY on a clustered table did not refuse")
+    except dp.DeltaProtocolError:
+        pass
+    out = dp.optimize(spark, root, cluster=True, target_files=8)
+    if out["files_added"] < 2 or out["files_removed"] < 2:
+        raise RuntimeError(f"recluster did not rewrite the table: {out}")
+    import json as _json
+
+    v = dp.current_version(root)
+    for a in dp._read_commit_actions(root, v):
+        if "add" in a and a["add"].get("dataChange") is not False:
+            raise RuntimeError("clustering commit must be dataChange=false")
+    return dp.read_table(spark, root).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+        F.count_distinct("user_id").alias("users"),
+    )

@@ -126,12 +126,14 @@ class Snapshot:
         adds: list[dict],
         protocol: dict | None = None,
         txns: dict[str, int] | None = None,
+        domains: dict[str, str] | None = None,
     ):
         self.version = version
         self.metadata = metadata
         self.adds = adds
         self.protocol = protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
         self.txns = txns or {}  # appId -> highest committed txn version
+        self.domains = domains or {}  # domainMetadata: domain -> config json
 
     @property
     def schema(self) -> StructType:
@@ -140,6 +142,16 @@ class Snapshot:
     @property
     def partition_columns(self) -> list[str]:
         return list(self.metadata.get("partitionColumns", []))
+
+    @property
+    def clustering_columns(self) -> list[str]:
+        """Liquid-clustering columns from the ``delta.clustering``
+        domain metadata (empty when the table is not clustered)."""
+        cfg = self.domains.get("delta.clustering")
+        if not cfg:
+            return []
+        cols = json.loads(cfg).get("clusteringColumns") or []
+        return [c[-1] if isinstance(c, list) else c for c in cols]
 
 
 def _mapping_mode(metadata: dict | None) -> str:
@@ -205,6 +217,13 @@ def _apply_action(live: dict, state: dict, action: dict) -> None:
     if txn:
         txns = state.setdefault("txn", {})
         txns[txn["appId"]] = max(txns.get(txn["appId"], -1), txn["version"])
+    dm = action.get("domainMetadata")
+    if dm:
+        doms = state.setdefault("domainMetadata", {})
+        if dm.get("removed"):
+            doms.pop(dm["domain"], None)
+        else:
+            doms[dm["domain"]] = dm.get("configuration")
 
 
 def resolve(spark: SparkSession, root: str, version: int | None = None) -> Snapshot:
@@ -266,6 +285,7 @@ def resolve(spark: SparkSession, root: str, version: int | None = None) -> Snaps
         sorted(live.values(), key=lambda a: a["path"]),
         state.get("protocol"),
         state.get("txn"),
+        state.get("domainMetadata"),
     )
 
 
@@ -997,6 +1017,7 @@ def create_table(
     generated_columns: dict[str, tuple[str, str]] | None = None,
     identity_columns: dict[str, tuple[int, int]] | None = None,
     column_defaults: dict[str, str] | None = None,
+    cluster_by: list[str] | None = None,
 ) -> None:
     """Version 0: protocol + metaData + adds (drops prior state).  Table
     properties (e.g. ``delta.enableChangeDataFeed``) go into the
@@ -1013,6 +1034,24 @@ def create_table(
     shutil.rmtree(root, ignore_errors=True)
     partition_cols = partition_cols or []
     configuration = dict(configuration or {})
+    if cluster_by:
+        if partition_cols:
+            raise DeltaProtocolError(
+                "CLUSTER BY replaces PARTITIONED BY — a table cannot "
+                "declare both (Delta refuses too)"
+            )
+        if column_mapping or generated_columns or identity_columns or (
+            column_defaults
+        ):
+            raise DeltaProtocolError(
+                "CLUSTER BY cannot combine with column mapping, "
+                "generated, identity, or default columns in this writer"
+            )
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise DeltaProtocolError(
+                f"clustering column(s) {missing} not in the data"
+            )
     if generated_columns and column_mapping:
         raise DeltaProtocolError(
             "generated columns + column mapping together are not "
@@ -1110,6 +1149,38 @@ def create_table(
         if upd:
             meta = upd
     cdf = configuration.get(_CDF_KEY) == "true"
+    cluster_actions: list[dict] = []
+    if cluster_by:
+        # liquid clustering: the column set rides in DOMAIN METADATA
+        # (PROTOCOL.md "Clustered Table" + "Domain Metadata"), a v7
+        # writer-feature pair; data files are NOT eagerly clustered —
+        # OPTIMIZE (cluster=True) applies the layout incrementally
+        cluster_actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.clustering",
+                    "configuration": json.dumps(
+                        {"clusteringColumns": [[c] for c in cluster_by]}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+        feats = ["clustering", "domainMetadata"]
+        if cdf:
+            feats.append("changeDataFeed")
+        if configuration.get("delta.appendOnly") == "true":
+            feats.append("appendOnly")
+        protocol = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats),
+        }
+        # meta and adds were staged above (partition_cols is [] here)
+        _write_actions(
+            root, 0, [{"protocol": protocol}, meta, *cluster_actions, *adds]
+        )
+        return
     if column_defaults:
         # column defaults have NO legacy writer version — they exist
         # only as a v7 writer FEATURE (PROTOCOL.md "Default Columns"),
@@ -2061,7 +2132,9 @@ _CHECKPOINT_DDL = (
     "partitionColumns:array<string>,configuration:map<string,string>,"
     "createdTime:bigint>, "
     "protocol struct<minReaderVersion:int,minWriterVersion:int,"
-    "readerFeatures:array<string>,writerFeatures:array<string>>"
+    "readerFeatures:array<string>,writerFeatures:array<string>>, "
+    "domainMetadata struct<domain:string,configuration:string,"
+    "removed:boolean>"
 )
 
 
@@ -2084,6 +2157,7 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
                 proto.get("readerFeatures"),
                 proto.get("writerFeatures"),
             ),
+            None,
         ),
         (
             None,
@@ -2100,10 +2174,16 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
                 0,
             ),
             None,
+            None,
         ),
     ]
     for app_id, ver in sorted(snap.txns.items()):
-        rows.append(((app_id, ver), None, None, None, None))
+        rows.append(((app_id, ver), None, None, None, None, None))
+    for domain, cfg in sorted(snap.domains.items()):
+        # live domain metadata survives checkpointing (clustering
+        # columns would silently vanish at the next log truncation
+        # otherwise)
+        rows.append((None, None, None, None, None, (domain, cfg, False)))
     for add in snap.adds:
         dv = add.get("deletionVector")
         rows.append(
@@ -2126,6 +2206,7 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
                     if dv
                     else None,
                 ),
+                None,
                 None,
                 None,
                 None,
@@ -2359,6 +2440,71 @@ def set_column_default(
             }
         )
     actions.append({"metaData": meta})
+    v = current_version(root) + 1
+    _write_actions(root, v, actions)
+    return v
+
+
+def alter_cluster_by(
+    spark: SparkSession, root: str, cols: list[str]
+) -> int:
+    """ALTER TABLE ... CLUSTER BY (new column set, or enable clustering
+    on an existing table): metadata-only — one domainMetadata action
+    re-states ``delta.clustering``; existing files keep their layout
+    until the next ``optimize(cluster=True)`` reclusters them (Delta's
+    lazy-clustering contract).  Upgrades a legacy protocol to v7 with
+    the clustering+domainMetadata features when needed."""
+    snap = resolve(spark, root)
+    names = [f.name for f in snap.schema.fields]
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise DeltaProtocolError(f"no such column(s): {missing}")
+    if snap.partition_columns:
+        raise DeltaProtocolError(
+            "cannot CLUSTER BY a partitioned table — clustering "
+            "replaces partitioning"
+        )
+    actions: list[dict] = []
+    proto = snap.protocol
+    wfeats = set(proto.get("writerFeatures") or [])
+    if "clustering" not in wfeats:
+        if not wfeats:
+            implied = {
+                2: ["appendOnly", "invariants"],
+                3: ["checkConstraints"],
+                4: ["changeDataFeed", "generatedColumns"],
+                5: ["columnMapping"],
+                6: ["identityColumns"],
+            }
+            for v_, fs in implied.items():
+                if proto.get("minWriterVersion", 2) >= v_:
+                    wfeats.update(fs)
+        wfeats.update(["clustering", "domainMetadata"])
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 7,
+                    **(
+                        {"readerFeatures": proto["readerFeatures"]}
+                        if proto.get("readerFeatures")
+                        else {}
+                    ),
+                    "writerFeatures": sorted(wfeats),
+                }
+            }
+        )
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": "delta.clustering",
+                "configuration": json.dumps(
+                    {"clusteringColumns": [[c] for c in cols]}
+                ),
+                "removed": False,
+            }
+        }
+    )
     v = current_version(root) + 1
     _write_actions(root, v, actions)
     return v
@@ -2822,6 +2968,7 @@ def optimize(
     min_files: int = 2,
     zorder_by: list[str] | None = None,
     target_files: int = 1,
+    cluster: bool = False,
 ) -> dict:
     """OPTIMIZE (bin-packing compaction) on the wire format, as Delta
     commits it: partitions holding >= ``min_files`` live data files —
@@ -2850,6 +2997,29 @@ def optimize(
     execution/DeltaScanTransformer.scala); the compaction contract here
     is PROTOCOL.md's."""
     snap = resolve(spark, root)
+    if cluster:
+        # OPTIMIZE FULL on a liquid-clustered table: the column set
+        # comes from the delta.clustering DOMAIN METADATA, the layout
+        # is the same multi-dimensional interleave the ZORDER path
+        # builds — clustering is declared once at CREATE/ALTER and
+        # every OPTIMIZE re-applies it without the caller restating
+        # the columns (Delta's CLUSTER BY contract)
+        if zorder_by:
+            raise DeltaProtocolError(
+                "pass cluster=True OR zorder_by, not both"
+            )
+        cols = snap.clustering_columns
+        if not cols:
+            raise DeltaProtocolError(
+                "table has no clustering columns — CREATE ... "
+                "cluster_by=[...] or alter_cluster_by first"
+            )
+        zorder_by = cols
+    elif zorder_by and snap.clustering_columns:
+        raise DeltaProtocolError(
+            "OPTIMIZE ZORDER BY on a clustered table is not allowed "
+            "(Delta refuses too) — use cluster=True"
+        )
     groups: dict[tuple, list[dict]] = {}
     for a in snap.adds:
         key = tuple(sorted((a.get("partitionValues") or {}).items()))
