@@ -4350,3 +4350,86 @@ def src_delta_liquid_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         F.count_distinct("user_id").alias("users"),
     )
+
+
+@q(
+    "src_delta_row_tracking",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_ids,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ROW TRACKING (sources/delta_protocol.py
+    create_table(row_tracking=True) + read_table_with_row_ids —
+    PROTOCOL.md 'Row Tracking'): 1996 orders create the tracked table
+    (every add carries baseRowId/defaultRowCommitVersion, hwm in the
+    delta.rowTracking domain), a 1997 append takes the NEXT id range
+    (asserted: dense, zero overlap), then OPTIMIZE compacts — and every
+    row KEEPS its id (asserted map-equality before/after), because the
+    rewrite materializes ids into hidden physical columns that plain
+    scans never see (asserted: ordinary read_table shows only schema
+    columns).  Fresh ids are assigned DISTRIBUTED (baseRowId + file
+    position, executor-side); the driver touches only the O(n_files)
+    add list — the id surface a 100 TB CDC/merge pipeline keys on.  The
+    oracle certifies per-group counts, id uniqueness (n = n_ids
+    everywhere), and value totals.  Reference analog: Delta's _metadata
+    row_id surface; gluten-delta scans tracked tables through the
+    jar."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_row_tracking")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    dp.create_table(y(1996), root, row_tracking=True)
+    n96 = y(1996).count()
+    dp.append(y(1997), root)
+    t = dp.read_table_with_row_ids(spark, root)
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("_row_id").alias("d"),
+        F.max("_row_id").alias("mx"),
+        F.min("_row_id").alias("mn"),
+    ).collect()[0]
+    if not (stats["n"] == stats["d"] and stats["mn"] == 0
+            and stats["mx"] == stats["n"] - 1):
+        raise RuntimeError(f"row ids not dense/unique: {stats}")
+    before = t.select("o_orderkey", F.col("_row_id").alias("rid_before"))
+    dp.optimize(spark, root, min_files=2)
+    after = dp.read_table_with_row_ids(spark, root).select(
+        "o_orderkey", F.col("_row_id").alias("rid_after")
+    )
+    # identity check stays DISTRIBUTED (full outer on the key; any
+    # mismatch or dangling side counts) — no O(rows) driver collect
+    drift = (
+        before.join(after, "o_orderkey", "full_outer")
+        .filter(
+            F.col("rid_before").isNull()
+            | F.col("rid_after").isNull()
+            | (F.col("rid_before") != F.col("rid_after"))
+        )
+        .count()
+    )
+    if drift != 0:
+        raise RuntimeError(f"OPTIMIZE changed row identity ({drift} rows)")
+    plain = dp.read_table(spark, root)
+    if sorted(plain.columns) != sorted(cols):
+        raise RuntimeError("materialized id columns leaked into the scan")
+    return dp.read_table_with_row_ids(spark, root).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("_row_id").alias("n_ids"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

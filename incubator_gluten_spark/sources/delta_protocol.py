@@ -327,8 +327,96 @@ def _live_rows(spark: SparkSession, root: str, snap: Snapshot) -> DataFrame:
     return df.select(*[f.name for f in schema.fields])
 
 
+def _row_tracking_cols(metadata: dict | None) -> tuple[str, str] | None:
+    cfg = (metadata or {}).get("configuration") or {}
+    if cfg.get(_ROW_TRACKING_KEY) != "true":
+        return None
+    return cfg[_MAT_ROW_ID_KEY], cfg[_MAT_ROW_CV_KEY]
+
+
+def _live_rows_with_ids(
+    spark: SparkSession, root: str, snap: Snapshot
+) -> DataFrame:
+    """Live rows of a ROW-TRACKED snapshot plus ``_row_id`` /
+    ``_row_commit_version``: fresh ids are baseRowId + file position;
+    files rewritten by OPTIMIZE carry MATERIALIZED id columns (hidden
+    physical columns named in the table configuration) which take
+    precedence, so ids are stable across compaction.  All id math is
+    executor-side — the driver touches only the O(n_files) add list."""
+    mat = _row_tracking_cols(snap.metadata)
+    if mat is None:
+        raise DeltaProtocolError("table does not have row tracking enabled")
+    mat_id, mat_cv = mat
+    from pyspark.sql.types import LongType, StructField
+
+    schema = snap.schema
+    if not snap.adds:
+        return spark.createDataFrame([], schema).select(
+            "*",
+            F.lit(None).cast("long").alias("_row_id"),
+            F.lit(None).cast("long").alias("_row_commit_version"),
+        )
+    df = _grouped_scan(
+        spark,
+        root,
+        snap,
+        with_positions=True,
+        extra_fields=[
+            StructField(mat_id, LongType()),
+            StructField(mat_cv, LongType()),
+        ],
+    )
+    if any(a.get("deletionVector") for a in snap.adds):
+        dels = _dv_positions_df(spark, root, snap)
+        df = df.join(
+            F.broadcast(dels),
+            (df["__rel"] == dels["file_path"])
+            & (df["__pos"] == dels["pos"]),
+            "left_anti",
+        )
+    base_map = spark.createDataFrame(
+        [
+            (
+                a["path"],
+                a.get("baseRowId"),
+                a.get("defaultRowCommitVersion"),
+            )
+            for a in snap.adds
+        ],
+        "__rel_b string, __base_id long, __rcv long",
+    )
+    df = df.join(
+        F.broadcast(base_map), df["__rel"] == base_map["__rel_b"], "left"
+    )
+    return df.select(
+        *[f.name for f in schema.fields],
+        F.coalesce(F.col(mat_id), F.col("__base_id") + F.col("__pos"))
+        .alias("_row_id"),
+        F.coalesce(F.col(mat_cv), F.col("__rcv"))
+        .alias("_row_commit_version"),
+    )
+
+
+def read_table_with_row_ids(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read exposing the Row Tracking metadata columns
+    (``_metadata.row_id`` / ``row_commit_version`` in Delta's surface):
+    every row's id is stable across OPTIMIZE (materialized columns) and
+    across DV deletes (files untouched), and fresh ids never recycle —
+    the high-water mark only advances.  Reference analog: PROTOCOL.md
+    "Row Tracking"; Delta exposes the same values via the _metadata
+    struct on tracked tables."""
+    snap = resolve(spark, root, version)
+    return _live_rows_with_ids(spark, root, snap)
+
+
 def _grouped_scan(
-    spark: SparkSession, root: str, snap: Snapshot, with_positions: bool
+    spark: SparkSession,
+    root: str,
+    snap: Snapshot,
+    with_positions: bool,
+    extra_fields: list | None = None,
 ) -> DataFrame:
     """The snapshot scan: per-partition-tuple parquet reads with the
     log's partition values re-injected; optionally each row's (relative
@@ -367,7 +455,10 @@ def _grouped_scan(
 
             pset = set(snap.partition_columns)
             reader = reader.schema(
-                StructType([f for f in schema.fields if f.name not in pset])
+                StructType(
+                    [f for f in schema.fields if f.name not in pset]
+                    + list(extra_fields or [])
+                )
             )
         df = reader.parquet(*[os.path.join(root, r) for r in rels])
         if with_positions:
@@ -397,6 +488,8 @@ def _grouped_scan(
                 )
             else:
                 sel.append(F.col(f.name))
+        for f in extra_fields or []:
+            sel.append(F.col(f.name))
         parts.append(
             df.select(*sel, "__uri", "__pos") if with_positions else df.select(*sel)
         )
@@ -669,8 +762,96 @@ def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
 # writer
 
 
+_ROW_TRACKING_KEY = "delta.enableRowTracking"
+_ROW_TRACKING_DOMAIN = "delta.rowTracking"
+_MAT_ROW_ID_KEY = "delta.rowTracking.materializedRowIdColumnName"
+_MAT_ROW_CV_KEY = "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+
+def _current_config_fast(root: str, upto_version: int) -> dict | None:
+    """The latest metaData configuration strictly before ``upto_version``
+    from the raw commit JSONs, newest-first — None when the metaData
+    lives behind a checkpoint (caller falls back to resolve)."""
+    for v in reversed(_list_commit_versions(root)):
+        if v >= upto_version:
+            continue
+        try:
+            with open(_commit_path(root, v)) as f:
+                txt = f.read()
+        except FileNotFoundError:
+            return None
+        if '"metaData"' not in txt:
+            continue
+        for line in txt.splitlines():
+            a = json.loads(line)
+            if a.get("metaData"):
+                return a["metaData"].get("configuration") or {}
+    return None
+
+
+def _assign_row_ids(root: str, version: int, actions: list[dict]) -> list[dict]:
+    """ROW TRACKING (PROTOCOL.md "Row Tracking"): on a tracked table
+    every committed add-action carries ``baseRowId`` (fresh ids =
+    baseRowId + position) and ``defaultRowCommitVersion``; the row-id
+    high-water mark rides in the ``delta.rowTracking`` domain metadata
+    and advances in the SAME commit.  Untracked tables pay one raw
+    newest-first metaData probe (no resolve) per commit."""
+    adds = [
+        a["add"]
+        for a in actions
+        if a.get("add") and a["add"].get("baseRowId") is None
+    ]
+    if not adds:
+        return actions
+    meta_action = next(
+        (a["metaData"] for a in actions if a.get("metaData")), None
+    )
+    cfg = (
+        (meta_action.get("configuration") or {})
+        if meta_action is not None
+        else None
+    )
+    domains: dict = {}
+    if cfg is None and version > 0:
+        cfg = _current_config_fast(root, version)
+    if cfg is not None and cfg.get(_ROW_TRACKING_KEY) != "true":
+        return actions
+    if version > 0:
+        # tracked (or undetermined): the hwm lives in the domain
+        # metadata of the PRIOR snapshot
+        spark = SparkSession.getActiveSession()
+        snap = resolve(spark, root, version - 1)
+        if cfg is None:
+            cfg = snap.metadata.get("configuration") or {}
+        domains = snap.domains
+    if (cfg or {}).get(_ROW_TRACKING_KEY) != "true":
+        return actions
+    hwm = json.loads(
+        domains.get(_ROW_TRACKING_DOMAIN) or '{"rowIdHighWaterMark": -1}'
+    )["rowIdHighWaterMark"]
+    for ad in adds:
+        n = json.loads(ad.get("stats") or "{}").get("numRecords")
+        if n is None:
+            raise DeltaProtocolError(
+                "row tracking requires numRecords stats on every add"
+            )
+        ad["baseRowId"] = hwm + 1
+        ad["defaultRowCommitVersion"] = version
+        hwm += n
+    return list(actions) + [
+        {
+            "domainMetadata": {
+                "domain": _ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps({"rowIdHighWaterMark": hwm}),
+                "removed": False,
+            }
+        }
+    ]
+
+
 def _write_actions(root: str, version: int, actions: Iterable[dict]) -> None:
     os.makedirs(_log_dir(root), exist_ok=True)
+    actions = _assign_row_ids(root, version, list(actions))
     path = _commit_path(root, version)
     if os.path.exists(path):
         raise FileExistsError(f"commit {version} already exists (conflict)")
@@ -1018,6 +1199,7 @@ def create_table(
     identity_columns: dict[str, tuple[int, int]] | None = None,
     column_defaults: dict[str, str] | None = None,
     cluster_by: list[str] | None = None,
+    row_tracking: bool = False,
 ) -> None:
     """Version 0: protocol + metaData + adds (drops prior state).  Table
     properties (e.g. ``delta.enableChangeDataFeed``) go into the
@@ -1034,6 +1216,18 @@ def create_table(
     shutil.rmtree(root, ignore_errors=True)
     partition_cols = partition_cols or []
     configuration = dict(configuration or {})
+    if row_tracking:
+        if column_mapping or generated_columns or identity_columns or (
+            column_defaults or cluster_by
+        ):
+            raise DeltaProtocolError(
+                "row tracking cannot combine with column mapping, "
+                "generated, identity, default, or clustering columns "
+                "in this writer"
+            )
+        configuration[_ROW_TRACKING_KEY] = "true"
+        configuration[_MAT_ROW_ID_KEY] = f"_row_id_col_{uuid.uuid4().hex[:12]}"
+        configuration[_MAT_ROW_CV_KEY] = f"_row_cv_col_{uuid.uuid4().hex[:12]}"
     if cluster_by:
         if partition_cols:
             raise DeltaProtocolError(
@@ -1149,6 +1343,19 @@ def create_table(
         if upd:
             meta = upd
     cdf = configuration.get(_CDF_KEY) == "true"
+    if row_tracking:
+        feats = ["domainMetadata", "rowTracking"]
+        if cdf:
+            feats.append("changeDataFeed")
+        if configuration.get("delta.appendOnly") == "true":
+            feats.append("appendOnly")
+        protocol = {
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats),
+        }
+        _write_actions(root, 0, [{"protocol": protocol}, meta, *adds])
+        return
     cluster_actions: list[dict] = []
     if cluster_by:
         # liquid clustering: the column set rides in DOMAIN METADATA
@@ -2125,7 +2332,8 @@ _CHECKPOINT_DDL = (
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
     "modificationTime:bigint,dataChange:boolean,stats:string,"
     "deletionVector:struct<storageType:string,pathOrInlineDv:string,"
-    "offset:int,sizeInBytes:int,cardinality:bigint>>, "
+    "offset:int,sizeInBytes:int,cardinality:bigint>,"
+    "baseRowId:bigint,defaultRowCommitVersion:bigint>, "
     "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>, "
     "metaData struct<id:string,format:struct<provider:string,"
     "options:map<string,string>>,schemaString:string,"
@@ -2205,6 +2413,8 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
                     )
                     if dv
                     else None,
+                    add.get("baseRowId"),
+                    add.get("defaultRowCommitVersion"),
                 ),
                 None,
                 None,
@@ -3047,7 +3257,19 @@ def optimize(
             "files_added": 0,
         }
     sub = Snapshot(snap.version, snap.metadata, victims, snap.protocol)
-    live = _live_rows(spark, root, sub)
+    mat = _row_tracking_cols(snap.metadata)
+    if mat is not None:
+        # row tracking: OPTIMIZE must not change row identity — carry
+        # each row's id/commit-version into the rewritten files as
+        # MATERIALIZED columns (hidden physical columns the log schema
+        # never lists; ordinary scans bind to the log schema and never
+        # see them)
+        live = _live_rows_with_ids(spark, root, sub)
+        live = live.withColumnRenamed("_row_id", mat[0]).withColumnRenamed(
+            "_row_commit_version", mat[1]
+        )
+    else:
+        live = _live_rows(spark, root, sub)
     pcols = snap.partition_columns
     if zorder_by:
         # Morton-clustered layout: partitioned tables z-order WITHIN

@@ -1,0 +1,120 @@
+"""Delta ROW TRACKING (PROTOCOL.md "Row Tracking", writer feature
+``rowTracking`` + domain metadata ``delta.rowTracking``): every add
+carries baseRowId/defaultRowCommitVersion, fresh ids are baseRowId +
+position, the high-water mark only advances, OPTIMIZE preserves ids by
+materializing them, and DV deletes keep ids stable for free.
+
+Reference analog: Delta exposes row ids via _metadata on tracked
+tables; gluten-delta scans them through the jar."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.sources import delta_protocol as dp
+from incubator_gluten_spark.sources.delta_protocol import DeltaProtocolError
+
+
+def _mk(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(2)
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "rowtrack")
+    dp.create_table(_mk(spark, 0, 100), root, row_tracking=True)
+    return root
+
+
+def _ids(spark, root, **kw):
+    t = dp.read_table_with_row_ids(spark, root, **kw)
+    return {r["k"]: (r["_row_id"], r["_row_commit_version"]) for r in t.collect()}
+
+
+def test_fresh_ids_are_dense_unique_and_monotonic(table, spark):
+    snap = dp.resolve(spark, table)
+    assert "rowTracking" in snap.protocol["writerFeatures"]
+    ids = _ids(spark, table)
+    rid = sorted(i for i, _ in ids.values())
+    assert rid == list(range(100))  # dense from 0, no gaps, no dupes
+    assert all(cv == 0 for _, cv in ids.values())
+    hwm = json.loads(snap.domains["delta.rowTracking"])["rowIdHighWaterMark"]
+    assert hwm == 99
+    # append advances the mark; new rows get ids ABOVE every old id
+    dp.append(_mk(spark, 100, 150), table)
+    ids2 = _ids(spark, table)
+    new = {k: v for k, v in ids2.items() if k >= 100}
+    assert sorted(i for i, _ in new.values()) == list(range(100, 150))
+    assert all(cv == 1 for _, cv in new.values())
+    # old rows kept their ids
+    assert {k: v for k, v in ids2.items() if k < 100} == ids
+
+
+def test_optimize_preserves_row_ids(table, spark):
+    dp.append(_mk(spark, 100, 150), table)
+    before = _ids(spark, table)
+    out = dp.optimize(spark, table, min_files=2)
+    assert out["files_added"] >= 1
+    after = _ids(spark, table)
+    assert after == before  # identity stable across compaction
+    # the hwm STILL advanced (rewritten adds get fresh base ranges) —
+    # fresh ids can never collide with materialized ones
+    snap = dp.resolve(spark, table)
+    hwm = json.loads(snap.domains["delta.rowTracking"])["rowIdHighWaterMark"]
+    assert hwm >= 149
+    dp.append(_mk(spark, 150, 160), table)
+    ids3 = _ids(spark, table)
+    fresh = [i for k, (i, _) in ids3.items() if k >= 150]
+    assert min(fresh) > max(i for i, _ in before.values())
+
+
+def test_dv_delete_keeps_surviving_ids(table, spark):
+    before = _ids(spark, table)
+    dp.delete_where_dv(spark, table, "k % 10 = 0")
+    after = _ids(spark, table)
+    assert set(after) == {k for k in before if k % 10 != 0}
+    assert all(after[k] == before[k] for k in after)
+
+
+def test_cow_update_assigns_fresh_ids_and_never_recycles(table, spark):
+    before = _ids(spark, table)
+    dp.update_where(spark, table, "k < 10", {"v": "v + 1000"})
+    after = _ids(spark, table)
+    # rewritten rows: fresh ids above the old hwm (honest subset:
+    # COW DML does not preserve ids; OPTIMIZE and DV deletes do)
+    touched = [after[k][0] for k in range(10)]
+    assert min(touched) > max(i for i, _ in before.values())
+    assert len(set(i for i, _ in after.values())) == 100
+
+
+def test_row_ids_survive_checkpoint_and_restore(table, spark):
+    dp.append(_mk(spark, 100, 120), table)
+    before = _ids(spark, table)
+    dp.checkpoint(spark, table)
+    dp.append(_mk(spark, 120, 130), table)
+    assert {k: v for k, v in _ids(spark, table).items() if k < 120} == before
+    dp.restore(spark, table, 1)
+    assert _ids(spark, table) == before  # ids restored with the snapshot
+
+
+def test_untracked_table_refuses_row_id_read(spark, tmp_path):
+    root = str(tmp_path / "untracked")
+    dp.create_table(_mk(spark, 0, 10), root)
+    with pytest.raises(DeltaProtocolError, match="row tracking"):
+        dp.read_table_with_row_ids(spark, root)
+    snap = dp.resolve(spark, root)
+    assert all(a.get("baseRowId") is None for a in snap.adds)
+
+
+def test_plain_reads_never_see_materialized_columns(table, spark):
+    dp.optimize(spark, table, min_files=1)
+    t = dp.read_table(spark, table)
+    assert t.columns == ["k", "v"]
+    assert t.count() == 100
