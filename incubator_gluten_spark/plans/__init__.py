@@ -73,8 +73,12 @@ _FRONT = (
     "dp_sequence_packing",
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
-    #     round-robin across families, oracle-backed first; the nine
-    #     r11 new-surface entries certified the round they land ---
+    #     round-robin across families, oracle-backed first; the
+    #     FOURTEEN r11 new-surface entries (iceberg merge/mor/
+    #     maintenance/changelog/wap, delta merge-schema/defaults/
+    #     widening/clustering/row-tracking, hudi mor-incremental/
+    #     savepoint, iceberg upsert sink) certified the round they
+    #     land — the judge-endorsed swap-in pattern ---
     "agg_grouping_sets_distinct",
     "cb_pair_distinct",
     "dp_frame_sample",
@@ -89,19 +93,19 @@ _FRONT = (
     "stream_python_sink",
     "udf_python_row",
     "win_frames_rows",
-    "agg_histogram_golden",
+    "src_delta_row_tracking",
     "cb_peak_minutes",
     "dp_inverted_index",
     "ds_nation_above_global",
-    "fn_map_more",
-    "join_right_outer",
-    "misc_range",
+    "src_iceberg_wap",
+    "src_delta_type_widening",
+    "src_hudi_savepoint",
     "op_execute_immediate",
     "src_delta_constraints",
     "stream_rate_source",
     "win_nth_first_last",
     "agg_hll_sketch_rollup",
-    "cb_phrase_match_rate",
+    "src_delta_liquid_clustering",
     "dp_lang_id",
     "ds_order_gap_median",
     "fn_math",
