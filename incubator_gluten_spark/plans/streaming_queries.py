@@ -1260,3 +1260,87 @@ def stream_hudi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "stream_delta_upsert_sink",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events)
+    SELECT 'seen' AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(CAST(user_id * 3 AS DOUBLE)
+                               AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_score
+    FROM u GROUP BY 'seen'
+    """,
+    "streaming", "sink", "lakehouse", "delta",
+)
+def stream_delta_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-UPSERT sink into the Delta wire format
+    (sources/delta_protocol.py merge_stream_batch — Delta's documented
+    foreachBatch + MERGE + txn-idempotence pattern, the twin of
+    stream_iceberg_upsert_sink): the events feed streams one file per
+    micro-batch; each batch MERGEs its users' profile rows (matched ->
+    update_all, not matched -> insert_all) with the protocol ``txn``
+    action committed ATOMICALLY in the merge's version, so the replayed
+    final batch NO-OPs (asserted) and a crash replay can never observe
+    a merge without its checkpoint marker.  Per-batch cost is merge's
+    O(matched files) — stats-skipped detection, untouched files never
+    rewritten.  Per-key content is key-derived, so the final state is
+    deterministic whatever the batch split: exactly one row per
+    distinct user, which the oracle recomputes.  Reference analog:
+    gluten-delta scans MERGE output through the jar
+    (DeltaScanTransformer.scala); the sink pattern is Delta's public
+    streaming-upsert recipe."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    base = f"/tmp/spark_graft_io_{os.getpid()}/stream_delta_upsert"
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir, root = f"{base}/src", f"{base}/table"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id"
+    )
+    events.repartition(4).write.parquet(src_dir)
+    profile = lambda df: (
+        df.select("user_id")
+        .distinct()
+        .withColumn("score", (F.col("user_id") * 3).cast("double"))
+        .withColumn("status", F.lit("seen"))
+    )
+    dp.create_table(profile(events.limit(0)), root)
+    replay: dict = {}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = profile(batch_df)
+        committed = dp.merge_stream_batch(
+            spark, src, root, "user_id", "stream_delta_upsert", batch_id
+        )
+        replay["last"] = (src, batch_id)
+        if not committed:
+            raise RuntimeError(f"batch {batch_id} double-committed")
+
+    sq = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    n_before = dp.read_table(spark, root).count()
+    src, batch_id = replay["last"]
+    if dp.merge_stream_batch(
+        spark, src, root, "user_id", "stream_delta_upsert", batch_id
+    ):
+        raise RuntimeError("replayed batch committed twice")
+    if dp.read_table(spark, root).count() != n_before:
+        raise RuntimeError("replay changed the table")
+    return dp.read_table(spark, root).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("score").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_score"),
+    )

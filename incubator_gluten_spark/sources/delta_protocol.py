@@ -2089,6 +2089,7 @@ def merge_clauses(
     source: DataFrame,
     key_col: str,
     clauses: list[dict],
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Full MERGE INTO with ORDERED WHEN clauses on the wire format —
     the conditional surface Delta users run daily (Delta's
@@ -2303,6 +2304,20 @@ def merge_clauses(
             )
         )
     actions.extend(_remove_actions(rewrite))
+    if txn is not None:
+        # streaming sink idempotence: the merge and its txn marker
+        # commit ATOMICALLY (one version) — a replay can never observe
+        # the merge without the marker or vice versa
+        actions.insert(
+            0,
+            {
+                "txn": {
+                    "appId": txn[0],
+                    "version": txn[1],
+                    "lastUpdated": 0,
+                }
+            },
+        )
     _write_actions(root, v, actions)
     return {
         "version": v,
@@ -2312,6 +2327,57 @@ def merge_clauses(
         "num_deleted": n_deleted,
         "num_inserted": n_inserted,
     }
+
+
+def merge_stream_batch(
+    spark: SparkSession,
+    source: DataFrame,
+    root: str,
+    key_col: str,
+    app_id: str,
+    batch_id: int,
+    delete_col: str | None = None,
+) -> bool:
+    """EXACTLY-ONCE streaming CDC-UPSERT sink: each micro-batch MERGEs
+    into the table (matched -> update_all, not matched -> insert_all;
+    rows flagged true in ``delete_col`` delete instead), with the
+    protocol's ``txn`` action (appId/batch-id) committed ATOMICALLY in
+    the merge's own version — a foreachBatch replay at or below the
+    committed batch is a NO-OP returning False.  This is the Delta
+    twin of the Iceberg upsert sink (iceberg_v2.merge_mor_stream_batch)
+    and the pattern Delta's own docs give for streaming upserts
+    (foreachBatch + MERGE + txn idempotence).  Cost per batch is
+    ``merge``'s: O(matched files) rewrite, stats-skipped detection."""
+    snap = resolve(spark, root)
+    if snap.txns.get(app_id, -1) >= batch_id:
+        return False
+    if delete_col is not None:
+        if delete_col not in source.columns:
+            raise DeltaProtocolError(
+                f"delete flag column {delete_col!r} missing from batch"
+            )
+        clauses = [
+            {
+                "when": "matched",
+                "condition": f"s.{delete_col} = true",
+                "action": "delete",
+            },
+            {"when": "matched", "condition": None, "action": "update_all"},
+            {
+                "when": "not_matched",
+                "condition": f"NOT coalesce(s.{delete_col}, false)",
+                "action": "insert_all",
+            },
+        ]
+    else:
+        clauses = [
+            {"when": "matched", "condition": None, "action": "update_all"},
+            {"when": "not_matched", "condition": None, "action": "insert_all"},
+        ]
+    merge_clauses(
+        spark, root, source, key_col, clauses, txn=(app_id, batch_id)
+    )
+    return True
 
 
 def _stats_bounds(add: dict, col: str):
