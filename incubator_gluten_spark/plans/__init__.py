@@ -74,13 +74,13 @@ _FRONT = (
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
     #     round-robin across families, oracle-backed first; the
-    #     FOURTEEN r11 new-surface entries (iceberg merge/mor/
+    #     FIFTEEN r11 new-surface entries (iceberg merge/mor/
     #     maintenance/changelog/wap, delta merge-schema/defaults/
-    #     widening/clustering/row-tracking, hudi mor-incremental/
-    #     savepoint, iceberg upsert sink) certified the round they
-    #     land — the judge-endorsed swap-in pattern ---
+    #     widening/clustering/row-tracking/upsert-sink, hudi
+    #     mor-incremental/savepoint, iceberg upsert sink) certified
+    #     the round they land — the judge-endorsed swap-in pattern ---
     "agg_grouping_sets_distinct",
-    "cb_pair_distinct",
+    "stream_delta_upsert_sink",
     "dp_frame_sample",
     "ds_multi_supplier_no_return",
     "fn_map_batch3",
