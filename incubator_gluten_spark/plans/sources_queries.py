@@ -4433,3 +4433,64 @@ def src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_hudi_mor_savepoint",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "hudi",
+)
+def src_hudi_mor_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE-ON-READ SAVEPOINT / RESTORE (sources/hudi_mor.py
+    savepoint + restore_to_savepoint): create (1996) -> SAVEPOINT ->
+    price-mangling upsert (log blocks) -> COMPACTION (new base files)
+    -> RESTORE.  Restore on MOR must rewind THREE kinds of state at
+    once — post-savepoint base files (the compaction output), log
+    blocks written after the savepoint (whole-file or block surgery),
+    and the rolled-back timeline instants — and all three are asserted
+    via the read-back.  Cost is O(files + log bytes since the
+    savepoint), the log tail, never the table.  A 1997 upsert then
+    lands on the restored head; the oracle certifies the final state =
+    pristine 1996 + 1997 (every mangled price gone, exactly one row per
+    key).  Reference analog: Hudi rollback_to_savepoint on MOR tables;
+    gluten-hudi scans the restored tables
+    (gluten-hudi/src/main/scala/.../HudiScanTransformer.scala)."""
+    import shutil
+
+    from incubator_gluten_spark.sources import hudi_mor as mor
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("hudi_mor_savepoint")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    n96 = y(1996).count()
+    mor.create_table(y(1996), root, "o_orderkey")
+    i1 = mor.completed_instants(root)[-1]
+    mor.savepoint(root, i1)
+    mangled = y(1996).filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    mor.upsert(spark, mangled, root, "o_orderkey")
+    mor.compact(spark, root)
+    out = mor.restore_to_savepoint(root, i1)
+    if out["commits_rolled_back"] != 2:  # upsert + compaction
+        raise RuntimeError(f"restore rolled back the wrong set: {out}")
+    if out["files_deleted"] < 2:
+        raise RuntimeError(f"restore left post-savepoint files: {out}")
+    t = mor.read_table(spark, root)
+    if t.count() != n96:
+        raise RuntimeError("restored MOR snapshot row count off")
+    mor.upsert(spark, y(1997), root, "o_orderkey")
+    return mor.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

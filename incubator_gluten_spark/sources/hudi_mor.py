@@ -588,3 +588,116 @@ def compact(spark: SparkSession, root: str) -> dict:
     # routes unmatched keys to NEW BASE GROUPS, so every key has a group
     _commit_instant(root, instant, ".commit", stats)
     return {"instant": instant, "file_groups_compacted": n}
+
+
+# ---------------------------------------------------------------------------
+# savepoint / restore (MOR flavor of hudi_format's COW trio: restore
+# must rewind LOG BLOCKS, not just base files)
+
+
+def savepoint(root: str, instant: str | None = None) -> dict:
+    """SAVEPOINT a committed MOR instant (default: the latest commit or
+    deltacommit): records a completed ``.savepoint`` timeline action
+    pinning the base AND log files of the instant's file slices, the
+    anchor ``restore_to_savepoint`` rewinds to.  Shares the COW
+    module's savepoint bookkeeping (one timeline, one body shape), so
+    ``hudi_format.savepoints`` / ``delete_savepoint`` work on both
+    table types."""
+    from incubator_gluten_spark.sources import hudi_format as hf
+
+    committed = completed_instants(root)
+    if not committed:
+        raise ValueError("no completed instants to savepoint")
+    target = committed[-1] if instant is None else instant
+    if target not in committed:
+        raise ValueError(f"instant {target!r} is not a completed instant")
+    if target in hf._savepoint_bodies(root):
+        raise ValueError(f"instant {target!r} is already savepointed")
+    retained: list[str] = []
+    for s in file_slices(root, as_of=target):
+        retained.append(os.path.relpath(s["base_file"], root))
+        retained.extend(
+            os.path.relpath(p, root) for p in s["log_files"]
+        )
+    si = hf._next_service_instant(root)
+    hf._three_phase(
+        root,
+        si,
+        "savepoint",
+        {"savepointedAt": target, "retainedFiles": sorted(retained)},
+    )
+    return {
+        "instant": si,
+        "savepointed_at": target,
+        "files_retained": len(retained),
+    }
+
+
+def restore_to_savepoint(root: str, instant: str) -> dict:
+    """RESTORE a MOR table to a savepointed instant: delete base files
+    committed after it (including compaction outputs), TRUNCATE log
+    files back to blocks whose deltacommit is at or before it (a log
+    file appended to across the savepoint keeps its earlier blocks and
+    loses the later ones — block surgery, not file deletion), drop the
+    rolled-back instants from the timeline, and record a completed
+    ``.restore`` action.  Cost is O(files + log bytes written since the
+    savepoint) — the log tail, never the table.  Reference analog:
+    Hudi's rollback_to_savepoint on MOR tables (log-block rollback)."""
+    from incubator_gluten_spark.sources import hudi_format as hf
+
+    if instant not in hf._savepoint_bodies(root):
+        raise ValueError(
+            f"instant {instant!r} is not savepointed — savepoint first"
+        )
+    committed = completed_instants(root)
+    doomed = [c for c in committed if c > instant]
+    deleted: list[str] = []
+    for _part, _fid, fi, path in _base_files(root):
+        if fi > instant:
+            os.remove(path)
+            deleted.append(os.path.relpath(path, root))
+    logs_truncated = 0
+    for _part, _fid, _bi, _ver, path in _log_files(root):
+        with open(path, "rb") as f:
+            blocks = unpack_log_blocks(f.read())
+        kept = [
+            (t, h, c)
+            for t, h, c in blocks
+            if h.get(HEADER_INSTANT_TIME, "") <= instant
+        ]
+        if len(kept) == len(blocks):
+            continue
+        if not kept:
+            os.remove(path)
+            deleted.append(os.path.relpath(path, root))
+        else:
+            with open(path, "wb") as f:
+                for t, h, c in kept:
+                    f.write(pack_log_block(t, h, c))
+            logs_truncated += 1
+    tdir = _timeline_dir(root)
+    for name in list(os.listdir(tdir)):
+        stem = name.split(".")[0]
+        if stem in doomed and (
+            ".commit" in name or ".deltacommit" in name
+        ):
+            os.remove(os.path.join(tdir, name))
+    ri = hf._next_service_instant(root)
+    hf._three_phase(
+        root,
+        ri,
+        "restore",
+        {
+            "restoredTo": instant,
+            "rolledBackCommits": doomed,
+            "deleted": sorted(deleted),
+            "logsTruncated": logs_truncated,
+        },
+    )
+    return {
+        "instant": ri,
+        "restored_to": instant,
+        "commits_rolled_back": len(doomed),
+        "files_deleted": len(deleted),
+        "logs_truncated": logs_truncated,
+    }
