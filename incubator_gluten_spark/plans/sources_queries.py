@@ -4494,3 +4494,71 @@ def src_hudi_mor_savepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_delta_ict",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_ict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta IN-COMMIT TIMESTAMPS + TIMESTAMP AS OF
+    (sources/delta_protocol.py, PROTOCOL.md 'In-Commit Timestamps'):
+    the table creates with delta.enableInCommitTimestamps, so every
+    commit leads with a commitInfo whose timestamp is STRICTLY
+    MONOTONIC (asserted across three commits) regardless of clock skew
+    — the property file-mtime-based time travel cannot give (mtimes do
+    not survive copies/restores; the spec's motivation).  TIMESTAMP AS
+    OF resolves by a prefix scan of first-line commitInfo reads — one
+    line per commit, O(log length), no action replay, no data read —
+    and a travel to the 1997-append commit's timestamp must equal the
+    version-based read exactly (asserted), while a later timestamp
+    resolves past it (asserted).  The oracle certifies the traveled
+    snapshot = exactly 1996+1997.  Reference analog: Delta's
+    inCommitTimestamp writer feature; gluten-delta time-travel scans
+    ride the jar."""
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("delta_ict")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    dp.create_table(
+        y(1996),
+        root,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    dp.append(y(1997), root)
+    dp.append(y(1998), root)
+    import json as _json
+
+    icts = []
+    for v in dp._list_commit_versions(root):
+        with open(dp._commit_path(root, v)) as fh:
+            icts.append(
+                _json.loads(fh.readline())["commitInfo"]["inCommitTimestamp"]
+            )
+    if not (icts[0] < icts[1] < icts[2]):
+        raise RuntimeError(f"in-commit timestamps not monotonic: {icts}")
+    if dp.version_at_timestamp(root, icts[1]) != 1:
+        raise RuntimeError("TIMESTAMP AS OF resolved the wrong version")
+    if dp.version_at_timestamp(root, icts[2] + 10**7) != 2:
+        raise RuntimeError("future timestamp must resolve to latest")
+    t = dp.read_table(spark, root, timestamp_ms=icts[1])
+    if t.count() != dp.read_table(spark, root, version=1).count():
+        raise RuntimeError("timestamp travel != version travel")
+    return t.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

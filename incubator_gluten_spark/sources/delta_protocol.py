@@ -289,8 +289,105 @@ def resolve(spark: SparkSession, root: str, version: int | None = None) -> Snaps
     )
 
 
+def version_at_timestamp(root: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution on an in-commit-timestamps table: the
+    LATEST version whose inCommitTimestamp is <= the requested time.
+    Strict monotonicity makes this a prefix scan of first-line
+    commitInfo reads (one line per commit, no action replay).
+    Timestamps before the first ICT commit refuse — the spec's
+    enablement boundary (file-modification-time fallback is
+    deliberately not implemented: mtimes do not survive copies)."""
+    best = None
+    first_ict = None
+    for v in _list_commit_versions(root):
+        try:
+            with open(_commit_path(root, v)) as f:
+                a = json.loads(f.readline() or "{}")
+        except FileNotFoundError:
+            continue
+        ci = a.get("commitInfo") or {}
+        ict = ci.get("inCommitTimestamp")
+        if ict is None:
+            continue
+        if first_ict is None:
+            first_ict = ict
+        if ict <= timestamp_ms:
+            best = v
+        else:
+            break
+    if best is None:
+        if first_ict is None:
+            raise DeltaProtocolError(
+                "table has no in-commit timestamps — enable them first"
+            )
+        raise DeltaProtocolError(
+            f"timestamp {timestamp_ms} precedes the first in-commit "
+            f"timestamp ({first_ict}) — nothing to travel to"
+        )
+    return best
+
+
+def enable_in_commit_timestamps(spark: SparkSession, root: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES
+    ('delta.enableInCommitTimestamps' = 'true'): metadata-only commit
+    setting the property plus the spec's provenance markers
+    (enablement version/timestamp), upgrading to the v7 feature-list
+    protocol with the ``inCommitTimestamp`` writer feature.  The
+    enablement commit itself is the first stamped one."""
+    snap = resolve(spark, root)
+    cfg = dict(snap.metadata.get("configuration") or {})
+    if cfg.get(_ICT_KEY) == "true":
+        return snap.version
+    v = current_version(root) + 1
+    import time
+
+    cfg[_ICT_KEY] = "true"
+    cfg["delta.inCommitTimestampEnablementVersion"] = str(v)
+    cfg["delta.inCommitTimestampEnablementTimestamp"] = str(
+        int(time.time() * 1000)
+    )
+    meta = dict(snap.metadata)
+    meta["configuration"] = cfg
+    actions: list[dict] = []
+    proto = snap.protocol
+    if "inCommitTimestamp" not in (proto.get("writerFeatures") or []):
+        wfeats = set(proto.get("writerFeatures") or [])
+        if not wfeats:
+            implied = {
+                2: ["appendOnly", "invariants"],
+                3: ["checkConstraints"],
+                4: ["changeDataFeed", "generatedColumns"],
+                5: ["columnMapping"],
+                6: ["identityColumns"],
+            }
+            for v_, fs in implied.items():
+                if proto.get("minWriterVersion", 2) >= v_:
+                    wfeats.update(fs)
+        wfeats.add("inCommitTimestamp")
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": 7,
+                    **(
+                        {"readerFeatures": proto["readerFeatures"]}
+                        if proto.get("readerFeatures")
+                        else {}
+                    ),
+                    "writerFeatures": sorted(wfeats),
+                }
+            }
+        )
+    actions.append({"metaData": meta})
+    _write_actions(root, v, actions)
+    return v
+
+
 def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    timestamp_ms: int | None = None,
 ) -> DataFrame:
     """DataFrame over a Delta snapshot.  Partition-column values live in
     the log, not the files (the protocol's layout), so files are grouped
@@ -300,7 +397,14 @@ def read_table(
     (bounded slices, ``_dv_positions_df``), expand JVM-side via
     ``explode``, and are removed by one broadcast left-anti hash join on
     (file, ``_metadata.row_index``) — no data rewrite, no Python node in
-    the read plan."""
+    the read plan.
+
+    ``timestamp_ms`` is TIMESTAMP AS OF over in-commit timestamps
+    (``version_at_timestamp``); pass it or ``version``, not both."""
+    if timestamp_ms is not None:
+        if version is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        version = version_at_timestamp(root, timestamp_ms)
     snap = resolve(spark, root, version)
     return _live_rows(spark, root, snap)
 
@@ -849,9 +953,73 @@ def _assign_row_ids(root: str, version: int, actions: list[dict]) -> list[dict]:
     ]
 
 
+_ICT_KEY = "delta.enableInCommitTimestamps"
+
+
+def _last_ict(root: str, before_version: int) -> int | None:
+    """The previous commit's inCommitTimestamp (commitInfo is the FIRST
+    action of an ICT commit, so one line read suffices)."""
+    for v in reversed(_list_commit_versions(root)):
+        if v >= before_version:
+            continue
+        try:
+            with open(_commit_path(root, v)) as f:
+                first = f.readline()
+        except FileNotFoundError:
+            return None
+        if not first:
+            return None
+        a = json.loads(first)
+        ci = a.get("commitInfo")
+        if ci and "inCommitTimestamp" in ci:
+            return ci["inCommitTimestamp"]
+        return None
+    return None
+
+
+def _stamp_in_commit_timestamp(
+    root: str, version: int, actions: list[dict]
+) -> list[dict]:
+    """IN-COMMIT TIMESTAMPS (PROTOCOL.md "In-Commit Timestamps", writer
+    feature ``inCommitTimestamp``): every commit on an enabled table
+    leads with a commitInfo action whose ``inCommitTimestamp`` is
+    STRICTLY MONOTONIC (max of the wall clock and predecessor + 1) —
+    the clock-skew-proof basis for timestamp time travel."""
+    if any(a.get("commitInfo") for a in actions):
+        return actions
+    meta_action = next(
+        (a["metaData"] for a in actions if a.get("metaData")), None
+    )
+    cfg = (
+        (meta_action.get("configuration") or {})
+        if meta_action is not None
+        else None
+    )
+    if cfg is None and version > 0:
+        cfg = _current_config_fast(root, version)
+        if cfg is None:
+            spark = SparkSession.getActiveSession()
+            cfg = (
+                resolve(spark, root, version - 1).metadata.get(
+                    "configuration"
+                )
+                or {}
+            )
+    if (cfg or {}).get(_ICT_KEY) != "true":
+        return actions
+    import time
+
+    prev = _last_ict(root, version)
+    ict = int(time.time() * 1000)
+    if prev is not None and ict <= prev:
+        ict = prev + 1
+    return [{"commitInfo": {"inCommitTimestamp": ict}}] + actions
+
+
 def _write_actions(root: str, version: int, actions: Iterable[dict]) -> None:
     os.makedirs(_log_dir(root), exist_ok=True)
     actions = _assign_row_ids(root, version, list(actions))
+    actions = _stamp_in_commit_timestamp(root, version, actions)
     path = _commit_path(root, version)
     if os.path.exists(path):
         raise FileExistsError(f"commit {version} already exists (conflict)")
@@ -1343,8 +1511,11 @@ def create_table(
         if upd:
             meta = upd
     cdf = configuration.get(_CDF_KEY) == "true"
+    ict_on = configuration.get(_ICT_KEY) == "true"
     if row_tracking:
         feats = ["domainMetadata", "rowTracking"]
+        if ict_on:
+            feats.append("inCommitTimestamp")
         if cdf:
             feats.append("changeDataFeed")
         if configuration.get("delta.appendOnly") == "true":
@@ -1374,6 +1545,8 @@ def create_table(
             }
         )
         feats = ["clustering", "domainMetadata"]
+        if ict_on:
+            feats.append("inCommitTimestamp")
         if cdf:
             feats.append("changeDataFeed")
         if configuration.get("delta.appendOnly") == "true":
@@ -1393,6 +1566,8 @@ def create_table(
         # only as a v7 writer FEATURE (PROTOCOL.md "Default Columns"),
         # so the protocol lists every writer feature the table uses
         feats = ["allowColumnDefaults"]
+        if ict_on:
+            feats.append("inCommitTimestamp")
         if cdf:
             feats.append("changeDataFeed")
         if configuration.get("delta.appendOnly") == "true":
@@ -1401,6 +1576,18 @@ def create_table(
             "minReaderVersion": 1,
             "minWriterVersion": 7,
             "writerFeatures": sorted(feats),
+        }
+    elif ict_on:
+        protocol = {
+            "minReaderVersion": 2 if column_mapping else 1,
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(
+                {"inCommitTimestamp"}
+                | ({"changeDataFeed"} if cdf else set())
+                | ({"columnMapping"} if column_mapping else set())
+                | ({"generatedColumns"} if generated_columns else set())
+                | ({"identityColumns"} if identity_columns else set())
+            ),
         }
     else:
         reader_v = 2 if column_mapping else 1
