@@ -74,17 +74,18 @@ _FRONT = (
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
     #     round-robin across families, oracle-backed first; the
-    #     FIFTEEN r11 new-surface entries (iceberg merge/mor/
+    #     SEVENTEEN r11 new-surface entries (iceberg merge/mor/
     #     maintenance/changelog/wap, delta merge-schema/defaults/
-    #     widening/clustering/row-tracking/upsert-sink, hudi
-    #     mor-incremental/savepoint, iceberg upsert sink) certified
+    #     widening/clustering/row-tracking/upsert-sink/ict, hudi
+    #     mor-incremental/savepoint/mor-savepoint, iceberg upsert
+    #     sink) certified
     #     the round they land — the judge-endorsed swap-in pattern ---
     "agg_grouping_sets_distinct",
     "stream_delta_upsert_sink",
-    "dp_frame_sample",
+    "src_hudi_mor_savepoint",
     "ds_multi_supplier_no_return",
     "fn_map_batch3",
-    "gen_posexplode",
+    "src_delta_ict",
     "join_null_safe",
     "misc_observe",
     "op_correlated_scalar",
