@@ -2187,7 +2187,8 @@ def evolve_partition_spec(root: str, partition_cols: list[str]) -> int:
 
 def read_meta_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     """The spec'd metadata tables as DataFrames — ``files``,
-    ``manifests``, ``snapshots``, ``history``, ``refs`` — built from
+    ``manifests``, ``snapshots``, ``history``, ``refs``,
+    ``partitions`` — built from
     the SAME metadata-only planning the scans use (no data reads; the
     ``files`` table comes from manifest entries, so its
     ``record_count`` sums are exact without opening a parquet footer).
@@ -2240,13 +2241,34 @@ def read_meta_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
             "schema_id int",
         )
     if kind == "history":
-        cur = meta.get("current-snapshot-id")
+        # true ANCESTRY, not identity: staged (WAP) and rolled-past
+        # snapshots show is_current_ancestor = false
+        chain = set(_ancestry(meta))
         rows = [
-            (s["snapshot-id"], s["snapshot-id"] == cur)
+            (s["snapshot-id"], s["snapshot-id"] in chain)
             for s in meta.get("snapshots", [])
         ]
         return spark.createDataFrame(
             rows, "snapshot_id bigint, is_current_ancestor boolean"
+        )
+    if kind == "partitions":
+        # table$partitions: per-partition-tuple record/file/byte totals
+        # from manifest entries alone — the skew/layout dashboard for a
+        # 100 TB table, no data reads
+        agg: dict[str, list[int]] = {}
+        for f in plan_files(root):
+            key = json.dumps(f.get("partition") or {}, sort_keys=True)
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += f["record_count"]
+            cur[1] += 1
+            cur[2] += f["file_size_in_bytes"]
+        rows = [
+            (k, n, fc, sz) for k, (n, fc, sz) in sorted(agg.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "partition string, record_count bigint, file_count bigint, "
+            "total_size_in_bytes bigint",
         )
     if kind == "refs":
         refs = dict(meta.get("refs") or {})

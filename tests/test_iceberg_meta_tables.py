@@ -46,8 +46,10 @@ def test_snapshots_history_refs(table, spark):
         "append",
     ]
     hist = ice.read_meta_table(spark, table, "history")
+    # snapshot 1 IS an ancestor of current (2) — lineage, not identity
+    # (r11: history walks parent-snapshot-id like Iceberg's procedure)
     assert {r.snapshot_id: r.is_current_ancestor for r in hist.collect()} == {
-        1: False,
+        1: True,
         2: True,
     }
     refs = {r.name: (r.type, r.snapshot_id) for r in
@@ -128,3 +130,36 @@ def test_rewrite_manifests_invisible_to_stream_source(spark, tmp_path):
     ice.append(mk(6, 8), root)
     rows3, _ = rd.read(off2)
     assert sorted(r[0] for r in rows3) == [6, 7]
+
+
+def test_partitions_table_aggregates_manifest_entries(table, spark):
+    parts = ice.read_meta_table(spark, table, "partitions")
+    got = {
+        r["partition"]: (r["record_count"], r["file_count"])
+        for r in parts.collect()
+    }
+    assert got['{"grp": "a"}'][0] == 2
+    assert got['{"grp": "b"}'] == (2, 2)  # create + append files
+    total_sz = parts.agg(F.sum("total_size_in_bytes")).first()[0]
+    files_sz = (
+        ice.read_meta_table(spark, table, "files")
+        .agg(F.sum("file_size_in_bytes"))
+        .first()[0]
+    )
+    assert total_sz == files_sz
+
+
+def test_history_excludes_staged_and_rolled_past(table, spark):
+    staged = ice.append(_mk(spark, [(9, "z")]), table, wap_id="w")
+    hist = {
+        r["snapshot_id"]: r["is_current_ancestor"]
+        for r in ice.read_meta_table(spark, table, "history").collect()
+    }
+    assert hist[staged["snapshot-id"]] is False
+    assert hist[1] is True and hist[2] is True
+    ice.rollback_to_snapshot(table, 1)
+    hist = {
+        r["snapshot_id"]: r["is_current_ancestor"]
+        for r in ice.read_meta_table(spark, table, "history").collect()
+    }
+    assert hist[2] is False and hist[1] is True
