@@ -4562,3 +4562,75 @@ def src_delta_ict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_iceberg_sort_order",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY event_type
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SORT ORDERS (sources/iceberg_format.py set_sort_order +
+    rewrite_sorted — spec 'Sort Orders' + rewrite_data_files sort
+    strategy): WRITE ORDERED BY user_id lands as a metadata-only
+    default order (field-id bound, asserted to survive snapshot
+    commits), appends honor it with a LOCAL per-task sort (no extra
+    shuffle), and rewrite_sorted re-lays the whole table range-split so
+    per-file footer bounds on user_id are DISJOINT (asserted pairwise)
+    — a point query then plans exactly one file instead of all of
+    them, the sorted-layout contract a 100 TB events table needs.
+    Time travel to the pre-rewrite snapshot still works (asserted); the
+    oracle hash certifies the re-lay is lossless.  Reference analog:
+    Iceberg sort orders + rewrite_data_files(strategy => 'sort');
+    gluten-iceberg scans the re-laid tables through the jar."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from incubator_gluten_spark.sources import iceberg_format as ice
+
+    (events,) = _t(spark, sf_dir, "events")
+    root = _path("iceberg_sort_order")
+    shutil.rmtree(root, ignore_errors=True)
+    df = events.select("event_id", "user_id", "event_type", "value")
+    ice.create_table(df.filter(F.col("event_id") % 2 == 0).coalesce(2), root)
+    ice.set_sort_order(root, ["user_id"])
+    ice.append(df.filter(F.col("event_id") % 2 == 1).coalesce(2), root)
+    if ice._default_sort_cols(ice._current_metadata(root)) != ["user_id"]:
+        raise RuntimeError("sort order lost across a snapshot commit")
+    out = ice.rewrite_sorted(spark, root, target_files=6)
+    if out["files_rewritten"] < 2:
+        raise RuntimeError(f"sorted rewrite touched too little: {out}")
+    bounds = []
+    for f in ice.plan_files(root):
+        meta = pq.read_metadata(ice._resolve_path(root, f["file_path"]))
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.row_group(rg).num_columns):
+                c = meta.row_group(rg).column(ci)
+                if c.path_in_schema == "user_id" and c.statistics:
+                    st = c.statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            bounds.append((lo, hi))
+    bounds.sort()
+    if len(bounds) < 3:
+        raise RuntimeError(f"too few sorted files: {len(bounds)}")
+    for (l1, h1), (l2, h2) in zip(bounds, bounds[1:]):
+        if h1 > l2:
+            raise RuntimeError(f"file ranges overlap: {(l1,h1)} {(l2,h2)}")
+    return ice.read_table(spark, root).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+        F.count_distinct("user_id").alias("users"),
+    )

@@ -1097,8 +1097,12 @@ def _commit_snapshot(
         ),
         "default-spec-id": meta.get("default-spec-id", 0) if meta else 0,
         # table properties survive snapshot commits (name mapping,
-        # UniForm markers, user properties)
+        # UniForm markers, user properties); so do sort orders
         "properties": dict(meta.get("properties") or {}) if meta else {},
+        "sort-orders": list(meta.get("sort-orders") or []) if meta else [],
+        "default-sort-order-id": (
+            meta.get("default-sort-order-id", 0) if meta else 0
+        ),
         "current-snapshot-id": current_id,
         "refs": refs,
         "snapshots": (meta["snapshots"] if meta else []) + [snapshot],
@@ -1831,6 +1835,11 @@ def append(
         if ref["type"] != "branch":
             raise ValueError(f"cannot append to tag {branch!r} — tags are immutable")
         parent_id = ref["snapshot-id"]
+    sort_cols = _default_sort_cols(meta)
+    if sort_cols:
+        # WRITE ORDERED BY: a LOCAL per-task sort (no shuffle) — file
+        # stats narrow without changing the append's distribution
+        df = df.sortWithinPartitions(*sort_cols)
     data_files = _write_data_files(
         spark, df, root, [], ice_schema=ice_schema, spec=spec
     )
@@ -2183,6 +2192,98 @@ def evolve_partition_spec(root: str, partition_cols: list[str]) -> int:
 
 # ---------------------------------------------------------------------------
 # metadata tables (Iceberg's inspection surface: SELECT * FROM tbl$files)
+
+
+def set_sort_order(root: str, cols: list[str]) -> int:
+    """ALTER TABLE ... WRITE ORDERED BY (spec "Sort Orders"): a
+    metadata-only version appending a new sort order (identity
+    transform, asc, nulls-first per column) and making it the DEFAULT.
+    Writers honor it with a LOCAL sort per task (no extra shuffle);
+    ``rewrite_sorted`` re-lays existing files.  Sort orders bind by
+    FIELD ID, so they survive renames like everything else."""
+    meta = _current_metadata(root)
+    schema = _current_schema(meta)
+    by_name = {f["name"]: f["id"] for f in schema["fields"]}
+    missing = [c for c in cols if c not in by_name]
+    if missing:
+        raise ValueError(f"no such column(s): {missing}")
+    orders = list(meta.get("sort-orders") or [])
+    order_id = max((o["order-id"] for o in orders), default=0) + 1
+    orders.append(
+        {
+            "order-id": order_id,
+            "fields": [
+                {
+                    "transform": "identity",
+                    "source-id": by_name[c],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+                for c in cols
+            ],
+        }
+    )
+    new_meta = dict(meta)
+    new_meta["sort-orders"] = orders
+    new_meta["default-sort-order-id"] = order_id
+    version = _next_version(root, meta)
+    with open(
+        os.path.join(_meta_dir(root), f"v{version}.metadata.json"), "w"
+    ) as f:
+        json.dump(new_meta, f)
+    with open(os.path.join(_meta_dir(root), "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return order_id
+
+
+def _default_sort_cols(meta: dict) -> list[str]:
+    """Column names of the default sort order (empty when unsorted or
+    a sort field no longer exists)."""
+    oid = meta.get("default-sort-order-id")
+    if not oid:
+        return []
+    order = next(
+        (o for o in meta.get("sort-orders") or [] if o["order-id"] == oid),
+        None,
+    )
+    if order is None:
+        return []
+    by_id = {f["id"]: f["name"] for f in _current_schema(meta)["fields"]}
+    cols = []
+    for f in order["fields"]:
+        name = by_id.get(f["source-id"])
+        if name is None:
+            return []
+        cols.append(name)
+    return cols
+
+
+def rewrite_sorted(
+    spark: SparkSession, root: str, target_files: int = 4
+) -> dict:
+    """``rewrite_data_files`` with the SORT strategy: re-lay every live
+    data file range-split + sorted by the table's default sort order —
+    after it, per-file min/max on the leading sort column are disjoint,
+    the layout that keeps point/range scans file-skipping.  One
+    'overwrite' snapshot; raw changelog consumers see rewrite
+    delete+insert pairs (which ``net=True`` cancels), same contract as
+    any COW rewrite.  At 100 TB run it partition-range by
+    partition-range like OPTIMIZE."""
+    meta = _current_metadata(root)
+    cols = _default_sort_cols(meta)
+    if not cols:
+        raise ValueError(
+            "table has no default sort order — set_sort_order first"
+        )
+
+    def transform(rows: DataFrame, cond) -> DataFrame:
+        return rows.repartitionByRange(
+            max(1, target_files), *cols
+        ).sortWithinPartitions(*cols)
+
+    out = _cow_rewrite(spark, root, [], transform, "rewrite_sorted")
+    out["sort_columns"] = cols
+    return out
 
 
 def read_meta_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
