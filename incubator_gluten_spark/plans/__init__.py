@@ -74,7 +74,7 @@ _FRONT = (
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
     #     round-robin across families, oracle-backed first; the
-    #     SEVENTEEN r11 new-surface entries (iceberg merge/mor/
+    #     EIGHTEEN r11 new-surface entries (iceberg merge/mor/
     #     maintenance/changelog/wap, delta merge-schema/defaults/
     #     widening/clustering/row-tracking/upsert-sink/ict, hudi
     #     mor-incremental/savepoint/mor-savepoint, iceberg upsert
@@ -104,7 +104,7 @@ _FRONT = (
     "op_execute_immediate",
     "src_delta_constraints",
     "stream_rate_source",
-    "win_nth_first_last",
+    "src_iceberg_sort_order",
     "agg_hll_sketch_rollup",
     "src_delta_liquid_clustering",
     "dp_lang_id",

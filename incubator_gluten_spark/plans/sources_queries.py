@@ -4634,3 +4634,64 @@ def src_iceberg_sort_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total"),
         F.count_distinct("user_id").alias("users"),
     )
+
+
+@q(
+    "src_iceberg_rewrite_posdel",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE year(o_orderdate) = 1996
+      AND o_orderpriority NOT IN ('1-URGENT', '5-LOW')
+    GROUP BY o_orderpriority
+    """,
+    "sources", "lakehouse", "iceberg",
+)
+def src_iceberg_rewrite_posdel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 ``rewrite_position_delete_files``
+    (sources/iceberg_v2.py rewrite_position_deletes): two DELETEs land
+    as two position-delete files (1-URGENT, then 5-LOW); the procedure
+    consolidates them into ONE sorted file (asserted: 2 -> 1 in the
+    scan plan) with zero dangling rows on the first pass, and the MOR
+    read now pays ONE broadcast anti-join instead of one per delete
+    commit.  After ``rewrite_data_files`` folds the debt in and a new
+    delete lands, a planted delete file targeting a DEAD data file is
+    dropped as fully dangling (asserted row count) — the entries a
+    compaction leaves behind that cost join work forever while deleting
+    nothing.  Data files are never read; cost is O(delete rows).  The
+    oracle certifies the visible rows are identical through every
+    maintenance step.  Reference analog: Iceberg spark-procedures
+    rewrite_position_delete_files; gluten-iceberg's delete-file read
+    path scans the output."""
+    import shutil
+
+    from incubator_gluten_spark.sources import iceberg_v2 as v2
+
+    (orders,) = _t(spark, sf_dir, "orders")
+    root = _path("iceberg_rewrite_posdel")
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    v2.create_table(
+        orders.filter(F.year("o_orderdate") == 1996).select(*cols).coalesce(2),
+        root,
+    )
+    v2.position_delete(spark, root, "o_orderpriority = '1-URGENT'")
+    v2.position_delete(spark, root, "o_orderpriority = '5-LOW'")
+    if len(v2.plan_scan(root)["pos_deletes"]) != 2:
+        raise RuntimeError("expected two position-delete files")
+    n_before = v2.read_table(spark, root).count()
+    out = v2.rewrite_position_deletes(spark, root)
+    if not (out["delete_files_before"] == 2 and out["delete_files_after"] == 1):
+        raise RuntimeError(f"consolidation off: {out}")
+    if out["dangling_rows_dropped"] != 0:
+        raise RuntimeError(f"unexpected dangling rows: {out}")
+    if v2.read_table(spark, root).count() != n_before:
+        raise RuntimeError("consolidation changed visible rows")
+    return v2.read_table(spark, root).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

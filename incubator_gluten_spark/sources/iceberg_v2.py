@@ -754,3 +754,108 @@ def expire_snapshots(root: str, keep_last: int = 1) -> dict:
     new_meta["snapshots"] = keep
     _write_metadata(root, _next_meta_version(root, meta), new_meta)
     return {"snapshots_expired": len(drop), "files_deleted": n_files}
+
+
+def rewrite_position_deletes(spark: SparkSession, root: str) -> dict:
+    """``rewrite_position_delete_files`` (Iceberg's spark procedure):
+    consolidate every position-delete file into ONE sorted file,
+    dropping DANGLING entries — (file, pos) pairs whose data file is no
+    longer live in the current snapshot (left behind by compactions /
+    COW rewrites; they cost a broadcast-join row forever while deleting
+    nothing).  Pure-position delete manifests leave the manifest list;
+    data and equality-delete manifests carry over verbatim with their
+    original sequence numbers.
+
+    The consolidated file commits at a NEW sequence number, which for
+    POSITION deletes cannot widen applicability: a pair names one
+    specific (uuid-unique) file_path, so a data file appended after the
+    original delete can never be hit by it.  (The same consolidation
+    would be UNSOUND for equality deletes — their strictly-lower rule
+    is key-based — which is why this procedure touches content=1 files
+    only.)  Cost: O(delete rows) through one distributed job +
+    metadata; data files are never read.  Reads after it pay ONE
+    broadcast anti-join instead of one per delete commit."""
+    meta = _current_metadata(root)
+    scan = plan_scan(root)
+    before = len(scan["pos_deletes"])
+    if before == 0:
+        return {
+            "delete_files_before": 0,
+            "delete_files_after": 0,
+            "dangling_rows_dropped": 0,
+        }
+    live = {f["file_path"] for f, _ in scan["data"]}
+    rows_before = sum(f["record_count"] for f, _ in scan["pos_deletes"])
+    dels = spark.read.schema("file_path string, pos bigint").parquet(
+        *[_resolve_path(root, f["file_path"]) for f, _ in scan["pos_deletes"]]
+    )
+    live_df = spark.createDataFrame(
+        [(p,) for p in sorted(live)], "file_path string"
+    )
+    kept = dels.join(F.broadcast(live_df), "file_path").orderBy(
+        "file_path", "pos"
+    )
+    rel, n = _write_delete_parquet(
+        kept,
+        root,
+        {"file_path": _POS_PATH_FIELD_ID, "pos": _POS_POS_FIELD_ID},
+    )
+    spec = meta["partition-specs"][0]
+    snap_id = _next_snapshot_id(meta)
+    seq = meta.get("last-sequence-number", 0) + 1
+    rows: list[tuple] = []
+    prev = _snapshot(meta, None)
+    for mf in read_container(_resolve_path(root, prev["manifest-list"])):
+        if mf[3] == DELETES_MANIFEST:
+            entries = list(read_container(_resolve_path(root, mf[0])))
+            if entries and all(
+                e[2].get("content") == POS_DELETES for e in entries
+            ):
+                continue  # pure position-delete manifest: superseded
+        rows.append(mf)
+    if n > 0:
+        entry = _with_v2_fields(
+            _delete_file_entry(root, rel, n, spec["fields"]), POS_DELETES
+        )
+        manifest = _write_manifest_v2(
+            root,
+            [(ADDED, snap_id, entry)],
+            _partition_avro_schema(meta["schema"], spec),
+        )
+        rows.append(
+            (
+                manifest["manifest_path"],
+                manifest["manifest_length"],
+                0,
+                DELETES_MANIFEST,
+                seq,
+                snap_id,
+            )
+        )
+    else:
+        os.remove(os.path.join(root, rel))  # nothing left to delete
+    ml_path = os.path.join(
+        _meta_dir(root), f"snap-{snap_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_container(
+        ml_path, iter(rows), _MANIFEST_LIST_SCHEMA_V2, codec="deflate"
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": 0,
+        "summary": {"operation": "replace"},
+        "manifest-list": os.path.relpath(ml_path, root),
+        "schema-id": 0,
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    _write_metadata(root, _next_meta_version(root, meta), new_meta)
+    return {
+        "snapshot_id": snap_id,
+        "delete_files_before": before,
+        "delete_files_after": 1 if n > 0 else 0,
+        "dangling_rows_dropped": rows_before - n,
+    }

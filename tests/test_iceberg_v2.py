@@ -302,3 +302,87 @@ def test_merge_mor_stream_batch_replay_noops(spark, tmp_path):
         spark, _mm_mk(spark, [(1, 3.0)]), root, "app2", 0, ["k"]
     )
     assert [tuple(r) for r in v2.read_table(spark, root).collect()] == [(1, 3.0)]
+
+
+def test_rewrite_position_deletes_consolidates_and_drops_dangling(
+    spark, tmp_path
+):
+    """rewrite_position_delete_files: N delete files -> 1, dangling
+    pairs (targets compacted away) dropped, read-back identical."""
+    from incubator_gluten_spark.sources import iceberg_v2 as v2
+
+    root = str(tmp_path / "rewrite_posdel")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+    v2.create_table(df, root)
+    v2.position_delete(spark, root, "k < 5")
+    v2.position_delete(spark, root, "k >= 95")
+    scan = v2.plan_scan(root)
+    assert len(scan["pos_deletes"]) == 2
+    want = sorted(r["k"] for r in v2.read_table(spark, root).collect())
+    out = v2.rewrite_position_deletes(spark, root)
+    assert out["delete_files_before"] == 2
+    assert out["delete_files_after"] == 1
+    assert out["dangling_rows_dropped"] == 0
+    scan = v2.plan_scan(root)
+    assert len(scan["pos_deletes"]) == 1
+    got = sorted(r["k"] for r in v2.read_table(spark, root).collect())
+    assert got == want == list(range(5, 95))
+    # now compact data (deletes fold in, old data files leave the live
+    # set) and add a fresh delete; prior pairs become dangling
+    v2.rewrite_data_files(spark, root)
+    v2.position_delete(spark, root, "k = 50")
+    # plant a dangling entry by re-introducing the OLD consolidated
+    # delete file's rows? not needed: after compaction, the consolidated
+    # file itself is gone from the scan, so craft dangling directly:
+    scan = v2.plan_scan(root)
+    assert len(scan["pos_deletes"]) == 1
+    out2 = v2.rewrite_position_deletes(spark, root)
+    assert out2["delete_files_after"] == 1
+    assert sorted(
+        r["k"] for r in v2.read_table(spark, root).collect()
+    ) == [k for k in range(5, 95) if k != 50]
+
+
+def test_rewrite_position_deletes_drops_fully_dangling_file(spark, tmp_path):
+    from incubator_gluten_spark.sources import iceberg_v2 as v2
+
+    root = str(tmp_path / "posdel_dangling")
+    df = spark.range(50).selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+    v2.create_table(df, root)
+    v2.position_delete(spark, root, "k < 10")
+    # compaction folds the delete in; the pairs now point at a dead file
+    v2.rewrite_data_files(spark, root)
+    v2.position_delete(spark, root, "k = 20")
+    # hand-plant the OLD pairs again as a new delete commit: they target
+    # a file no longer live -> pure dangling rows
+    meta = v2._current_metadata(root)
+    old_target = "data/does-not-live-anymore.parquet"
+    pairs = spark.createDataFrame(
+        [(old_target, i) for i in range(7)], "file_path string, pos bigint"
+    )
+    rel, n = v2._write_delete_parquet(
+        pairs,
+        root,
+        {"file_path": v2._POS_PATH_FIELD_ID, "pos": v2._POS_POS_FIELD_ID},
+    )
+    spec = meta["partition-specs"][0]
+    entry = v2._with_v2_fields(
+        v2._delete_file_entry(root, rel, n, spec["fields"]), v2.POS_DELETES
+    )
+    snap_id = v2._next_snapshot_id(meta)
+    manifest = v2._write_manifest_v2(
+        root,
+        [(v2.ADDED, snap_id, entry)],
+        v2._partition_avro_schema(meta["schema"], spec),
+    )
+    v2._commit_snapshot_v2(
+        root, meta, [(manifest, v2.DELETES_MANIFEST)], "delete",
+        meta["schema"], spec,
+    )
+    want = sorted(r["k"] for r in v2.read_table(spark, root).collect())
+    out = v2.rewrite_position_deletes(spark, root)
+    assert out["dangling_rows_dropped"] == 7
+    assert out["delete_files_after"] == 1
+    assert sorted(
+        r["k"] for r in v2.read_table(spark, root).collect()
+    ) == want
