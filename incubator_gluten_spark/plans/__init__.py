@@ -74,7 +74,7 @@ _FRONT = (
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
     #     round-robin across families, oracle-backed first; the
-    #     EIGHTEEN r11 new-surface entries (iceberg merge/mor/
+    #     NINETEEN r11 new-surface entries (iceberg merge/mor/
     #     maintenance/changelog/wap, delta merge-schema/defaults/
     #     widening/clustering/row-tracking/upsert-sink/ict, hudi
     #     mor-incremental/savepoint/mor-savepoint, iceberg upsert
@@ -89,7 +89,7 @@ _FRONT = (
     "join_null_safe",
     "misc_observe",
     "op_correlated_scalar",
-    "setop_union_distinct",
+    "src_iceberg_rewrite_posdel",
     "src_delta_clone",
     "stream_python_sink",
     "udf_python_row",

@@ -1344,3 +1344,94 @@ def stream_delta_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_score"),
     )
+
+
+@q(
+    "stream_delta_cdf_source",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority,
+             year(o_orderdate) AS yr
+      FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    )
+    SELECT _change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(price AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM (
+      SELECT 'insert' AS _change_type, o_totalprice AS price FROM o
+      UNION ALL
+      SELECT 'update_preimage', o_totalprice FROM o
+      WHERE o_orderpriority = '5-LOW'
+      UNION ALL
+      SELECT 'update_postimage', o_totalprice * 2 FROM o
+      WHERE o_orderpriority = '5-LOW'
+      UNION ALL
+      SELECT 'delete', o_totalprice FROM o
+      WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY _change_type
+    """,
+    "streaming", "source", "lakehouse", "delta",
+)
+def stream_delta_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED as a STREAMING SOURCE
+    (sources/delta_stream.py readChangeFeed=true — Delta's
+    ``readStream.option('readChangeFeed', 'true')``): the table takes
+    create(1996) -> append(1997) -> UPDATE (5-LOW prices doubled)
+    -> DELETE (1-URGENT), then ONE availableNow stream replays the
+    whole feed: _change_type / _commit_version ride every row, commits
+    with cdc actions emit their images EXCLUSIVELY (the rewrite's
+    restaged adds never leak as inserts — the contract plain
+    ignoreChanges streaming cannot give), plain appends derive inserts.
+    Planning walks only the JSON log; parquet decode runs in the
+    partition-planned executor path (one InputPartition per change
+    file).  The oracle recomputes every image class from the raw
+    table.  Reference analog: Delta's streaming CDF source; gluten
+    scans CDF output through the jar."""
+    import shutil
+    import uuid as _uuid
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+    from incubator_gluten_spark.sources.delta_stream import (
+        register_delta_stream_source,
+    )
+
+    from incubator_gluten_spark.catalog import load_tables
+
+    orders = load_tables(spark, sf_dir, ("orders",))["orders"]
+    root = f"/tmp/spark_graft_io_{os.getpid()}/delta_cdf_source"
+    shutil.rmtree(root, ignore_errors=True)
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    y = lambda yr: orders.filter(F.year("o_orderdate") == yr).select(*cols)
+    dp.create_table(
+        y(1996), root, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    dp.append(y(1997), root)
+    dp.update_where(
+        spark,
+        root,
+        "o_orderpriority = '5-LOW'",
+        {"o_totalprice": "o_totalprice * 2"},
+    )
+    dp.delete_where(spark, root, "o_orderpriority = '1-URGENT'")
+    register_delta_stream_source(spark)
+    sink = f"cdf_src_{_uuid.uuid4().hex[:8]}"
+    sq = (
+        spark.readStream.format("graft_delta")
+        .option("path", root)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    got = spark.table(sink)
+    return got.groupBy("_change_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

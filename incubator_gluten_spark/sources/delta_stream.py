@@ -249,6 +249,113 @@ def _plan_adds(
     return out, fields, part_cols
 
 
+def _cdf_on(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"
+
+
+def _plan_cdc(
+    root: str, lo: int, hi: int
+) -> tuple[list[dict], list[tuple], set[str]]:
+    """CHANGE-FEED plan of versions ``(lo, hi]`` (Delta's streaming
+    ``readChangeFeed``): a commit with ``cdc`` actions defines its
+    change data exclusively through them; a commit without derives
+    inserts from dataChange adds; a dataChange remove without a cdc
+    action is a CDF writer-contract violation and refuses.  CDF must be
+    enabled at every emitted commit.  METADATA-BOUNDED like
+    ``_plan_adds``."""
+    meta = _metadata_at(root, hi)
+    _check_not_mapped(meta)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+    part_cols = set(meta.get("partitionColumns") or [])
+    out: list[dict] = []
+    cur_meta: dict | None = None
+    for v in _log_versions(root):
+        if v > hi:
+            break
+        actions = _actions(root, v)
+        for a in actions:
+            if a.get("metaData"):
+                cur_meta = a["metaData"]
+        if not (lo < v <= hi):
+            continue
+        cdc = [a["cdc"] for a in actions if a.get("cdc")]
+        adds = [
+            a["add"]
+            for a in actions
+            if a.get("add") and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in actions
+            if a.get("remove") and a["remove"].get("dataChange", True)
+        ]
+        if not (cdc or adds or removes):
+            continue  # metadata-only commit: nothing to emit
+        if cur_meta is None or not _cdf_on(cur_meta):
+            raise ValueError(
+                f"version {v}: Change Data Feed is not enabled "
+                "(delta.enableChangeDataFeed unset) — no change data "
+                "was recorded for this commit"
+            )
+        if cdc:
+            out.extend(
+                {"kind": "cdc", "file": c, "version": v} for c in cdc
+            )
+        else:
+            if removes:
+                raise ValueError(
+                    f"version {v} removes data files but wrote no cdc "
+                    "action — CDF writer-contract violation; refusing "
+                    "rather than misderiving deletes"
+                )
+            out.extend(
+                {"kind": "insert", "file": a, "version": v} for a in adds
+            )
+    return out, fields, part_cols
+
+
+def _decode_cdc_table(root: str, entry: dict, fields: list, part_cols: set):
+    """pyarrow Table for one change-feed entry, with ``_change_type``
+    (stored for cdc files, literal 'insert' for plain adds) and
+    ``_commit_version`` appended.  Runs executor-side in the
+    partition-planned reader."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if entry["kind"] == "insert":
+        table = _decode_add_table(root, entry["file"], fields, part_cols)
+        n = table.num_rows
+        table = table.append_column(
+            "_change_type", pa.array(["insert"] * n, pa.string())
+        )
+    else:
+        f = entry["file"]
+        path = os.path.join(root, f["path"].replace("/", os.sep))
+        cols = [n for n, _ in fields if n not in part_cols]
+        table = pq.read_table(path, columns=cols + ["_change_type"])
+        pvals = f.get("partitionValues") or {}
+        n = table.num_rows
+        arrays, names = [], []
+        for name, typ in fields:
+            if name in part_cols:
+                arrays.append(
+                    pa.array([_coerce_part(pvals.get(name), typ)] * n)
+                )
+            else:
+                arrays.append(table.column(name))
+            names.append(name)
+        arrays.append(table.column("_change_type"))
+        names.append("_change_type")
+        table = pa.table(dict(zip(names, arrays)))
+    return table.append_column(
+        "_commit_version",
+        pa.array([entry["version"]] * table.num_rows, pa.int64()),
+    )
+
+
 def _decode_add_table(root: str, add: dict, fields: list, part_cols: set):
     """pyarrow Table for one add-action: parquet decode, DV filter,
     partition-value injection, columns in table-schema order.  Runs
@@ -298,12 +405,15 @@ class _AddFilePartition(InputPartition):
     """One Delta add-action = one input partition (the split unit
     gluten-iceberg's SparkMicroBatchStream plans)."""
 
-    def __init__(self, root, add, fields, part_cols, arrow_schema):
+    def __init__(
+        self, root, add, fields, part_cols, arrow_schema, cdc_entry=None
+    ):
         self.root = root
         self.add = add
         self.fields = fields
         self.part_cols = part_cols
         self.arrow_schema = arrow_schema  # None -> tuple fallback
+        self.cdc_entry = cdc_entry  # set -> change-feed decode
 
 
 class _DeltaPartitionedStreamReader(DataSourceStreamReader):
@@ -320,6 +430,9 @@ class _DeltaPartitionedStreamReader(DataSourceStreamReader):
         self.ignore_changes = s.ignore_changes
         self.max_versions = s.max_versions
         self.start_version = s.start_version
+        self.read_change_feed = (
+            _opt(options, "readChangeFeed", default="false") == "true"
+        )
         # high-water mark for maxVersionsPerBatch pacing.  None after a
         # checkpoint restart (Spark hands the start offset only to
         # partitions()), so the first post-restart batch is uncapped —
@@ -340,28 +453,56 @@ class _DeltaPartitionedStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
         self._hwm = max(self._hwm if self._hwm is not None else hi, hi)
-        adds, fields, part_cols = _plan_adds(
-            self.root, lo, hi, self.ignore_deletes, self.ignore_changes
-        )
         try:
             from incubator_gluten_spark.sources.avro import _arrow_schema_for
 
             struct = StructType.fromJson(
                 json.loads(_metadata_at(self.root, hi)["schemaString"])
             )
+            if self.read_change_feed:
+                from pyspark.sql.types import (
+                    LongType,
+                    StringType,
+                    StructField,
+                )
+
+                struct = StructType(
+                    list(struct.fields)
+                    + [
+                        StructField("_change_type", StringType()),
+                        StructField("_commit_version", LongType()),
+                    ]
+                )
             aschema = _arrow_schema_for(struct)
         except Exception:  # noqa: BLE001 — complex type: row fallback
             aschema = None
+        if self.read_change_feed:
+            entries, fields, part_cols = _plan_cdc(self.root, lo, hi)
+            return [
+                _AddFilePartition(
+                    self.root, None, fields, part_cols, aschema, cdc_entry=e
+                )
+                for e in entries
+            ]
+        adds, fields, part_cols = _plan_adds(
+            self.root, lo, hi, self.ignore_deletes, self.ignore_changes
+        )
         return [
             _AddFilePartition(self.root, add, fields, part_cols, aschema)
             for add in adds
         ]
 
     def read(self, partition: _AddFilePartition):
-        table = _decode_add_table(
-            partition.root, partition.add, partition.fields,
-            partition.part_cols,
-        )
+        if partition.cdc_entry is not None:
+            table = _decode_cdc_table(
+                partition.root, partition.cdc_entry, partition.fields,
+                partition.part_cols,
+            )
+        else:
+            table = _decode_add_table(
+                partition.root, partition.add, partition.fields,
+                partition.part_cols,
+            )
         if partition.arrow_schema is not None:
             try:
                 return iter(
@@ -392,7 +533,18 @@ class DeltaStreamDataSource(DataSource):
         vs = _log_versions(root)
         meta = _metadata_at(root, vs[-1] if vs else 0)
         _check_not_mapped(meta)
-        return StructType.fromJson(json.loads(meta["schemaString"]))
+        struct = StructType.fromJson(json.loads(meta["schemaString"]))
+        if _opt(self.options, "readChangeFeed", default="false") == "true":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            struct = StructType(
+                list(struct.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return struct
 
     def streamReader(self, schema):
         # preferred by the engine over simpleStreamReader: per-file
