@@ -74,7 +74,7 @@ _FRONT = (
     "dp_embedding_near_dup",
     # --- r11 rotation (r10 verdict directive #1): never-graded,
     #     round-robin across families, oracle-backed first; the
-    #     NINETEEN r11 new-surface entries (iceberg merge/mor/
+    #     TWENTY r11 new-surface entries (iceberg merge/mor/
     #     maintenance/changelog/wap, delta merge-schema/defaults/
     #     widening/clustering/row-tracking/upsert-sink/ict, hudi
     #     mor-incremental/savepoint/mor-savepoint, iceberg upsert
@@ -103,7 +103,7 @@ _FRONT = (
     "src_hudi_savepoint",
     "op_execute_immediate",
     "src_delta_constraints",
-    "stream_rate_source",
+    "stream_delta_cdf_source",
     "src_iceberg_sort_order",
     "agg_hll_sketch_rollup",
     "src_delta_liquid_clustering",
