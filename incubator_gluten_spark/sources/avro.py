@@ -167,10 +167,18 @@ def _field_codec(avro_type):
         if kind == "record":
             names = [f["name"] for f in avro_type["fields"]]
             codecs = [_field_codec(f["type"]) for f in avro_type["fields"]]
+            # a ["null", T] field absent from the input dict encodes as
+            # null — lets schema additions (e.g. the Iceberg manifests'
+            # lower/upper_bounds) re-encode entries decoded from files
+            # written before the field existed
+            nullable = [
+                isinstance(f["type"], list) and "null" in f["type"]
+                for f in avro_type["fields"]
+            ]
 
             def enc_rec(out, v):
-                for name, (e, _) in zip(names, codecs):
-                    e(out, v[name])
+                for name, opt, (e, _) in zip(names, nullable, codecs):
+                    e(out, v.get(name) if opt else v[name])
 
             def dec_rec(buf):
                 return {name: d(buf) for name, (_, d) in zip(names, codecs)}

@@ -169,6 +169,24 @@ def test_manifest_avro_interop_with_jvm(spark, sf_dir, tmp_path):
                     "record_count": d["record_count"],
                     "file_size_in_bytes": d["file_size_in_bytes"],
                     "block_size_in_bytes": d["block_size_in_bytes"],
+                    # Avro-JSON spells bytes as ISO-8859-1 strings; the
+                    # bounds must survive the JVM roundtrip byte-exact
+                    "lower_bounds": None
+                    if d.get("lower_bounds") is None
+                    else {
+                        "map": {
+                            k: v.decode("latin-1")
+                            for k, v in d["lower_bounds"].items()
+                        }
+                    },
+                    "upper_bounds": None
+                    if d.get("upper_bounds") is None
+                    else {
+                        "map": {
+                            k: v.decode("latin-1")
+                            for k, v in d["upper_bounds"].items()
+                        }
+                    },
                 },
             }
         )
@@ -177,8 +195,13 @@ def test_manifest_avro_interop_with_jvm(spark, sf_dir, tmp_path):
         )
         dfw.append(datum_reader.read(None, decoder))
     dfw.close()
-    # our reader consumes the JVM-written manifest transparently
+    # our reader consumes the JVM-written manifest transparently,
+    # bounds byte-exact through the JVM roundtrip
     assert ice.read_table(spark, root).count() == base.count()
+    back = {f["file_path"]: f.get("lower_bounds") for f in ice.plan_files(root)}
+    assert back == {
+        d["file_path"]: d.get("lower_bounds") for _, _, d in ours
+    }
 
 
 def test_delete_partition_snapshot(spark, sf_dir, tmp_path):

@@ -2,11 +2,12 @@
 method as tools/merge_scaling.py did for Delta MERGE):
 
 * **COW** (iceberg_format.merge): claim is O(matched files), not
-  O(table) — the column-pruned provenance scan finds the files
-  containing a match and only those rewrite.  Note the DETECTION pass
-  still reads the key column of every file (no min/max bounds in these
-  manifests), so COW point-merge cost = key-column scan (linear, cheap)
-  + rewrite (flat).
+  O(table) — r12: manifests carry per-column lower/upper_bounds, so
+  touched-file DETECTION is metadata-only first (source key min/max vs
+  file bounds) and the key scan reads ONLY the surviving candidates —
+  `detection_candidate_files` printed below must stay FLAT (1) across
+  100x table growth for the point merge: detection bytes are now
+  O(candidates), not O(table key bytes).
 * **MOR** (iceberg_v2.merge_mor): claim is O(source) at ANY table size
   — one equality-delete file + the source as new data files, existing
   data never read.  Wall time should be flat and table-size-blind.
@@ -62,12 +63,15 @@ def run_cow(spark, n: int, base: str) -> dict:
     out = ice.merge(spark, root, point_source(spark), ["k"])
     dt = time.perf_counter() - t0
     shutil.rmtree(root, ignore_errors=True)
+    n_files = out["files_rewritten"] + out["files_skipped"]
     return {
         "mode": "cow",
         "n": n,
         "sec": round(dt, 2),
         "files_rewritten": out["files_rewritten"],
         "files_skipped": out["files_skipped"],
+        "files_pruned_by_bounds": out["files_pruned_by_bounds"],
+        "detection_candidate_files": n_files - out["files_pruned_by_bounds"],
     }
 
 
