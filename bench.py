@@ -207,6 +207,14 @@ def main() -> None:
         + json.dumps({"queries": timings, "vs_min": full_vs_min}),
         file=sys.stderr,
     )
+    # top-20 first-run timings IN the stored JSON (r11 verdict directive
+    # #5: the stderr map is truncated to ~1.2 KB in the driver's capture,
+    # so cross-round adjudication of non-TPC-H entries needs the heavy
+    # tail stored, not printed) — ~1.5 KB, small enough for stdout
+    heavy = [
+        {"name": k, "sec": v, "vs_min": full_vs_min.get(k)}
+        for k, v in sorted(ok.items(), key=lambda kv: -kv[1])[:20]
+    ]
     print(
         json.dumps(
             {
@@ -221,6 +229,7 @@ def main() -> None:
                 "regressed": regressed,
                 "queries": tpch,
                 "vs_min": vs_min,
+                "heavy": heavy,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

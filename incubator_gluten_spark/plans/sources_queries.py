@@ -2598,8 +2598,10 @@ def src_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spec 1 — metadata-only: zero snapshots, zero data motion,
     asserted), append 1997 under the new layout, then query by a DATE
     RANGE: plan_files must prune spec-1 files from their day tuples
-    while conservatively keeping EVERY spec-0 file (they are not
-    partitioned by date — both asserted), and the residual filter makes
+    AND (r12) prune EVERY spec-0 file too — not via the partition spec
+    (they are not date-partitioned) but via the manifests' per-column
+    lower/upper_bounds, since all spec-0 data is 1996 and the predicate
+    starts 1997-04 (both asserted), and the residual filter makes
     the mixed-generation read EXACT, which the oracle hash certifies.
     This is how a production table changes its partition layout without
     rewriting 100 TB.  gluten-iceberg scans mixed-spec tables through
@@ -2640,8 +2642,11 @@ def src_iceberg_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_old_kept = sum(1 for f in pruned if f["_spec_id"] == 0)
     n_new_all = sum(1 for f in all_files if f["_spec_id"] == 1)
     n_new_kept = sum(1 for f in pruned if f["_spec_id"] == 1)
-    if n_old_kept != n_old_all:
-        raise RuntimeError("a date predicate pruned NON-date-partitioned files")
+    if n_old_kept != 0:
+        raise RuntimeError(
+            "column bounds failed to prune the all-1996 spec-0 files "
+            f"against a 1997-04 predicate: kept {n_old_kept}/{n_old_all}"
+        )
     if not (0 < n_new_kept < n_new_all):
         raise RuntimeError(
             f"day pruning never fired on spec-1 files: {n_new_kept}/{n_new_all}"
@@ -3956,6 +3961,91 @@ def src_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_zorder_mixed",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(ts AS DATE)) AS DATE) AS first_day,
+           CAST(max(CAST(ts AS DATE)) AS DATE) AS last_day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY event_type
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_zorder_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta OPTIMIZE ZORDER BY over DATE × STRING keys (the common
+    shape: event_date × a string dimension) — the r10/r11 carried
+    directive.  Each dimension maps to an order-preserving image
+    (days-since-epoch; UTF-8 byte prefix after the min/max common
+    prefix) then to an EQUAL-FREQUENCY rank (Delta's range-partition
+    IDs), so the Morton quadrants hold equal row counts even though
+    decimal digits in strings are non-uniform in byte space.  Asserted:
+    after the rewrite most files' footer-stats range is narrow on the
+    DATE dim while the STRING dim stays clustered too (files:distinct
+    event_type pairs bounded), and the commit is dataChange=false.
+    The oracle hash certifies the rewrite is lossless.  Reference
+    analog: gluten-delta scans OPTIMIZE ZORDER output through the jar
+    (DeltaScanTransformer.scala); layout contract is Delta's documented
+    OPTIMIZE ZORDER BY on stats-typed (date/string) columns."""
+    import datetime as dt
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (events,) = _t(spark, sf_dir, "events")
+    root = _path("delta_zorder_mixed")
+    shutil.rmtree(root, ignore_errors=True)
+    df = events.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        "event_type",
+        "user_id",
+        F.col("ts").alias("ts"),
+    )
+    dp.create_table(df.coalesce(2), root)
+    out = dp.optimize(
+        spark, root, zorder_by=["event_date", "event_type"], target_files=8
+    )
+    if out["files_added"] < 2:
+        raise RuntimeError(f"zorder produced too few files: {out}")
+    snap = dp.resolve(spark, root)
+    glo_lo = glo_hi = None
+    spans = []
+    for add in snap.adds:
+        bd = dp._stats_bounds(add, "event_date")
+        bt = dp._stats_bounds(add, "event_type")
+        if not (bd and bt):
+            raise RuntimeError("zorder output lost date/string stats")
+        lo = dt.date.fromisoformat(str(bd[0])[:10])
+        hi = dt.date.fromisoformat(str(bd[1])[:10])
+        spans.append((lo, hi))
+        glo_lo = lo if glo_lo is None else min(glo_lo, lo)
+        glo_hi = hi if glo_hi is None else max(glo_hi, hi)
+    width = (glo_hi - glo_lo).days or 1
+    narrow = sum(
+        1 for lo, hi in spans if (hi - lo).days <= 0.7 * width
+    )
+    if narrow * 2 < len(spans):
+        raise RuntimeError(
+            f"date z-clustering too weak: {narrow}/{len(spans)} narrow "
+            f"(width {width}d)"
+        )
+    acts = dp._read_commit_actions(root, snap.version)
+    if any(a["add"]["dataChange"] for a in acts if "add" in a):
+        raise RuntimeError("OPTIMIZE must commit dataChange=false")
+    return (
+        dp.read_table(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_date").alias("first_day"),
+            F.max("event_date").alias("last_day"),
+            F.count_distinct("user_id").alias("users"),
+        )
+    )
+
+
+@q(
     "src_delta_identity",
     """
     SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
@@ -4370,11 +4460,12 @@ def src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROTOCOL.md 'Row Tracking'): 1996 orders create the tracked table
     (every add carries baseRowId/defaultRowCommitVersion, hwm in the
     delta.rowTracking domain), a 1997 append takes the NEXT id range
-    (asserted: dense, zero overlap), then OPTIMIZE compacts — and every
-    row KEEPS its id (asserted map-equality before/after), because the
-    rewrite materializes ids into hidden physical columns that plain
-    scans never see (asserted: ordinary read_table shows only schema
-    columns).  Fresh ids are assigned DISTRIBUTED (baseRowId + file
+    (asserted: dense, zero overlap), then OPTIMIZE compacts AND a COW
+    UPDATE rewrites (r12, directive #7) — and every row KEEPS its id
+    through both (asserted, distributed full-outer drift check),
+    because the rewrites materialize ids into hidden physical columns
+    that plain scans never see (asserted: ordinary read_table shows
+    only schema columns).  Fresh ids are assigned DISTRIBUTED (baseRowId + file
     position, executor-side); the driver touches only the O(n_files)
     add list — the id surface a 100 TB CDC/merge pipeline keys on.  The
     oracle certifies per-group counts, id uniqueness (n = n_ids
@@ -4421,6 +4512,25 @@ def src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if drift != 0:
         raise RuntimeError(f"OPTIMIZE changed row identity ({drift} rows)")
+    # r12: COW UPDATE preserves ids too (materialized columns carried
+    # through the rewrite, directive #7) — same distributed drift check
+    dp.update_where(
+        spark, root, "o_totalprice < 1000", {"o_totalprice": "o_totalprice"}
+    )
+    after_upd = dp.read_table_with_row_ids(spark, root).select(
+        "o_orderkey", F.col("_row_id").alias("rid_upd")
+    )
+    drift2 = (
+        before.join(after_upd, "o_orderkey", "full_outer")
+        .filter(
+            F.col("rid_before").isNull()
+            | F.col("rid_upd").isNull()
+            | (F.col("rid_before") != F.col("rid_upd"))
+        )
+        .count()
+    )
+    if drift2 != 0:
+        raise RuntimeError(f"UPDATE changed row identity ({drift2} rows)")
     plain = dp.read_table(spark, root)
     if sorted(plain.columns) != sorted(cols):
         raise RuntimeError("materialized id columns leaked into the scan")

@@ -293,10 +293,13 @@ def version_at_timestamp(root: str, timestamp_ms: int) -> int:
     """TIMESTAMP AS OF resolution on an in-commit-timestamps table: the
     LATEST version whose inCommitTimestamp is <= the requested time.
     Strict monotonicity makes this a prefix scan of first-line
-    commitInfo reads (one line per commit, no action replay).
-    Timestamps before the first ICT commit refuse — the spec's
-    enablement boundary (file-modification-time fallback is
-    deliberately not implemented: mtimes do not survive copies)."""
+    commitInfo reads (one line per commit, no action replay) — O(the
+    commit JSONs on disk), NOT logarithmic; ``cleanup_expired_logs``
+    (checkpoint-horizon expiry) is what keeps that bounded at millions
+    of lifetime commits.  Timestamps before the first surviving ICT
+    commit refuse — the spec's enablement boundary, which after a
+    cleanup is the retention horizon (file-modification-time fallback
+    is deliberately not implemented: mtimes do not survive copies)."""
     best = None
     first_ict = None
     for v in _list_commit_versions(root):
@@ -498,6 +501,28 @@ def _live_rows_with_ids(
         .alias("_row_id"),
         F.coalesce(F.col(mat_cv), F.col("__rcv"))
         .alias("_row_commit_version"),
+    )
+
+
+def _live_rows_maybe_tracked(
+    spark: SparkSession, root: str, sub: "Snapshot", metadata: dict
+) -> tuple[DataFrame, tuple[str, str] | None]:
+    """OPTIMIZE's id-preserving scan shape, shared with the COW DML
+    rewrites (r11 verdict directive #7): on a row-tracked table the
+    live rows carry the MATERIALIZED row-id/commit-version columns
+    (renamed to the names the table configuration declares), so a
+    rewrite restages them and row identity survives UPDATE/DELETE the
+    way it already survived OPTIMIZE.  Untracked tables get the plain
+    scan and ``mat is None``."""
+    mat = _row_tracking_cols(metadata)
+    if mat is None:
+        return _live_rows(spark, root, sub), None
+    df = _live_rows_with_ids(spark, root, sub)
+    return (
+        df.withColumnRenamed("_row_id", mat[0]).withColumnRenamed(
+            "_row_commit_version", mat[1]
+        ),
+        mat,
     )
 
 
@@ -1031,9 +1056,12 @@ def _write_actions(root: str, version: int, actions: Iterable[dict]) -> None:
 def _footer_min_max(meta) -> dict:
     """PROTOCOL.md per-file statistics (minValues/maxValues) straight
     from the parquet FOOTER's row-group column statistics — no data
-    read.  JSON-representable leaf types only (int/float/str/bool);
-    other types (dates, decimals, binary) are simply omitted, which
-    readers must treat as "no bounds recorded".
+    read.  int/float/str/bool pass through; date/timestamp serialize
+    as ISO-8601 strings (PROTOCOL.md's stats encoding — and the
+    string ordering matches the chronological one, so skipping and
+    ZORDER narrowing work on the most common dimension, event dates);
+    decimals and binary are omitted, which readers must treat as "no
+    bounds recorded".
 
     A column gets bounds ONLY when EVERY row group carries usable stats
     for it: a row group with omitted stats (oversized strings past
@@ -1066,8 +1094,10 @@ def _footer_min_max(meta) -> dict:
             if not has:
                 dropped.add(name)
                 continue
+            import datetime as _dt
+
             if isinstance(lo, bytes) or not isinstance(
-                lo, (int, float, str, bool)
+                lo, (int, float, str, bool, _dt.date)
             ):
                 dropped.add(name)
                 continue
@@ -1083,7 +1113,16 @@ def _footer_min_max(meta) -> dict:
         maxs.pop(name, None)
     if not mins:
         return {}
-    return {"minValues": mins, "maxValues": maxs}
+
+    def _iso(v):
+        import datetime as _dt
+
+        return v.isoformat() if isinstance(v, _dt.date) else v
+
+    return {
+        "minValues": {k: _iso(v) for k, v in mins.items()},
+        "maxValues": {k: _iso(v) for k, v in maxs.items()},
+    }
 
 
 def unescape_path_name(seg: str) -> str | None:
@@ -1872,7 +1911,9 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
         # One distributed partitionBy restage replaces the former
         # per-partition-tuple write loop.
         sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
-        live = _live_rows(spark, root, sub)
+        # row-tracked tables carry materialized ids through the rewrite
+        # (directive #7): surviving rows keep their identity
+        live, mat = _live_rows_maybe_tracked(spark, root, sub, snap.metadata)
         # SQL DELETE removes rows where the predicate is TRUE only —
         # NULL-evaluating rows must SURVIVE the rewrite (NOT(NULL)=NULL
         # would silently drop them)
@@ -1880,9 +1921,10 @@ def delete_where(spark: SparkSession, root: str, predicate: str) -> dict:
         if not kept.isEmpty():
             actions.extend(_stage_data_files(kept, root, pcols, mapping=mapping))
         if _cdf_enabled(snap.metadata):
-            deleted = live.filter(predicate).withColumn(
-                "_change_type", F.lit("delete")
-            )
+            deleted = live.filter(predicate)
+            if mat is not None:
+                deleted = deleted.drop(*mat)  # cdc files: table cols only
+            deleted = deleted.withColumn("_change_type", F.lit("delete"))
             actions.extend(
                 _stage_data_files(deleted, root, pcols, cdc=True, mapping=mapping)
             )
@@ -2019,8 +2061,15 @@ def update_where(
     actions: list[dict] = []
     if rewrite:
         sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
-        live = _live_rows(spark, root, sub)
+        # row-tracked tables: updated rows KEEP their row id and take
+        # this commit as their row-commit-version (last modification);
+        # unmodified rows in rewritten files keep both (directive #7)
+        live, mat = _live_rows_maybe_tracked(spark, root, sub, snap.metadata)
         cond = F.expr(predicate)
+        if mat is not None:
+            live = live.withColumn(
+                mat[1], F.when(cond, F.lit(v)).otherwise(F.col(mat[1]))
+            )
         types = {f.name: f.dataType.simpleString() for f in snap.schema.fields}
         updated = live.select(
             *[
@@ -2045,7 +2094,10 @@ def update_where(
                 updated = updated.drop(*recompute)
             updated = _compute_or_validate_generated(
                 updated, gens, "UPDATE"
-            ).select(*[f.name for f in snap.schema.fields])
+            ).select(
+                *[f.name for f in snap.schema.fields],
+                *(mat if mat is not None else ()),
+            )
         _enforce_constraints(updated, snap.metadata, "UPDATE")
         actions.extend(
             _stage_data_files(
@@ -2054,6 +2106,8 @@ def update_where(
         )
         if _cdf_enabled(snap.metadata):
             matching = live.filter(cond)
+            if mat is not None:
+                matching = matching.drop(*mat)  # cdc: table cols only
             pre = matching.withColumn(
                 "_change_type", F.lit("update_preimage")
             )
@@ -2064,7 +2118,7 @@ def update_where(
                         if c in assignments
                         else F.col(c)
                     )
-                    for c in live.columns
+                    for c in matching.columns
                 ]
             ).withColumn("_change_type", F.lit("update_postimage"))
             actions.extend(
@@ -2689,6 +2743,36 @@ def checkpoint(spark: SparkSession, root: str) -> dict:
     with open(os.path.join(_log_dir(root), "_last_checkpoint"), "w") as f:
         json.dump({"version": v, "size": len(rows)}, f)
     return {"version": v, "n_actions": len(rows)}
+
+
+def cleanup_expired_logs(root: str) -> dict:
+    """PROTOCOL.md metadata cleanup ("delta log entries ... can be
+    deleted after a checkpoint"): remove every commit JSON strictly
+    BEFORE the last checkpoint.  Readers reconstruct any retained
+    version from the checkpoint + JSON suffix, so the log walkers
+    (``_list_commit_versions``, ``version_at_timestamp``,
+    ``_current_config_fast``) stay O(commits since checkpoint) —
+    bounded at millions of lifetime commits — instead of O(every
+    commit ever written).  Real Delta expires by age
+    (``delta.logRetentionDuration``, default 30 days); checkpoint-
+    horizon expiry is this writer's deterministic analog.
+
+    Time travel behind the horizon refuses with resolve's
+    vacuumed-log error; TIMESTAMP AS OF behind it refuses with the
+    enablement-boundary error (the earliest surviving ICT is now the
+    boundary); ICT lookups inside the horizon stay exact."""
+    ck = _read_last_checkpoint(root)
+    if ck is None:
+        raise DeltaProtocolError(
+            "metadata cleanup requires a checkpoint first — the removed "
+            "commits must be reconstructable from it"
+        )
+    removed = 0
+    for v in _list_commit_versions(root):
+        if v < ck:
+            os.remove(_commit_path(root, v))
+            removed += 1
+    return {"removed_commits": removed, "earliest_version": ck}
 
 
 # ---------------------------------------------------------------------------
@@ -3374,46 +3458,144 @@ def history(spark: SparkSession, root: str) -> list[dict]:
     return out
 
 
-def _zorder_key(df: DataFrame, cols: list[str]):
-    """Morton (bit-interleaved) key over NUMERIC columns: each column
-    min-max normalized to ``bits = min(16, 63 // k)`` bits (the cheap
-    analog of Delta's range-partition ids), bit j of column i landing
-    at position ``j*k + i`` — sorting by the single key clusters ALL k
-    dimensions, which is what narrows per-file min/max stats on every
-    z-ordered column at once.  One bounded agg computes the mins/maxs.
-
-    The per-column width shrinks with k so the TOP interleaved bit
-    (``bits*k - 1``) stays <= 62: a fixed 16 bits would put k=4's top
-    bit on the long's sign bit (those rows would sort FIRST, breaking
-    the curve) and silently wrap shiftleft mod 64 for k >= 5."""
+def _zorder_numeric_image(c: str, t: str):
+    """ORDER-PRESERVING double image of a non-string z-order column —
+    the Morton curve only needs each dimension mapped to a monotone
+    numeric axis (real Delta z-orders any stats-typed column; date ×
+    string keys like event_date × user_id are the common case):
+    numeric/decimal = the value, date = days since epoch, timestamp =
+    micros since epoch.  None = not imageable (binary, nested)."""
     numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
-    for c in cols:
-        t = dict(df.dtypes)[c]
-        if t not in numeric and not t.startswith("decimal"):
-            raise DeltaProtocolError(
-                f"ZORDER BY supports numeric columns only (got {c}: {t})"
-            )
+    if t in numeric or t.startswith("decimal"):
+        return F.col(c).cast("double")
+    if t == "date":
+        return F.unix_date(F.col(c)).cast("double")
+    if t in ("timestamp", "timestamp_ntz"):
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
+    return None
+
+
+def _zorder_string_image(c: str, mn: str | None, mx: str | None, bits: int):
+    """(image expr, lo, hi) for a STRING z-order column: the
+    ``ceil(bits/8)`` UTF-8 bytes AFTER the min/max common prefix as a
+    big-endian integer (hex + zero-RPAD + conv, all JVM-side).  Every
+    value in [min, max] shares that common prefix, so skipping it
+    spends the image's few bytes on the part that actually
+    discriminates — a fixed first-bytes prefix would collapse
+    'user-0000'..'user-9999' onto one point.  Zero-padding keeps
+    byte-lexicographic order for the truncated remainder, so the image
+    is monotone in the string ordering parquet stats use."""
+    nb = (bits + 7) // 8
+    if mn is None or mx is None:
+        return F.lit(0.0), 0.0, 0.0
+    b_mn, b_mx = mn.encode("utf-8"), mx.encode("utf-8")
+    pb = 0
+    while pb < len(b_mn) and pb < len(b_mx) and b_mn[pb] == b_mx[pb]:
+        pb += 1
+    img = F.conv(
+        F.rpad(
+            F.substring(
+                F.hex(F.encode(F.col(c), "UTF-8")), 2 * pb + 1, 2 * nb
+            ),
+            2 * nb,
+            "0",
+        ),
+        16,
+        10,
+    ).cast("double")
+
+    def _val(b: bytes) -> float:
+        return float(int.from_bytes(b[pb:pb + nb].ljust(nb, b"\0"), "big"))
+
+    return img, _val(b_mn), _val(b_mx)
+
+
+def _zorder_key(df: DataFrame, cols: list[str]):
+    """Morton (bit-interleaved) key: each column's order-preserving
+    numeric image mapped to an EQUAL-FREQUENCY rank of ``bits =
+    min(8, 63 // k)`` bits (Delta's own z-order normalizes each
+    dimension to range-partition IDS, i.e. ranks — min-max scaling
+    instead would let a non-uniform image, e.g. decimal digits in a
+    string prefix, skew quadrant populations so the equal-count file
+    split cuts ACROSS quadrants and one dimension stops narrowing),
+    bit j of column i landing at position ``j*k + i`` — sorting by the
+    single key clusters ALL k dimensions, which is what narrows
+    per-file min/max stats on every z-ordered column at once.
+
+    Cost: one bounded agg (string min/max, for the common-prefix skip)
+    + one distributed approxQuantile pass for the per-dim boundaries —
+    both a rounding error next to the full rewrite OPTIMIZE ZORDER is
+    about to do.  Rank lookup is a 255-comparison higher-order filter
+    over a literal boundary array, JVM-side whole-stage codegen.
+
+    8 bits/dim = 256 ranks, plenty to split any realistic per-commit
+    file count; the width shrinks with k so the TOP interleaved bit
+    stays <= 62 (never the long's sign bit)."""
+    k = len(cols)
+    bits = min(8, 63 // k)
+    buckets = 1 << bits
+    dtypes = dict(df.dtypes)
+    specs: list[tuple] = []
     aggs = []
     for c in cols:
-        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+        t = dtypes[c]
+        if t == "string":
+            specs.append(("str", c))
+            aggs += [F.min(F.col(c)), F.max(F.col(c))]
+        else:
+            img = _zorder_numeric_image(c, t)
+            if img is None:
+                raise DeltaProtocolError(
+                    f"ZORDER BY supports numeric/decimal/date/timestamp/"
+                    f"string columns (got {c}: {t})"
+                )
+            specs.append(("num", img))
+            aggs += [F.min(img), F.max(img)]
     row = df.agg(*aggs).first()
-    k = len(cols)
-    bits = min(16, 63 // k)
-    top = (1 << bits) - 1
+    imgs = []
+    for i, (kind, payload) in enumerate(specs):
+        if kind == "str":
+            img, _, _ = _zorder_string_image(
+                payload, row[2 * i], row[2 * i + 1], bits * 2
+            )
+        else:
+            img = payload
+        imgs.append(img.alias(f"__zi{i}"))
+    imaged = df.select(*imgs)
+    probs = [j / buckets for j in range(1, buckets)]
+    bnds = imaged.stat.approxQuantile(
+        [f"__zi{i}" for i in range(k)], probs, 1.0 / (4 * buckets)
+    )
+    top = F.lit(buckets - 1)
     zkey = F.lit(0).cast("long")
-    for i, c in enumerate(cols):
-        lo, hi = row[2 * i], row[2 * i + 1]
-        lo = 0.0 if lo is None else float(lo)
-        span = 1.0 if hi is None or float(hi) == lo else float(hi) - lo
+    for i, (kind, payload) in enumerate(specs):
+        if kind == "str":
+            img, _, _ = _zorder_string_image(
+                payload, row[2 * i], row[2 * i + 1], bits * 2
+            )
+        else:
+            img = payload
+        uniq = sorted(set(bnds[i]))
+        if uniq:
+            # rescale the 0..len(uniq) rank onto the FULL 0..2^bits-1
+            # space: low-cardinality dims otherwise occupy only the
+            # low bits, and the out-of-range top rank (a thin stripe
+            # spanning the whole OTHER dimension) sorts past every
+            # quadrant, polluting the last file's bounds on every dim
+            rank = (
+                F.size(
+                    F.filter(
+                        F.array(*[F.lit(b) for b in uniq]),
+                        lambda b: img >= b,
+                    )
+                ).cast("long")
+                * (buckets - 1)
+                / F.lit(len(uniq))
+            ).cast("long")
+        else:
+            rank = F.lit(0).cast("long")
         norm = F.coalesce(
-            F.least(
-                F.lit(top),
-                F.greatest(
-                    F.lit(0),
-                    ((F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
-                     * top).cast("long"),
-                ),
-            ),
+            F.least(top, F.greatest(F.lit(0), rank)),
             F.lit(0),  # NULLs cluster first, like Delta's NULLS FIRST
         )
         for j in range(bits):
@@ -3527,17 +3709,30 @@ def optimize(
     if zorder_by:
         # Morton-clustered layout: partitioned tables z-order WITHIN
         # each partition (one file per partition, rows sorted by the
-        # key -> tight row-group stats); unpartitioned tables range-
-        # split the key into target_files files, each covering one
-        # contiguous z-interval -> tight per-FILE min/max on every
-        # z-ordered column (the multi-dimensional skipping layout)
+        # key -> tight row-group stats); unpartitioned tables split
+        # the key into target_files ALIGNED z-space intervals -> each
+        # file is a Morton quadrant/octant, tight per-FILE min/max on
+        # every z-ordered column (the multi-dimensional skipping
+        # layout).  Aligned buckets, not equal-count sampling: the
+        # equal-frequency ranks already equalize quadrant populations,
+        # and a sampled cut landing mid-quadrant would make that file
+        # span one dimension entirely.
         live = live.withColumn("__z", _zorder_key(live, list(zorder_by)))
         if pcols:
             live = live.repartition(*pcols).sortWithinPartitions("__z")
         else:
+            kz = len(zorder_by)
+            zspace = 1 << (min(8, 63 // kz) * kz)
+            chunk = max(1, zspace // max(1, target_files))
+            live = live.withColumn(
+                "__zb", F.floor(F.col("__z") / F.lit(chunk))
+            )
+            # range-partition on the BUCKET alone: boundaries are whole
+            # bucket ids, so no file ever straddles a quadrant (adding
+            # __z as a tiebreaker would let sampled cuts land inside one)
             live = live.repartitionByRange(
-                max(1, target_files), "__z"
-            ).sortWithinPartitions("__z")
+                max(1, target_files), "__zb"
+            ).sortWithinPartitions("__z").drop("__zb")
         live = live.drop("__z")
     else:
         live = live.repartition(*pcols) if pcols else live.coalesce(1)

@@ -98,3 +98,43 @@ def test_untracked_tables_stay_unstamped(spark, tmp_path):
     assert _icts(root) == {}
     with pytest.raises(DeltaProtocolError, match="no in-commit"):
         dp.version_at_timestamp(root, 10**15)
+
+
+def test_metadata_cleanup_keeps_walkers_bounded(spark, tmp_path):
+    """PROTOCOL.md metadata cleanup (r11 verdict directive #6): commit
+    JSONs behind the checkpoint are removed, time travel behind the
+    horizon refuses with the vacuumed-log error, TIMESTAMP AS OF
+    inside the horizon stays exact, and behind it refuses with the
+    enablement-boundary error."""
+    root = str(tmp_path / "ict_cleanup")
+    dp.create_table(
+        _mk(spark, 0, 10),
+        root,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    with pytest.raises(DeltaProtocolError, match="checkpoint"):
+        dp.cleanup_expired_logs(root)  # nothing to reconstruct from yet
+    dp.append(_mk(spark, 10, 20), root)   # v1
+    dp.append(_mk(spark, 20, 30), root)   # v2
+    dp.checkpoint(spark, root)            # checkpoint at v2
+    dp.append(_mk(spark, 30, 40), root)   # v3
+    icts_before = _icts(root)
+    out = dp.cleanup_expired_logs(root)
+    assert out == {"removed_commits": 2, "earliest_version": 2}
+    # on disk: only the checkpoint-covered suffix remains
+    assert dp._list_commit_versions(root) == [2, 3]
+    # current + retained time travel read exactly
+    assert dp.read_table(spark, root).count() == 40
+    assert dp.read_table(spark, root, version=2).count() == 30
+    # behind the horizon: the spec's vacuumed-log refusal
+    with pytest.raises(ValueError, match="vacuumed"):
+        dp.read_table(spark, root, version=1)
+    # ICT lookup inside the horizon is still exact
+    assert dp.version_at_timestamp(root, icts_before[3]) == 3
+    assert dp.version_at_timestamp(root, icts_before[2]) == 2
+    # behind it: the enablement-boundary refusal (horizon = first
+    # surviving ICT)
+    with pytest.raises(DeltaProtocolError, match="precedes the first"):
+        dp.version_at_timestamp(root, icts_before[2] - 1)
+    # a second cleanup is a no-op
+    assert dp.cleanup_expired_logs(root)["removed_commits"] == 0

@@ -236,14 +236,49 @@ def test_zorder_partitioned_sorts_within_partition(spark, tmp_path):
     assert dp.read_table(spark, root).count() == 100
 
 
-def test_zorder_non_numeric_column_refuses(spark, tmp_path):
+def test_zorder_unsupported_type_refuses(spark, tmp_path):
+    """Stats-typed columns (numeric/decimal/date/timestamp/string) all
+    z-order; types parquet keeps no ordered stats for refuse."""
     root = str(tmp_path / "zorder_bad")
     dp.create_table(
-        spark.createDataFrame([(1, "x")], "k bigint, s string").coalesce(1),
+        spark.createDataFrame(
+            [(1, bytearray(b"x"))], "k bigint, b binary"
+        ).coalesce(1),
         root,
     )
-    with pytest.raises(dp.DeltaProtocolError, match="numeric"):
-        dp.optimize(spark, root, zorder_by=["s"])
+    with pytest.raises(dp.DeltaProtocolError, match="ZORDER BY supports"):
+        dp.optimize(spark, root, zorder_by=["b"])
+
+
+def test_zorder_date_string_narrows_stats_on_both_dimensions(spark, tmp_path):
+    """The r10/r11 carried directive: date × string is the COMMON
+    z-order key shape (event_date × user_id).  A 32x32 grid of
+    (date, string) z-ordered into 4 files must narrow per-file min/max
+    on BOTH dimensions at once — single-column sorting would leave the
+    other at full width."""
+    import datetime as dt
+
+    root = str(tmp_path / "zorder_ds")
+    rows = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=a), f"user-{b:04d}")
+        for a in range(32)
+        for b in range(32)
+    ]
+    grid = spark.createDataFrame(rows, "d date, u string").coalesce(1)
+    dp.create_table(grid, root)
+    out = dp.optimize(spark, root, zorder_by=["d", "u"], target_files=4)
+    assert out["files_added"] == 4 and out["files_removed"] == 1
+    snap = dp.resolve(spark, root)
+    for add in snap.adds:
+        bd = dp._stats_bounds(add, "d")
+        bu = dp._stats_bounds(add, "u")
+        assert bd and bu
+        d_lo = dt.date.fromisoformat(str(bd[0])[:10])
+        d_hi = dt.date.fromisoformat(str(bd[1])[:10])
+        assert (d_hi - d_lo).days <= 24, f"date range too wide: {bd}"
+        u_lo, u_hi = int(bu[0][5:]), int(bu[1][5:])
+        assert u_hi - u_lo <= 24, f"string range too wide: {bu}"
+    assert dp.read_table(spark, root).count() == 1024
 
 
 def test_zorder_null_values_cluster_first(spark, tmp_path):

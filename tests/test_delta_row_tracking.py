@@ -83,15 +83,36 @@ def test_dv_delete_keeps_surviving_ids(table, spark):
     assert all(after[k] == before[k] for k in after)
 
 
-def test_cow_update_assigns_fresh_ids_and_never_recycles(table, spark):
+def test_cow_update_preserves_row_ids(table, spark):
+    """r11 verdict directive #7: UPDATE carries the materialized id
+    columns through the rewrite (OPTIMIZE's shape) — every row keeps
+    its id; updated rows take the UPDATE's commit as their
+    row-commit-version, untouched rows in the rewritten file keep
+    theirs."""
     before = _ids(spark, table)
-    dp.update_where(spark, table, "k < 10", {"v": "v + 1000"})
+    out = dp.update_where(spark, table, "k < 10", {"v": "v + 1000"})
+    assert out["files_rewritten"] >= 1
     after = _ids(spark, table)
-    # rewritten rows: fresh ids above the old hwm (honest subset:
-    # COW DML does not preserve ids; OPTIMIZE and DV deletes do)
-    touched = [after[k][0] for k in range(10)]
-    assert min(touched) > max(i for i, _ in before.values())
-    assert len(set(i for i, _ in after.values())) == 100
+    assert {k: i for k, (i, _) in after.items()} == {
+        k: i for k, (i, _) in before.items()
+    }  # ids stable across the COW rewrite
+    for k in range(10):
+        assert after[k][1] == out["version"]  # last-modification version
+    for k in range(10, 100):
+        assert after[k][1] == before[k][1]
+    # updated VALUES landed
+    vals = {
+        r["k"]: r["v"] for r in dp.read_table(spark, table).collect()
+    }
+    assert vals[3] == 1006 and vals[50] == 100
+
+
+def test_cow_delete_preserves_surviving_row_ids(table, spark):
+    before = _ids(spark, table)
+    dp.delete_where(spark, table, "k % 10 = 0")
+    after = _ids(spark, table)
+    assert set(after) == {k for k in range(100) if k % 10 != 0}
+    assert all(after[k] == before[k] for k in after)  # id AND cv stable
 
 
 def test_row_ids_survive_checkpoint_and_restore(table, spark):
