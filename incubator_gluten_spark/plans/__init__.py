@@ -72,54 +72,52 @@ _FRONT = (
     "dp_dedup_exact",
     "dp_sequence_packing",
     "dp_embedding_near_dup",
-    # --- r11 rotation (r10 verdict directive #1): never-graded,
-    #     round-robin across families, oracle-backed first; the
-    #     TWENTY r11 new-surface entries (iceberg merge/mor/
-    #     maintenance/changelog/wap, delta merge-schema/defaults/
-    #     widening/clustering/row-tracking/upsert-sink/ict, hudi
-    #     mor-incremental/savepoint/mor-savepoint, iceberg upsert
-    #     sink) certified
-    #     the round they land — the judge-endorsed swap-in pattern ---
-    "agg_grouping_sets_distinct",
-    "stream_delta_upsert_sink",
-    "src_hudi_mor_savepoint",
-    "ds_multi_supplier_no_return",
-    "fn_map_batch3",
-    "src_delta_ict",
-    "join_null_safe",
-    "misc_observe",
-    "op_correlated_scalar",
-    "src_iceberg_rewrite_posdel",
-    "src_delta_clone",
-    "stream_python_sink",
-    "udf_python_row",
-    "win_frames_rows",
-    "src_delta_row_tracking",
-    "cb_peak_minutes",
-    "dp_inverted_index",
-    "ds_nation_above_global",
-    "src_iceberg_wap",
-    "src_delta_type_widening",
-    "src_hudi_savepoint",
-    "op_execute_immediate",
-    "src_delta_constraints",
-    "stream_delta_cdf_source",
-    "src_iceberg_sort_order",
-    "agg_hll_sketch_rollup",
-    "src_delta_liquid_clustering",
-    "dp_lang_id",
-    "ds_order_gap_median",
-    "fn_math",
-    "src_delta_generated",
-    "src_iceberg_merge",
-    "src_iceberg_maintenance",
-    "src_delta_merge_schema",
-    "src_iceberg_merge_mor",
-    "src_delta_defaults",
-    "stream_iceberg_upsert_sink",
-    "src_iceberg_changelog",
-    "src_iceberg_changelog_net",
-    "src_hudi_mor_incremental",
+    # --- r12 rotation (r11 verdict directive #1): finish WHOLE small
+    #     families — agg(7) + gen(4) + join(1) + misc(9) + op(8) +
+    #     setop(1) + udf(4) + win(2) = 36 closes EIGHT families; plus
+    #     the TWO r12 new-surface entries (MOR-debt single-join read,
+    #     date×string z-order) certified the round they land — the
+    #     judge-endorsed swap-in pattern — and 2 ds_* backfills ---
+    "agg_histogram_golden",
+    "agg_minmax_by",
+    "agg_mode_sketch",
+    "agg_percentiles",
+    "agg_skew_kurt",
+    "agg_string_agg",
+    "agg_try_arith",
+    "gen_posexplode",
+    "gen_posexplode_outer",
+    "gen_sequence",
+    "gen_stack",
+    "join_right_outer",
+    "misc_range",
+    "misc_repartition",
+    "misc_repartition_range",
+    "misc_salted_join",
+    "misc_sample_bounds",
+    "misc_sample_hash",
+    "misc_sample_seeded",
+    "misc_take_ordered",
+    "misc_zorder_key",
+    "op_parameterized_sql",
+    "op_pipe_sql",
+    "op_sortmerge_hint",
+    "op_sql_features",
+    "op_sql_scripting",
+    "op_type_validation",
+    "op_type_validation_complex",
+    "op_unpivot_metrics",
+    "setop_union_distinct",
+    "udf_registered_sql",
+    "udf_scalar_iter",
+    "udf_sql_function",
+    "udf_window_in_pandas",
+    "win_nth_first_last",
+    "win_unbounded_agg",
+    "src_iceberg_mor_debt",
+    "src_delta_zorder_mixed",
+    "ds_priority_switch_orders",
+    "ds_promo_ratio",
 )
 
 

@@ -2206,7 +2206,16 @@ def merge(
         else:
             rewrite.append(add)
     sub = Snapshot(snap.version, snap.metadata, rewrite, snap.protocol)
-    tgt = _live_rows(spark, root, sub) if rewrite else None
+    # row-tracked tables: target rows carry materialized ids through
+    # the rewrite (directive #7) — matched rows keep their id and take
+    # this commit as row-commit-version, target-only rows keep both,
+    # inserted rows stage NULL materialized ids and read back as fresh
+    # (baseRowId + position fallback)
+    tgt, mat = (
+        _live_rows_maybe_tracked(spark, root, sub, snap.metadata)
+        if rewrite
+        else (None, None)
+    )
     if n_keys != n_nn and tgt is not None:
         # duplicate keys are only an error when one of them matches a
         # target row (fan-out).  Skipped files are range-disjoint from
@@ -2230,12 +2239,23 @@ def merge(
         tgt = tgt.alias("t")
         joined = tgt.join(src_nn, tgt[key_col] == src_nn[key_col], "full_outer")
         matched = src_nn[key_col].isNotNull()
+        id_cols = (
+            [
+                tgt[mat[0]].alias(mat[0]),
+                F.when(matched, F.lit(v))
+                .otherwise(tgt[mat[1]])
+                .alias(mat[1]),
+            ]
+            if mat is not None
+            else []
+        )
         merged = joined.select(
-            *[F.when(matched, src_nn[c]).otherwise(tgt[c]).alias(c) for c in cols]
+            *[F.when(matched, src_nn[c]).otherwise(tgt[c]).alias(c) for c in cols],
+            *id_cols,
         )
     else:
         merged = src_nn.select(*cols)
-    merged = merged.unionByName(null_inserts)
+    merged = merged.unionByName(null_inserts, allowMissingColumns=True)
     gens = _generated_cols(snap.metadata)
     if gens:
         # merge frames carry the full schema: validate (a source row
@@ -2350,6 +2370,12 @@ def merge_clauses(
     ``insert`` leaves unset columns NULL.  An unconditional clause must
     be the last of its category (Delta's unreachable-clause analysis
     error).
+
+    Honest subset: on a row-tracked table THIS path assigns fresh row
+    ids to rewritten rows (OPTIMIZE, UPDATE, DELETE and plain ``merge``
+    preserve them via the materialized columns — r12 directive #7);
+    carrying ids through the per-clause category selects is future
+    work.
 
     Scale shape: with only matched/not_matched clauses, file skipping
     is identical to ``merge`` (O(matched files)); any

@@ -407,7 +407,9 @@ def create_table(
     ice_schema = _iceberg_schema(df.schema)
     spec = _partition_spec(ice_schema, partition_cols)
     pschema = _partition_avro_schema(ice_schema, spec)
-    data_files = _write_data_files(spark, df, root, partition_cols)
+    data_files = _write_data_files(
+        spark, df, root, partition_cols, ice_schema=ice_schema
+    )
     manifest = _write_manifest_v2(
         root,
         [(ADDED, 1, _with_v2_fields(d, DATA_CONTENT)) for d in data_files],
@@ -425,7 +427,9 @@ def append(df: DataFrame, root: str) -> dict:
     spec = meta["partition-specs"][0]
     pschema = _partition_avro_schema(ice_schema, spec)
     partition_cols = [f["name"] for f in spec["fields"]]
-    data_files = _write_data_files(spark, df, root, partition_cols)
+    data_files = _write_data_files(
+        spark, df, root, partition_cols, ice_schema=ice_schema
+    )
     snap_id = len(meta["snapshots"]) + 1
     manifest = _write_manifest_v2(
         root,
@@ -665,7 +669,9 @@ def merge_mor(
         root, [(ADDED, snap_id, del_entry)], pschema
     )
     partition_cols = [f["name"] for f in spec["fields"]]
-    data_files = _write_data_files(spark, source, root, partition_cols)
+    data_files = _write_data_files(
+        spark, source, root, partition_cols, ice_schema=ice_schema
+    )
     data_manifest = _write_manifest_v2(
         root,
         [(ADDED, snap_id, _with_v2_fields(d, DATA_CONTENT)) for d in data_files],
@@ -735,7 +741,9 @@ def rewrite_data_files(spark: SparkSession, root: str) -> dict:
     spec = meta["partition-specs"][0]
     partition_cols = [f["name"] for f in spec["fields"]]
     merged = read_table(spark, root)
-    data_files = _write_data_files(spark, merged, root, partition_cols)
+    data_files = _write_data_files(
+        spark, merged, root, partition_cols, ice_schema=ice_schema
+    )
     snap_id = _next_snapshot_id(meta)
     manifest = _write_manifest_v2(
         root,

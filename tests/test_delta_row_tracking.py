@@ -139,3 +139,32 @@ def test_plain_reads_never_see_materialized_columns(table, spark):
     t = dp.read_table(spark, table)
     assert t.columns == ["k", "v"]
     assert t.count() == 100
+
+
+def test_merge_preserves_row_ids_inserts_get_fresh(table, spark):
+    """MERGE on a tracked table: matched rows keep their id (cv moves
+    to the merge commit), untouched-in-rewritten-file rows keep both,
+    inserted rows get FRESH ids above the old high-water mark."""
+    before = _ids(spark, table)
+    hwm_before = max(i for i, _ in before.values())
+    src = (
+        spark.range(95, 110)
+        .select(F.col("id").alias("k"), F.lit(-1).cast("long").alias("v"))
+        .coalesce(1)
+    )
+    out = dp.merge(spark, table, src, "k")
+    assert out["files_rewritten"] >= 1
+    after = _ids(spark, table)
+    # matched keys 95..99: same id, cv = merge version
+    for k in range(95, 100):
+        assert after[k][0] == before[k][0]
+        assert after[k][1] == out["version"]
+    # untouched keys: id AND cv stable
+    for k in range(0, 95):
+        assert after[k] == before[k]
+    # inserted keys 100..109: fresh ids above the old hwm, unique
+    fresh = [after[k][0] for k in range(100, 110)]
+    assert min(fresh) > hwm_before and len(set(fresh)) == 10
+    assert all(after[k][1] == out["version"] for k in range(100, 110))
+    # all ids unique table-wide
+    assert len({i for i, _ in after.values()}) == len(after)
