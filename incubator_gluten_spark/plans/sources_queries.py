@@ -4007,11 +4007,27 @@ def src_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             (bv[0], bv[1]) if glo_v is None
             else (min(glo_v[0], bv[0]), max(glo_v[1], bv[1]))
         )
-    wu, wv = glo_u[1] - glo_u[0], glo_v[1] - glo_v[0]
+    # narrowness in QUANTILE space (r12): z-order normalizes each dim
+    # to equal-frequency ranks (Delta's range-partition IDs), so the
+    # skipping guarantee is "each file covers a narrow quantile band"
+    # — on the skewed `value` dim the top quarter is absolutely wide
+    # by data shape, not by layout defect.  user_id is near-uniform,
+    # so absolute width still applies there.
+    import bisect
+
+    vq = dp.read_table(spark, root).stat.approxQuantile(
+        "value", [i / 100 for i in range(101)], 0.001
+    )
+
+    def _qpos(x):
+        return bisect.bisect_left(vq, x) / 100.0
+
+    wu = glo_u[1] - glo_u[0]
     narrow = sum(
         1
         for bu, bv in spans
-        if (bu[1] - bu[0]) <= 0.7 * wu and (bv[1] - bv[0]) <= 0.7 * wv
+        if (bu[1] - bu[0]) <= 0.7 * wu
+        and (_qpos(bv[1]) - _qpos(bv[0])) <= 0.40
     )
     if narrow * 4 < len(spans) * 3:
         raise RuntimeError(

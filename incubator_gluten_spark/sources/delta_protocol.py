@@ -3755,9 +3755,13 @@ def optimize(
             )
             # range-partition on the BUCKET alone: boundaries are whole
             # bucket ids, so no file ever straddles a quadrant (adding
-            # __z as a tiebreaker would let sampled cuts land inside one)
+            # __z as a tiebreaker would let sampled cuts land inside
+            # one).  4x partition oversampling keeps the sampler from
+            # MERGING two buckets into one partition (one merged file
+            # spans both u-halves — observed as a full-width dim);
+            # surplus partitions are empty and write no files.
             live = live.repartitionByRange(
-                max(1, target_files), "__zb"
+                4 * max(1, target_files), "__zb"
             ).sortWithinPartitions("__z").drop("__zb")
         live = live.drop("__z")
     else:

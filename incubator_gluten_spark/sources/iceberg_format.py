@@ -241,6 +241,18 @@ def _manifest_entry_schema(partition_schema: dict) -> dict:
                             ],
                             "field-id": 128,
                         },
+                        # spec null_value_counts (field-id 110): lets
+                        # IS [NOT] NULL prune metadata-only and lets
+                        # value predicates drop all-null files the
+                        # min/max bounds can't see
+                        {
+                            "name": "null_value_counts",
+                            "type": [
+                                "null",
+                                {"type": "map", "values": "long"},
+                            ],
+                            "field-id": 110,
+                        },
                     ],
                 },
             },
@@ -479,35 +491,13 @@ def plan_files(
                 return (v - _dt.date(1970, 1, 1)).days
             return v
 
+        bound_checks = _build_bound_checks(cur_schema, source_predicates)
         for col, op, val in source_predicates:
-            if col not in by_name:
-                raise ValueError(f"unknown predicate column {col!r}")
-            if op not in ("=", "in", "<", "<=", ">", ">="):
-                raise ValueError(f"unknown predicate op {op!r}")
-            if val is None:
-                continue  # no null-literal pruning; residual filter only
+            if op in ("is_null", "not_null") or val is None:
+                # bounds/null-count checks only — no partition-transform
+                # mapping (transform(null)=null is a different rule)
+                continue
             fid = by_name[col]["id"]
-            ice_t = by_id[fid]["type"]
-
-            def _norm(v):
-                # timestamptz literals normalize to naive UTC, the
-                # domain _bound_deser returns
-                import datetime as _dt
-
-                if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-                    return v.astimezone(_dt.timezone.utc).replace(
-                        tzinfo=None
-                    )
-                return v
-
-            bound_checks.append(
-                (
-                    str(fid),
-                    ice_t,
-                    op,
-                    {_norm(v) for v in val} if op == "in" else _norm(val),
-                )
-            )
             for sp in meta["partition-specs"]:
                 checks = checks_by_spec.setdefault(sp.get("spec-id", 0), [])
                 for pf in sp["fields"]:
@@ -612,14 +602,69 @@ def plan_files(
     return sorted(files, key=lambda d: d["file_path"])
 
 
+def _build_bound_checks(
+    ice_schema: dict, source_predicates: list[tuple]
+) -> list[tuple]:
+    """``(str(field id), ice type, op, normalized literal)`` tuples for
+    ``_bounds_keep`` — shared by plan_files (v1) and iceberg_v2's
+    merge-on-read scan.  Validates columns and ops; NULL literals
+    contribute no check (residual filter only); timestamptz literals
+    normalize to naive UTC, the domain ``_bound_deser`` returns."""
+    import datetime as _dt
+
+    by_name = {f["name"]: f for f in ice_schema["fields"]}
+
+    def _norm(v):
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    checks: list[tuple] = []
+    for col, op, val in source_predicates:
+        if col not in by_name:
+            raise ValueError(f"unknown predicate column {col!r}")
+        if op not in ("=", "in", "<", "<=", ">", ">=",
+                      "is_null", "not_null"):
+            raise ValueError(f"unknown predicate op {op!r}")
+        fld = by_name[col]
+        if op in ("is_null", "not_null"):
+            checks.append((str(fld["id"]), fld["type"], op, None))
+            continue
+        if val is None:
+            continue
+        checks.append(
+            (
+                str(fld["id"]),
+                fld["type"],
+                op,
+                {_norm(v) for v in val} if op == "in" else _norm(val),
+            )
+        )
+    return checks
+
+
 def _bounds_keep(data_file: dict, checks: list[tuple]) -> bool:
     """Conservative per-file bound evaluation: False only when the
-    file's [lower, upper] for the predicate column PROVABLY excludes
-    every satisfying value.  Files without bounds for a column (legacy
-    manifests, stats-less columns) are always kept."""
+    file's [lower, upper] / null_value_counts for the predicate column
+    PROVABLY exclude every satisfying value.  Files without bounds or
+    counts for a column (legacy manifests, stats-less columns) are
+    always kept."""
     lb = data_file.get("lower_bounds") or {}
     ub = data_file.get("upper_bounds") or {}
+    nvc = data_file.get("null_value_counts") or {}
+    n_rows = data_file.get("record_count")
     for fid, ice_t, op, val in checks:
+        nulls = nvc.get(fid)
+        if op == "is_null":
+            if nulls == 0:
+                return False  # provably no null in this file
+            continue
+        if op == "not_null":
+            if nulls is not None and nulls == n_rows:
+                return False  # every row null
+            continue
+        if nulls is not None and nulls == n_rows:
+            return False  # all-null file can't satisfy a value predicate
         lo_b, hi_b = lb.get(fid), ub.get(fid)
         if lo_b is None or hi_b is None:
             continue
@@ -759,6 +804,10 @@ def _source_pred_cond(source_predicates: list[tuple]):
             cond = cond & (c > F.lit(val))
         elif op == ">=":
             cond = cond & (c >= F.lit(val))
+        elif op == "is_null":
+            cond = cond & c.isNull()
+        elif op == "not_null":
+            cond = cond & c.isNotNull()
     return cond
 
 
@@ -950,14 +999,17 @@ def _bound_deser(ice_t: str, b: bytes):
 
 def _footer_bounds(
     md, ice_schema: dict
-) -> tuple[dict[str, bytes], dict[str, bytes]]:
-    """Per-column (lower, upper) maps keyed by str(field id), from the
-    parquet footer's row-group statistics — the pq.read_metadata call
-    finalize already makes, ZERO extra I/O.  A column missing valid
-    min/max in ANY row group contributes no bound (conservative)."""
+) -> tuple[dict[str, bytes], dict[str, bytes], dict[str, int]]:
+    """Per-column (lower, upper, null count) maps keyed by str(field
+    id), from the parquet footer's row-group statistics — the
+    pq.read_metadata call finalize already makes, ZERO extra I/O.  A
+    column missing valid min/max (or a null count) in ANY row group
+    contributes no bound / no count (conservative)."""
     by_name = {f["name"]: f for f in ice_schema["fields"]}
     mins: dict[str, tuple] = {}
     seen: dict[str, int] = {}
+    ncs: dict[str, int] = {}
+    nc_seen: dict[str, int] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -967,6 +1019,9 @@ def _footer_bounds(
             if fld is None:
                 continue
             st = col.statistics
+            if st is not None and st.has_null_count:
+                nc_seen[name] = nc_seen.get(name, 0) + 1
+                ncs[name] = ncs.get(name, 0) + st.null_count
             if st is None or not st.has_min_max:
                 continue
             seen[name] = seen.get(name, 0) + 1
@@ -987,7 +1042,12 @@ def _footer_bounds(
         if lo is not None and hi is not None:
             lower[str(fld["id"])] = lo
             upper[str(fld["id"])] = hi
-    return lower, upper
+    nulls = {
+        str(by_name[name]["id"]): n
+        for name, n in ncs.items()
+        if nc_seen[name] == md.num_row_groups
+    }
+    return lower, upper, nulls
 
 
 def _write_data_files(
@@ -1109,12 +1169,14 @@ def _write_data_files(
             n_rows = md.num_rows
             if n_rows == 0:
                 continue
-            # spec lower/upper_bounds from the SAME footer read the
-            # row count comes from — zero extra I/O; lets scans prune
-            # by predicate and MERGE plan its candidate files
-            # metadata-only (r11 verdict What's-missing #2)
-            lower, upper = (
-                _footer_bounds(md, ice_schema) if ice_schema else ({}, {})
+            # spec lower/upper_bounds + null_value_counts from the SAME
+            # footer read the row count comes from — zero extra I/O;
+            # lets scans prune by predicate and MERGE plan its candidate
+            # files metadata-only (r11 verdict What's-missing #2)
+            lower, upper, nulls = (
+                _footer_bounds(md, ice_schema)
+                if ice_schema
+                else ({}, {}, {})
             )
             rel = f"data/{token}-{len(data_files):04d}.parquet"
             # staged files already contain every schema column (identity
@@ -1136,6 +1198,7 @@ def _write_data_files(
                     "block_size_in_bytes": 67108864,
                     "lower_bounds": lower or None,
                     "upper_bounds": upper or None,
+                    "null_value_counts": nulls or None,
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)

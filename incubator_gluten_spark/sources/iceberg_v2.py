@@ -47,6 +47,9 @@ from pyspark.sql import functions as F
 from incubator_gluten_spark.sources.avro import read_container, write_container
 from incubator_gluten_spark.sources.iceberg_format import (
     ADDED,
+    _apply_residual,
+    _bounds_keep,
+    _build_bound_checks,
     _iceberg_schema,
     _manifest_entry_schema,
     _meta_dir,
@@ -316,7 +319,10 @@ def _delete_side(
 
 
 def read_table(
-    spark: SparkSession, root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    source_predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """MERGE-ON-READ: pruned parquet scan of the live data files, then
     delete-file application as left-anti hash joins keyed on (file,
@@ -325,20 +331,31 @@ def read_table(
     join for all position deletes and ONE per distinct equality_ids
     group (not per file), each broadcast only under the metadata byte
     gate — the plan a 100 TB table with a month of upsert debt needs.
-    Reference analog: Velox applies delete files inside the scan node,
-    never as a per-file join chain (gluten-iceberg/src/main/scala/org/
-    apache/gluten/execution/IcebergScanTransformer.scala:44)."""
+
+    ``source_predicates`` (r12): v2 data files carry the manifests'
+    per-column bounds/null counts, so the DATA side prunes
+    metadata-only before any I/O; a residual row filter makes the
+    result exact.  Pruning only ever REMOVES data rows, so applying
+    delete files to the pruned scan is unchanged-sound.  Reference
+    analog: Velox applies delete files inside the scan node, never as
+    a per-file join chain (gluten-iceberg/src/main/scala/org/apache/
+    gluten/execution/IcebergScanTransformer.scala:44)."""
     meta = _current_metadata(root)
     ice_schema = meta["schema"]
     ddl = spark_ddl_for(ice_schema)
     scan = plan_scan(root, snapshot_id)
+    if source_predicates:
+        checks = _build_bound_checks(ice_schema, source_predicates)
+        scan["data"] = [
+            (f, s) for f, s in scan["data"] if _bounds_keep(f, checks)
+        ]
     if not scan["data"]:
         return spark.createDataFrame([], ddl)
     df = spark.read.schema(ddl).parquet(
         *[_resolve_path(root, f["file_path"]) for f, _ in scan["data"]]
     )
     if not scan["pos_deletes"] and not scan["eq_deletes"]:
-        return df
+        return _apply_residual(df, source_predicates)
     cols = df.columns
     # attach each row's (relative path, data sequence number): one
     # broadcast join against an O(n_files) mapping
@@ -372,7 +389,7 @@ def read_table(
         for c in eq_cols:
             cond = cond & df[c].eqNullSafe(dels[c])
         df = df.join(dels, cond, "left_anti")
-    return df.select(*cols)
+    return _apply_residual(df.select(*cols), source_predicates)
 
 
 def history(root: str) -> list[dict]:

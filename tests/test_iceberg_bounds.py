@@ -120,7 +120,7 @@ def test_legacy_files_without_bounds_fall_back_to_key_scan(
     """Files from pre-bounds manifests carry none: they must stay MERGE
     candidates (correctness) and never be pruned by plan_files."""
     monkeypatch.setattr(
-        ice, "_footer_bounds", lambda md, schema: ({}, {})
+        ice, "_footer_bounds", lambda md, schema: ({}, {}, {})
     )
     root = str(tmp_path / "b_legacy")
     ice.create_table(_mk(spark), root)
@@ -137,3 +137,47 @@ def test_legacy_files_without_bounds_fall_back_to_key_scan(
     assert out["files_rewritten"] == 1  # the key scan still finds it
     got = ice.read_table(spark, root).filter("k = 500").collect()
     assert [r["s"] for r in got] == ["upd"]
+
+
+def test_null_value_counts_prune_is_null_and_all_null_files(spark, tmp_path):
+    """spec null_value_counts (field-id 110): IS [NOT] NULL prunes
+    metadata-only, and an all-null file is dropped for any value
+    predicate even though it carries no min/max bounds."""
+    root = str(tmp_path / "b_nulls")
+    # file A: no nulls in v; file B: ALL nulls in v (repartitionByRange
+    # on k keeps them separate)
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 50, F.col("id").cast("double")).alias("v"),
+    ).repartitionByRange(2, "k")
+    ice.create_table(df, root)
+    files = ice.plan_files(root)
+    assert len(files) == 2
+    by_name = {
+        f["name"]: f for f in ice._current_metadata(root)["schema"]["fields"]
+    }
+    vid = str(by_name["v"]["id"])
+    counts = sorted(
+        (f.get("null_value_counts") or {}).get(vid) for f in files
+    )
+    assert counts == [0, 50]
+    # IS NULL: the null-free file is pruned
+    assert len(ice.plan_files(root, source_predicates=[("v", "is_null", None)])) == 1
+    # IS NOT NULL: the all-null file is pruned
+    assert len(ice.plan_files(root, source_predicates=[("v", "not_null", None)])) == 1
+    # a value predicate drops the all-null file despite it having no
+    # min/max bounds for v
+    hit = ice.plan_files(root, source_predicates=[("v", ">=", 0.0)])
+    assert len(hit) == 1
+    assert (hit[0].get("null_value_counts") or {}).get(vid) == 0
+    # reads through the pruned plans stay exact
+    assert (
+        ice.read_table(spark, root, source_predicates=[("v", "is_null", None)]).count()
+        == 50
+    )
+    assert (
+        ice.read_table(
+            spark, root, source_predicates=[("v", "not_null", None)]
+        ).count()
+        == 50
+    )

@@ -187,6 +187,9 @@ def test_manifest_avro_interop_with_jvm(spark, sf_dir, tmp_path):
                             for k, v in d["upper_bounds"].items()
                         }
                     },
+                    "null_value_counts": None
+                    if d.get("null_value_counts") is None
+                    else {"map": dict(d["null_value_counts"])},
                 },
             }
         )

@@ -72,19 +72,24 @@ def test_evolution_is_metadata_only_and_specs_accumulate(table, spark):
 def test_predicate_prunes_new_spec_keeps_old_conservatively(table, spark):
     files = ice.plan_files(table)
     n_old = sum(1 for f in files if f["_spec_id"] == 0)
-    # a ts predicate: old-spec files (not partitioned by ts) must ALL be
-    # kept; new-spec files prune by their day tuple
+    # a ts predicate: old-spec files are not ts-PARTITIONED, so the
+    # transform path keeps them — pre-r12 that meant all kept; now
+    # their COLUMN BOUNDS prune the ones provably outside the range
+    # (the read-exactness assert below is the soundness check); new-spec
+    # files prune by their day tuple
     preds = [("ts", ">=", _D(2024, 1, 4))]
     pruned = ice.plan_files(table, source_predicates=preds)
-    assert sum(1 for f in pruned if f["_spec_id"] == 0) == n_old
+    assert sum(1 for f in pruned if f["_spec_id"] == 0) <= n_old
     assert sum(1 for f in pruned if f["_spec_id"] == 1) == 1
     # and the read stays EXACT through the residual filter
     got = ice.read_table(spark, table, source_predicates=preds)
     assert [r.k for r in got.collect()] == [4]
-    # a grp predicate prunes OLD-spec files and keeps new-spec ones
+    # a grp predicate prunes OLD-spec files via their grp partition
+    # tuple, and new-spec files (day-partitioned, not by grp) via their
+    # r12 column bounds — exactness asserted below either way
     gpruned = ice.plan_files(table, source_predicates=[("grp", "=", "a")])
     assert sum(1 for f in gpruned if f["_spec_id"] == 0) < n_old
-    assert sum(1 for f in gpruned if f["_spec_id"] == 1) == 2
+    assert 1 <= sum(1 for f in gpruned if f["_spec_id"] == 1) <= 2
     got = ice.read_table(
         spark, table, source_predicates=[("grp", "=", "a")]
     )

@@ -212,12 +212,18 @@ def test_bucket_equality_pruning_is_exact(spark, sf_dir, tmp_path):
     got = ice.read_table(spark, root, source_predicates=preds)
     want = src.filter(F.col("o_custkey") == int(key))
     assert _rows(got) == _rows(want)
-    # a RANGE predicate on the bucket source must NOT prune (hash order
-    # is meaningless) — but the residual filter still applies
-    rng = ice.plan_files(
-        root, source_predicates=[("o_custkey", ">=", int(key))]
-    )
+    # a RANGE predicate must NOT prune through the bucket TRANSFORM
+    # (hash order is meaningless); r12 column bounds may legitimately
+    # prune a range, so the sentinel probes the domain bottom where
+    # every file's bounds are satisfied — any pruning there would be a
+    # transform bug
+    rng = ice.plan_files(root, source_predicates=[("o_custkey", ">=", 0)])
     assert len(rng) == len(all_files)
+    # a mid-domain range stays exact through bounds + residual filter
+    got2 = ice.read_table(
+        spark, root, source_predicates=[("o_custkey", ">=", int(key))]
+    )
+    assert got2.count() == src.filter(F.col("o_custkey") >= int(key)).count()
 
 
 def test_truncate_string_partitioning(spark, sf_dir, tmp_path):

@@ -440,3 +440,24 @@ def test_delete_broadcast_gate_both_sides(spark, tmp_path, monkeypatch):
         )
     finally:
         spark.conf.set(key, prior)
+
+
+def test_read_table_prunes_data_files_by_bounds(spark, tmp_path):
+    """r12: v2 data files carry manifest column bounds, so a predicate
+    read prunes the DATA side metadata-only before any I/O — under
+    live delete debt — and the residual filter keeps it exact."""
+    root = str(tmp_path / "v2_prune")
+    base = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") % 7).cast("double").alias("v")
+    ).repartitionByRange(4, "k")
+    v2.create_table(base, root)
+    v2.merge_mor(spark, root, _mm_mk(spark, [(5, 99.0)]), ["k"])
+    df = v2.read_table(spark, root, source_predicates=[("k", "<", 100)])
+    got = sorted(r["k"] for r in df.collect())
+    assert got == sorted(set(range(100)))
+    assert dict(map(tuple, df.filter("k = 5").collect())) == {5: 99.0}
+    # only ONE of the four data files was scanned (plus delete files)
+    data_inputs = [
+        p for p in df.inputFiles() if "-deletes" not in p and "/data/" in p
+    ]
+    assert len(data_inputs) == 1 + 1  # 1 pruned-surviving base + merge's new file
