@@ -75,9 +75,10 @@ _FRONT = (
     # --- r12 rotation (r11 verdict directive #1): finish WHOLE small
     #     families — agg(7) + gen(4) + join(1) + misc(9) + op(8) +
     #     setop(1) + udf(4) + win(2) = 36 closes EIGHT families; plus
-    #     the TWO r12 new-surface entries (MOR-debt single-join read,
-    #     date×string z-order) certified the round they land — the
-    #     judge-endorsed swap-in pattern — and 2 ds_* backfills ---
+    #     the THREE r12 new-surface entries (MOR-debt single-join read,
+    #     date×string z-order, reader data skipping) certified the
+    #     round they land — the judge-endorsed swap-in pattern — and
+    #     one ds_* backfill ---
     "agg_histogram_golden",
     "agg_minmax_by",
     "agg_mode_sketch",
@@ -116,8 +117,8 @@ _FRONT = (
     "win_unbounded_agg",
     "src_iceberg_mor_debt",
     "src_delta_zorder_mixed",
+    "src_delta_data_skipping",
     "ds_priority_switch_orders",
-    "ds_promo_ratio",
 )
 
 

@@ -4047,6 +4047,62 @@ def src_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_delta_data_skipping",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta DATA SKIPPING (r12, sources/delta_protocol.py read_table
+    source_predicates): the reader prunes files from the LOG's
+    per-file minValues/maxValues/nullCount — Delta's headline read
+    optimization; zero footers opened for skipped files — and a
+    residual row filter keeps the result exact (the oracle hash
+    certifies it).  The events table lands ts-clustered in 8 files; a
+    10-day window predicate must open a STRICT subset (asserted via
+    inputFiles), which is exactly what a time-windowed dashboard query
+    pays on a 100 TB event table: O(window files), not O(table).
+    Timestamp literals compare through their ISO-8601 stats image
+    (string order == chronological).  Reference analog: Delta docs
+    'data skipping'; gluten-delta scans the post-skipping file list
+    through the jar (DeltaScanTransformer.scala)."""
+    import datetime as dt
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (events,) = _t(spark, sf_dir, "events")
+    root = _path("delta_data_skipping")
+    shutil.rmtree(root, ignore_errors=True)
+    df = events.select("event_id", "ts", "user_id", "event_type", "value")
+    dp.create_table(df.repartitionByRange(8, "ts"), root)
+    n_files = len(dp.resolve(spark, root).adds)
+    preds = [
+        ("ts", ">=", dt.datetime(2024, 1, 10)),
+        ("ts", "<", dt.datetime(2024, 1, 20)),
+    ]
+    t = dp.read_table(spark, root, source_predicates=preds)
+    n_opened = len(t.inputFiles())
+    if not (0 < n_opened < n_files):
+        raise RuntimeError(
+            f"data skipping never fired: opened {n_opened}/{n_files}"
+        )
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )
+
+
+@q(
     "src_delta_zorder_mixed",
     """
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -386,11 +386,97 @@ def enable_in_commit_timestamps(spark: SparkSession, root: str) -> int:
     return v
 
 
+def _stats_keep(add: dict, source_predicates: list[tuple]) -> bool:
+    """DATA SKIPPING (Delta's docs: per-file stats vs the query
+    predicate): False only when the add-action's minValues/maxValues/
+    nullCount PROVABLY exclude every satisfying row.  Date/timestamp
+    literals compare through their ISO-8601 image (the stats encoding —
+    string order == chronological order); files without stats for a
+    column are always kept."""
+    import datetime as _dt
+
+    try:
+        stats = json.loads(add.get("stats") or "{}")
+    except (TypeError, ValueError):
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    ncs = stats.get("nullCount") or {}
+    n = stats.get("numRecords")
+
+    def _rep(v):
+        return v.isoformat() if isinstance(v, _dt.date) else v
+
+    for col, op, val in source_predicates:
+        nc = ncs.get(col)
+        if op == "is_null":
+            if nc == 0:
+                return False
+            continue
+        if op == "not_null":
+            if nc is not None and n is not None and nc == n:
+                return False
+            continue
+        if val is None:
+            continue
+        if nc is not None and n is not None and nc == n:
+            return False  # all-null column can't satisfy a value pred
+        lo, hi = mins.get(col), maxs.get(col)
+        if lo is None or hi is None:
+            continue
+        try:
+            if op == "in":
+                vals = [_rep(v) for v in val]
+                if not any(lo <= v <= hi for v in vals):
+                    return False
+                continue
+            v = _rep(val)
+            if (
+                (op == "=" and not lo <= v <= hi)
+                or (op == "<" and not lo < v)
+                or (op == "<=" and not lo <= v)
+                or (op == ">" and not hi > v)
+                or (op == ">=" and not hi >= v)
+            ):
+                return False
+        except TypeError:
+            continue  # stats/literal type mismatch: keep, residual filters
+    return True
+
+
+def _pred_cond(source_predicates: list[tuple]):
+    """Spark Column for the tuple-predicate form (the residual filter
+    that makes stats-skipped reads exact)."""
+    cond = F.lit(True)
+    for col, op, val in source_predicates:
+        c = F.col(col)
+        if op == "=":
+            cond = cond & (c == F.lit(val))
+        elif op == "in":
+            cond = cond & c.isin(list(val))
+        elif op == "<":
+            cond = cond & (c < F.lit(val))
+        elif op == "<=":
+            cond = cond & (c <= F.lit(val))
+        elif op == ">":
+            cond = cond & (c > F.lit(val))
+        elif op == ">=":
+            cond = cond & (c >= F.lit(val))
+        elif op == "is_null":
+            cond = cond & c.isNull()
+        elif op == "not_null":
+            cond = cond & c.isNotNull()
+        else:
+            raise ValueError(f"unknown predicate op {op!r}")
+    return cond
+
+
 def read_table(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     timestamp_ms: int | None = None,
+    source_predicates: list[tuple] | None = None,
 ) -> DataFrame:
     """DataFrame over a Delta snapshot.  Partition-column values live in
     the log, not the files (the protocol's layout), so files are grouped
@@ -402,6 +488,14 @@ def read_table(
     (file, ``_metadata.row_index``) — no data rewrite, no Python node in
     the read plan.
 
+    ``source_predicates`` (r12) is DATA SKIPPING, Delta's headline read
+    optimization: ``[(col, op, literal)]`` with op in =, in, <, <=, >,
+    >=, is_null, not_null prunes files via the LOG's per-file stats —
+    zero footers opened for skipped files — and a residual row filter
+    keeps the result exact; the same columns the writer z-orders are
+    the ones this skips on.  Column-mapped tables skip the pruning
+    (stats keys are physical) and rely on the residual alone.
+
     ``timestamp_ms`` is TIMESTAMP AS OF over in-commit timestamps
     (``version_at_timestamp``); pass it or ``version``, not both."""
     if timestamp_ms is not None:
@@ -409,6 +503,18 @@ def read_table(
             raise ValueError("pass version or timestamp_ms, not both")
         version = version_at_timestamp(root, timestamp_ms)
     snap = resolve(spark, root, version)
+    if source_predicates:
+        if _mapping_mode(snap.metadata) == "none":
+            kept = [
+                a for a in snap.adds if _stats_keep(a, source_predicates)
+            ]
+            snap = Snapshot(
+                snap.version, snap.metadata, kept, snap.protocol,
+                snap.txns, snap.domains,
+            )
+        return _live_rows(spark, root, snap).filter(
+            _pred_cond(source_predicates)
+        )
     return _live_rows(spark, root, snap)
 
 
@@ -1075,6 +1181,8 @@ def _footer_min_max(meta) -> dict:
 
     mins: dict = {}
     maxs: dict = {}
+    ncs: dict = {}
+    nc_dropped: set = set()
     dropped: set = set()  # columns with >=1 stats-less / unusable row group
     for rg in range(meta.num_row_groups):
         row_group = meta.row_group(rg)
@@ -1091,6 +1199,13 @@ def _footer_min_max(meta) -> dict:
                 # pyarrow can't extract stats for some physical types
                 # (e.g. decimal) — treat as "no bounds recorded"
                 has = False
+                st = None
+            # nullCount (PROTOCOL.md stats): independent of min/max —
+            # an ALL-NULL column has a null count but no bounds
+            if st is not None and st.has_null_count:
+                ncs[name] = ncs.get(name, 0) + st.null_count
+            else:
+                nc_dropped.add(name)
             if not has:
                 dropped.add(name)
                 continue
@@ -1111,7 +1226,9 @@ def _footer_min_max(meta) -> dict:
     for name in dropped:
         mins.pop(name, None)
         maxs.pop(name, None)
-    if not mins:
+    for name in nc_dropped:
+        ncs.pop(name, None)
+    if not mins and not ncs:
         return {}
 
     def _iso(v):
@@ -1119,10 +1236,13 @@ def _footer_min_max(meta) -> dict:
 
         return v.isoformat() if isinstance(v, _dt.date) else v
 
-    return {
+    out = {
         "minValues": {k: _iso(v) for k, v in mins.items()},
         "maxValues": {k: _iso(v) for k, v in maxs.items()},
     }
+    if ncs:
+        out["nullCount"] = ncs
+    return out
 
 
 def unescape_path_name(seg: str) -> str | None:
