@@ -1202,7 +1202,9 @@ def _footer_min_max(meta) -> dict:
                 st = None
             # nullCount (PROTOCOL.md stats): independent of min/max —
             # an ALL-NULL column has a null count but no bounds
-            if st is not None and st.has_null_count:
+            # (getattr: stats objects without the accessor contribute
+            # no count, the conservative direction)
+            if st is not None and getattr(st, "has_null_count", False):
                 ncs[name] = ncs.get(name, 0) + st.null_count
             else:
                 nc_dropped.add(name)
@@ -2491,11 +2493,12 @@ def merge_clauses(
     be the last of its category (Delta's unreachable-clause analysis
     error).
 
-    Honest subset: on a row-tracked table THIS path assigns fresh row
-    ids to rewritten rows (OPTIMIZE, UPDATE, DELETE and plain ``merge``
-    preserve them via the materialized columns — r12 directive #7);
-    carrying ids through the per-clause category selects is future
-    work.
+    Row tracking (r12, directive #7): like OPTIMIZE/UPDATE/DELETE and
+    plain ``merge``, a MUTATING clause-merge carries the materialized
+    id columns through the rewrite — target rows keep their id, rows an
+    update clause claims take this commit as row-commit-version,
+    inserted rows read back fresh (baseRowId + position).  Insert-only
+    merges stage no target rows, so ids are untouched by construction.
 
     Scale shape: with only matched/not_matched clauses, file skipping
     is identical to ``merge`` (O(matched files)); any
@@ -2567,7 +2570,20 @@ def merge_clauses(
             scan.append(add)
     rewrite = scan if mutating else []
     sub = Snapshot(snap.version, snap.metadata, scan, snap.protocol)
-    tgt = _live_rows(spark, root, sub) if scan else None
+    # row-tracked tables (directive #7): mutating merges carry the
+    # materialized id columns through the rewrite on the target side;
+    # insert-only merges stage no target rows, so nothing to preserve
+    mat = _row_tracking_cols(snap.metadata) if mutating else None
+    if scan:
+        if mat is not None:
+            tgt, mat = _live_rows_maybe_tracked(
+                spark, root, sub, snap.metadata
+            )
+        else:
+            tgt = _live_rows(spark, root, sub)
+    else:
+        tgt = None
+        mat = None
     if n_keys != n_nn and tgt is not None:
         dups = (
             source.filter(F.col(key_col).isNotNull())
@@ -2639,6 +2655,24 @@ def merge_clauses(
         # cast pins the table type even when every branch is NULL (an
         # insert clause that leaves the column unset)
         out_cols.append(e.cast(types[name]).alias(name))
+    if mat is not None:
+        # id: target rows keep theirs, inserted rows have NULL (fresh
+        # at read, baseRowId + position); commit-version: any updating
+        # action stamps THIS commit, kept rows carry theirs
+        upd_tags = [
+            f"{i}:{c['action']}"
+            for i, c in enumerate(clauses)
+            if c["action"] in ("update", "update_all")
+        ]
+        upd = (
+            F.col("__act").isin(upd_tags) if upd_tags else F.lit(False)
+        )
+        out_cols.append(F.col(f"t.{mat[0]}").alias(mat[0]))
+        out_cols.append(
+            F.when(upd, F.lit(v))
+            .otherwise(F.col(f"t.{mat[1]}"))
+            .alias(mat[1])
+        )
     if mutating:
         survivors = joined.filter(
             ~F.col("__act").rlike(":delete$") & (F.col("__act") != "drop")

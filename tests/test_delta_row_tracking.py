@@ -168,3 +168,42 @@ def test_merge_preserves_row_ids_inserts_get_fresh(table, spark):
     assert all(after[k][1] == out["version"] for k in range(100, 110))
     # all ids unique table-wide
     assert len({i for i, _ in after.values()}) == len(after)
+
+
+def test_merge_clauses_preserves_row_ids(table, spark):
+    """Clause-merge (conditional update + delete + insert) keeps target
+    row identity: updated rows keep id + take the merge commit as cv,
+    deleted rows vanish, kept rows stable, inserts fresh."""
+    before = _ids(spark, table)
+    hwm_before = max(i for i, _ in before.values())
+    src = (
+        spark.range(90, 105)
+        .select(F.col("id").alias("k"), F.lit(-5).cast("long").alias("v"))
+        .coalesce(1)
+    )
+    out = dp.merge_clauses(
+        spark,
+        table,
+        src,
+        "k",
+        [
+            {"when": "matched", "condition": "t.k < 95",
+             "action": "update", "set": {"v": "s.v"}},
+            {"when": "matched", "action": "delete"},
+            {"when": "not_matched", "action": "insert_all"},
+        ],
+    )
+    after = _ids(spark, table)
+    # updated keys 90..94: id stable, cv = merge commit
+    for k in range(90, 95):
+        assert after[k][0] == before[k][0]
+        assert after[k][1] == out["version"]
+    # deleted keys 95..99 gone
+    assert all(k not in after for k in range(95, 100))
+    # untouched keys: id AND cv stable
+    for k in range(0, 90):
+        assert after[k] == before[k]
+    # inserted keys 100..104: fresh ids above the old hwm
+    fresh = [after[k][0] for k in range(100, 105)]
+    assert min(fresh) > hwm_before and len(set(fresh)) == 5
+    assert len({i for i, _ in after.values()}) == len(after)
