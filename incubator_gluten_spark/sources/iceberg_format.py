@@ -2607,6 +2607,32 @@ def read_meta_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
     without scanning it."""
     meta = _current_metadata(root)
     if kind == "files":
+        # readable_metrics (Iceberg's files-table column): the r12
+        # manifest bounds/null counts decoded per column into JSON —
+        # the layout-health view an operator prunes/clusters by,
+        # still zero data reads
+        schema = _current_schema(meta)
+        by_id = {str(f["id"]): f for f in schema["fields"]}
+
+        def _metrics(f: dict) -> str:
+            lb = f.get("lower_bounds") or {}
+            ub = f.get("upper_bounds") or {}
+            nvc = f.get("null_value_counts") or {}
+            out = {}
+            for fid in sorted(set(lb) | set(ub) | set(nvc), key=str):
+                fld = by_id.get(fid)
+                if fld is None:
+                    continue
+                m = {}
+                if fid in lb:
+                    m["lower_bound"] = str(_bound_deser(fld["type"], lb[fid]))
+                if fid in ub:
+                    m["upper_bound"] = str(_bound_deser(fld["type"], ub[fid]))
+                if fid in nvc:
+                    m["null_value_count"] = nvc[fid]
+                out[fld["name"]] = m
+            return json.dumps(out, sort_keys=True)
+
         rows = [
             (
                 f["file_path"],
@@ -2615,13 +2641,15 @@ def read_meta_table(spark: SparkSession, root: str, kind: str) -> DataFrame:
                 f.get("_spec_id", 0),
                 f["record_count"],
                 f["file_size_in_bytes"],
+                _metrics(f),
             )
             for f in plan_files(root)
         ]
         return spark.createDataFrame(
             rows,
             "file_path string, file_format string, partition string, "
-            "spec_id int, record_count bigint, file_size_in_bytes bigint",
+            "spec_id int, record_count bigint, file_size_in_bytes bigint, "
+            "readable_metrics string",
         )
     if kind == "manifests":
         snap = _snapshot(meta, None)

@@ -163,3 +163,19 @@ def test_history_excludes_staged_and_rolled_past(table, spark):
         for r in ice.read_meta_table(spark, table, "history").collect()
     }
     assert hist[2] is False and hist[1] is True
+
+
+def test_files_readable_metrics(table, spark):
+    """r12: the files table exposes the manifests' per-column
+    bounds/null counts decoded as readable_metrics JSON (Iceberg's
+    files-table column) — layout health without a data read."""
+    import json as _json
+
+    files = ice.read_meta_table(spark, table, "files")
+    assert "readable_metrics" in files.columns
+    rows = files.collect()
+    metrics = [_json.loads(r["readable_metrics"]) for r in rows]
+    assert all("k" in m for m in metrics)
+    for m in metrics:
+        assert m["k"]["null_value_count"] == 0
+        assert int(m["k"]["lower_bound"]) <= int(m["k"]["upper_bound"])
