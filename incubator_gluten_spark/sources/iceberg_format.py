@@ -1019,13 +1019,18 @@ def _footer_bounds(
             if fld is None:
                 continue
             st = col.statistics
-            if st is not None and st.has_null_count:
+            if st is not None and getattr(st, "has_null_count", False):
                 nc_seen[name] = nc_seen.get(name, 0) + 1
                 ncs[name] = ncs.get(name, 0) + st.null_count
             if st is None or not st.has_min_max:
                 continue
+            try:
+                mn, mx = st.min, st.max
+            except Exception:
+                # pyarrow can't cast stats for some physical types
+                # (e.g. INT32-backed decimals) — no bound recorded
+                continue
             seen[name] = seen.get(name, 0) + 1
-            mn, mx = st.min, st.max
             if name in mins:
                 pmn, pmx = mins[name]
                 mins[name] = (min(pmn, mn), max(pmx, mx))

@@ -613,13 +613,15 @@ def test_changelog_full_history_with_cow_rewrites(spark, tmp_path):
         for r in ice.read_changelog(spark, root, 1).collect()
     )
     # raw (non-net) changelog: a COW rewrite emits delete + re-insert
+    # for the files it touches.  r12 column bounds prune UNTOUCHED
+    # files from every rewrite, and this layout holds one row per
+    # file, so each DML touches exactly its own row's file and the raw
+    # changelog is minimal — pre-bounds the same ops rewrote (and so
+    # re-emitted) every scanned file's rows.
     want = sorted([
         (3, 3.0, "insert", 2),
-        (1, 1.0, "delete", 3), (2, 2.0, "delete", 3),
-        (3, 3.0, "delete", 3), (2, 2.0, "insert", 3),
-        (3, 3.0, "insert", 3),
-        (2, 2.0, "delete", 4), (3, 3.0, "delete", 4),
-        (2, 2.0, "insert", 4), (3, 30.0, "insert", 4),
+        (1, 1.0, "delete", 3),
+        (3, 3.0, "delete", 4), (3, 30.0, "insert", 4),
     ])
     assert got == want
 
