@@ -4016,7 +4016,7 @@ def src_delta_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     import bisect
 
     vq = dp.read_table(spark, root).stat.approxQuantile(
-        "value", [i / 100 for i in range(101)], 0.001
+        "value", [i / 100 for i in range(101)], 0.01
     )
 
     def _qpos(x):

@@ -3638,6 +3638,13 @@ def history(spark: SparkSession, root: str) -> list[dict]:
     return out
 
 
+def _zorder_bits(k: int) -> int:
+    """Per-dimension rank width — shared by the key builder and the
+    file-split bucketing in optimize() so aligned buckets cover the
+    key's actual range."""
+    return min(6, 63 // k)
+
+
 def _zorder_numeric_image(c: str, t: str):
     """ORDER-PRESERVING double image of a non-string z-order column —
     the Morton curve only needs each dimension mapped to a monotone
@@ -3704,23 +3711,31 @@ def _zorder_key(df: DataFrame, cols: list[str]):
 
     Cost: one bounded agg (string min/max, for the common-prefix skip)
     + one distributed approxQuantile pass for the per-dim boundaries —
-    both a rounding error next to the full rewrite OPTIMIZE ZORDER is
-    about to do.  Rank lookup is a 255-comparison higher-order filter
-    over a literal boundary array, JVM-side whole-stage codegen.
+    a rounding error next to the full rewrite OPTIMIZE ZORDER is about
+    to do (quantile error is sized to the bucket width, 1/(2*buckets):
+    the r12 bench flagged the first cut's 1/1024-error pass as 4x the
+    cost of the 1/128 one for zero clustering benefit).  Rank lookup
+    is a 63-comparison higher-order filter over a constant-folded
+    boundary array, JVM-side whole-stage codegen.
 
-    8 bits/dim = 256 ranks, plenty to split any realistic per-commit
+    6 bits/dim = 64 ranks, still far above any realistic per-commit
     file count; the width shrinks with k so the TOP interleaved bit
     stays <= 62 (never the long's sign bit)."""
     k = len(cols)
-    bits = min(8, 63 // k)
+    bits = _zorder_bits(k)
     buckets = 1 << bits
     dtypes = dict(df.dtypes)
     specs: list[tuple] = []
     aggs = []
-    for c in cols:
+    agg_pos: dict[int, int] = {}
+    for i, c in enumerate(cols):
         t = dtypes[c]
         if t == "string":
             specs.append(("str", c))
+            # min/max of the RAW strings feed the common-prefix skip;
+            # numeric dims need no agg at all (their ranks come from
+            # the quantile pass alone)
+            agg_pos[i] = len(aggs)
             aggs += [F.min(F.col(c)), F.max(F.col(c))]
         else:
             img = _zorder_numeric_image(c, t)
@@ -3730,29 +3745,31 @@ def _zorder_key(df: DataFrame, cols: list[str]):
                     f"string columns (got {c}: {t})"
                 )
             specs.append(("num", img))
-            aggs += [F.min(img), F.max(img)]
-    row = df.agg(*aggs).first()
+    row = df.agg(*aggs).first() if aggs else None
+
+    def _str_bounds(i: int) -> tuple:
+        p = agg_pos[i]
+        return row[p], row[p + 1]
+
     imgs = []
     for i, (kind, payload) in enumerate(specs):
         if kind == "str":
-            img, _, _ = _zorder_string_image(
-                payload, row[2 * i], row[2 * i + 1], bits * 2
-            )
+            mn, mx = _str_bounds(i)
+            img, _, _ = _zorder_string_image(payload, mn, mx, bits * 2)
         else:
             img = payload
         imgs.append(img.alias(f"__zi{i}"))
     imaged = df.select(*imgs)
     probs = [j / buckets for j in range(1, buckets)]
     bnds = imaged.stat.approxQuantile(
-        [f"__zi{i}" for i in range(k)], probs, 1.0 / (4 * buckets)
+        [f"__zi{i}" for i in range(k)], probs, 1.0 / (2 * buckets)
     )
     top = F.lit(buckets - 1)
     zkey = F.lit(0).cast("long")
     for i, (kind, payload) in enumerate(specs):
         if kind == "str":
-            img, _, _ = _zorder_string_image(
-                payload, row[2 * i], row[2 * i + 1], bits * 2
-            )
+            mn, mx = _str_bounds(i)
+            img, _, _ = _zorder_string_image(payload, mn, mx, bits * 2)
         else:
             img = payload
         uniq = sorted(set(bnds[i]))
@@ -3902,7 +3919,7 @@ def optimize(
             live = live.repartition(*pcols).sortWithinPartitions("__z")
         else:
             kz = len(zorder_by)
-            zspace = 1 << (min(8, 63 // kz) * kz)
+            zspace = 1 << (_zorder_bits(kz) * kz)
             chunk = max(1, zspace // max(1, target_files))
             live = live.withColumn(
                 "__zb", F.floor(F.col("__z") / F.lit(chunk))
