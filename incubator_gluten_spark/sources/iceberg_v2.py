@@ -476,14 +476,14 @@ def _scan_with_position(spark: SparkSession, root: str) -> tuple[DataFrame, dict
         F.col("_metadata.row_index").alias("__pos"),
     ).join(F.broadcast(seq_map), "__base")
     if scan["pos_deletes"]:
-        dels = None
-        for f, seq in scan["pos_deletes"]:
-            one = spark.read.schema("file_path string, pos bigint").parquet(
-                _resolve_path(root, f["file_path"])
-            ).withColumn("__delseq", F.lit(seq))
-            dels = one if dels is None else dels.unionAll(one)
+        # same single-scan, byte-gated shape as read_table's delete
+        # application — never one scan per delete file (a DELETE-heavy
+        # table would otherwise pay a per-file plan chain here too)
+        dels = _delete_side(
+            spark, root, scan["pos_deletes"], "file_path string, pos bigint"
+        )
         df = df.join(
-            F.broadcast(dels),
+            dels,
             (df["__rel"] == dels["file_path"])
             & (df["__pos"] == dels["pos"])
             & (dels["__delseq"] >= df["__dataseq"]),
