@@ -1,0 +1,153 @@
+"""Automatic predicate extraction (sources/predicates.py, r13 — r12
+verdict What's-missing #2): filter expression -> skipping tuples +
+full-expression residual.  Soundness invariant under test: extraction
+may only ever SKIP FEWER files than hand-built tuples would, never
+change results — unsupported shapes must return [] or drop only the
+unsupported conjunct.
+
+Reference analog: FilterHandler's scan-pushed/residual conjunct split
+(gluten-substrait/src/main/scala/org/apache/gluten/execution/
+BasicPhysicalOperatorTransformer.scala:307)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from incubator_gluten_spark.sources.predicates import (
+    extract_skipping_predicates as X,
+)
+
+
+def test_conjunct_shapes():
+    assert X("a = 5") == [("a", "=", 5)]
+    assert X("a == 5.5") == [("a", "=", 5.5)]
+    assert X("5 <= a") == [("a", ">=", 5)]
+    assert X("a < 'x'") == [("a", "<", "x")]
+    assert X("s = 'it''s'") == [("s", "=", "it's")]
+    assert X("b IN ('x', 'y')") == [("b", "in", ("x", "y"))]
+    assert X("c IS NULL") == [("c", "is_null", None)]
+    assert X("c IS NOT NULL") == [("c", "not_null", None)]
+    assert X("d BETWEEN 1 AND 3") == [("d", ">=", 1), ("d", "<=", 3)]
+    assert X("`quoted col` > 2") == [("quoted col", ">", 2)]
+    assert X("flag = TRUE") == [("flag", "=", True)]
+
+
+def test_temporal_literals_match_stats_images():
+    assert X("d >= DATE '2021-02-03'") == [("d", ">=", dt.date(2021, 2, 3))]
+    got = X("ts < TIMESTAMP '2024-01-20 01:02:03'")
+    assert got == [("ts", "<", dt.datetime(2024, 1, 20, 1, 2, 3))]
+    # the image the Delta stats writer uses (naive isoformat)
+    assert got[0][2].isoformat() == "2024-01-20T01:02:03"
+
+
+def test_and_splitting_and_partial_extraction():
+    got = X("a = 5 AND (e > 1 OR f < 2) AND c IS NOT NULL")
+    assert got == [("a", "=", 5), ("c", "not_null", None)]
+    # NOT conjunct drops, the rest extracts
+    assert X("NOT a = 1 AND b = 2") == [("b", "=", 2)]
+    # != / <> prune nothing from min-max bounds
+    assert X("a != 4 AND b <> 5 AND c = 6") == [("c", "=", 6)]
+    # function calls drop
+    assert X("upper(s) = 'X' AND k = 3") == [("k", "=", 3)]
+    # col-vs-col compares drop (no literal side)
+    assert X("a = b AND k = 3") == [("k", "=", 3)]
+
+
+def test_top_level_or_is_all_or_nothing():
+    """AND binds tighter than OR: 'a=5 OR b=2 AND c=3' is a
+    disjunction — extracting c=3 would wrongly prune files holding
+    only a=5 rows."""
+    assert X("a = 5 OR b = 2 AND c = 3") == []
+    assert X("a = 5 OR b = 2") == []
+    # parenthesized OR inside a conjunct drops just that conjunct
+    assert X("a = 5 AND (b = 2 OR c = 3)") == [("a", "=", 5)]
+
+
+def test_unparseable_returns_empty():
+    assert X("some ~~~ garbage") == []
+    assert X("") == []
+
+
+def test_column_objects_roundtrip(spark):
+    """pyspark Column reprs are prefix form (Spark 4: ``and(>(a, 5),
+    isNotNull(b))``) with quoted strings and bare temporal literals —
+    all the tuple-expressible shapes extract; unsupported calls
+    (or / ! / functions / CAST) drop their subtree."""
+    import datetime as dt
+
+    got = X((F.col("a") > 5) & F.col("b").isNotNull())
+    assert ("a", ">", 5) in got and ("b", "not_null", None) in got
+    assert X(F.col("s") == "x") == [("s", "=", "x")]
+    assert X(F.col("s") == "it's") == [("s", "=", "it's")]
+    assert X(F.col("d") > dt.date(2021, 2, 3)) == [
+        ("d", ">", dt.date(2021, 2, 3))
+    ]
+    assert X(F.col("ts") >= dt.datetime(2024, 1, 10)) == [
+        ("ts", ">=", dt.datetime(2024, 1, 10))
+    ]
+    assert X(F.col("b").isin("x", "y")) == [("b", "in", ("x", "y"))]
+    assert X(F.col("a").between(1, 3)) == [("a", ">=", 1), ("a", "<=", 3)]
+    # unsupported shapes degrade, never misread
+    assert X((F.col("a") > 1) | (F.col("b") < 2)) == []
+    assert X(~(F.col("a") > 1)) == []
+    assert X(F.col("a") != 4) == []
+    assert X(F.upper(F.col("s")) == "X") == []
+    # mixed: the or-subtree drops, the clean conjunct survives
+    got = X(((F.col("a") > 1) | (F.col("b") < 2)) & (F.col("c") == 3))
+    assert got == [("c", "=", 3)]
+
+
+def test_auto_where_matches_hand_tuples_on_delta(spark, tmp_path):
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    root = str(tmp_path / "auto_skip")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7.0).alias("v")
+    )
+    dp.create_table(df.repartitionByRange(8, "k"), root)
+    n_files = len(dp.resolve(spark, root).adds)
+    hand = dp.read_table(
+        spark, root, source_predicates=[("k", ">=", 2000), ("k", "<", 3000)]
+    )
+    auto = dp.read_table(spark, root, where="k >= 2000 AND k < 3000")
+    assert set(auto.inputFiles()) == set(hand.inputFiles())
+    assert 0 < len(auto.inputFiles()) < n_files
+    assert auto.count() == hand.count() == 1000
+    # Column form: same subset
+    col = dp.read_table(
+        spark, root, where=(F.col("k") >= 2000) & (F.col("k") < 3000)
+    )
+    assert set(col.inputFiles()) == set(hand.inputFiles())
+    assert col.count() == 1000
+    # unsupported conjunct: residual-only, exact anyway
+    loose = dp.read_table(spark, root, where="k >= 2000 OR v < 0")
+    assert len(loose.inputFiles()) == n_files
+    assert loose.count() == 8000
+
+
+def test_auto_where_on_iceberg_v1_and_v2(spark, tmp_path):
+    from incubator_gluten_spark.sources import iceberg_format as ice
+    from incubator_gluten_spark.sources import iceberg_v2 as v2
+
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    root1 = str(tmp_path / "ice1")
+    ice.create_table(df.repartitionByRange(8, "k"), root1)
+    hand = ice.read_table(
+        spark, root1, source_predicates=[("k", ">=", 1000), ("k", "<", 2000)]
+    )
+    auto = ice.read_table(spark, root1, where="k >= 1000 AND k < 2000")
+    assert set(auto.inputFiles()) == set(hand.inputFiles())
+    assert auto.count() == hand.count() == 1000
+
+    root2 = str(tmp_path / "ice2")
+    v2.create_table(df.repartitionByRange(8, "k"), root2)
+    hand2 = v2.read_table(
+        spark, root2, source_predicates=[("k", ">=", 1000), ("k", "<", 2000)]
+    )
+    auto2 = v2.read_table(spark, root2, where="k >= 1000 AND k < 2000")
+    assert set(auto2.inputFiles()) == set(hand2.inputFiles())
+    assert auto2.count() == hand2.count() == 1000
