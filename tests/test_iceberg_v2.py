@@ -360,10 +360,11 @@ def test_rewrite_position_deletes_drops_fully_dangling_file(spark, tmp_path):
     pairs = spark.createDataFrame(
         [(old_target, i) for i in range(7)], "file_path string, pos bigint"
     )
-    rel, n = v2._write_delete_parquet(
+    ((rel, n),) = v2._write_delete_parquets(
         pairs,
         root,
         {"file_path": v2._POS_PATH_FIELD_ID, "pos": v2._POS_POS_FIELD_ID},
+        ["file_path", "pos"],
     )
     spec = meta["partition-specs"][0]
     entry = v2._with_v2_fields(
@@ -461,3 +462,44 @@ def test_read_table_prunes_data_files_by_bounds(spark, tmp_path):
         p for p in df.inputFiles() if "-deletes" not in p and "/data/" in p
     ]
     assert len(data_inputs) == 1 + 1  # 1 pruned-surviving base + merge's new file
+
+
+def test_large_delete_shards_into_multiple_files(spark, sf_dir, tmp_path):
+    """r12 verdict minor #3: a DELETE WHERE matching many positions
+    must not funnel through coalesce(1) — past the shard threshold the
+    match set range-shards into multiple sorted delete files, ALL in
+    one manifest, and the read path applies them in the same single
+    join (plan-asserted: exactly 1 LeftAnti)."""
+    base = _orders(spark, sf_dir, 1996)
+    n_match = base.filter("o_totalprice < 300000").count()
+    assert n_match > 60
+    root = str(tmp_path / "v2_shard")
+    v2.create_table(base, root)
+    out = v2.position_delete(
+        spark, root, "o_totalprice < 300000", shard_rows=(n_match // 3) + 1
+    )
+    assert out["delete_files"] == 3
+    assert out["positions_deleted"] == n_match
+    scan = v2.plan_scan(root)
+    assert len(scan["pos_deletes"]) == 3
+    # all three files committed by ONE snapshot in ONE manifest
+    assert len({seq for _f, seq in scan["pos_deletes"]}) == 1
+    # each shard is (file_path, pos)-sorted per spec and ranges are
+    # contiguous (range-sharded, not hash-sharded)
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f, _seq in scan["pos_deletes"]:
+        t = pq.read_table(v2._resolve_path(root, f["file_path"]))
+        keys = list(zip(t.column("file_path").to_pylist(),
+                        t.column("pos").to_pylist()))
+        assert keys == sorted(keys)
+        spans.append((keys[0], keys[-1]))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+    # read path: all shards fold into ONE anti join, result exact
+    got = v2.read_table(spark, root)
+    opt = got._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("LeftAnti") == 1
+    assert _rows(got) == _rows(base.filter("o_totalprice >= 300000"))
