@@ -1,0 +1,131 @@
+"""Measure Delta driver-side snapshot state vs file count (r12 verdict
+directive #8): ``resolve()`` replays the log / checkpoint and holds
+every live add-action on the driver — O(n_files) metadata, the same
+class as Delta OSS's driver snapshot.  This tool puts a NUMBER on that
+honest-ledger note: synthesized logs with 1k / 10k / 100k add actions
+(stats included, the realistic shape), measured resolve() wall time
+and driver RSS growth, from the raw JSON log and — at 100k — from a
+checkpoint parquet.
+
+No data files are written: resolve() touches only the log, so the
+measurement isolates exactly the driver-metadata cost.
+
+Usage: python3 tools/delta_snapshot_scaling.py
+Prints one JSON line per size; the measured row lives in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from incubator_gluten_spark.sources import delta_protocol as dp  # noqa: E402
+
+SCHEMA_STRING = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "double", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _mk_log(root: str, n_files: int) -> None:
+    os.makedirs(os.path.join(root, "_delta_log"), exist_ok=True)
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            + "\n"
+        )
+        f.write(
+            json.dumps(
+                {
+                    "metaData": {
+                        "id": "measure-snapshot-scaling-0000",
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": SCHEMA_STRING,
+                        "partitionColumns": [],
+                        "configuration": {},
+                        "createdTime": 1700000000000,
+                    }
+                }
+            )
+            + "\n"
+        )
+        for i in range(n_files):
+            stats = {
+                "numRecords": 10_000,
+                "minValues": {"k": i * 10_000, "v": 0.0},
+                "maxValues": {"k": (i + 1) * 10_000 - 1, "v": 996.0},
+                "nullCount": {"k": 0, "v": 0},
+            }
+            f.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": f"part-{i:08d}-0123456789abcdef.parquet",
+                            "partitionValues": {},
+                            "size": 4_000_000,
+                            "modificationTime": 1700000000000,
+                            "dataChange": True,
+                            "stats": json.dumps(stats),
+                        }
+                    }
+                )
+                + "\n"
+            )
+
+
+def _rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("delta-snapshot-scaling")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    base = f"/tmp/spark_graft_snapscale_{os.getpid()}"
+    for n in (1_000, 10_000, 100_000):
+        root = os.path.join(base, f"t{n}")
+        shutil.rmtree(root, ignore_errors=True)
+        _mk_log(root, n)
+        rss0 = _rss_mb()
+        t0 = time.perf_counter()
+        snap = dp.resolve(spark, root)
+        wall = time.perf_counter() - t0
+        rec = {
+            "files": n,
+            "resolve_s": round(wall, 3),
+            "rss_growth_mb": round(_rss_mb() - rss0, 1),
+            "adds": len(snap.adds),
+        }
+        if n == 100_000:
+            dp.checkpoint(spark, root)
+            t0 = time.perf_counter()
+            snap = dp.resolve(spark, root)
+            rec["resolve_from_checkpoint_s"] = round(
+                time.perf_counter() - t0, 3
+            )
+        print(json.dumps(rec), flush=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
