@@ -3484,7 +3484,16 @@ def table_changes(
     mapped = _mapping_mode(meta_end) == "name"
     meta: dict | None = None
     schema: StructType | None = None
-    parts: list[DataFrame] = []
+    # Plan width is O(schema generations), NOT O(versions) (r13,
+    # extending the r12-verdict partition-grouped-scan fix to CDF): all
+    # change files of one metadata generation scan in ONE pass per kind
+    # (cdc / derived-insert), with each file's ``_commit_version``
+    # riding the same basename->values broadcast map the partition
+    # values use — a synthetic partitionValues key the scan injects as
+    # a typed column.  A CDF read over 1000 commits was 1000 unioned
+    # subtrees before; now it is <=2 scans per generation.
+    batches: list[dict] = []  # {meta, schema, cdc: [], adds: [], seen}
+    cur: dict | None = None
     for v in versions:
         if v > end:
             break
@@ -3493,6 +3502,7 @@ def table_changes(
             if a.get("metaData"):
                 meta = a["metaData"]
                 schema = StructType.fromJson(json.loads(meta["schemaString"]))
+                cur = None  # new generation -> new scan batch
         if v < starting_version:
             continue
         if mapped:
@@ -3504,24 +3514,12 @@ def table_changes(
                 f"({_CDF_KEY} unset) — no change data was recorded"
             )
         cdc = [a["cdc"] for a in actions if a.get("cdc")]
-        if cdc:
-            from pyspark.sql.types import StringType, StructField
-
-            # copy the field list: StructType.add mutates in place, and
-            # schema is reused across the commits of the range
-            cdf_schema = StructType(
-                list(schema.fields)
-                + [StructField("_change_type", StringType())]
-            )
-            df = _scan_file_entries(
-                spark, root, cdf_schema, cdc, meta.get("configuration")
-            )
-        else:
-            adds = [
-                a["add"]
-                for a in actions
-                if a.get("add") and a["add"].get("dataChange", True)
-            ]
+        adds = [
+            a["add"]
+            for a in actions
+            if a.get("add") and a["add"].get("dataChange", True)
+        ]
+        if not cdc:
             removes = [
                 a
                 for a in actions
@@ -3535,10 +3533,49 @@ def table_changes(
                 )
             if not adds:
                 continue
-            df = _scan_file_entries(
-                spark, root, schema, adds, meta.get("configuration")
-            ).withColumn("_change_type", F.lit("insert"))
-        parts.append(df.withColumn("_commit_version", F.lit(v).cast("bigint")))
+        entries = cdc if cdc else adds
+        names = {os.path.basename(e["path"]) for e in entries}
+        if cur is None or (cur["seen"] & names):
+            # a re-added path (same basename in two commits) would
+            # collide in the scan's basename map: start a fresh batch
+            cur = {"meta": meta, "schema": schema, "cdc": [], "adds": [],
+                   "seen": set()}
+            batches.append(cur)
+        cur["seen"] |= names
+        cur["cdc" if cdc else "adds"].extend(
+            {
+                **e,
+                "partitionValues": {
+                    **(e.get("partitionValues") or {}),
+                    "_commit_version": str(v),
+                },
+            }
+            for e in entries
+        )
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    parts: list[DataFrame] = []
+    for b in batches:
+        ver_field = StructField("_commit_version", LongType())
+        if b["cdc"]:
+            cdf_schema = StructType(
+                list(b["schema"].fields)
+                + [StructField("_change_type", StringType()), ver_field]
+            )
+            parts.append(
+                _scan_file_entries(
+                    spark, root, cdf_schema, b["cdc"],
+                    b["meta"].get("configuration"),
+                )
+            )
+        if b["adds"]:
+            ins_schema = StructType(list(b["schema"].fields) + [ver_field])
+            parts.append(
+                _scan_file_entries(
+                    spark, root, ins_schema, b["adds"],
+                    b["meta"].get("configuration"),
+                ).withColumn("_change_type", F.lit("insert"))
+            )
     if not parts:
         from pyspark.sql.types import LongType, StringType
 

@@ -687,3 +687,25 @@ def test_merge_binds_by_field_id_after_rename(spark, tmp_path):
     got = sorted(map(tuple, ice.read_table(spark, root).collect()))
     assert got == [(1, 10.0), (2, 222.0), (3, 30.0)]
     assert ice.read_table(spark, root).columns == ["key", "v"]
+
+
+def test_changelog_plan_width_constant_in_snapshots(spark, tmp_path):
+    """r13 (r12-verdict plan-width fix applied to CDC): the changelog
+    over N snapshots plans ONE scan per change kind — snapshot ids
+    ride the basename broadcast map — never one subtree per snapshot."""
+    root = str(tmp_path / "changelog_width")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v double")
+    ice.create_table(mk([(0, 0.0)]), root)
+    for v in range(1, 9):
+        ice.append(mk([(v, float(v))]), root)
+    ch = ice.read_changelog(spark, root, 1)  # 8 insert-only snapshots
+    phys = ch._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("FileScan parquet") == 1
+    got = sorted((r.k, r._change_type, r._commit_snapshot_id)
+                 for r in ch.collect())
+    assert got == [(v, "insert", v + 1) for v in range(1, 9)]
+    # a COW delete adds DELETED entries: still one scan per KIND
+    ice.delete_where(spark, root, [("k", "=", 3)])
+    ch2 = ice.read_changelog(spark, root, 1)
+    phys2 = ch2._jdf.queryExecution().executedPlan().toString()
+    assert phys2.count("FileScan parquet") <= 2
