@@ -2272,6 +2272,20 @@ def src_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp.delete_where_dv(spark, root, "o_totalprice > 150000")
     pre = dp.resolve(spark, root)
     n_rows_pre = dp.read_table(spark, root).count()
+    # r13: OPTIMIZE ... WHERE — compact ONE partition first (the
+    # partition-range-wise shape a 100 TB table runs), then the rest;
+    # the scoped commit must touch nothing outside its fence
+    scoped = dp.optimize(spark, root, where="o_orderpriority = '1-URGENT'")
+    if scoped["partitions_compacted"] != 1:
+        raise RuntimeError(f"WHERE scope leaked: {scoped}")
+    untouched_before = {
+        a["path"]
+        for a in pre.adds
+        if a["partitionValues"].get("o_orderpriority") != "1-URGENT"
+    }
+    mid = {a["path"] for a in dp.resolve(spark, root).adds}
+    if not untouched_before <= mid:
+        raise RuntimeError("OPTIMIZE WHERE rewrote fenced-off partitions")
     out = dp.optimize(spark, root)
     if not out["files_removed"] > out["files_added"] > 0:
         raise RuntimeError(f"compaction did not shrink files: {out}")

@@ -3879,6 +3879,59 @@ def _zorder_key(df: DataFrame, cols: list[str]):
     return zkey
 
 
+def _pv_typed(pv: str | None, dt):
+    """Partition-value string -> comparable Python value, by the
+    column's schema type (the inverse of the literal-string cast the
+    scan injects)."""
+    import datetime as _dt
+
+    if pv is None:
+        return None
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint"):
+        return int(pv)
+    if s in ("float", "double") or s.startswith("decimal"):
+        return float(pv)
+    if s == "date":
+        return _dt.date.fromisoformat(pv)
+    if s == "timestamp":
+        return _dt.datetime.fromisoformat(pv.replace(" ", "T"))
+    if s == "boolean":
+        return pv == "true"
+    return pv
+
+
+def _pv_matches(key: tuple, preds: list[tuple], ptypes: dict) -> bool:
+    """Does a partition tuple satisfy every predicate?  NULL partition
+    values never satisfy a value predicate (SQL comparison semantics)."""
+    d = dict(key)
+    for col, op, val in preds:
+        pv = _pv_typed(d.get(col), ptypes[col])
+        if op == "is_null":
+            if pv is not None:
+                return False
+            continue
+        if op == "not_null":
+            if pv is None:
+                return False
+            continue
+        if pv is None:
+            return False
+        if op == "=" and not pv == val:
+            return False
+        if op == "in" and pv not in val:
+            return False
+        if op == "<" and not pv < val:
+            return False
+        if op == "<=" and not pv <= val:
+            return False
+        if op == ">" and not pv > val:
+            return False
+        if op == ">=" and not pv >= val:
+            return False
+    return True
+
+
 def optimize(
     spark: SparkSession,
     root: str,
@@ -3886,6 +3939,7 @@ def optimize(
     zorder_by: list[str] | None = None,
     target_files: int = 1,
     cluster: bool = False,
+    where=None,
 ) -> dict:
     """OPTIMIZE (bin-packing compaction) on the wire format, as Delta
     commits it: partitions holding >= ``min_files`` live data files —
@@ -3905,9 +3959,15 @@ def optimize(
     Scale shape: the rewrite is ONE distributed job — a repartition by
     the partition columns co-locates each partition's rows into a
     single task/file (unpartitioned tables coalesce instead, no
-    shuffle); untouched partitions are not read.  At 100 TB run it
-    partition-range by partition-range, several bounded commits
-    (SCALE.md), exactly like the txnlog OPTIMIZE.
+    shuffle); untouched partitions are not read.  ``where`` (r13) is
+    Delta's ``OPTIMIZE ... WHERE``: a PARTITION-COLUMN predicate (SQL
+    string, Column, or predicate tuples) scopes the rewrite to the
+    matching partitions — the executable form of "at 100 TB run it
+    partition-range by partition-range, several bounded commits"
+    (SCALE.md).  Predicates on non-partition columns refuse, matching
+    Delta; conjuncts the extractor cannot decompose also refuse (a
+    silently widened scope would rewrite partitions the caller fenced
+    off).
 
     Reference analog: gluten-delta reads post-OPTIMIZE tables through
     the Delta jar (gluten-delta/src/main/scala/org/apache/gluten/
@@ -3941,13 +4001,42 @@ def optimize(
     for a in snap.adds:
         key = tuple(sorted((a.get("partitionValues") or {}).items()))
         groups.setdefault(key, []).append(a)
+    if where is not None:
+        if isinstance(where, (list, tuple)) and all(
+            isinstance(p, tuple) for p in where
+        ):
+            preds = list(where)
+        else:
+            from incubator_gluten_spark.sources.predicates import (
+                extract_skipping_predicates,
+            )
+
+            try:
+                preds = extract_skipping_predicates(where, strict=True)
+            except ValueError as exc:
+                raise DeltaProtocolError(
+                    f"OPTIMIZE WHERE: {exc} — a conjunct the planner "
+                    "cannot decompose would silently widen the rewrite "
+                    "scope"
+                ) from None
+        pset = set(snap.partition_columns)
+        bad = sorted({c for c, _op, _v in preds if c not in pset})
+        if bad:
+            raise DeltaProtocolError(
+                f"OPTIMIZE WHERE supports partition columns only "
+                f"(Delta's contract); {bad} are not partition columns"
+            )
+        ptypes = {f.name: f.dataType for f in snap.schema.fields}
+        groups = {
+            k: v for k, v in groups.items() if _pv_matches(k, preds, ptypes)
+        }
     victims: list[dict] = []
     n_parts = 0
     if zorder_by:
         # ZORDER rewrites every live file of the scope — re-clustering
         # changes layout even for single-file partitions (Delta's
         # OPTIMIZE ZORDER BY contract); min_files does not apply
-        victims = list(snap.adds)
+        victims = [a for adds in groups.values() for a in adds]
         n_parts = len(groups)
     else:
         for adds in groups.values():

@@ -304,7 +304,7 @@ def _prefix_parse(s: str, i: int):
 _PREFIX_OPS = {"=": "=", ">": ">", ">=": ">=", "<": "<", "<=": "<="}
 
 
-def _prefix_tuples(node) -> list[tuple]:
+def _prefix_tuples(node, strict: bool = False) -> list[tuple]:
     kind, *rest = node
     if kind != "call":
         raise _Unsupported("not a boolean call")
@@ -313,8 +313,10 @@ def _prefix_tuples(node) -> list[tuple]:
         out = []
         for a in args:
             try:
-                out.extend(_prefix_tuples(a))
+                out.extend(_prefix_tuples(a, strict))
             except _Unsupported:
+                if strict:
+                    raise
                 continue
         return out
     if name in _PREFIX_OPS and len(args) == 2:
@@ -335,34 +337,50 @@ def _prefix_tuples(node) -> list[tuple]:
     raise _Unsupported(f"call {name!r}")
 
 
-def _extract_from_column(col) -> list[tuple]:
+def _extract_from_column(col, strict: bool = False) -> list[tuple]:
     m = re.match(r"Column<'(.*)'>$", str(col), re.DOTALL)
     if not m:
+        if strict:
+            raise ValueError(f"cannot decompose predicate: {col!r}")
         return []
     try:
         node, i = _prefix_parse(m.group(1), 0)
         if i != len(m.group(1)):
-            return []
-        return _prefix_tuples(node)
-    except (_Unsupported, ValueError):
+            raise _Unsupported("trailing repr text")
+        return _prefix_tuples(node, strict)
+    except (_Unsupported, ValueError) as exc:
+        if strict:
+            raise ValueError(
+                f"cannot decompose predicate conjunct: {exc}"
+            ) from None
         return []
 
 
-def extract_skipping_predicates(where) -> list[tuple]:
+def extract_skipping_predicates(where, strict: bool = False) -> list[tuple]:
     """Decompose a filter (SQL string or pyspark Column) into the
-    reader's skipping-tuple form; unsupported conjuncts are silently
-    dropped (the residual covers them)."""
+    reader's skipping-tuple form.  Default mode drops unsupported
+    conjuncts silently (the caller's residual covers them — sound for
+    data skipping, which may only ever skip FEWER files).  ``strict``
+    raises ValueError instead — for callers where a dropped conjunct
+    would WIDEN a scope (OPTIMIZE WHERE fences partitions off; a
+    silently widened rewrite scope is not sound there)."""
     if not isinstance(where, str):
-        return _extract_from_column(where)
+        return _extract_from_column(where, strict)
     try:
         toks = _tokenize(where)
         conjuncts = _split_conjuncts(toks)
-    except _Unsupported:
+    except _Unsupported as exc:
+        if strict:
+            raise ValueError(f"cannot decompose predicate: {exc}") from None
         return []
     out: list[tuple] = []
     for conj in conjuncts:
         try:
             out.extend(_conjunct_tuples(conj))
-        except _Unsupported:
+        except _Unsupported as exc:
+            if strict:
+                raise ValueError(
+                    f"cannot decompose predicate conjunct: {exc}"
+                ) from None
             continue
     return out

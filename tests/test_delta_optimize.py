@@ -292,3 +292,42 @@ def test_zorder_null_values_cluster_first(spark, tmp_path):
     assert (
         dp.read_table(spark, root).filter("a IS NULL").count() == 1
     )  # NULL survived the rewrite
+
+
+def test_optimize_where_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE (r13): a partition predicate scopes the
+    rewrite — matching partitions compact, fenced-off ones keep their
+    files byte-identical; non-partition predicates refuse (Delta's
+    contract), and so do conjuncts the extractor cannot decompose
+    (silently widening a fenced scope is not sound)."""
+    import pytest as _pytest
+
+    from incubator_gluten_spark.sources.delta_protocol import (
+        DeltaProtocolError,
+    )
+
+    root = str(tmp_path / "opt_where")
+    df = spark.createDataFrame(
+        [(i, float(i), ["a", "b", "c"][i % 3]) for i in range(90)],
+        "k long, v double, grp string",
+    ).repartition(4)
+    dp.create_table(df, root, partition_cols=["grp"])
+    before = {
+        a["path"]: a for a in dp.resolve(spark, root).adds
+    }
+    out = dp.optimize(spark, root, where="grp = 'a'")
+    assert out["partitions_compacted"] == 1
+    after = {a["path"] for a in dp.resolve(spark, root).adds}
+    untouched = {p for p in before if not p.startswith("grp=a")}
+    assert untouched <= after  # b/c partitions byte-identical
+    assert not any(p.startswith("grp=a/") and p in before for p in after)
+    # IN list scopes two partitions at once
+    out2 = dp.optimize(spark, root, where="grp IN ('b', 'c')")
+    assert out2["partitions_compacted"] == 2
+    # content unchanged through both scoped rewrites
+    got = sorted(map(tuple, dp.read_table(spark, root).collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    with _pytest.raises(DeltaProtocolError, match="partition columns only"):
+        dp.optimize(spark, root, where="k > 5")
+    with _pytest.raises(DeltaProtocolError, match="cannot decompose"):
+        dp.optimize(spark, root, where="grp = 'a' OR grp = 'b'")
