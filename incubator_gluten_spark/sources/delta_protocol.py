@@ -850,6 +850,48 @@ def load_dv(root: str, descriptor: dict):
 # from load_dv is 8 B/position and per-file transient); each slice ships
 # to the JVM as its own LocalTableScan and the slices union.
 _DV_POSITIONS_PER_SLICE = 1_000_000
+# Above this many TOTAL deleted positions, the anti-join's delete side
+# spills to a scratch parquet instead of inline local relations.
+_DV_SPILL_POSITIONS = 8_000_000
+
+
+def _dv_positions_spilled(
+    spark: SparkSession, root: str, snap: Snapshot
+) -> DataFrame:
+    """Heavy-debt path: stream every DV's positions into ONE scratch
+    parquet (one DV decoded at a time — driver memory stays bounded by
+    the largest single DV) and return a scan over it.  The scratch file
+    lives under the system temp dir for the session's lifetime; at
+    100 TB this is the only shape that works — a 100M-position local
+    relation is a multi-GB plan tree."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="spark_graft_dv_"), "positions.parquet"
+    )
+    pa_schema = pa.schema(
+        [pa.field("file_path", pa.string()), pa.field("pos", pa.int64())]
+    )
+    with pq.ParquetWriter(path, pa_schema) as w:
+        for a in snap.adds:
+            if not a.get("deletionVector"):
+                continue
+            pos = load_dv(root, a["deletionVector"])
+            w.write_table(
+                pa.table(
+                    {
+                        "file_path": pa.array(
+                            [a["path"]] * len(pos), pa.string()
+                        ),
+                        "pos": pa.array(pos.astype("int64"), pa.int64()),
+                    },
+                    schema=pa_schema,
+                )
+            )
+    return spark.read.schema("file_path string, pos bigint").parquet(path)
 
 
 def _dv_positions_df(spark: SparkSession, root: str, snap: Snapshot) -> DataFrame:
@@ -858,7 +900,20 @@ def _dv_positions_df(spark: SparkSession, root: str, snap: Snapshot) -> DataFram
     ``explode`` — whole-stage codegen, no Python in the read plan.
     Driver materialization is BOUNDED: at most ``_DV_POSITIONS_PER_SLICE``
     positions become Python ints at a time (r8 verdict "what's wrong" #2
-    held all DVs' positions simultaneously)."""
+    held all DVs' positions simultaneously).
+
+    r13: past ``_DV_SPILL_POSITIONS`` total cardinality (known from the
+    descriptors, no decode needed to choose) the positions SPILL to one
+    scratch parquet and come back as a scan — an inline local relation
+    embeds every position in the plan tree itself (gigabytes of plan at
+    100M deleted rows, walked by every Catalyst rule), while a scan
+    node holds a path."""
+    total = sum(
+        (a.get("deletionVector") or {}).get("cardinality") or 0
+        for a in snap.adds
+    )
+    if total > _DV_SPILL_POSITIONS:
+        return _dv_positions_spilled(spark, root, snap)
     schema = "file_path string, positions array<bigint>"
     slices: list[DataFrame] = []
     rows: list[tuple] = []

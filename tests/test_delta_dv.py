@@ -280,3 +280,24 @@ def test_dv_positions_expand_jvm_side(spark, sf_dir, tmp_path):
     assert "Generate explode" in plan or "Generate" in plan
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, marker
+
+
+def test_dv_positions_spill_past_threshold(spark, tmp_path, monkeypatch):
+    """r13: past _DV_SPILL_POSITIONS total DV cardinality the delete
+    side comes back as a parquet SCAN, not inline local relations — a
+    100M-position local relation is a multi-GB plan tree.  Forced here
+    with a tiny threshold; results identical either way."""
+    root = str(tmp_path / "dv_spill")
+    df = spark.range(0, 2000).selectExpr("id AS k", "id * 1.0 AS v")
+    dp.create_table(df.repartition(2), root)
+    dp.delete_where_dv(spark, root, "k % 3 = 0")
+    want = sorted(r.k for r in dp.read_table(spark, root).collect())
+    monkeypatch.setattr(dp, "_DV_SPILL_POSITIONS", 10)
+    spilled = dp.read_table(spark, root)
+    phys = spilled._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("FileScan parquet") == 2  # data + spilled DV side
+    assert "positions.parquet" in phys  # the delete side is a SCAN
+    # the only local relation left is the O(n_files) basename map —
+    # no positions ride the plan tree
+    assert "positions#" not in phys.split("positions.parquet")[0]
+    assert sorted(r.k for r in spilled.collect()) == want
