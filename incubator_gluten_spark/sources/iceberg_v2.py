@@ -47,6 +47,8 @@ from pyspark.sql import functions as F
 from incubator_gluten_spark.sources.avro import read_container, write_container
 from incubator_gluten_spark.sources.iceberg_format import (
     ADDED,
+    DELETED,
+    EXISTING,
     _apply_residual,
     _bounds_keep,
     _build_bound_checks,
@@ -364,13 +366,22 @@ def read_table(
         out = _apply_residual(out, source_predicates)
         return out.filter(where) if where is not None else out
 
+    return _residuals(_mor_fold(spark, root, meta, scan))
+
+
+def _mor_fold(spark: SparkSession, root: str, meta: dict, scan: dict) -> DataFrame:
+    """The MOR view of exactly ``scan``'s data files with every delete
+    file folded in (ONE join per group, byte-gated) — the shared core
+    of read_table and the scoped rewrite_data_files."""
+    ice_schema = meta["schema"]
+    ddl = spark_ddl_for(ice_schema)
     if not scan["data"]:
-        return _residuals(spark.createDataFrame([], ddl))
+        return spark.createDataFrame([], ddl)
     df = spark.read.schema(ddl).parquet(
         *[_resolve_path(root, f["file_path"]) for f, _ in scan["data"]]
     )
     if not scan["pos_deletes"] and not scan["eq_deletes"]:
-        return _residuals(df)
+        return df
     cols = df.columns
     # attach each row's (relative path, data sequence number): one
     # broadcast join against an O(n_files) mapping
@@ -404,7 +415,7 @@ def read_table(
         for c in eq_cols:
             cond = cond & df[c].eqNullSafe(dels[c])
         df = df.join(dels, cond, "left_anti")
-    return _residuals(df.select(*cols))
+    return df.select(*cols)
 
 
 def history(root: str) -> list[dict]:
@@ -840,7 +851,7 @@ def merge_mor_stream_batch(
     return True
 
 
-def rewrite_data_files(spark: SparkSession, root: str) -> dict:
+def rewrite_data_files(spark: SparkSession, root: str, where=None) -> dict:
     """COMPACTION (the spec's rewrite action): materialize the current
     MERGE-ON-READ view into fresh data files and commit a snapshot whose
     manifests re-state ONLY those files — no position/equality delete
@@ -848,7 +859,26 @@ def rewrite_data_files(spark: SparkSession, root: str) -> dict:
     until new deletes arrive.  Prior snapshots (and their delete files)
     stay resolvable for time travel.  This is the maintenance operation
     that bounds delete-file debt at 100 TB: reads before compaction pay
-    one broadcast anti-join per delete layer; after, none."""
+    one broadcast anti-join per delete layer; after, none.
+
+    ``where`` (r13, Iceberg's ``rewrite_data_files(where => ...)``
+    procedure arg) scopes the compaction to matching IDENTITY
+    partitions — the partition-range-wise shape a 100 TB table runs,
+    one bounded commit per range: only matching files materialize (MOR
+    view of that subset) and rewrite at the table's new highest
+    sequence number; non-matching data manifests carry over with their
+    ORIGINAL sequence numbers, so the delete files — which also carry
+    over verbatim — keep shadowing exactly the kept files (the
+    strictly-lower rule cannot reach the rewritten files).  A data
+    manifest that loses files is rewritten with the lost entries
+    marked DELETED under the new snapshot id (the raw changelog shows
+    compaction as delete+re-insert, the COW CDC shape) and survivors
+    as EXISTING under their original snapshot ids.  Non-identity
+    partition predicates refuse, as do conjuncts the extractor cannot
+    decompose (a silently widened scope would compact partitions the
+    caller fenced off)."""
+    if where is not None:
+        return _rewrite_data_files_scoped(spark, root, where)
     meta = _current_metadata(root)
     ice_schema = meta["schema"]
     spec = meta["partition-specs"][0]
@@ -889,6 +919,159 @@ def rewrite_data_files(spark: SparkSession, root: str) -> dict:
     new_meta["snapshots"] = meta["snapshots"] + [snapshot]
     _write_metadata(root, _next_meta_version(root, meta), new_meta)
     return {"snapshot_id": snap_id, "files_written": len(data_files)}
+
+
+def _rewrite_data_files_scoped(spark: SparkSession, root: str, where) -> dict:
+    """Partition-scoped compaction core (see rewrite_data_files)."""
+    import datetime as _dt
+
+    from incubator_gluten_spark.sources.predicates import (
+        extract_skipping_predicates,
+        literal_matches,
+    )
+
+    meta = _current_metadata(root)
+    ice_schema = meta["schema"]
+    spec = meta["partition-specs"][0]
+    if isinstance(where, (list, tuple)) and all(
+        isinstance(p, tuple) for p in where
+    ):
+        preds = list(where)
+    else:
+        preds = extract_skipping_predicates(where, strict=True)
+    ident_cols = {
+        pf["name"]
+        for pf in spec["fields"]
+        if pf.get("transform", "identity") == "identity"
+    }
+    bad = sorted({c for c, _op, _v in preds if c not in ident_cols})
+    if bad:
+        raise ValueError(
+            "rewrite_data_files WHERE supports identity partition "
+            f"columns only; {bad} are not"
+        )
+    types = {f["name"]: f["type"] for f in ice_schema["fields"]}
+
+    def _typed(name, v):
+        if v is not None and types.get(name) == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(v))
+        return v
+
+    def _matches(fpart: dict | None) -> bool:
+        d = fpart or {}
+        try:
+            return all(
+                literal_matches(_typed(c, d.get(c)), op, val)
+                for c, op, val in preds
+            )
+        except TypeError:
+            return False  # un-comparable literal: leave the file alone
+    scan = plan_scan(root)
+    match_paths = {
+        f["file_path"]
+        for f, _ in scan["data"]
+        if _matches(f.get("partition"))
+    }
+    if not match_paths:
+        return {
+            "snapshot_id": meta.get("current-snapshot-id"),
+            "files_written": 0,
+            "files_compacted": 0,
+        }
+    merged = _mor_fold(
+        spark,
+        root,
+        meta,
+        {
+            "data": [
+                (f, s)
+                for f, s in scan["data"]
+                if f["file_path"] in match_paths
+            ],
+            "pos_deletes": scan["pos_deletes"],
+            "eq_deletes": scan["eq_deletes"],
+        },
+    )
+    partition_cols = [pf["name"] for pf in spec["fields"]]
+    data_files = _write_data_files(
+        spark, merged, root, partition_cols, ice_schema=ice_schema
+    )
+    snap_id = _next_snapshot_id(meta)
+    seq = meta.get("last-sequence-number", 0) + 1
+    pschema = _partition_avro_schema(ice_schema, spec)
+    rows: list[tuple] = []
+    prev = _snapshot(meta, None)
+    for mf in read_container(_resolve_path(root, prev["manifest-list"])):
+        m_path, _mlen, _specid, content, mseq, msnap = mf
+        if content == DELETES_MANIFEST:
+            rows.append(mf)  # delete debt keeps shadowing kept files
+            continue
+        entries = list(read_container(_resolve_path(root, m_path)))
+        hit = any(
+            st != DELETED and f["file_path"] in match_paths
+            for st, _sid, f in entries
+        )
+        if not hit:
+            rows.append(mf)  # untouched manifest carries verbatim
+            continue
+        rewritten = []
+        for st, sid, f in entries:
+            if st != DELETED and f["file_path"] in match_paths:
+                rewritten.append((DELETED, snap_id, f))
+            else:
+                rewritten.append(
+                    (EXISTING if st != DELETED else st, sid, f)
+                )
+        m2 = _write_manifest_v2(root, rewritten, pschema)
+        rows.append(
+            (
+                m2["manifest_path"],
+                m2["manifest_length"],
+                0,
+                DATA_CONTENT,
+                mseq,  # ORIGINAL sequence: kept entries inherit it
+                msnap,
+            )
+        )
+    new_manifest = _write_manifest_v2(
+        root,
+        [(ADDED, snap_id, _with_v2_fields(d, DATA_CONTENT)) for d in data_files],
+        pschema,
+    )
+    rows.append(
+        (
+            new_manifest["manifest_path"],
+            new_manifest["manifest_length"],
+            0,
+            DATA_CONTENT,
+            seq,
+            snap_id,
+        )
+    )
+    ml_path = os.path.join(
+        _meta_dir(root), f"snap-{snap_id}-1-{uuid.uuid4().hex[:8]}.avro"
+    )
+    write_container(
+        ml_path, iter(rows), _MANIFEST_LIST_SCHEMA_V2, codec="deflate"
+    )
+    snapshot = {
+        "snapshot-id": snap_id,
+        "sequence-number": seq,
+        "timestamp-ms": 0,
+        "summary": {"operation": "replace"},
+        "manifest-list": os.path.relpath(ml_path, root),
+        "schema-id": 0,
+    }
+    new_meta = dict(meta)
+    new_meta["last-sequence-number"] = seq
+    new_meta["current-snapshot-id"] = snap_id
+    new_meta["snapshots"] = meta["snapshots"] + [snapshot]
+    _write_metadata(root, _next_meta_version(root, meta), new_meta)
+    return {
+        "snapshot_id": snap_id,
+        "files_written": len(data_files),
+        "files_compacted": len(match_paths),
+    }
 
 
 def expire_snapshots(root: str, keep_last: int = 1) -> dict:

@@ -356,6 +356,30 @@ def _extract_from_column(col, strict: bool = False) -> list[tuple]:
         return []
 
 
+def literal_matches(value, op: str, lit) -> bool:
+    """Evaluate one (op, literal) predicate against a concrete value —
+    SQL comparison semantics: NULL never satisfies a value predicate."""
+    if op == "is_null":
+        return value is None
+    if op == "not_null":
+        return value is not None
+    if value is None:
+        return False
+    if op == "=":
+        return value == lit
+    if op == "in":
+        return value in lit
+    if op == "<":
+        return value < lit
+    if op == "<=":
+        return value <= lit
+    if op == ">":
+        return value > lit
+    if op == ">=":
+        return value >= lit
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
 def extract_skipping_predicates(where, strict: bool = False) -> list[tuple]:
     """Decompose a filter (SQL string or pyspark Column) into the
     reader's skipping-tuple form.  Default mode drops unsupported

@@ -503,3 +503,45 @@ def test_large_delete_shards_into_multiple_files(spark, sf_dir, tmp_path):
     opt = got._jdf.queryExecution().optimizedPlan().toString()
     assert opt.count("LeftAnti") == 1
     assert _rows(got) == _rows(base.filter("o_totalprice >= 300000"))
+
+
+def test_rewrite_data_files_where_partition_scoped(spark, tmp_path):
+    """rewrite_data_files(where=...) (r13, Iceberg's procedure arg):
+    only matching identity partitions compact — their MOR debt folds
+    in and their files move to the table's new highest sequence; kept
+    files carry over at their ORIGINAL sequences with every delete
+    manifest intact, so the kept partition's debt still applies and
+    the whole-table view is unchanged."""
+    root = str(tmp_path / "v2_scoped_rw")
+    df = spark.createDataFrame(
+        [(i, float(i), ["a", "b"][i % 2]) for i in range(40)],
+        "k long, v double, grp string",
+    ).repartition(4)
+    v2.create_table(df, root, partition_cols=["grp"])
+    v2.position_delete(spark, root, "k < 4")
+    want = sorted(map(tuple, v2.read_table(spark, root).collect()))
+    out = v2.rewrite_data_files(spark, root, where="grp = 'a'")
+    assert out["files_compacted"] > 0
+    got = sorted(map(tuple, v2.read_table(spark, root).collect()))
+    assert got == want  # logical content unchanged
+    scan = v2.plan_scan(root)
+    # delete debt still present (it shadows the kept 'b' partition)
+    assert len(scan["pos_deletes"]) == 1
+    by_part = {}
+    for f, seq in scan["data"]:
+        by_part.setdefault(f["partition"]["grp"], []).append(seq)
+    # compacted partition sits at the NEW highest sequence; kept
+    # partition keeps its original sequence
+    assert max(by_part["a"]) > max(by_part["b"])
+    # the kept partition's deleted row (k=2) must STILL be deleted
+    assert (2, 2.0, "b") not in set(got)
+    # changelog shows the compaction as delete+re-insert of 'a' only
+    ch = v2.history(root)
+    assert ch[-1]["operation"] == "replace"
+    # non-partition predicate refuses; undecomposable conjunct refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="identity partition"):
+        v2.rewrite_data_files(spark, root, where="k > 5")
+    with _pytest.raises(ValueError, match="cannot decompose"):
+        v2.rewrite_data_files(spark, root, where="grp = 'a' OR grp = 'b'")
