@@ -46,6 +46,12 @@ from incubator_gluten_spark.sources.avro import read_container, write_container
 
 ADDED, EXISTING, DELETED = 1, 0, 2
 
+# Changelog bounded-width cap: short ranges plan per-snapshot literal
+# scans (width <= 2x this constant — cheaper than the broadcast map
+# join); longer ranges use ONE scan per change kind with snapshot ids
+# from a basename map (plan width O(1) in range length).
+_CHANGELOG_UNION_MAX = 16
+
 _SPARK_TO_ICE = {
     "bigint": "long",
     "long": "long",
@@ -1615,9 +1621,29 @@ def read_changelog(
                     changed["delete"].append((data_file, sid))
     order = [f["name"] for f in ice_schema["fields"]]
     parts: list[DataFrame] = []
+    small = len(wanted) <= _CHANGELOG_UNION_MAX
     for kind in ("insert", "delete"):
         pairs = changed[kind]
         if not pairs:
+            continue
+        if small:
+            # bounded-width fast path: <= 2 * _CHANGELOG_UNION_MAX
+            # scans (a constant), snapshot ids as literals — cheaper
+            # than the map join for short ranges
+            by_sid: dict[int, list[dict]] = {}
+            for f, sid in pairs:
+                by_sid.setdefault(sid, []).append(f)
+            for sid in sorted(by_sid):
+                rows = _read_files_by_id(
+                    spark, root, meta, ice_schema, by_sid[sid]
+                )
+                parts.append(
+                    rows.select(
+                        *order,
+                        F.lit(kind).alias("_change_type"),
+                        F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+                    )
+                )
             continue
         names = [os.path.basename(f["file_path"]) for f, _ in pairs]
         if len(set(names)) != len(names):

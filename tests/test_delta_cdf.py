@@ -265,23 +265,34 @@ def test_cdf_flag_survives_checkpoint(spark, tmp_path):
     assert _rows(ch.select("k", "_change_type")) == [(1, "delete")]
 
 
-def test_table_changes_plan_width_constant_in_commits(spark, tmp_path):
+def test_table_changes_plan_width_constant_in_commits(
+    spark, tmp_path, monkeypatch
+):
     """r13 (extends the r12-verdict plan-width fix to CDF): the change
     scan is O(schema generations) plan subtrees, never O(commits) —
     all change files of one generation read in ONE scan per kind, with
-    _commit_version riding the basename broadcast map."""
+    _commit_version riding the basename broadcast map.  Below the
+    bounded-width cap the scan may use per-version literal injection
+    (width <= _GROUPED_SCAN_UNION_MAX, a constant); the cap is forced
+    down here so 9 commits exercise the map path."""
     root = str(tmp_path / "cdf_width")
     dp.create_table(_mk(spark, [(1, 10.0, "a")]), root, configuration=CDF)
     for v in range(1, 9):
         dp.append(_mk(spark, [(v * 10, float(v), "b")]), root)
+    want = sorted(
+        [(1, "insert", 0)] + [(v * 10, "insert", v) for v in range(1, 9)]
+    )
+    # small-range path: bounded width, same rows
+    small = dp.table_changes(spark, root, 0)
+    assert sorted(
+        (r.k, r._change_type, r._commit_version) for r in small.collect()
+    ) == want
+    monkeypatch.setattr(dp, "_GROUPED_SCAN_UNION_MAX", 2)
     ch = dp.table_changes(spark, root, 0)
     phys = ch._jdf.queryExecution().executedPlan().toString()
     assert phys.count("FileScan parquet") == 1  # 9 commits, ONE scan
     got = sorted(
         (r.k, r._change_type, r._commit_version) for r in ch.collect()
-    )
-    want = sorted(
-        [(1, "insert", 0)] + [(v * 10, "insert", v) for v in range(1, 9)]
     )
     assert got == want
     # mixed kinds: a DELETE adds cdc files -> still <=2 scans per

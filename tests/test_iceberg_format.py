@@ -689,15 +689,25 @@ def test_merge_binds_by_field_id_after_rename(spark, tmp_path):
     assert ice.read_table(spark, root).columns == ["key", "v"]
 
 
-def test_changelog_plan_width_constant_in_snapshots(spark, tmp_path):
+def test_changelog_plan_width_constant_in_snapshots(
+    spark, tmp_path, monkeypatch
+):
     """r13 (r12-verdict plan-width fix applied to CDC): the changelog
     over N snapshots plans ONE scan per change kind — snapshot ids
-    ride the basename broadcast map — never one subtree per snapshot."""
+    ride the basename broadcast map — never one subtree per snapshot.
+    Short ranges may use per-snapshot literals (width <= a constant
+    cap); the cap is forced down so 8 snapshots exercise the map."""
     root = str(tmp_path / "changelog_width")
     mk = lambda rows: spark.createDataFrame(rows, "k long, v double")
     ice.create_table(mk([(0, 0.0)]), root)
     for v in range(1, 9):
         ice.append(mk([(v, float(v))]), root)
+    small = ice.read_changelog(spark, root, 1)
+    assert sorted((r.k, r._change_type, r._commit_snapshot_id)
+                  for r in small.collect()) == [
+        (v, "insert", v + 1) for v in range(1, 9)
+    ]
+    monkeypatch.setattr(ice, "_CHANGELOG_UNION_MAX", 2)
     ch = ice.read_changelog(spark, root, 1)  # 8 insert-only snapshots
     phys = ch._jdf.queryExecution().executedPlan().toString()
     assert phys.count("FileScan parquet") == 1
