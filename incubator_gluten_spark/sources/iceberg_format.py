@@ -928,11 +928,23 @@ def _read_name_mapped(
     # is url_decode-d so percent-encoded partition directories still
     # match (literal '%' in a segment name is the one unsupported case).
     paths = [_resolve_path(root, f["file_path"]) for f in files]
+    max_depth = max(len(p.split("/")) for p in paths)
     depth = 1
     while True:
         keys = ["/".join(p.split("/")[-depth:]) for p in paths]
         if len(set(keys)) == len(keys):
             break
+        if depth >= max_depth:
+            # uniqueness unreachable: the planned list itself holds
+            # duplicates (a corrupt/hand-edited manifest) — fail loud
+            # instead of looping forever (r13 advice)
+            dupes = sorted(
+                {k for k in keys if keys.count(k) > 1}
+            )[:3]
+            raise ValueError(
+                "duplicate planned data-file paths (no suffix depth "
+                f"disambiguates): {dupes}"
+            )
         depth += 1
     order = [f["name"] for f in schema["fields"]]
     df = spark.read.schema(read_schema).parquet(*paths)

@@ -160,7 +160,19 @@ def _literal(toks: list[tuple[str, str]], i: int):
             body = t2[1:-1].replace("''", "'")
             if text == "DATE":
                 return _dt.date.fromisoformat(body), i + 2
-            return _dt.datetime.fromisoformat(body.replace(" ", "T")), i + 2
+            ts = _dt.datetime.fromisoformat(body.replace(" ", "T"))
+            if ts.tzinfo is not None:
+                # An offset-aware datetime's isoformat image carries the
+                # "+HH:MM" suffix, so comparing it lexicographically
+                # against naive file-stats images is NOT chronological
+                # order — a file holding matching rows could be pruned.
+                # Degrade to residual-only (strict mode refuses).
+                raise _Unsupported(
+                    "timezone-offset TIMESTAMP literal (stats images are "
+                    "naive; lexicographic compare would not be "
+                    "chronological)"
+                )
+            return ts, i + 2
     raise _Unsupported(f"not a literal at {toks[i]}")
 
 

@@ -331,3 +331,8 @@ def test_optimize_where_partition_scoped(spark, tmp_path):
         dp.optimize(spark, root, where="k > 5")
     with _pytest.raises(DeltaProtocolError, match="cannot decompose"):
         dp.optimize(spark, root, where="grp = 'a' OR grp = 'b'")
+    # r13 advice: a type-mismatched literal (numeric compare on the
+    # string partition column) raises a protocol error naming the
+    # predicate, not a bare TypeError mid-scoping
+    with _pytest.raises(DeltaProtocolError, match="type-.?match"):
+        dp.optimize(spark, root, where="grp > 5")

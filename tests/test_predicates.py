@@ -42,6 +42,25 @@ def test_temporal_literals_match_stats_images():
     assert got[0][2].isoformat() == "2024-01-20T01:02:03"
 
 
+def test_tz_offset_timestamp_degrades_to_residual():
+    """r13 advice: TIMESTAMP '... +05:30' parses offset-AWARE; its
+    isoformat image carries the '+05:30' suffix, so a lexicographic
+    compare against naive stats images is NOT chronological order — a
+    file holding matching rows could be pruned.  The conjunct must
+    degrade to residual-only (and refuse in strict mode)."""
+    import pytest
+
+    assert X("ts < TIMESTAMP '2024-01-10 00:00:00+05:30'") == []
+    # sibling conjuncts still extract; only the tz-aware one drops
+    assert X(
+        "k = 3 AND ts < TIMESTAMP '2024-01-10 00:00:00+05:30'"
+    ) == [("k", "=", 3)]
+    # UTC suffix forms are offset-aware too
+    assert X("ts >= TIMESTAMP '2024-01-10 00:00:00+00:00'") == []
+    with pytest.raises(ValueError, match="timezone-offset"):
+        X("ts < TIMESTAMP '2024-01-10 00:00:00+05:30'", strict=True)
+
+
 def test_and_splitting_and_partial_extraction():
     got = X("a = 5 AND (e > 1 OR f < 2) AND c IS NOT NULL")
     assert got == [("a", "=", 5), ("c", "not_null", None)]

@@ -101,28 +101,63 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     base = f"/tmp/spark_graft_snapscale_{os.getpid()}"
-    for n in (1_000, 10_000, 100_000):
+    sizes = [1_000, 10_000, 100_000]
+    if "--big" in sys.argv:
+        # r14: the past-envelope row — resolve() refuses at this size
+        # (driver envelope) while resolve_pruned stays usable
+        sizes.append(1_500_000)
+    for n in sizes:
         root = os.path.join(base, f"t{n}")
         shutil.rmtree(root, ignore_errors=True)
         _mk_log(root, n)
-        rss0 = _rss_mb()
-        t0 = time.perf_counter()
-        snap = dp.resolve(spark, root)
-        wall = time.perf_counter() - t0
-        rec = {
-            "files": n,
-            "resolve_s": round(wall, 3),
-            "rss_growth_mb": round(_rss_mb() - rss0, 1),
-            "adds": len(snap.adds),
-        }
-        if n == 100_000:
-            dp.checkpoint(spark, root)
+        rec = {"files": n}
+        if n <= dp._SNAPSHOT_DRIVER_MAX_FILES:
+            rss0 = _rss_mb()
             t0 = time.perf_counter()
             snap = dp.resolve(spark, root)
-            rec["resolve_from_checkpoint_s"] = round(
-                time.perf_counter() - t0, 3
-            )
+            rec["resolve_s"] = round(time.perf_counter() - t0, 3)
+            rec["rss_growth_mb"] = round(_rss_mb() - rss0, 1)
+            rec["adds"] = len(snap.adds)
+        if n >= 100_000:
+            if n > dp._SNAPSHOT_DRIVER_MAX_FILES:
+                # creating the fixture checkpoint needs one over-envelope
+                # resolve; lift the gate for exactly that step
+                saved = dp._SNAPSHOT_DRIVER_MAX_FILES
+                dp._SNAPSHOT_DRIVER_MAX_FILES = n + 10
+                try:
+                    dp.checkpoint(spark, root)
+                finally:
+                    dp._SNAPSHOT_DRIVER_MAX_FILES = saved
+            else:
+                dp.checkpoint(spark, root)
+            if n <= dp._SNAPSHOT_DRIVER_MAX_FILES:
+                t0 = time.perf_counter()
+                dp.resolve(spark, root)
+                rec["resolve_from_checkpoint_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            else:
+                try:
+                    dp.resolve(spark, root)
+                    rec["envelope_refusal"] = "MISSING (BUG)"
+                except dp.DeltaProtocolError:
+                    rec["envelope_refusal"] = "ok"
+            # r14: distributed reconstruction — only the pruned file
+            # list reaches the driver (predicate keeps ~1% of files)
+            rss0 = _rss_mb()
+            t0 = time.perf_counter()
+            snap = dp.resolve_pruned(spark, root)
+            rec["resolve_pruned_full_s"] = round(time.perf_counter() - t0, 3)
+            rec["resolve_pruned_full_rss_mb"] = round(_rss_mb() - rss0, 1)
+            preds = [("k", "<", n * 100)]  # ~1% of files
+            rss0 = _rss_mb()
+            t0 = time.perf_counter()
+            snap = dp.resolve_pruned(spark, root, preds)
+            rec["resolve_pruned_1pct_s"] = round(time.perf_counter() - t0, 3)
+            rec["resolve_pruned_1pct_rss_mb"] = round(_rss_mb() - rss0, 1)
+            rec["pruned_adds"] = len(snap.adds)
         print(json.dumps(rec), flush=True)
+        shutil.rmtree(root, ignore_errors=True)
     shutil.rmtree(base, ignore_errors=True)
     return 0
 
