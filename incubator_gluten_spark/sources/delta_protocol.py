@@ -309,6 +309,10 @@ def resolve(spark: SparkSession, root: str, version: int | None = None) -> Snaps
 # clear error instead of silently OOMing the driver.  Delta OSS's own
 # driver snapshot has the same envelope.
 _SNAPSHOT_DRIVER_MAX_FILES = 2_000_000
+# resolve_pruned's tail-tombstone filter: literal IN list under this
+# many touched paths (no exchange), broadcast anti-join past it (a
+# 100k-literal IN is a plan-width defect, not a filter).
+_TOMBSTONE_INLIST_MAX = 1000
 
 
 def _checkpoint_footer_rows(root: str, ck_version: int) -> int | None:
@@ -415,9 +419,24 @@ def resolve_pruned(
         )
     adds_df = ck.where(F.col("add").isNotNull())
     if touched:
-        # the tail is O(commits since checkpoint) — small by the same
-        # argument as resolve's tail replay; isin over it broadcasts
-        adds_df = adds_df.where(~F.col("add.path").isin(sorted(touched)))
+        if len(touched) <= _TOMBSTONE_INLIST_MAX:
+            # small tail: literal IN list, no exchange
+            adds_df = adds_df.where(
+                ~F.col("add.path").isin(sorted(touched))
+            )
+        else:
+            # a LONG tail (many commits since the checkpoint) must not
+            # become a 100k-literal plan tree — same defect class as
+            # the r13 partition-tuple scan chain; broadcast anti-join
+            # keeps plan width O(1)
+            tdf = spark.createDataFrame(
+                [(p,) for p in sorted(touched)], "__tpath string"
+            )
+            adds_df = adds_df.join(
+                F.broadcast(tdf),
+                adds_df["add.path"] == tdf["__tpath"],
+                "left_anti",
+            )
     if preds and mode == "none":
         keep_preds = preds
 

@@ -885,3 +885,22 @@ def test_snapshot_driver_envelope_gate(spark, tmp_path, monkeypatch):
     assert sorted(r.k for r in pruned.collect()) == list(range(300, 320))
     # skipping pruned the checkpoint-era files (tail file only)
     assert len(pruned.inputFiles()) < len(got.inputFiles())
+
+
+def test_resolve_pruned_long_tail_uses_join_not_inlist(
+    spark, tmp_path, monkeypatch
+):
+    """A long post-checkpoint tail (many touched paths) must not become
+    a thousands-of-literals IN plan — past _TOMBSTONE_INLIST_MAX the
+    tombstone filter is a broadcast anti-join (plan width O(1)).  Both
+    branches must produce identical state on the same table."""
+    root = str(tmp_path / "long_tail")
+    df = spark.range(0, 200).selectExpr("id AS k", "id * 1.0 AS v")
+    dp.create_table(df.repartition(4), root)
+    dp.checkpoint(spark, root)
+    dp.delete_where(spark, root, "k < 20")  # tail touches several paths
+    want = {a["path"] for a in dp.resolve(spark, root).adds}
+    inlist = {a["path"] for a in dp.resolve_pruned(spark, root).adds}
+    monkeypatch.setattr(dp, "_TOMBSTONE_INLIST_MAX", 0)  # force the join
+    joined = {a["path"] for a in dp.resolve_pruned(spark, root).adds}
+    assert inlist == want and joined == want
