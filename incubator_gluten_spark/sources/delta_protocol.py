@@ -313,6 +313,12 @@ _SNAPSHOT_DRIVER_MAX_FILES = 2_000_000
 # many touched paths (no exchange), broadcast anti-join past it (a
 # 100k-literal IN is a plan-width defect, not a filter).
 _TOMBSTONE_INLIST_MAX = 1000
+# MERGE's duplicate-key fan-out probe: hint broadcast only while the
+# distinct duplicated-key bound (n_nonnull - n_distinct, already
+# computed from the source agg) stays small; a bulk merge whose source
+# carries millions of duplicated keys must let AQE size the semi-join
+# instead of funneling them through the driver.
+_MERGE_DUP_PROBE_BROADCAST_MAX = 1_000_000
 
 
 def _checkpoint_footer_rows(root: str, ck_version: int) -> int | None:
@@ -388,10 +394,17 @@ def resolve_pruned(
                     removed_domains.discard(dm["domain"])
             _apply_action(tail_live, state, action)
     ck = spark.read.parquet(_checkpoint_path(root, ck_version))
-    # non-add state rows: metaData/protocol/txn/domainMetadata — O(small)
+    # non-add state rows: metaData/protocol/txn/domainMetadata — O(small).
+    # Optional action columns may be absent from a checkpoint's schema
+    # (writers omit action types they never emitted): filter on the
+    # columns that exist.
+    state_cols = [
+        c
+        for c in ("metaData", "protocol", "txn", "domainMetadata")
+        if c in ck.columns
+    ]
     for row in ck.where(
-        "metaData IS NOT NULL OR protocol IS NOT NULL OR txn IS NOT NULL "
-        "OR domainMetadata IS NOT NULL"
+        " OR ".join(f"{c} IS NOT NULL" for c in state_cols)
     ).collect():
         d = row.asDict(recursive=True)
         tail_state: dict = {}
@@ -1371,6 +1384,42 @@ def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
             int(stats["n"]), -(-int(stats["b"]) // _DV_FILE_MAX_BYTES)
         )
 
+        if int(stats["b"]) <= _DV_FILE_MAX_BYTES:
+            # single-shard case: ONE driver collect bounded at
+            # _DV_FILE_MAX_BYTES of blob bytes — frames the one .bin
+            # without the extra shuffle + Arrow roundtrip the
+            # distributed framer costs (a fixed ~0.5-1 s that dominates
+            # tiny deletes); the sharded path below is unbounded-safe
+            import base64
+            import struct as _struct
+            import zlib
+
+            u = uuid.uuid4()
+            buf = bytearray(b"\x01")
+            b85 = base64.b85encode(u.bytes).decode()
+            descriptors = []
+            for r in sorted(
+                blobs.collect(), key=lambda r: r["file_path"]
+            ):
+                blob = bytes(r["dv"])
+                off = len(buf)
+                buf += _struct.pack(">i", len(blob)) + blob
+                buf += _struct.pack(">I", zlib.crc32(blob))
+                descriptors.append(
+                    {
+                        "file_path": r["file_path"],
+                        "dv_path": b85,
+                        "offset": off,
+                        "size": len(blob),
+                        "card": r["card"],
+                    }
+                )
+            with open(
+                os.path.join(abs_root, f"deletion_vector_{u}.bin"), "wb"
+            ) as f:
+                f.write(bytes(buf))
+            return _dv_commit(root, snap, v, df, predicate, existing, descriptors)
+
         def frame_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             # [version 0x01] then per DV [size i32 BE][data][crc32 BE];
             # descriptor.offset -> the size field
@@ -1415,6 +1464,20 @@ def delete_where_dv(spark: SparkSession, root: str, predicate: str) -> dict:
         )
     finally:
         blobs.unpersist()
+    return _dv_commit(root, snap, v, df, predicate, existing, descriptors)
+
+
+def _dv_commit(
+    root: str,
+    snap: Snapshot,
+    v: int,
+    df: DataFrame,
+    predicate: str,
+    existing: dict,
+    descriptors,
+) -> dict:
+    """Shared commit tail of ``delete_where_dv``: protocol upgrade +
+    remove/re-add per descriptor + CDF delete files when enabled."""
     # DV protocol upgrade must not drop an existing columnMapping
     # requirement: feature-list protocols replace, never merge
     feats = ["deletionVectors"]
@@ -2839,7 +2902,9 @@ def merge(
             .filter("__n > 1")
             .select(key_col)
         )
-        if not tgt.join(F.broadcast(dups), key_col, "left_semi").isEmpty():
+        if (n_nn - n_keys) <= _MERGE_DUP_PROBE_BROADCAST_MAX:
+            dups = F.broadcast(dups)
+        if not tgt.join(dups, key_col, "left_semi").isEmpty():
             raise DeltaProtocolError(
                 f"merge source has duplicate {key_col!r} keys matching a "
                 f"target row ({n_src} rows, {n_keys} distinct non-null) — "
@@ -3082,7 +3147,9 @@ def merge_clauses(
             .filter("__n > 1")
             .select(key_col)
         )
-        if not tgt.join(F.broadcast(dups), key_col, "left_semi").isEmpty():
+        if (n_nn - n_keys) <= _MERGE_DUP_PROBE_BROADCAST_MAX:
+            dups = F.broadcast(dups)
+        if not tgt.join(dups, key_col, "left_semi").isEmpty():
             raise DeltaProtocolError(
                 f"merge source has duplicate {key_col!r} keys matching a "
                 "target row — Delta's "
@@ -3323,96 +3390,221 @@ _CHECKPOINT_DDL = (
 )
 
 
+# One parquet row group per this many checkpoint actions (r14): the
+# checkpoint is written through a STREAMING pyarrow writer — the old
+# spark.createDataFrame(rows) shape serialized every action as a Python
+# tuple through py4j, which is minutes of driver time at 1M files where
+# the arrow writer takes seconds; memory stays bounded by one batch.
+_CHECKPOINT_BATCH_ROWS = 100_000
+
+
+def _checkpoint_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            (
+                "txn",
+                pa.struct(
+                    [("appId", pa.string()), ("version", pa.int64())]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        (
+                            "partitionValues",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
+                        ("baseRowId", pa.int64()),
+                        ("defaultRowCommitVersion", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "remove",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("deletionTimestamp", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [
+                                    ("provider", pa.string()),
+                                    (
+                                        "options",
+                                        pa.map_(pa.string(), pa.string()),
+                                    ),
+                                ]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        (
+                            "configuration",
+                            pa.map_(pa.string(), pa.string()),
+                        ),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "domainMetadata",
+                pa.struct(
+                    [
+                        ("domain", pa.string()),
+                        ("configuration", pa.string()),
+                        ("removed", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
 def checkpoint(spark: SparkSession, root: str) -> dict:
     """Official-schema checkpoint parquet + _last_checkpoint pointer:
-    one row per live action (protocol, metaData, adds), nullable struct
-    column per action type."""
+    one row per live action (protocol, metaData, txns, domains, adds),
+    nullable struct column per action type.  r14: written through a
+    STREAMING pyarrow writer in ``_CHECKPOINT_BATCH_ROWS`` batches —
+    O(n_files) driver wall with a small constant (no py4j tuple
+    serialization, no Spark job), memory bounded by one batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     snap = resolve(spark, root)
     v = current_version(root)
     proto = snap.protocol
-    rows = [
-        (
-            None,
-            None,
-            None,
-            None,
-            (
-                proto.get("minReaderVersion", 1),
-                proto.get("minWriterVersion", 2),
-                proto.get("readerFeatures"),
-                proto.get("writerFeatures"),
-            ),
-            None,
-        ),
-        (
-            None,
-            None,
-            None,
-            (
-                snap.metadata["id"],
-                ("parquet", {}),
-                snap.metadata["schemaString"],
-                snap.partition_columns,
-                # the LIVE configuration: dropping it here would silently
-                # shed columnMapping/CDF table properties at checkpoint
-                snap.metadata.get("configuration") or {},
-                0,
-            ),
-            None,
-            None,
-        ),
-    ]
+    schema = _checkpoint_pa_schema()
+    names = [f.name for f in schema]
+
+    def table(rows_by_col: dict) -> pa.Table:
+        n = max(len(c) for c in rows_by_col.values())
+        return pa.table(
+            {
+                name: pa.array(
+                    rows_by_col.get(name, [None] * n), schema.field(name).type
+                )
+                for name in names
+            },
+            schema=schema,
+        )
+
+    head: dict[str, list] = {name: [] for name in names}
+
+    def head_row(col: str, value) -> None:
+        for name in names:
+            head[name].append(value if name == col else None)
+
+    head_row(
+        "protocol",
+        {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": proto.get("minWriterVersion", 2),
+            "readerFeatures": proto.get("readerFeatures"),
+            "writerFeatures": proto.get("writerFeatures"),
+        },
+    )
+    head_row(
+        "metaData",
+        {
+            "id": snap.metadata["id"],
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.metadata["schemaString"],
+            "partitionColumns": snap.partition_columns,
+            # the LIVE configuration: dropping it here would silently
+            # shed columnMapping/CDF table properties at checkpoint
+            "configuration": snap.metadata.get("configuration") or {},
+            "createdTime": 0,
+        },
+    )
     for app_id, ver in sorted(snap.txns.items()):
-        rows.append(((app_id, ver), None, None, None, None, None))
+        head_row("txn", {"appId": app_id, "version": ver})
     for domain, cfg in sorted(snap.domains.items()):
         # live domain metadata survives checkpointing (clustering
         # columns would silently vanish at the next log truncation
         # otherwise)
-        rows.append((None, None, None, None, None, (domain, cfg, False)))
-    for add in snap.adds:
-        dv = add.get("deletionVector")
-        rows.append(
-            (
-                None,
-                (
-                    add["path"],
-                    add.get("partitionValues") or {},
-                    add.get("size", 0),
-                    add.get("modificationTime", 0),
-                    True,
-                    add.get("stats"),
-                    (
-                        dv["storageType"],
-                        dv["pathOrInlineDv"],
-                        dv.get("offset"),
-                        dv["sizeInBytes"],
-                        dv["cardinality"],
-                    )
-                    if dv
-                    else None,
-                    add.get("baseRowId"),
-                    add.get("defaultRowCommitVersion"),
-                ),
-                None,
-                None,
-                None,
-                None,
-            )
+        head_row(
+            "domainMetadata",
+            {"domain": domain, "configuration": cfg, "removed": False},
         )
-    spark.createDataFrame(rows, _CHECKPOINT_DDL).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(_checkpoint_path(root, v) + ".tmp")
-    # single-file checkpoint, official naming
-    import glob as _glob
-
-    part = _glob.glob(
-        os.path.join(_checkpoint_path(root, v) + ".tmp", "part-*.parquet")
-    )[0]
-    shutil.move(part, _checkpoint_path(root, v))
-    shutil.rmtree(_checkpoint_path(root, v) + ".tmp", ignore_errors=True)
+    n_actions = len(head["add"])
+    tmp = _checkpoint_path(root, v) + ".tmp.parquet"
+    with pq.ParquetWriter(tmp, schema) as w:
+        w.write_table(table(head))
+        for lo in range(0, len(snap.adds), _CHECKPOINT_BATCH_ROWS):
+            batch = snap.adds[lo : lo + _CHECKPOINT_BATCH_ROWS]
+            adds = []
+            for add in batch:
+                dv = add.get("deletionVector")
+                adds.append(
+                    {
+                        "path": add["path"],
+                        "partitionValues": add.get("partitionValues") or {},
+                        "size": add.get("size", 0),
+                        "modificationTime": add.get("modificationTime", 0),
+                        "dataChange": True,
+                        "stats": add.get("stats"),
+                        "deletionVector": {
+                            "storageType": dv["storageType"],
+                            "pathOrInlineDv": dv["pathOrInlineDv"],
+                            "offset": dv.get("offset"),
+                            "sizeInBytes": dv["sizeInBytes"],
+                            "cardinality": dv["cardinality"],
+                        }
+                        if dv
+                        else None,
+                        "baseRowId": add.get("baseRowId"),
+                        "defaultRowCommitVersion": add.get(
+                            "defaultRowCommitVersion"
+                        ),
+                    }
+                )
+            w.write_table(table({"add": adds}))
+            n_actions += len(adds)
+    shutil.move(tmp, _checkpoint_path(root, v))
     with open(os.path.join(_log_dir(root), "_last_checkpoint"), "w") as f:
-        json.dump({"version": v, "size": len(rows)}, f)
-    return {"version": v, "n_actions": len(rows)}
+        json.dump({"version": v, "size": n_actions}, f)
+    return {"version": v, "n_actions": n_actions}
 
 
 def cleanup_expired_logs(root: str) -> dict:

@@ -525,6 +525,12 @@ def _scan_with_position(spark: SparkSession, root: str) -> tuple[DataFrame, dict
 # the read path in the SAME single join (delete-side scans are grouped,
 # never per-file).
 _DELETE_FILE_SHARD_ROWS = 4_000_000
+# Below this many matched rows the delete-file write collects the match
+# set to the driver via ONE Arrow batch (bounded ~MBs) and writes the
+# stamped file directly — the distributed writer's Python-worker
+# roundtrip is a fixed ~0.5 s that dominates maintenance-heavy
+# pipelines when the match set is tiny.
+_DELETE_SMALL_COLLECT_ROWS = 100_000
 
 
 def _write_delete_parquets(
@@ -555,6 +561,30 @@ def _write_delete_parquets(
         token = uuid.uuid4().hex[:8]
         abs_root = os.path.abspath(root)
         ids = dict(field_ids)
+        if n <= min(shard_rows, _DELETE_SMALL_COLLECT_ROWS):
+            # small-delete fast path: one Arrow collect (bounded ~MBs),
+            # one stamped driver write — skips the Python-worker write
+            # roundtrip whose fixed cost dominates maintenance-heavy
+            # entries at bench scale.  Sharded path above the bound.
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = matches.sort(*sort_cols).toArrow()
+            fields = [
+                pa.field(
+                    f.name,
+                    f.type,
+                    f.nullable,
+                    {b"PARQUET:field_id": str(ids[f.name]).encode()}
+                    if f.name in ids
+                    else None,
+                )
+                for f in tbl.schema
+            ]
+            tbl = tbl.cast(pa.schema(fields))
+            rel = f"data/{token}-00000-deletes.parquet"
+            pq.write_table(tbl, os.path.join(abs_root, rel))
+            return [(rel, tbl.num_rows)]
         writer = (
             matches.repartitionByRange(nshards, *sort_cols)
             if nshards > 1

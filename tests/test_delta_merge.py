@@ -158,6 +158,25 @@ def test_merge_duplicate_keys_matching_target_raise(spark, tmp_path):
         dp.merge(spark, root, _mk(spark, [(1, 1.0, "x"), (1, 2.0, "y")]), "k")
 
 
+def test_merge_dup_probe_gate_both_sides(spark, tmp_path, monkeypatch):
+    """r14 defect-class sweep: the duplicate-key fan-out probe hints
+    broadcast only while the distinct-duplicated-key bound (from the
+    source agg, no extra job) is small — past it AQE sizes the
+    semi-join.  Both branches must still refuse the fan-out."""
+    root = str(tmp_path / "m_dup_gate")
+    dp.create_table(_mk(spark, [(1, 10.0, "a")]), root)
+    src = _mk(spark, [(1, 1.0, "x"), (1, 2.0, "y")])
+    with pytest.raises(DeltaProtocolError, match="duplicate"):
+        dp.merge(spark, root, src, "k")
+    monkeypatch.setattr(dp, "_MERGE_DUP_PROBE_BROADCAST_MAX", 0)
+    with pytest.raises(DeltaProtocolError, match="duplicate"):
+        dp.merge(spark, root, src, "k")
+    # non-fanout merges are unaffected by the gated-off branch
+    dp.merge(spark, root, _mk(spark, [(1, 3.0, "z"), (2, 4.0, "w")]), "k")
+    got = _rows(dp.read_table(spark, root))
+    assert got == _rows(_mk(spark, [(1, 3.0, "z"), (2, 4.0, "w")]))
+
+
 def test_merge_duplicate_unmatched_keys_insert(spark, tmp_path):
     """Duplicate source keys that match NO target row are plain
     multi-row inserts — Delta allows them; raising here would diverge."""

@@ -92,12 +92,118 @@ def _rss_mb() -> float:
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
 
 
+def _mk_checkpoint_direct(root: str, n_files: int) -> None:
+    """Official-schema checkpoint parquet written straight through
+    pyarrow in 100k-row batches — dp.checkpoint() builds its rows as
+    Python tuples on the driver, which is FIXTURE cost here (the tool
+    measures snapshot READ reconstruction, and 1.5M tuples through
+    py4j serialization takes tens of minutes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("stats", pa.string()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    schema = pa.schema(
+        [("add", add_t), ("metaData", meta_t), ("protocol", proto_t)]
+    )
+    path = os.path.join(
+        root, "_delta_log", f"{0:020d}.checkpoint.parquet"
+    )
+    with pq.ParquetWriter(path, schema) as w:
+        head = pa.table(
+            {
+                "add": pa.array([None, None], add_t),
+                "metaData": pa.array(
+                    [
+                        None,
+                        {
+                            "id": "measure-snapshot-scaling-0000",
+                            "format": {"provider": "parquet"},
+                            "schemaString": SCHEMA_STRING,
+                            "partitionColumns": [],
+                            "configuration": [],
+                            "createdTime": 1700000000000,
+                        },
+                    ],
+                    meta_t,
+                ),
+                "protocol": pa.array(
+                    [{"minReaderVersion": 1, "minWriterVersion": 2}, None],
+                    proto_t,
+                ),
+            },
+            schema=schema,
+        )
+        w.write_table(head)
+        batch = 100_000
+        for lo in range(0, n_files, batch):
+            hi = min(lo + batch, n_files)
+            adds = [
+                {
+                    "path": f"part-{i:08d}-0123456789abcdef.parquet",
+                    "partitionValues": [],
+                    "size": 4_000_000,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": 10_000,
+                            "minValues": {"k": i * 10_000, "v": 0.0},
+                            "maxValues": {
+                                "k": (i + 1) * 10_000 - 1,
+                                "v": 996.0,
+                            },
+                            "nullCount": {"k": 0, "v": 0},
+                        }
+                    ),
+                }
+                for i in range(lo, hi)
+            ]
+            w.write_table(
+                pa.table(
+                    {
+                        "add": pa.array(adds, add_t),
+                        "metaData": pa.array([None] * len(adds), meta_t),
+                        "protocol": pa.array([None] * len(adds), proto_t),
+                    },
+                    schema=schema,
+                )
+            )
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"), "w") as f:
+        json.dump({"version": 0, "size": n_files + 2}, f)
+
+
 def main() -> int:
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .appName("delta-snapshot-scaling")
-        .getOrCreate()
+    from incubator_gluten_spark.session import get_session
+
+    # the PRODUCT session posture (maxResultSize 4g etc.) — a bare
+    # default session caps driver results at 1g, which the full
+    # (unpruned) past-envelope metadata collect legitimately exceeds
+    spark = get_session(
+        app_name="delta-snapshot-scaling",
+        master="local[8]",
+        shuffle_partitions=8,
     )
     spark.sparkContext.setLogLevel("ERROR")
     base = f"/tmp/spark_graft_snapscale_{os.getpid()}"
@@ -105,13 +211,14 @@ def main() -> int:
     if "--big" in sys.argv:
         # r14: the past-envelope row — resolve() refuses at this size
         # (driver envelope) while resolve_pruned stays usable
-        sizes.append(1_500_000)
+        sizes.append(2_500_000)
     for n in sizes:
         root = os.path.join(base, f"t{n}")
         shutil.rmtree(root, ignore_errors=True)
-        _mk_log(root, n)
+        big = n > dp._SNAPSHOT_DRIVER_MAX_FILES
+        _mk_log(root, 0 if big else n)
         rec = {"files": n}
-        if n <= dp._SNAPSHOT_DRIVER_MAX_FILES:
+        if not big:
             rss0 = _rss_mb()
             t0 = time.perf_counter()
             snap = dp.resolve(spark, root)
@@ -119,15 +226,11 @@ def main() -> int:
             rec["rss_growth_mb"] = round(_rss_mb() - rss0, 1)
             rec["adds"] = len(snap.adds)
         if n >= 100_000:
-            if n > dp._SNAPSHOT_DRIVER_MAX_FILES:
-                # creating the fixture checkpoint needs one over-envelope
-                # resolve; lift the gate for exactly that step
-                saved = dp._SNAPSHOT_DRIVER_MAX_FILES
-                dp._SNAPSHOT_DRIVER_MAX_FILES = n + 10
-                try:
-                    dp.checkpoint(spark, root)
-                finally:
-                    dp._SNAPSHOT_DRIVER_MAX_FILES = saved
+            if big:
+                # fixture checkpoint written straight through pyarrow —
+                # dp.checkpoint()'s driver row-building is fixture cost,
+                # not the measured read path
+                _mk_checkpoint_direct(root, n)
             else:
                 dp.checkpoint(spark, root)
             if n <= dp._SNAPSHOT_DRIVER_MAX_FILES:
