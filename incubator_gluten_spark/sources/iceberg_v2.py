@@ -533,58 +533,82 @@ _DELETE_FILE_SHARD_ROWS = 4_000_000
 _DELETE_SMALL_COLLECT_ROWS = 100_000
 
 
+def _write_arrow_delete(
+    tbl, abs_root: str, field_ids: dict[str, int], sort_cols: list[str]
+) -> list[tuple[str, int]]:
+    """Small-delete fast path: the match set already sits on the driver
+    as ONE bounded Arrow table (~MBs at the 100k-row cap) — sort it
+    Arrow-side, stamp the spec's parquet field-ids, write one file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
+    fields = [
+        pa.field(
+            f.name,
+            f.type,
+            f.nullable,
+            {b"PARQUET:field_id": str(field_ids[f.name]).encode()}
+            if f.name in field_ids
+            else None,
+        )
+        for f in tbl.schema
+    ]
+    tbl = tbl.cast(pa.schema(fields))
+    rel = f"data/{uuid.uuid4().hex[:8]}-00000-deletes.parquet"
+    pq.write_table(tbl, os.path.join(abs_root, rel))
+    return [(rel, tbl.num_rows)]
+
+
 def _write_delete_parquets(
     matches: DataFrame,
     root: str,
     field_ids: dict[str, int],
     sort_cols: list[str],
     shard_rows: int | None = None,
+    n_rows: int | None = None,
 ) -> list[tuple[str, int]]:
     """Sorted parquet delete files under data/ with the spec's parquet
     field-ids stamped on the schema: ceil(n / shard_rows) files, each a
     contiguous sort-key range (position deletes stay (file_path, pos)-
     sorted per spec WITHIN each file, and ranges don't interleave).
-    The match set is persisted across the count + write pass.  r14
-    (r13 verdict minor #4): each shard TASK writes its own parquet with
-    the field-id metadata via a streaming pyarrow writer inside
+    r14 (r13 verdict minor #4): each shard TASK writes its own parquet
+    with the field-id metadata via a streaming pyarrow writer inside
     mapInPandas — no staging write, no sequential driver re-read pass;
-    only (rel, row_count) summary rows reach the driver."""
+    only (rel, row_count) summary rows reach the driver.
+
+    r14 optimization (guide §1.2 — fewer jobs): callers that already
+    know the match-set cardinality (merge_mor validates with one agg /
+    one bounded collect first) pass ``n_rows`` and skip the persist +
+    count pass entirely — the small path becomes ONE Arrow collect, the
+    sharded path ONE distributed write over the uncached plan (exactly
+    one pass, so the cache bought nothing).  Unknown-size callers
+    (position/equality DELETE WHERE over an arbitrary predicate) keep
+    the persist+count shape: a limit-probe was tried and measured WORSE
+    there — CollectLimit executes a join-heavy match plan in scale-up
+    waves, re-running the MOR scan+anti-join 2-3x (src_iceberg_
+    rewrite_posdel 5.5→8.2s), while persist pays the plan once."""
     import math
 
-    matches = matches.persist()
-    try:
+    shard_rows = shard_rows or _DELETE_FILE_SHARD_ROWS
+    cap = min(shard_rows, _DELETE_SMALL_COLLECT_ROWS)
+    abs_root = os.path.abspath(root)
+    ids = dict(field_ids)
+    persisted = None
+    if n_rows is None:
+        matches = persisted = matches.persist()
         n = matches.count()
+    else:
+        n = n_rows
+    try:
         if n == 0:
             return []
-        shard_rows = shard_rows or _DELETE_FILE_SHARD_ROWS
+        if n <= cap:
+            return _write_arrow_delete(
+                matches.toArrow(), abs_root, ids, sort_cols
+            )
         nshards = max(1, math.ceil(n / shard_rows))
         token = uuid.uuid4().hex[:8]
-        abs_root = os.path.abspath(root)
-        ids = dict(field_ids)
-        if n <= min(shard_rows, _DELETE_SMALL_COLLECT_ROWS):
-            # small-delete fast path: one Arrow collect (bounded ~MBs),
-            # one stamped driver write — skips the Python-worker write
-            # roundtrip whose fixed cost dominates maintenance-heavy
-            # entries at bench scale.  Sharded path above the bound.
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-
-            tbl = matches.sort(*sort_cols).toArrow()
-            fields = [
-                pa.field(
-                    f.name,
-                    f.type,
-                    f.nullable,
-                    {b"PARQUET:field_id": str(ids[f.name]).encode()}
-                    if f.name in ids
-                    else None,
-                )
-                for f in tbl.schema
-            ]
-            tbl = tbl.cast(pa.schema(fields))
-            rel = f"data/{token}-00000-deletes.parquet"
-            pq.write_table(tbl, os.path.join(abs_root, rel))
-            return [(rel, tbl.num_rows)]
         writer = (
             matches.repartitionByRange(nshards, *sort_cols)
             if nshards > 1
@@ -653,7 +677,8 @@ def _write_delete_parquets(
             .collect()
         )
     finally:
-        matches.unpersist()
+        if persisted is not None:
+            persisted.unpersist()
     return [(r["rel"], r["n"]) for r in sorted(rows, key=lambda r: r["rel"])]
 
 
@@ -812,36 +837,70 @@ def merge_mor(
     if missing:
         raise ValueError(f"MERGE source lacks table column(s) {missing}")
     source = source.select(*cols)
-    nullkey = F.lit(False)
-    for c in on:
-        nullkey = nullkey | F.col(c).isNull()
-    if not source.filter(nullkey).isEmpty():
-        raise ValueError(
-            "merge_mor requires non-null key columns (equality deletes "
-            "are null-safe-keyed; a NULL key would shadow existing "
-            "NULL-key rows instead of never matching)"
-        )
-    n_src, n_keys = source.agg(
-        F.count(F.lit(1)), F.count_distinct(*[F.col(c) for c in on])
-    ).first()
-    if n_src != n_keys:
-        raise ValueError(
-            "merge_mor source has duplicate key tuples — both copies "
-            "would land (MERGE_CARDINALITY_VIOLATION)"
-        )
+    eq_ids = [by_name[c] for c in on]
+    _NULLKEY_MSG = (
+        "merge_mor requires non-null key columns (equality deletes "
+        "are null-safe-keyed; a NULL key would shadow existing "
+        "NULL-key rows instead of never matching)"
+    )
+    _DUP_MSG = (
+        "merge_mor source has duplicate key tuples — both copies "
+        "would land (MERGE_CARDINALITY_VIOLATION)"
+    )
+    # r14 optimization (guide §1.2 — remove jobs, not shave them): the
+    # old shape ran FOUR key-side jobs per merge (null-key isEmpty
+    # probe, count+count_distinct agg, a distinct SHUFFLE, then the
+    # delete-parquet persist/count/collect) — a fixed multi-job tax on
+    # every streaming upsert micro-batch.  A bounded source (≤ the
+    # small-delete cap — every CDC micro-batch in practice) now pays
+    # ONE CollectLimit job: the key tuples land on the driver as one
+    # Arrow table that serves null-check, duplicate-check AND the
+    # delete-file write.  Past the cap, validation is ONE combined agg
+    # (null count + distinct count in the same pass) and the delete
+    # write skips the redundant .distinct() — n_src == n_keys already
+    # proves the key tuples are distinct.
+    probe = source.select(*on).limit(_DELETE_SMALL_COLLECT_ROWS + 1).toArrow()
+    n_src = probe.num_rows
     if n_src == 0:
         return {
             "snapshot_id": meta.get("current-snapshot-id"),
             "keys_shadowed": 0,
             "rows_upserted": 0,
         }
-    eq_ids = [by_name[c] for c in on]
+    if n_src <= _DELETE_SMALL_COLLECT_ROWS:
+        if any(probe.column(c).null_count for c in on):
+            raise ValueError(_NULLKEY_MSG)
+        if probe.group_by(list(on)).aggregate([]).num_rows != n_src:
+            raise ValueError(_DUP_MSG)
+        keys_small = probe
+    else:
+        nullkey = F.lit(False)
+        for c in on:
+            nullkey = nullkey | F.col(c).isNull()
+        n_src, n_null, n_keys = source.agg(
+            F.count(F.lit(1)),
+            F.count(F.when(nullkey, True)),
+            F.count_distinct(*[F.col(c) for c in on]),
+        ).first()
+        if n_null:
+            raise ValueError(_NULLKEY_MSG)
+        if n_src != n_keys:
+            raise ValueError(_DUP_MSG)
+        keys_small = None
     ice_schema = meta["schema"]
     spec = meta["partition-specs"][0]
     pschema = _partition_avro_schema(ice_schema, spec)
     snap_id = _next_snapshot_id(meta)
-    keys = source.select(*on).distinct()
-    shards = _write_delete_parquets(keys, root, dict(zip(on, eq_ids)), list(on))
+    shards = (
+        _write_arrow_delete(
+            keys_small, os.path.abspath(root), dict(zip(on, eq_ids)), list(on)
+        )
+        if keys_small is not None
+        else _write_delete_parquets(
+            source.select(*on), root, dict(zip(on, eq_ids)), list(on),
+            n_rows=n_src,
+        )
+    )
     n = sum(c for _, c in shards)
     del_manifest = _write_manifest_v2(
         root,

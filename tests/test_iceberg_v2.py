@@ -545,3 +545,61 @@ def test_rewrite_data_files_where_partition_scoped(spark, tmp_path):
         v2.rewrite_data_files(spark, root, where="k > 5")
     with _pytest.raises(ValueError, match="cannot decompose"):
         v2.rewrite_data_files(spark, root, where="grp = 'a' OR grp = 'b'")
+
+
+# r14 optimization pins: merge_mor's bounded-source fast path (ONE
+# CollectLimit job validates AND writes the delete file) must produce
+# the same commit a forced distributed path produces, and the known-
+# cardinality delete write must keep the spec's file layout.
+
+
+def test_merge_mor_small_and_big_paths_agree(spark, tmp_path, monkeypatch):
+    rows = [(i, float(i)) for i in range(40)]
+    src = [(i, float(i * 100)) for i in range(0, 60, 2)]
+    roots = []
+    for cap in (100_000, 0):  # bounded fast path vs forced distributed
+        root = str(tmp_path / f"mm_path_{cap}")
+        roots.append(root)
+        v2.create_table(_mm_mk(spark, rows), root)
+        monkeypatch.setattr(v2, "_DELETE_SMALL_COLLECT_ROWS", cap)
+        out = v2.merge_mor(spark, root, _mm_mk(spark, src), ["k"])
+        assert out["keys_shadowed"] == 30 and out["rows_upserted"] == 30
+        monkeypatch.setattr(v2, "_DELETE_SMALL_COLLECT_ROWS", 100_000)
+    got = [_rows(v2.read_table(spark, r)) for r in roots]
+    assert got[0] == got[1]
+    # refusals fire identically on both paths
+    for cap in (100_000, 0):
+        monkeypatch.setattr(v2, "_DELETE_SMALL_COLLECT_ROWS", cap)
+        with pytest.raises(ValueError, match="non-null"):
+            v2.merge_mor(spark, roots[0], _mm_mk(spark, [(None, 1.0)]), ["k"])
+        with pytest.raises(ValueError, match="duplicate"):
+            v2.merge_mor(
+                spark, roots[0], _mm_mk(spark, [(1, 1.0), (1, 2.0)]), ["k"]
+            )
+
+
+def test_write_delete_parquets_known_cardinality_layout(spark, tmp_path):
+    """n_rows-hinted small path: one sorted file, field ids stamped —
+    byte-layout contract unchanged from the persist+count path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "wdp_hint")
+    os.makedirs(os.path.join(root, "data"))
+    pairs = [(f"data/f-{i % 3}.parquet", (997 * i) % 50) for i in range(50)]
+    df = spark.createDataFrame(pairs, "file_path string, pos bigint")
+    ((rel, n),) = v2._write_delete_parquets(
+        df,
+        root,
+        {"file_path": v2._POS_PATH_FIELD_ID, "pos": v2._POS_POS_FIELD_ID},
+        ["file_path", "pos"],
+        n_rows=50,
+    )
+    assert n == 50
+    tbl = pq.read_table(os.path.join(root, rel))
+    got = list(zip(tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()))
+    assert got == sorted(pairs)  # (file_path, pos)-sorted per spec
+    sch = pq.read_schema(os.path.join(root, rel))
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
