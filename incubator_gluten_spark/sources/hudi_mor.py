@@ -573,19 +573,74 @@ def compact(spark: SparkSession, root: str) -> dict:
     routed = merged.withColumn("__k", F.col(key_col).cast("string")).join(
         route, "__k", "left"
     )
-    stats: dict[str, list] = {}
-    n = 0
-    for s in slices:
-        rows = routed.filter(
-            F.col("__fname").startswith(s["file_id"] + "_")
-        ).select(*data_cols, F.col("__instant").alias("__ct"))
-        ws = _write_file_group(
-            spark, rows, root, s["partition"], s["file_id"], instant, key_col
-        )
-        stats.setdefault(s["partition"], []).append(ws)
-        n += 1
     # rows whose keys were pure log inserts don't exist — MOR upsert
     # routes unmatched keys to NEW BASE GROUPS, so every key has a group
+    #
+    # r14 optimization (guide §1.2): ALL slices compact in ONE
+    # distributed job.  The old loop filtered `routed` per slice and ran
+    # one `_write_file_group` job each — re-executing the full MOR merge
+    # (base scan + Python log decode + latest-wins window) once PER FILE
+    # GROUP, O(groups) sequential jobs.  Now the merge runs once; rows
+    # carry their group id and a partitionBy(__fid) write lands one base
+    # file per group, driver moves them into the slice directories
+    # (metadata-only walk).  Every row's ORIGINAL _hoodie_commit_time
+    # still rides through (__instant), the record-level incremental
+    # contract compaction must preserve.
+    import pyarrow.parquet as pq
+
+    token = "0-1-0"
+    fid = F.split(F.col("__fname"), "_").getItem(0)
+    with_meta = routed.filter(F.col("__fname").isNotNull()).select(
+        F.col("__instant").alias("_hoodie_commit_time"),
+        F.concat_ws(
+            "_", F.lit(instant), F.monotonically_increasing_id().cast("string")
+        ).alias("_hoodie_commit_seqno"),
+        F.col(key_col).cast("string").alias("_hoodie_record_key"),
+        F.col("__part").alias("_hoodie_partition_path"),
+        F.concat(fid, F.lit(f"_{token}_{instant}.parquet")).alias(
+            "_hoodie_file_name"
+        ),
+        *data_cols,
+        fid.alias("__fid"),
+    )
+    staging = os.path.join(root, f"_staging_{uuid.uuid4().hex[:8]}")
+    (
+        with_meta.repartition("__fid")
+        .write.mode("overwrite")
+        .partitionBy("__fid")
+        .parquet(staging)
+    )
+    by_fid = {s["file_id"]: s for s in slices}
+    stats: dict[str, list] = {}
+    n = 0
+    for seg in sorted(os.listdir(staging)):
+        if not seg.startswith("__fid="):
+            continue
+        fid_v = seg[len("__fid=") :]
+        s = by_fid[fid_v]
+        names = sorted(
+            f
+            for f in os.listdir(os.path.join(staging, seg))
+            if f.endswith(".parquet")
+        )
+        if len(names) != 1:  # repartition guarantees one task per fid
+            raise HudiFormatError(
+                f"expected one compacted base file for group {fid_v!r}, "
+                f"got {len(names)}"
+            )
+        name = f"{fid_v}_{token}_{instant}.parquet"
+        target = os.path.join(os.path.dirname(s["base_file"]), name)
+        shutil.move(os.path.join(staging, seg, names[0]), target)
+        stats.setdefault(s["partition"], []).append(
+            {
+                "fileId": fid_v,
+                "path": os.path.relpath(target, root),
+                "numWrites": pq.read_metadata(target).num_rows,
+                "fileSizeInBytes": os.path.getsize(target),
+            }
+        )
+        n += 1
+    shutil.rmtree(staging, ignore_errors=True)
     _commit_instant(root, instant, ".commit", stats)
     return {"instant": instant, "file_groups_compacted": n}
 

@@ -209,3 +209,43 @@ def test_partition_value_dotdot_rejected(spark, tmp_path):
     root = str(tmp_path / "tbl" / "hudi_dotdot")
     with pytest.raises(hf.HudiFormatError, match="outside table root"):
         hf.create_table(df, root, key_col="k", partition_col="p")
+
+
+def test_rewrites_are_single_distributed_jobs(spark, sf_dir, tmp_path):
+    """r14 optimization pin: COW upsert rewrites ALL matched file groups
+    through ONE distributed partitionBy(__fid) job
+    (_rewrite_file_groups), and MOR compact writes all slices the same
+    way — never a sequential per-group _write_file_group loop (the MOR
+    merge would re-execute once per group)."""
+    import inspect
+
+    from incubator_gluten_spark.sources import hudi_format, hudi_mor
+
+    assert "_rewrite_file_groups" in inspect.getsource(hudi_format.upsert)
+    # the single remaining _write_file_group in upsert is the
+    # unpartitioned INSERT path (one new group == one job, fine); the
+    # rewrite loop itself must be gone
+    assert "disk_dir=part" not in inspect.getsource(hudi_format.upsert)
+    assert "_write_file_group(" not in inspect.getsource(hudi_mor.compact)
+    # multi-group rewrite correctness: 3 partitions hit in one upsert ->
+    # each group rewritten once, one base file per group, one commit
+    from incubator_gluten_spark.sources import hudi_format as hf
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", float(i)) for i in range(30)], "k long, p string, v double"
+    )
+    root = str(tmp_path / "cow_multi")
+    hf.create_table(df, root, "k", partition_col="p")
+    n_commits = len(hf.completed_instants(root))
+    up = spark.createDataFrame(
+        [(i, f"p{i % 3}", float(i * 100)) for i in range(0, 30, 2)],
+        "k long, p string, v double",
+    )
+    out = hf.upsert(spark, up, root, "k")
+    assert out["file_groups_rewritten"] == 3 and out["new_rows"] == 0
+    assert len(hf.completed_instants(root)) == n_commits + 1
+    got = {
+        r["k"]: r["v"] for r in hf.read_table(spark, root).collect()
+    }
+    want = {i: float(i * 100) if i % 2 == 0 else float(i) for i in range(30)}
+    assert got == want
