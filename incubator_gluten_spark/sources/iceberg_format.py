@@ -1216,6 +1216,25 @@ def _write_data_files(
             )
     part_by = [d["dir"] for d in descr]
     staging = os.path.join(root, f"_staging_{token}")
+    if part_by:
+        # Iceberg's write.distribution-mode=hash (r14 optimization,
+        # guide §6 / iceberg spark-writes): shuffle by the partition
+        # expressions so each task owns whole partition values.  Without
+        # it every input task opens one writer PER partition value it
+        # sees — a 1-task input appending a year of day()-partitioned
+        # data wrote 365 files SEQUENTIALLY through one writer (measured
+        # 20.4s for a 23k-row append at sf0.1; 6.6s after), and an
+        # N-task input writes N x values tiny files.  Post-shuffle:
+        # parallel writers, one file per partition tuple per owning
+        # task.  The partition count is EXPLICIT (the session's shuffle
+        # width — conf-driven, scale-adaptive) because an unnumbered
+        # repartition is re-coalesced by AQE to one task at small data
+        # sizes, resurrecting the sequential writer (measured: 30.5s
+        # with AQE coalescing vs 6.6s explicit at 365 day partitions).
+        n_shuffle = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
+        )
+        df = df.repartition(n_shuffle, *[F.col(c) for c in part_by])
     writer = df.write.mode("overwrite")
     if part_by:
         writer = writer.partitionBy(*part_by)
