@@ -4882,19 +4882,35 @@ def _compute_or_validate_generated(
     """Delta's GENERATED COLUMNS write contract: an absent generated
     column is COMPUTED from its expression; a present one is VALIDATED
     against it (null-safe) and a mismatch refuses the write — the same
-    behavior as delta's GeneratedColumn.validate + compute path."""
+    behavior as delta's GeneratedColumn.validate + compute path.
+
+    r14 optimization (guide §1.2): the happy path runs ONE
+    short-circuiting job OR-ing every present column's mismatch
+    predicate (the exact shape _enforce_constraints uses) instead of
+    one limit(1) job per generated column; the per-column re-probe
+    runs only after a hit, to name the offending column."""
+    present: list[tuple[str, str, str]] = []
     for name, (typ, e) in gens.items():
-        want = F.expr(e).cast(typ)
         if name not in df.columns:
-            df = df.withColumn(name, want)
-            continue
-        bad = df.filter(~F.col(name).eqNullSafe(want)).limit(1).collect()
-        if bad:
-            raise DeltaProtocolError(
-                f"{op} provides generated column {name!r} with a value "
-                f"that does not match its generation expression ({e}); "
-                f"example row: {bad[0].asDict()}"
-            )
+            df = df.withColumn(name, F.expr(e).cast(typ))
+        else:
+            present.append((name, typ, e))
+    if present:
+        bad_any = None
+        for name, typ, e in present:
+            cond = ~F.col(name).eqNullSafe(F.expr(e).cast(typ))
+            bad_any = cond if bad_any is None else (bad_any | cond)
+        if df.filter(bad_any).limit(1).collect():
+            for name, typ, e in present:
+                bad = df.filter(
+                    ~F.col(name).eqNullSafe(F.expr(e).cast(typ))
+                ).limit(1).collect()
+                if bad:
+                    raise DeltaProtocolError(
+                        f"{op} provides generated column {name!r} with a "
+                        f"value that does not match its generation "
+                        f"expression ({e}); example row: {bad[0].asDict()}"
+                    )
     return df
 
 
