@@ -611,6 +611,8 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid assignment or cosine kernel in the approximate path flips
     a cell and fails the hash.  Subset-correctness vs brute force stays
     asserted in tests/test_datapipe.py."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from incubator_gluten_spark.datapipe.similarity import ann_ivf_topk
 
     (emb,) = _t(spark, sf_dir, "embeddings")
@@ -618,8 +620,24 @@ def dp_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    exact = ann_ivf_topk(emb, queries, k=5, n_centroids=6, nprobe=6, iters=2)
-    approx = ann_ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3, iters=2)
+    # r14 optimization (guide §2.6 — overlap independent jobs): the two
+    # IVF indexes (exact 6/6 and approximate 8/3) each train their own
+    # Lloyd quantizer — 4 sequential driver-blocking round trips apiece
+    # (init collect, 2 assignment/mean iterations, centroid collect)
+    # over the SAME corpus.  The trainings share nothing, so they run
+    # from a 2-thread pool and the second index's jobs back-fill
+    # executors idled by the first's driver round trips; each training
+    # is unchanged and fully deterministic, so the plans and results
+    # are byte-identical to the sequential form.  Measured warm at
+    # sf0.1: build phase 3.7 -> 2.1 s (OPTIMIZATION_r14.md).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_exact = pool.submit(
+            ann_ivf_topk, emb, queries, k=5, n_centroids=6, nprobe=6, iters=2
+        )
+        f_approx = pool.submit(
+            ann_ivf_topk, emb, queries, k=5, n_centroids=8, nprobe=3, iters=2
+        )
+        exact, approx = f_exact.result(), f_approx.result()
     a = approx.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("approx_k"),
         F.max("cosine").alias("approx_best"),
