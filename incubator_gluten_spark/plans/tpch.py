@@ -21,7 +21,7 @@ executes; here Spark plans *and* executes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incubator_gluten_spark.catalog import load_tables
@@ -121,6 +121,14 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .filter(F.col("r_name") == "EUROPE")
     )
+    # r14 (guide §2.4/§3.3): the scalar-max subquery re-evaluated the
+    # whole `europe` join chain — a second supplier scan plus two more
+    # broadcast joins.  localCheckpoint materializes the joined rows
+    # ONCE; the max stays a tree-reduced scalar (no single-partition
+    # window) and the equality join consumes the same materialized
+    # values — identical results (s_acctbal is raw data, so the
+    # comparison is exact), one pass over supplier.
+    europe = europe.localCheckpoint()
     best = europe.agg(F.max("s_acctbal").alias("max_bal"))
     return (
         europe.join(F.broadcast(best), F.col("s_acctbal") == F.col("max_bal"))
@@ -598,6 +606,15 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
     )
+    # r14 (guide §2.4/§3.3 — remove a whole pass): the scalar-max
+    # subquery re-evaluated the `revenue` subtree, i.e. TWO full
+    # lineitem scans + two aggregations.  localCheckpoint materializes
+    # the per-supplier aggregate ONCE (per-supplier rows — tiny
+    # relative to lineitem) and truncates the lineage, so the max stays
+    # a scale-safe tree-reduced scalar (no single-partition window) and
+    # the join consumes the SAME materialized values — results
+    # identical, one lineitem scan.
+    revenue = revenue.localCheckpoint()
     best = revenue.agg(F.max("total_revenue").alias("max_rev"))
     return (
         revenue.join(F.broadcast(best), F.col("total_revenue") == F.col("max_rev"))
@@ -649,12 +666,21 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-quantity revenue: correlated scalar subquery de-correlated into
     a per-part average join (exactly Catalyst's own rewrite)."""
     li, part = _t(spark, sf_dir, "lineitem", "part")
-    per_part = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_threshold")
-    )
+    # r14 (guide §2.4): the de-correlated per-part-average join scanned
+    # lineitem TWICE (once for the avg, once for the probe) and shuffled
+    # the FULL lineitem by partkey for the aggregation.  The part join
+    # keeps every lineitem row of a surviving part (it joins on partkey
+    # only), so a window-avg per partkey over the joined rows equals the
+    # whole-table per-part average — one lineitem scan, and the partkey
+    # exchange now carries only the ~1/25 of rows whose part survives
+    # the brand filter.  l_quantity is integer-valued, so the average is
+    # exact in float64 under any summation order.
     return (
         li.join(part.filter(F.col("p_brand") == "Brand#3"), F.col("p_partkey") == F.col("l_partkey"))
-        .join(per_part, F.col("avg_partkey") == F.col("l_partkey"))
+        .withColumn(
+            "qty_threshold",
+            (F.avg("l_quantity").over(Window.partitionBy("l_partkey")) * 0.2),
+        )
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
