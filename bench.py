@@ -15,6 +15,67 @@ import sys
 import time
 
 
+def _host_spin() -> float:
+    """Calibrated single-thread spin (r14 verdict directive #1a): time a
+    fixed pure-Python loop, min of 3 reps.  Compared against the best-ever
+    spin stored in bench_baseline.json this turns co-tenant host load from
+    a forensic inference into a measured ``host_load_factor`` field — both
+    r14 driver bench runs were contaminated and undetectable from inside.
+    Runs OUTSIDE every timed query region (before TPC-H, after the suite).
+    """
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(5_000_000):
+            x += i * i
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _spin_once() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    return time.perf_counter() - t0
+
+
+def _pspin_worker(q) -> None:
+    q.put(_spin_once())
+
+
+def _host_pspin() -> float:
+    """Median of N simultaneous single-thread spins, N = the bench core
+    count — measures the host's PARALLEL capacity (SMT siblings, memory
+    bandwidth, hypervisor oversubscription), which the serial spin is
+    blind to: r15 measured a quiet host whose serial spin matched the
+    all-time best while 32-wide throughput drifted ~1.7x between round
+    hosts — exactly the uniform vs_min inflation signature.  One burst,
+    ~0.5 s."""
+    import multiprocessing as mp
+    import statistics
+
+    n = min(int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+            os.cpu_count() or 4)
+    if n <= 1:
+        return _spin_once()
+    try:
+        q: mp.Queue = mp.Queue()
+        procs = [
+            mp.Process(target=_pspin_worker, args=(q,)) for _ in range(n)
+        ]
+        for p in procs:
+            p.start()
+        res = [q.get(timeout=60) for _ in range(n)]
+        for p in procs:
+            p.join(timeout=10)
+        return statistics.median(res)
+    except Exception:  # noqa: BLE001 — sentinel must never fail the bench
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from incubator_gluten_spark.plans import collect_all
@@ -51,6 +112,8 @@ def main() -> None:
     # verdict directive #7 — driver 22.1 s vs judge solo 19.3 s was
     # pure measurement noise).
     tpch_names = {n for n in names if n.startswith("q") and n[1:].isdigit()}
+    spin_start = _host_spin()
+    pspin_start = _host_pspin()
     for name in names:
         q = all_q[name]
         runs = 2 if name in tpch_names else 1
@@ -68,6 +131,8 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+    spin_end = _host_spin()
+    pspin_end = _host_pspin()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
@@ -158,9 +223,28 @@ def main() -> None:
             )
             for k, v in ok.items()
         }
+        # host-spin reference merges MIN like the query minima: the
+        # committed value is the best (least loaded) spin ever observed,
+        # so host_load_factor = current/best is always >= ~1.0.
+        prev_ref = {}
+        try:
+            with open(base_path) as fh:
+                prev_ref = json.load(fh)
+        except Exception:  # noqa: BLE001
+            pass
+        spin_merged = min(spin_start, spin_end)
+        if (prev_ref.get("host_spin_sec") or 0) > 0:
+            spin_merged = min(spin_merged, prev_ref["host_spin_sec"])
+        pspins = [s for s in (pspin_start, pspin_end) if s > 0]
+        pspin_merged = min(pspins) if pspins else -1.0
+        if (prev_ref.get("host_pspin_sec") or 0) > 0 and pspin_merged > 0:
+            pspin_merged = min(pspin_merged, prev_ref["host_pspin_sec"])
+        out_base = {"sf_dir": sf_dir, "queries": merged,
+                    "host_spin_sec": round(spin_merged, 4)}
+        if pspin_merged > 0:
+            out_base["host_pspin_sec"] = round(pspin_merged, 4)
         with open(base_path, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "queries": merged}, fh, indent=1,
-                      sort_keys=True)
+            json.dump(out_base, fh, indent=1, sort_keys=True)
         print(f"bench: baseline updated at {base_path}", file=sys.stderr)
     tpch = {
         k: v for k, v in ok.items() if k.startswith("q") and k[1:].isdigit()
@@ -174,9 +258,18 @@ def main() -> None:
     # 3x" = regression).
     vs_min: dict[str, float] = {}
     tpch_vs_min = None
+    spin_ref = None
+    pspin_ref = None
     try:
         with open(base_path) as fh:
             base = json.load(fh)
+        # sf-independent: pure-Python spins, no Spark/data involved
+        sr = base.get("host_spin_sec")
+        if isinstance(sr, (int, float)) and sr > 0:
+            spin_ref = sr
+        pr = base.get("host_pspin_sec")
+        if isinstance(pr, (int, float)) and pr > 0:
+            pspin_ref = pr
         if base.get("sf_dir") == sf_dir:
             bq = base.get("queries", {})
             vs_min = {
@@ -235,6 +328,28 @@ def main() -> None:
                 "n_queries": len(ok),
                 "n_failed": len(timings) - len(ok),
                 "n_regressed": n_regressed,
+                # host-load sentinels (r14 verdict #1a): calibrated spins
+                # before TPC-H / after the suite, vs the committed best.
+                # host_load_factor ~1.0 = quiet host; >1.2 = co-tenant CPU
+                # load contaminating timings.  host_parallel_factor
+                # compares CPUS-wide throughput — it catches the
+                # cross-round host drift (SMT/memory-bandwidth/vCPU
+                # generation) that inflates every query uniformly while
+                # the serial spin stays flat (r15 measured exactly that).
+                "host_spin_start_sec": round(spin_start, 4),
+                "host_spin_end_sec": round(spin_end, 4),
+                "host_pspin_start_sec": round(pspin_start, 4),
+                "host_pspin_end_sec": round(pspin_end, 4),
+                "host_load_factor": (
+                    round(max(spin_start, spin_end) / spin_ref, 2)
+                    if spin_ref
+                    else None
+                ),
+                "host_parallel_factor": (
+                    round(max(pspin_start, pspin_end) / pspin_ref, 2)
+                    if pspin_ref and pspin_start > 0 and pspin_end > 0
+                    else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
