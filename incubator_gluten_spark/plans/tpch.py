@@ -815,44 +815,63 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Suppliers who kept orders waiting, adapted: with receipt/commit dates
     dropped, 'the lone blocker' becomes 'the strict max-quantity line among
-    multi-supplier F orders'. Preserves q21's EXISTS + NOT EXISTS self-joins
-    (left-semi + left-anti on lineitem)."""
+    multi-supplier F orders'. The EXISTS + NOT EXISTS pair is evaluated as
+    per-order window aggregates over ONE lineitem scan (r14 verdict #3 —
+    the old semi+anti form scanned lineitem 3x and shuffled it twice):
+
+    * EXISTS(other supplier)      <=> min(suppkey) != max(suppkey) per order;
+    * NOT EXISTS(other supplier's l3_quantity > l1_quantity)
+                                  <=> quantity >= max over OTHER suppliers'
+      rows, decomposed per order as: m1 = max(quantity); the max-attaining
+      supplier set via min/max(suppkey WHERE quantity == m1); if that set
+      has >=2 suppliers (or the probe row's supplier is not in it) the
+      other-supplier max is m1 itself, else (probe row's supplier is the
+      SOLE top) it is m2 = max(quantity over rows of every other supplier).
+      Ties and multi-row survivors fall out exactly as in the subquery
+      form; tests/test_q21_equivalence.py pins both forms equal on a
+      fixture that forces every branch."""
     supplier, li, orders, nation = _t(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    w = Window.partitionBy("l1_orderkey")
     l1 = li.select(
         F.col("l_orderkey").alias("l1_orderkey"),
         F.col("l_suppkey").alias("l1_suppkey"),
         F.col("l_quantity").alias("l1_quantity"),
     )
-    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
-    l3 = li.select(
-        F.col("l_orderkey").alias("l3_orderkey"),
-        F.col("l_suppkey").alias("l3_suppkey"),
-        F.col("l_quantity").alias("l3_quantity"),
+    top = F.when(F.col("l1_quantity") == F.col("m1"), F.col("l1_suppkey"))
+    stats = (
+        l1.withColumn("m1", F.max("l1_quantity").over(w))
+        .withColumn("min_s", F.min("l1_suppkey").over(w))
+        .withColumn("max_s", F.max("l1_suppkey").over(w))
+        .withColumn("top_min", F.min(top).over(w))
+        .withColumn("top_max", F.max(top).over(w))
+        .withColumn(
+            "m2",
+            F.max(
+                F.when(
+                    F.col("l1_suppkey") != F.col("top_min"),
+                    F.col("l1_quantity"),
+                )
+            ).over(w),
+        )
     )
-    base = (
-        l1.join(
+    other_max = F.when(
+        (F.col("top_min") != F.col("top_max"))
+        | (F.col("l1_suppkey") != F.col("top_min")),
+        F.col("m1"),
+    ).otherwise(F.col("m2"))
+    surv = stats.filter(
+        (F.col("min_s") != F.col("max_s"))
+        & (F.col("l1_quantity") >= other_max)
+    ).select("l1_orderkey", "l1_suppkey")
+    return (
+        surv.join(
             orders.filter(F.col("o_orderstatus") == "F"),
             F.col("o_orderkey") == F.col("l1_orderkey"),
         )
         .join(supplier, F.col("s_suppkey") == F.col("l1_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .filter(F.col("n_name") == "NATION_4")
-    )
-    with_other = base.join(
-        l2,
-        (F.col("l2_orderkey") == F.col("l1_orderkey"))
-        & (F.col("l2_suppkey") != F.col("l1_suppkey")),
-        "left_semi",
-    )
-    sole_max = with_other.join(
-        l3,
-        (F.col("l3_orderkey") == F.col("l1_orderkey"))
-        & (F.col("l3_suppkey") != F.col("l1_suppkey"))
-        & (F.col("l3_quantity") > F.col("l1_quantity")),
-        "left_anti",
-    )
-    return (
-        sole_max.groupBy("s_name")
+        .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
