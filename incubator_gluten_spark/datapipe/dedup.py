@@ -346,21 +346,33 @@ def connected_components(
             .distinct()
             .withColumn("lbl", F.col("id"))
         ).persist()
+        prev_persisted = labels
         for _ in range(max_iter):
+            # r15 (r14 verdict directive #6, guide §1.2): the changed-count
+            # used to be a SECOND job joining new labels against old ones —
+            # one extra join+shuffle per iteration.  Carrying the old label
+            # through the union (non-null only on the labels row, exactly
+            # one per id) folds it into the SAME aggregation; `changed`
+            # is then a filter-count over the already-persisted aggregate.
+            lbl_type = labels.schema["lbl"].dataType
             prop = sym.join(labels, F.col("src") == F.col("id")).select(
-                F.col("dst").alias("id"), F.col("lbl")
+                F.col("dst").alias("id"),
+                F.col("lbl"),
+                F.lit(None).cast(lbl_type).alias("__old"),
             )
             new_labels = (
-                labels.unionByName(prop).groupBy("id").agg(F.min("lbl").alias("lbl"))
+                labels.withColumn("__old", F.col("lbl"))
+                .unionByName(prop)
+                .groupBy("id")
+                .agg(
+                    F.min("lbl").alias("lbl"),
+                    F.max("__old").alias("__old"),
+                )
             ).persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-                .filter(F.col("n.lbl") < F.col("o.lbl"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
+            changed = new_labels.filter(F.col("lbl") < F.col("__old")).count()
+            prev_persisted.unpersist()
+            prev_persisted = new_labels
+            labels = new_labels.select("id", "lbl")
             if changed == 0:
                 break
         sym.unpersist()
