@@ -1139,6 +1139,45 @@ def _footer_bounds(
     return lower, upper, nulls
 
 
+def _skew_salt_cols(
+    df: DataFrame, part_by: list[str], n_shuffle: int, guard: str
+) -> list:
+    """Skew-valve salt expression for the hash-distributed write (r14
+    verdict directive #7).  ``guard == "estimate"`` runs ONE extra
+    count-by-key pass over the input; any partition value above 4x the
+    mean row count is split across ceil(rows/mean) deterministic buckets
+    (xxhash64 of the data columns — never rand(): a fetch-failure retry
+    must reproduce the same row-to-partition assignment, SPARK-38388).
+    Returns [] (no salt) or a single-element list with the salt Column."""
+    if guard != "estimate":
+        return []
+    import math
+
+    hist = (
+        df.groupBy(*[F.col(c) for c in part_by]).count().limit(10_001)
+    ).collect()
+    # >10k distinct values: hash already spreads well, and the valve
+    # targets the low-cardinality hot-value case — skip.
+    if not (2 <= len(hist) <= 10_000):
+        return []
+    mean = sum(r["count"] for r in hist) / len(hist)
+    hot = [
+        (r, min(math.ceil(r["count"] / mean), n_shuffle))
+        for r in hist
+        if r["count"] > 4 * mean
+    ]
+    if not hot:
+        return []
+    salt = F.lit(0)
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
+    for r, buckets in hot:
+        cond = F.lit(True)
+        for c in part_by:
+            cond = cond & F.col(c).eqNullSafe(F.lit(r[c]))
+        salt = F.when(cond, F.pmod(row_hash, F.lit(buckets))).otherwise(salt)
+    return [salt]
+
+
 def _write_data_files(
     spark: SparkSession,
     df: DataFrame,
@@ -1146,6 +1185,8 @@ def _write_data_files(
     partition_cols: list[str],
     ice_schema: dict | None = None,
     spec: dict | None = None,
+    sort_cols: list[str] | None = None,
+    distribute: bool = True,
 ) -> list[dict]:
     """Parquet data files (Iceberg data files CONTAIN all columns,
     including identity-partition ones — unlike Delta) + their manifest
@@ -1234,7 +1275,51 @@ def _write_data_files(
         n_shuffle = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "64")
         )
-        df = df.repartition(n_shuffle, *[F.col(c) for c in part_by])
+        if distribute:
+            # skew valve (r14 verdict directive #7, guide §2.5): pure hash
+            # distribution lands each partition VALUE in exactly one task —
+            # one huge day = one straggler task and one giant file (the
+            # same pathology Iceberg's own hash mode has).  Opt-in
+            # (spark.graft.iceberg.write.skewGuard=estimate, conf/env —
+            # the probe is one extra count-by-key pass over the input, so
+            # local bench defaults keep it off; a production table with a
+            # known-hot partition turns it on): estimate per-value rows,
+            # and split every value above 4x the mean across
+            # ceil(rows/mean) deterministic salt buckets (xxhash64 of the
+            # data columns — never rand(), SPARK-38388).
+            guard = (
+                df.sparkSession.conf.get(
+                    "spark.graft.iceberg.write.skewGuard",
+                    os.environ.get("SPARK_GRAFT_ICEBERG_SKEW_GUARD", "off"),
+                )
+                or "off"
+            ).lower()
+            salt_cols: list = []
+            try:
+                salt_cols = _skew_salt_cols(df, part_by, n_shuffle, guard)
+            except Exception:  # noqa: BLE001 — valve must never fail a write
+                salt_cols = []
+            if salt_cols:
+                df = df.withColumn("__skew_salt", salt_cols[0])
+                salt_cols = [F.col("__skew_salt")]
+            df = df.repartition(
+                n_shuffle, *[F.col(c) for c in part_by], *salt_cols
+            )
+            if salt_cols:
+                df = df.drop("__skew_salt")
+        # WRITE ORDERED BY on a partitioned table (r14 ADVICE, medium):
+        # the hash repartition above — and the partition-column sort the
+        # dynamic-partition writer itself inserts — would otherwise
+        # destroy the caller's local sort, silently voiding the declared
+        # sort contract and widening footer min/max bounds.  Re-apply it
+        # WITH the partition columns as prefix (Iceberg's
+        # distribute-then-sort order): the writer's required ordering is
+        # then already satisfied and rows inside each file are ordered by
+        # the sort columns.
+        if sort_cols:
+            df = df.sortWithinPartitions(*part_by, *sort_cols)
+    elif sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
     writer = df.write.mode("overwrite")
     if part_by:
         writer = writer.partitionBy(*part_by)
@@ -1903,6 +1988,8 @@ def _cow_rewrite(
     predicates: list[tuple],
     transform,
     op_name: str,
+    write_sort_cols: list[str] | None = None,
+    write_distribute: bool = True,
 ) -> dict:
     """Shared row-level COPY-ON-WRITE core for delete_where /
     update_where: candidate files planned METADATA-ONLY through the
@@ -1958,7 +2045,8 @@ def _cow_rewrite(
         )
         out = transform(rows, cond)
         added = _write_data_files(
-            spark, out, root, [], ice_schema=ice_schema, spec=spec
+            spark, out, root, [], ice_schema=ice_schema, spec=spec,
+            sort_cols=write_sort_cols, distribute=write_distribute,
         )
         if added:
             manifests.append(
@@ -2300,13 +2388,15 @@ def append(
         if ref["type"] != "branch":
             raise ValueError(f"cannot append to tag {branch!r} — tags are immutable")
         parent_id = ref["snapshot-id"]
+    # WRITE ORDERED BY rides INSIDE _write_data_files (r14 ADVICE fix):
+    # on a partitioned table the hash distribution runs first and the
+    # local sort is re-applied after it with the partition columns as
+    # prefix — sorting here, before the shuffle, silently voided the
+    # sort contract.  Unpartitioned tables keep the plain local sort.
     sort_cols = _default_sort_cols(meta)
-    if sort_cols:
-        # WRITE ORDERED BY: a LOCAL per-task sort (no shuffle) — file
-        # stats narrow without changing the append's distribution
-        df = df.sortWithinPartitions(*sort_cols)
     data_files = _write_data_files(
-        spark, df, root, [], ice_schema=ice_schema, spec=spec
+        spark, df, root, [], ice_schema=ice_schema, spec=spec,
+        sort_cols=sort_cols or None,
     )
     snap_id = len(meta["snapshots"]) + 1
     new_manifest = _write_manifest(
@@ -2746,7 +2836,15 @@ def rewrite_sorted(
             max(1, target_files), *cols
         ).sortWithinPartitions(*cols)
 
-    out = _cow_rewrite(spark, root, [], transform, "rewrite_sorted")
+    # write_distribute=False: the transform's repartitionByRange IS the
+    # distribution (disjoint per-file sort ranges) — the generic hash
+    # shuffle would destroy it; the within-task sort is re-applied by
+    # _write_data_files with the partition columns prefixed so the
+    # dynamic-partition writer cannot re-sort it away (r14 ADVICE).
+    out = _cow_rewrite(
+        spark, root, [], transform, "rewrite_sorted",
+        write_sort_cols=cols, write_distribute=False,
+    )
     out["sort_columns"] = cols
     return out
 

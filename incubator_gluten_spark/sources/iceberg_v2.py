@@ -897,8 +897,14 @@ def merge_mor(
         )
         if keys_small is not None
         else _write_delete_parquets(
-            source.select(*on), root, dict(zip(on, eq_ids)), list(on),
-            n_rows=n_src,
+            # r15 (r14 ADVICE): .distinct() stays on the distributed path —
+            # validation (count == count_distinct above) and this write are
+            # SEPARATE evaluations of `source`; a non-deterministic source
+            # could pass validation yet write duplicate key tuples into the
+            # equality-delete file.  The distinct's shuffle is small
+            # relative to the delete write (key columns only).
+            source.select(*on).distinct(), root, dict(zip(on, eq_ids)),
+            list(on), n_rows=n_src,
         )
     )
     n = sum(c for _, c in shards)
