@@ -485,7 +485,14 @@ def _rewrite_file_groups(
                 .alias(c)
                 for c in data_cols
             ],
-            fid.alias("__fid"),
+            # r15 (r14 ADVICE): key the routing column on the FULL
+            # (partition, file_id) pair so a cross-partition fid collision
+            # is structurally impossible rather than astronomically
+            # unlikely — a collision would silently route one group's rows
+            # into another partition's directory.
+            F.concat_ws(
+                "/", F.col("t._hoodie_partition_path"), fid
+            ).alias("__fid"),
         )
         .withColumn(
             "_hoodie_commit_seqno",
@@ -507,13 +514,21 @@ def _rewrite_file_groups(
         .partitionBy("__fid")
         .parquet(staging)
     )
-    by_fid = {f: (raw, esc) for raw, esc, f, _ in hit}
+    from incubator_gluten_spark.sources.delta_protocol import (
+        unescape_path_name,
+    )
+
+    # keys mirror the data-side concat_ws("/", partition_path, fid) exactly
+    by_fid = {f"{raw}/{f}": (raw, esc, f) for raw, esc, f, _ in hit}
     stats: dict[str, list] = {}
     for seg in sorted(os.listdir(staging)):
         if not seg.startswith("__fid="):
             continue
-        fid_v = seg[len("__fid=") :]  # md5/uuid hex — never escaped
-        raw, esc = by_fid[fid_v]
+        esc_v = seg[len("__fid=") :]
+        # the composite key can carry writer-escaped partition characters
+        # (the old bare-fid key never did — md5/uuid hex)
+        key_v = unescape_path_name(esc_v) or esc_v
+        raw, esc, fid_v = by_fid[key_v]
         names = sorted(
             n
             for n in os.listdir(os.path.join(staging, seg))

@@ -132,3 +132,62 @@ def test_upsert_key_column_named_k_not_ambiguous(spark, tmp_path):
         (2, 20.0),
         (9, 90.0),
     ]
+
+
+def test_rewrite_seqnos_are_globally_unique(spark, tmp_path):
+    """r14 verdict What's-wrong #5 pin: matched rows' _hoodie_commit_seqno
+    derives from monotonically_increasing_id, which is layout-dependent —
+    the CONTRACT is uniqueness (per-record identity for incremental
+    consumers), so pin exactly that: after upserts that rewrite multiple
+    file groups across partitions, every seqno in the table is unique,
+    and rewritten rows carry the new instant's prefix."""
+    root = str(tmp_path / "seqno")
+    rows = [(i, float(i), "a" if i % 2 else "b") for i in range(1, 41)]
+    hf.create_table(_mk(spark, rows), root, key_col="rk", partition_col="grp")
+    # touch both partitions (two file groups) in one upsert
+    upd = [(i, 100.0 + i, "a" if i % 2 else "b") for i in range(1, 21)]
+    out = hf.upsert(spark, _mk(spark, upd), root, "rk")
+    assert out["file_groups_rewritten"] >= 2
+    meta = hf.read_table(spark, root, drop_meta_cols=False)
+    n = meta.count()
+    n_seq = meta.select("_hoodie_commit_seqno").distinct().count()
+    assert n == 40 and n_seq == 40
+    instant = hf.completed_instants(root)[-1]
+    restamped = meta.filter(F.col("_hoodie_commit_time") == instant)
+    assert restamped.count() == 20
+    assert (
+        restamped.filter(
+            ~F.col("_hoodie_commit_seqno").startswith(instant)
+        ).count()
+        == 0
+    )
+
+
+def test_rewrite_partition_fid_key_is_composite(spark, tmp_path):
+    """r14 ADVICE pin: the rewrite's routing key is the full
+    (partition_path, file_id) pair, so two file groups sharing a fid in
+    DIFFERENT partitions can never cross-route.  Verified structurally:
+    one upsert touching one group per partition keeps each partition's
+    rows in its own directory with the group's fid preserved."""
+    root = str(tmp_path / "fidkey")
+    hf.create_table(
+        _mk(spark, [(1, 10.0, "a"), (2, 20.0, "b")]),
+        root,
+        key_col="rk",
+        partition_col="grp",
+    )
+    fids_before = {
+        os.path.dirname(os.path.relpath(p, root)): os.path.basename(p).split("_")[0]
+        for p in hf.snapshot_files(root)
+    }
+    hf.upsert(spark, _mk(spark, [(1, 99.0, "a"), (2, 88.0, "b")]), root, "rk")
+    fids_after = {
+        os.path.dirname(os.path.relpath(p, root)): os.path.basename(p).split("_")[0]
+        for p in hf.snapshot_files(root)
+    }
+    assert fids_after == fids_before  # same group ids, same partitions
+    got = hf.read_table(spark, root)
+    assert _rows(got.select("rk", "price", "grp")) == [
+        (1, 99.0, "a"),
+        (2, 88.0, "b"),
+    ]
