@@ -4900,7 +4900,17 @@ def _compute_or_validate_generated(
         for name, typ, e in present:
             cond = ~F.col(name).eqNullSafe(F.expr(e).cast(typ))
             bad_any = cond if bad_any is None else (bad_any | cond)
-        if df.filter(bad_any).limit(1).collect():
+        try:
+            hit = bool(df.filter(bad_any).limit(1).collect())
+        except Exception:  # noqa: BLE001
+            # r15 (r14 ADVICE): the OR-combined probe evaluates EVERY
+            # column's expression in one job, so a runtime-erroring
+            # expression in column B would surface as a raw Spark error
+            # even when column A has a plain mismatch.  Fall back to the
+            # pre-r14 per-column sequential probe, which both names the
+            # offending column and preserves first-mismatch ordering.
+            hit = True
+        if hit:
             for name, typ, e in present:
                 bad = df.filter(
                     ~F.col(name).eqNullSafe(F.expr(e).cast(typ))
