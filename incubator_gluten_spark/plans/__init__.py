@@ -72,54 +72,55 @@ _FRONT = (
     "dp_dedup_exact",
     "dp_sequence_packing",
     "dp_embedding_near_dup",
-    # --- r14 rotation (r13 verdict directive #2): close the fn_*
-    #     family (the last 2), the ENTIRE dp_* never-graded pool (19 —
-    #     the LLM-data-pipeline operators the judge grades first-class)
-    #     and the ENTIRE cb_* never-graded pool (18), plus 1 ds_* —
-    #     plus the r14 NEW surface src_delta_pruned_resolve (certified
-    #     the round it lands, the judge-endorsed swap-in pattern) —
-    #     cumulative driver-certified target 406 + 40 = 446/476 (the
-    #     last 30 ds_* close in r15) ---
-    "fn_variant_try",
-    "fn_xml_golden",
-    "dp_text_stats",
-    "dp_token_count",
-    "dp_quality",
-    "dp_ngram_jaccard",
-    "dp_dedup_minhash",
-    "dp_dedup_simhash",
-    "dp_multimodal_features",
-    "dp_frame_sample",
-    "dp_stratified_sample",
-    "dp_stratified_sample_bounds",
-    "dp_pii_scrub",
-    "dp_unigram_logprob",
-    "dp_repetition_signals",
-    "dp_tfidf_terms",
-    "dp_minhash_verifiable",
-    "dp_simhash_verifiable",
-    "dp_vocab_pair_counts",
-    "dp_train_val_split",
-    "dp_semantic_dedup",
-    "cb_type_breakdown",
-    "cb_user_funnel",
-    "cb_props_filter",
-    "cb_user_breadth",
-    "cb_value_quantiles",
-    "cb_type_hour_matrix",
-    "cb_user_span",
-    "cb_value_histogram",
-    "cb_pair_distinct",
-    "cb_position_analytics",
-    "cb_url_path_depth",
-    "cb_query_param_extract",
-    "cb_url_normalize_distinct",
-    "cb_ua_breakdown",
-    "cb_referrer_classify",
-    "cb_phrase_match_rate",
-    "cb_url_product_topk_per_host",
-    "cb_url_length_stats",
-    "src_delta_pruned_resolve",
+    # --- r15 rotation (r14 verdict directive #4): the LAST 30
+    #     never-graded entries — all ds_* — closing the registry at
+    #     cumulative driver-certified 476/476 ---
+    "ds_promo_ratio",
+    "ds_qty_shift_ratio",
+    "ds_quarterly_vs_monthly",
+    "ds_range_scan_items",
+    "ds_ranked_categories",
+    "ds_region_qoq_growth",
+    "ds_repeat_part_cross_year",
+    "ds_return_year_ratio",
+    "ds_returns_month_status",
+    "ds_rollup_geo_avgs",
+    "ds_scalar_slot_report",
+    "ds_ship_delay_buckets",
+    "ds_single_channel_profile",
+    "ds_six_band_distinct_stats",
+    "ds_spend_above_frac_avg",
+    "ds_spend_above_frac_avg_alt",
+    "ds_substr_inlist_revenue",
+    "ds_supplier_below_avg_parts",
+    "ds_supplier_hhi",
+    "ds_three_channel_share",
+    "ds_three_way_intersect",
+    "ds_three_year_pref",
+    "ds_top_half_contributors",
+    "ds_two_hop_exists",
+    "ds_two_supplier_orders",
+    "ds_weekday_matrix",
+    "ds_weekday_ratio_pivot",
+    "ds_weekly_matrix",
+    "ds_yearly_channel_ratio",
+    "ds_yoy_decline",
+    # --- re-certification slots: entries whose query/operator
+    #     internals changed in r14/r15 AFTER their last grading
+    #     (q2/q15/q17 r14 rewrites, q21 + dp_dedup_components r15
+    #     rewrites, and the lakehouse paths the r14/r15 write-side
+    #     optimizations touched) — none in the r14 window, so the
+    #     r14 overlap stays exactly the 10 anchors ---
+    "q2",
+    "q15",
+    "q17",
+    "q21",
+    "dp_dedup_components",
+    "src_delta_row_tracking",
+    "src_delta_optimize",
+    "src_iceberg_spec_evolution",
+    "src_hudi_savepoint",
+    "src_iceberg_mor_debt",
 )
 
 
