@@ -2271,7 +2271,23 @@ def src_delta_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dp.delete_where_dv(spark, root, "o_totalprice > 150000")
     pre = dp.resolve(spark, root)
-    n_rows_pre = dp.read_table(spark, root).count()
+    # r15 (r14 verdict directive #5, guide §1.2): the pre-optimize live
+    # count comes from the snapshot's own accounting (add-stats
+    # numRecords minus DV cardinality — metadata-only, zero jobs)
+    # instead of a full table scan.  The time-travel assertion below
+    # still READS the old version, so it now also cross-checks the
+    # protocol metadata against an actual scan; any add missing stats
+    # falls back to the read-count.
+    import json as _json
+
+    try:
+        n_rows_pre = sum(
+            _json.loads(a["stats"])["numRecords"]
+            - ((a.get("deletionVector") or {}).get("cardinality") or 0)
+            for a in pre.adds
+        )
+    except (KeyError, TypeError, ValueError):
+        n_rows_pre = dp.read_table(spark, root).count()
     # r13: OPTIMIZE ... WHERE — compact ONE partition first (the
     # partition-range-wise shape a 100 TB table runs), then the rest;
     # the scoped commit must touch nothing outside its fence
@@ -4716,17 +4732,20 @@ def src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to run FOUR separate jobs — a dead y(1996).count(), a density agg
     # over a fresh snapshot scan, and two full-outer drift joins whose
     # `before` side each re-resolved and re-scanned the pre-optimize
-    # snapshot.  Now the (key, id) projection is materialized ONCE
-    # (localCheckpoint — ~2 narrow columns, O(|orders ∩ 2 years|)), the
-    # density agg runs over that materialization, and both drift checks
-    # fold into ONE three-way full-outer job after the two rewrites (the
-    # per-op attribution survives in the split counts).  Snapshot reads
-    # pin their file list at call time, so `after` still sees the
+    # snapshot.  Now the (key, id) projection is persisted ONCE (~2
+    # narrow columns, O(|orders ∩ 2 years|); persist, NOT
+    # localCheckpoint — the probe this round showed checkpoint RDDs
+    # leak for the session lifetime, and persist recomputes through the
+    # version-pinned snapshot on eviction), the density agg runs over
+    # that materialization, and both drift checks fold into ONE
+    # three-way full-outer job after the two rewrites (the per-op
+    # attribution survives in the split counts).  Snapshot reads pin
+    # their file list at call time, so `after` still sees the
     # post-OPTIMIZE pre-UPDATE version when the join finally runs.
     before = (
         dp.read_table_with_row_ids(spark, root)
         .select("o_orderkey", F.col("_row_id").alias("rid_before"))
-        .localCheckpoint()
+        .persist()
     )
     stats = before.agg(
         F.count(F.lit(1)).alias("n"),
@@ -4765,6 +4784,7 @@ def src_delta_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()[0]
     )
+    before.unpersist()
     if drifts["opt_drift"] != 0:
         raise RuntimeError(
             f"OPTIMIZE changed row identity ({drifts['opt_drift']} rows)"
