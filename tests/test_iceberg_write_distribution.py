@@ -42,7 +42,7 @@ def test_partitioned_append_keeps_sort_order_per_file(spark, tmp_path):
     batch = spark.range(4000).select(
         (F.col("id") % 3).cast("string").alias("p"),
         (F.abs(F.xxhash64("id", F.lit(7))) % 100000).alias("k"),
-        F.col("id").alias("seq"),
+        (F.col("id") + 100).alias("seq"),  # disjoint from the base's 0..7
     ).repartition(4)
     n_before = len(ice.plan_files(root))
     ice.append(batch, root)
@@ -59,7 +59,7 @@ def test_partitioned_append_keeps_sort_order_per_file(spark, tmp_path):
         checked += 1
     assert checked >= 3  # the three p-values of the appended batch
     # lossless
-    got = ice.read_table(spark, root).filter(F.col("seq") >= 8).count()
+    got = ice.read_table(spark, root).filter(F.col("seq") >= 100).count()
     assert got == 4000
 
 
